@@ -1,0 +1,94 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+{"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def main():
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+
+    from prase_spark.config import ParisConfig, get_spark
+
+    spark = get_spark("prase_bench", master=f"local[{cpus}]", shuffle_partitions=max(cpus, 16))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    timings: dict[str, float] = {}
+
+    def run(name, fn):
+        t0 = time.time()
+        fn()
+        timings[name] = round(time.time() - t0, 3)
+
+    # q1: KG build + functionality agg over the INV-doubled KG1 (A1/A2/U5)
+    def q_kg_build():
+        e._q_kg1_functionality(spark, sf_dir).collect()
+
+    # q2: literal seed join (J1)
+    def q_seed():
+        e._q_literal_seed(spark, sf_dir).count()
+
+    # q3: flagship — full PARIS alignment, 2 Jacobi iterations + bipartite
+    def q_paris():
+        e._q_paris_align_tpch(spark, sf_dir).count()
+
+    # q4: minhash near-dup pipeline over documents
+    def q_minhash():
+        e._q_minhash_neardup_docs(spark, sf_dir).count()
+
+    # q5: brute-force ANN top-k
+    def q_ann():
+        e._q_ann_topk(spark, sf_dir).count()
+
+    # q6: page->triple extraction throughput (docs/sec reported separately)
+    n_pages = int(os.environ.get("PRASE_BENCH_PAGES", "2000"))
+
+    def q_extract():
+        from prase_spark.extract import extract_triples
+        from prase_spark.fixtures import pages_fixture
+
+        pages, _ = pages_fixture(spark, n_pages=n_pages)
+        pages = pages.repartition(cpus).cache()
+        pages.count()
+        t0 = time.time()
+        extract_triples(pages).count()
+        timings["extract_docs_per_sec"] = round(n_pages / (time.time() - t0), 1)
+
+    run("kg_build_functionality", q_kg_build)
+    run("literal_seed", q_seed)
+    run("paris_align_2iter", q_paris)
+    run("minhash_neardup", q_minhash)
+    run("ann_topk", q_ann)
+    run("extract", q_extract)
+
+    total = round(sum(v for k, v in timings.items() if not k.endswith("per_sec")), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "prase_spark_bench_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,60 @@
+"""Session + hyperparameter configuration.
+
+Hyperparameters mirror the reference defaults (objects/KGs.py:14-24):
+theta=0.1, delta=0.01, epsilon=1.01, const=10.0, iteration=3 (test.py:127 uses 10).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+
+@dataclass(frozen=True)
+class ParisConfig:
+    theta: float = 0.1        # match threshold      (objects/KGs.py:17)
+    delta: float = 0.01       # evidence cutoff      (objects/KGs.py:20)
+    epsilon: float = 1.01     # dampening            (objects/KGs.py:21)
+    const: float = 10.0       # normalization const  (objects/KGs.py:22,212)
+    iterations: int = 3       # fixpoint rounds      (objects/KGs.py:15)
+    # weights of the default fusion function (test.py:74-76)
+    fusion_paris_weight: float = 0.8
+    fusion_cosine_weight: float = 0.2
+    # engine knobs (no reference analog; scale controls)
+    checkpoint_dir: str = field(default="/tmp/prase_spark_ckpt")
+    checkpoint_every: int = 1
+    salt_buckets: int = 0     # >0 enables skew salting of hub-head joins
+
+
+def get_spark(
+    app_name: str = "prase_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+) -> SparkSession:
+    """Build a SparkSession tuned for this engine.
+
+    Scale posture: AQE on (runtime coalesce + skew-join split), adaptive
+    broadcast, Arrow for every pandas-UDF boundary. On a real cluster the
+    same code runs via spark-submit --py-files; only master/memory change.
+    """
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "0")) or os.cpu_count() or 4
+    master = master or os.environ.get("PRASE_SPARK_MASTER", f"local[{cpus}]")
+    shuffle = shuffle_partitions or int(
+        os.environ.get("PRASE_SHUFFLE_PARTITIONS", str(max(cpus, 8)))
+    )
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("PRASE_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+        .config("spark.sql.session.timeZone", "UTC")
+    )
+    return builder.getOrCreate()

@@ -1,0 +1,137 @@
+"""Similarity search over embedding columns (array<float>).
+
+- cosine_topk: brute-force top-k per query (baseline / oracle path) —
+  native cosine (zip_with/aggregate), broadcast queries, max_by-k.
+- lsh_topk: random-hyperplane-blocked approximate top-k (scale path).
+- ivf_topk: inverted-file variant — coarse centroids via deterministic
+  seeded sampling, probe nearest cells only.
+
+Scale posture: queries are broadcast (small side); corpus never self-joins;
+LSH/IVF bound candidates per query so the shuffle is O(corpus), not
+O(corpus x queries).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from prase_spark.embed import cosine_expr, hyperplane_signatures
+
+
+def cosine_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast queries x corpus, window top-k.
+    Returns (query_id, vec_id, cosine, rank)."""
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    scored = c.join(F.broadcast(q)).withColumn(
+        "cosine", cosine_expr("q_vec", "c_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", F.col("cosine"), "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_bits: int = 64,
+    n_bands: int = 16,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share ≥1 hyperplane band with the
+    query, then exact cosine + window top-k on the candidate set."""
+    c_sig = hyperplane_signatures(
+        corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
+        dim, n_bits, n_bands, seed,
+    ).select(F.col("ent_id").alias("vec_id"), "band", "band_key")
+    q_sig = hyperplane_signatures(
+        queries.select(F.col(query_id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
+        dim, n_bits, n_bands, seed,
+    ).select(F.col("ent_id").alias("query_id"), "band", "band_key")
+    cand = c_sig.join(F.broadcast(q_sig), ["band", "band_key"]).select(
+        "query_id", "vec_id"
+    ).distinct()
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("c_vec"))
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    scored = cand.join(c, "vec_id").join(F.broadcast(q), "query_id").withColumn(
+        "cosine", cosine_expr("q_vec", "c_vec")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _seeded_centroids(corpus_pd: np.ndarray, n_cells: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    idx = rng.choice(len(corpus_pd), size=min(n_cells, len(corpus_pd)), replace=False)
+    cents = corpus_pd[idx]
+    return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF: coarse-quantize corpus to its nearest centroid cell; probe the
+    n_probe nearest cells per query. Centroids come from a deterministic
+    seeded sample (driver-side, capped — at cluster scale this is a
+    k-means|| job; the assignment/probe joins are identical)."""
+    sample = corpus.select(vec_col).limit(sample_cap).collect()
+    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    cents = _seeded_centroids(mat, n_cells, seed)
+    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    spark = corpus.sparkSession
+    cent_df = spark.createDataFrame(cent_rows, "cell INT, c_vec ARRAY<DOUBLE>")
+
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    assign = (
+        c.join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_expr("v", "c_vec"))
+        .groupBy("vec_id")
+        .agg(F.max_by("cell", "sim").alias("cell"), F.first("v").alias("v"))
+    )
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_expr("q_vec", "c_vec"))
+        .withColumn("rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("sim"))))
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell", "q_vec")
+    )
+    scored = assign.join(q_cells, "cell").withColumn("cosine", cosine_expr("q_vec", "v"))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )

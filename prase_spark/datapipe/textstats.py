@@ -1,0 +1,85 @@
+"""Text analysis over document corpora — all native column expressions
+(JVM-side, whole-stage codegen): language-ID heuristic, quality scoring,
+token counting, rolling-hash fingerprinting.
+
+These are first-class pipeline ops for 100-TB training-data prep; none has
+a reference analog (the reference consumes pre-built triples), so each is
+SQL-expressible and oracle-checked via __spark_entry__.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword marker sets for the n-gram/stopword heuristic.
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in", "is", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit"],
+    "fr": ["le", "la", "les", "et", "des", "est", "une", "dans"],
+    "es": ["el", "la", "los", "de", "que", "es", "una", "por"],
+}
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokenization after lowercasing + punctuation strip."""
+    c = F.col(col) if isinstance(col, str) else col
+    cleaned = F.regexp_replace(F.lower(c), r"[^a-z0-9\s]", " ")
+    return F.filter(F.split(cleaned, r"\s+"), lambda t: F.length(t) > 0)
+
+
+def token_count(col: Column | str) -> Column:
+    return F.size(tokens(col))
+
+
+def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("n_tokens", token_count(text_col))
+
+
+def quality_score(col: Column | str) -> Column:
+    """Composite [0,1] quality heuristic: length band + alpha ratio +
+    stopword presence. Deterministic, fully native."""
+    c = F.col(col) if isinstance(col, str) else col
+    n_chars = F.length(c)
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", ""))
+    alpha_ratio = F.when(n_chars > 0, alpha / n_chars).otherwise(F.lit(0.0))
+    toks = tokens(c)
+    n_toks = F.size(toks)
+    stop_hits = F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]])))
+    len_score = F.least(F.lit(1.0), n_toks / F.lit(50.0))
+    stop_score = F.least(F.lit(1.0), stop_hits / F.lit(3.0))
+    return F.round((len_score + alpha_ratio + stop_score) / F.lit(3.0), 6)
+
+
+def add_quality(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("quality", quality_score(text_col))
+
+
+def language_id(col: Column | str) -> Column:
+    """Stopword-marker language ID over {en,de,fr,es}; 'und' (undetermined)
+    when no marker hits. Ties break by language-code order (deterministic)."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    scores = [
+        F.struct(
+            F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).alias("hits"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang, words in sorted(_LANG_MARKERS.items(), reverse=True)
+    ]
+    best = F.greatest(*scores)
+    return F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und"))
+
+
+def add_language(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("lang_pred", language_id(text_col))
+
+
+def fingerprint64(col: Column | str) -> Column:
+    """Stable 64-bit document fingerprint over normalized tokens
+    (xxhash64 of the canonical token stream)."""
+    return F.xxhash64(F.concat_ws(" ", tokens(col)))
+
+
+def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint64(text_col))

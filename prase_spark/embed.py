@@ -1,0 +1,173 @@
+"""Embedding similarity: cosine scoring, LSH blocking, global-argmax reset.
+
+Reference analogs:
+- cosine fusion inside the kernel (test.py:74-76, model/PARIS.py:45-48)
+- global embedding argmax reset: full matmul + row argmax, prob=0.2 both
+  ways (objects/KGs.py:265-279)
+- embedding load + blend (objects/KGs.py:522-539, 176-183)
+
+Scale posture: the reference's N×M matmul is replaced by random-hyperplane
+LSH blocking -> banded candidate join -> native cosine; the exact cross-join
+path is kept for test-scale validation (SURVEY.md §2.4 J7).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def cosine_expr(a: Column | str, b: Column | str) -> Column:
+    """Native (JVM, codegen) cosine over two array<float/double> columns:
+    zip_with product + aggregate sums — no Python in the hot path."""
+    a, b = F.col(a) if isinstance(a, str) else a, F.col(b) if isinstance(b, str) else b
+    dot = F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+    na = F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, x: acc + x * x))
+    nb = F.sqrt(F.aggregate(b, F.lit(0.0), lambda acc, x: acc + x * x))
+    return dot / (na * nb)
+
+
+def brute_force_argmax(
+    emb_l: DataFrame, emb_r: DataFrame, prob: float = 0.2
+) -> tuple[DataFrame, DataFrame]:
+    """Exact J7 reset path (objects/KGs.py:265-279): row argmax of the
+    similarity matrix, assign ``prob`` both directions. Here argmax is by
+    raw dot product (the reference matmuls unnormalized rows).
+
+    Test-scale only — the LSH path below is the 10^12-row strategy."""
+    l = emb_l.select(F.col("ent_id").alias("l_id"), F.col("embedding").alias("emb_l"))
+    r = emb_r.select(F.col("ent_id").alias("r_id"), F.col("embedding").alias("emb_r"))
+    dot = F.aggregate(
+        F.zip_with("emb_l", "emb_r", lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x
+    )
+    scored = l.crossJoin(r).withColumn("dot", dot)
+    # ties -> smallest r_id, matching np.argmax's first-index rule
+    sub = (
+        scored.groupBy("l_id")
+        .agg(F.max_by(F.struct("r_id"), F.struct("dot", (-F.col("r_id")).alias("nr"))).alias("b"))
+        .select(
+            F.col("l_id").alias("ent_id"),
+            F.col("b.r_id").alias("counterpart_id"),
+            F.lit(prob).alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+    )
+    sup = (
+        sub.groupBy("counterpart_id")
+        .agg(F.max("ent_id").alias("l_id"))
+        .select(
+            F.col("counterpart_id").alias("ent_id"),
+            F.col("l_id").alias("counterpart_id"),
+            F.lit(prob).alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+    )
+    return sub, sup
+
+
+def hyperplane_signatures(
+    emb: DataFrame, dim: int, n_bits: int = 32, n_bands: int = 8, seed: int = 42
+) -> DataFrame:
+    """Random-hyperplane (SimHash) signatures, banded for LSH joins.
+
+    Deterministic: planes from a seeded generator, broadcast to executors
+    inside an Arrow-batched pandas transform. Output: one row per (ent_id,
+    band, band_key) — candidate pairs are equi-joins on (band, band_key).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bits, dim)).astype(np.float64)
+    bits_per_band = n_bits // n_bands
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.stack(pdf["embedding"].map(lambda v: np.asarray(v, dtype=np.float64)))
+            bits = (mat @ planes.T) >= 0.0  # (n, n_bits)
+            ids, bands, keys = [], [], []
+            weights = (1 << np.arange(bits_per_band)).astype(np.int64)
+            for b in range(n_bands):
+                chunk = bits[:, b * bits_per_band : (b + 1) * bits_per_band]
+                key = chunk @ weights
+                ids.extend(pdf["ent_id"].tolist())
+                bands.extend([b] * len(pdf))
+                keys.extend(key.tolist())
+            yield pd.DataFrame({"ent_id": ids, "band": bands, "band_key": keys})
+
+    return emb.select("ent_id", "embedding").mapInPandas(
+        run, "ent_id LONG, band INT, band_key LONG"
+    )
+
+
+def lsh_candidate_pairs(
+    emb_l: DataFrame,
+    emb_r: DataFrame,
+    dim: int,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Blocked candidate pairs (l_id, r_id): same band key in any band.
+    Replaces the all-pairs matmul at scale (SURVEY.md §4: MinHash/LSH
+    blocking is the scale substitute for J7)."""
+    sig_l = hyperplane_signatures(emb_l, dim, n_bits, n_bands, seed).select(
+        F.col("ent_id").alias("l_id"), "band", "band_key"
+    )
+    sig_r = hyperplane_signatures(emb_r, dim, n_bits, n_bands, seed).select(
+        F.col("ent_id").alias("r_id"), "band", "band_key"
+    )
+    return sig_l.join(sig_r, ["band", "band_key"]).select("l_id", "r_id").distinct()
+
+
+def lsh_argmax(
+    emb_l: DataFrame,
+    emb_r: DataFrame,
+    dim: int,
+    prob: float = 0.2,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate J7: argmax cosine within LSH-blocked candidates."""
+    pairs = lsh_candidate_pairs(emb_l, emb_r, dim, n_bits, n_bands, seed)
+    l = emb_l.select(F.col("ent_id").alias("l_id"), F.col("embedding").alias("emb_l"))
+    r = emb_r.select(F.col("ent_id").alias("r_id"), F.col("embedding").alias("emb_r"))
+    scored = pairs.join(l, "l_id").join(r, "r_id").withColumn(
+        "cos", cosine_expr("emb_l", "emb_r")
+    )
+    return (
+        scored.groupBy("l_id")
+        .agg(F.max_by(F.struct("r_id"), F.struct("cos", (-F.col("r_id")).alias("nr"))).alias("b"))
+        .select(
+            F.col("l_id").alias("ent_id"),
+            F.col("b.r_id").alias("counterpart_id"),
+            F.lit(prob).alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+    )
+
+
+def blend_embeddings(
+    current: DataFrame, updates: DataFrame, alpha: float = 0.5
+) -> DataFrame:
+    """P15 (objects/KGs.py:176-183): αold + (1-α)new, L2-normalized —
+    native array arithmetic, no UDF."""
+    cur = current.select("ent_id", F.col("embedding").alias("old"))
+    upd = updates.select("ent_id", F.col("embedding").alias("new"))
+    pooled = F.zip_with(
+        "old", "new", lambda o, n: F.lit(alpha) * o + F.lit(1.0 - alpha) * n
+    )
+    joined = cur.join(upd, "ent_id", "left").withColumn(
+        "pooled", F.when(F.col("new").isNull(), F.col("old")).otherwise(pooled)
+    )
+    norm = F.sqrt(
+        F.aggregate("pooled", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return joined.select(
+        "ent_id",
+        F.transform("pooled", lambda x: (x / norm).cast("float")).alias("embedding"),
+    )

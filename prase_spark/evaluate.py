@@ -1,0 +1,71 @@
+"""P/R/F1 evaluation sweep (objects/KGs.py:281-331, A9).
+
+The reference rescans the match array once per threshold; we aggregate prob
+histograms once and sweep driver-side — one Spark job for the whole grid.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def evaluate_alignment(
+    matches_sub: DataFrame,
+    gold: DataFrame,
+    thresholds: list[float] | None = None,
+) -> list[dict]:
+    """``gold``: (ent_l, ent_r) id pairs. Predicted pairs are entity matches
+    with prob ≥ threshold (objects/KGs.py:305-311). Returns one dict per
+    threshold with precision/recall/f1 (0.0 where undefined)."""
+    thresholds = thresholds if thresholds is not None else [0.1 * i for i in range(10)]
+    pred = matches_sub.filter(~F.col("is_lit")).select(
+        F.col("ent_id").alias("ent_l"), F.col("counterpart_id").alias("ent_r"), "prob"
+    )
+    correct = pred.join(gold, ["ent_l", "ent_r"], "inner")
+
+    def histogram(df: DataFrame) -> list[tuple[float, int]]:
+        return [
+            (r["prob"], r["cnt"])
+            for r in df.groupBy("prob").agg(F.count("*").alias("cnt")).collect()
+        ]
+
+    pred_hist, correct_hist = histogram(pred), histogram(correct)
+    total = gold.count()
+    out = []
+    for t in thresholds:
+        predict_num = sum(c for p, c in pred_hist if p >= t)
+        correct_num = sum(c for p, c in correct_hist if p >= t)
+        precision = correct_num / predict_num if predict_num else 0.0
+        recall = correct_num / total if total else 0.0
+        f1 = (
+            2.0 * precision * recall / (precision + recall)
+            if precision > 0.0 and recall > 0.0
+            else 0.0
+        )
+        out.append(
+            {
+                "threshold": t,
+                "predicted": predict_num,
+                "correct": correct_num,
+                "gold": total,
+                "precision": precision,
+                "recall": recall,
+                "f1": f1,
+            }
+        )
+    return out
+
+
+def embed_align_split(
+    matches_sub: DataFrame, gold: DataFrame, threshold: float = 0.0
+) -> tuple[DataFrame, DataFrame]:
+    """S10 (objects/KGs.py:333-371): predicted matches ≥ threshold become
+    train links; gold pairs whose left entity was NOT predicted become
+    test/valid links (left anti-join)."""
+    predicted = matches_sub.filter(
+        (~F.col("is_lit")) & (F.col("prob") >= threshold)
+    ).select(F.col("ent_id").alias("ent_l"), F.col("counterpart_id").alias("ent_r"))
+    visited = predicted.select("ent_l").distinct()
+    test = gold.join(visited, "ent_l", "left_anti")
+    return predicted, test

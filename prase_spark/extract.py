@@ -1,0 +1,115 @@
+"""Page-corpus front-end: html -> text -> (subj, pred, obj) triples.
+
+NEW surface per BASELINE.json input_hint (the reference's only extraction
+analog is the ``"http" in v`` router at test.py:49-52). Both steps are pure,
+stateless, row-local functions executed as Arrow-batched pandas transforms
+(``mapInPandas``) — no per-row Python UDF calls, no batch-dependent state,
+so extracted text is byte-identical per url at any parallelism (the
+input_hint invariant; verified by tests at local[8] vs local[32]).
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --- html -> text -----------------------------------------------------------
+
+_SCRIPT_RE = re.compile(r"(?is)<(script|style)\b.*?</\1>")
+_TAG_RE = re.compile(r"(?s)<[^>]*>")
+_WS_RE = re.compile(r"\s+")
+
+
+def html_to_text(html: bytes | None) -> str:
+    """Deterministic tag-strip extraction. Pure function of the bytes."""
+    if html is None:
+        return ""
+    raw = bytes(html).decode("utf-8", errors="replace")
+    no_blocks = _SCRIPT_RE.sub(" ", raw)
+    no_tags = _TAG_RE.sub(" ", no_blocks)
+    return _WS_RE.sub(" ", no_tags).strip()
+
+
+# --- text -> triples ---------------------------------------------------------
+# Pattern bank over sentence-ish spans. Entity mentions are capitalized
+# tokens; attribute objects are quoted strings. Deterministic regexes only.
+
+_ENT = r"([A-Z][A-Za-z0-9_]*)"
+_REL_PATTERNS: list[tuple[re.Pattern, str]] = [
+    (re.compile(rf"{_ENT} was born in {_ENT}"), "bornIn"),
+    (re.compile(rf"{_ENT} works for {_ENT}"), "employer"),
+    (re.compile(rf"{_ENT} is located in {_ENT}"), "locatedIn"),
+    (re.compile(rf"{_ENT} is a {_ENT}"), "type"),
+]
+_ATTR_PATTERN = re.compile(rf"{_ENT} 's ([a-z][A-Za-z0-9_]*) is \"([^\"]*)\"")
+
+
+def extract_triples_from_text(text: str | None) -> list[tuple[str, str, str, bool]]:
+    """(subj, pred, obj, is_attr) tuples in deterministic document order."""
+    if not text:
+        return []
+    out = []
+    for pattern, pred in _REL_PATTERNS:
+        for m in pattern.finditer(text):
+            out.append((m.group(1), pred, m.group(2), False))
+    for m in _ATTR_PATTERN.finditer(text):
+        out.append((m.group(1), m.group(2), m.group(3), True))
+    return out
+
+
+# --- Spark plumbing ----------------------------------------------------------
+
+_EXTRACT_SCHEMA = "url STRING, subj STRING, pred STRING, obj STRING, is_attr BOOLEAN"
+
+
+def extract_text(pages: DataFrame) -> DataFrame:
+    """(url, html) -> (url, text). Arrow-batched; stateless per row."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield pd.DataFrame(
+                {"url": pdf["url"], "text": pdf["html"].map(html_to_text)}
+            )
+
+    return pages.select("url", "html").mapInPandas(run, "url STRING, text STRING")
+
+
+def extract_triples(pages: DataFrame, use_text_column: bool = True) -> DataFrame:
+    """pages -> (url, subj, pred, obj, is_attr), one row per extracted fact.
+
+    ``use_text_column=True`` trusts the pre-extracted ``text`` column;
+    otherwise text is re-derived from ``html``. Column-pruned scan: only
+    (url, text|html) is read from the source.
+    """
+    src = pages.select("url", "text") if use_text_column else extract_text(pages)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            urls, subjs, preds, objs, attrs = [], [], [], [], []
+            for url, text in zip(pdf["url"], pdf["text"]):
+                for s, p, o, a in extract_triples_from_text(text):
+                    urls.append(url)
+                    subjs.append(s)
+                    preds.append(p)
+                    objs.append(o)
+                    attrs.append(a)
+            yield pd.DataFrame(
+                {"url": urls, "subj": subjs, "pred": preds, "obj": objs, "is_attr": attrs}
+            )
+
+    return src.mapInPandas(run, _EXTRACT_SCHEMA)
+
+
+def pages_to_raw_triples(pages: DataFrame) -> DataFrame:
+    """Adapter to the KG builder's RAW_TRIPLES contract (drops provenance)."""
+    return extract_triples(pages).select("subj", "pred", "obj", "is_attr")
+
+
+def route_by_http(triples: DataFrame) -> DataFrame:
+    """S2's self-classifying router (test.py:49-52): object containing
+    'http' -> relation triple, else attribute triple."""
+    return triples.withColumn("is_attr", ~F.col("obj").contains("http"))

@@ -1,0 +1,162 @@
+"""Deterministic synthetic fixtures (seed=42) — FIXTURES.md §1/§2.
+
+Two aligned KGs shaped like the reference's D-W-15K inputs (URI prefix swap,
+edge dropout, literal perturbation) plus a Common-Crawl-style page corpus
+whose text embeds extractable facts via the extract.py pattern bank.
+No external data; everything derives from the seed.
+"""
+
+from __future__ import annotations
+
+import random
+from datetime import datetime, timezone
+
+import numpy as np
+from pyspark.sql import DataFrame, SparkSession
+
+from prase_spark.schemas import PAGES, RAW_TRIPLES
+
+KG1_ENT = "http://a.org/resource/E{i}"
+KG2_ENT = "http://b.org/entity/Q{i}"
+KG1_PRED = "http://a.org/ontology/p{j}"
+KG2_PRED = "http://b.org/prop/direct/P{j}"
+KG1_ATTR = "http://a.org/ontology/attr{j}"
+KG2_ATTR = "http://b.org/prop/direct/A{j}"
+
+
+def _kg_facts(
+    rng: random.Random,
+    n_ent: int = 300,
+    n_pred: int = 12,
+    n_attr: int = 8,
+    avg_deg: int = 4,
+) -> tuple[list[tuple[int, int, int]], list[tuple[int, int, str]]]:
+    """Shared fact skeleton: relation facts (head, pred, tail) and attribute
+    facts (ent, attr, literal_value). Literals are mostly entity-unique so
+    the literal-seed join (objects/KGs.py:53-58) can bootstrap PARIS."""
+    rel_facts = []
+    for h in range(n_ent):
+        for _ in range(rng.randint(2, avg_deg + 2)):
+            t = rng.randrange(n_ent)
+            if t == h:
+                continue
+            rel_facts.append((h, rng.randrange(n_pred), t))
+    attr_facts = []
+    shared_pool = [f"city-{k}" for k in range(10)]  # ambiguous values (hub literals)
+    for e in range(n_ent):
+        attr_facts.append((e, 0, f"uniq-name-{e:05d}"))
+        attr_facts.append(
+            (e, 1, f'"19{50 + e % 50}-0{1 + e % 9}-1{e % 9}"^^<http://www.w3.org/2001/XMLSchema#date>')
+        )
+        if e % 3 == 0:
+            attr_facts.append((e, 2 + e % (max(1, 6)), rng.choice(shared_pool)))
+    return rel_facts, attr_facts
+
+
+def two_kg_fixture(
+    spark: SparkSession,
+    n_ent: int = 300,
+    seed: int = 42,
+    dropout: float = 0.1,
+    perturb: float = 0.05,
+) -> dict:
+    """Returns dict with raw_l / raw_r (RAW_TRIPLES DataFrames), gold name
+    pairs, and per-side embedding rows keyed by entity name."""
+    rng = random.Random(seed)
+    rel_facts, attr_facts = _kg_facts(rng, n_ent=n_ent)
+
+    def rows(ent_fmt, pred_fmt, attr_fmt, drop_rng, pert_rng, wrap_ent):
+        out = []
+        for h, p, t in rel_facts:
+            if drop_rng.random() < dropout:
+                continue
+            out.append((wrap_ent(ent_fmt.format(i=h)), pred_fmt.format(j=p), wrap_ent(ent_fmt.format(i=t)), False))
+        for e, a, v in attr_facts:
+            if pert_rng.random() < perturb:
+                v = v + "-PERTURBED"
+            out.append((wrap_ent(ent_fmt.format(i=e)), attr_fmt.format(j=a), v, True))
+        return out
+
+    # KG1 keeps everything; KG2 applies dropout+perturbation (FIXTURES.md §2).
+    none_rng = random.Random(7)  # consumed but never drops for KG1
+
+    class NoDrop:
+        @staticmethod
+        def random():
+            return 1.0
+
+    rows_l = rows(KG1_ENT, KG1_PRED, KG1_ATTR, NoDrop, NoDrop, lambda s: f"<{s}>")
+    rows_r = rows(KG2_ENT, KG2_PRED, KG2_ATTR, random.Random(seed + 1), random.Random(seed + 2), lambda s: s)
+    del none_rng
+    raw_l = spark.createDataFrame(rows_l, RAW_TRIPLES)
+    raw_r = spark.createDataFrame(rows_r, RAW_TRIPLES)
+    gold_names = [(f"<{KG1_ENT.format(i=i)}>", KG2_ENT.format(i=i)) for i in range(n_ent)]
+
+    np_rng = np.random.default_rng(seed)
+    base = np_rng.normal(size=(n_ent, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    noise = np_rng.normal(size=(n_ent, 16)) * 0.3
+    right = base + noise
+    right /= np.linalg.norm(right, axis=1, keepdims=True)
+    emb_l = [(f"<{KG1_ENT.format(i=i)}>", [float(x) for x in base[i]]) for i in range(n_ent)]
+    emb_r = [(KG2_ENT.format(i=i), [float(x) for x in right[i]]) for i in range(n_ent)]
+    return {
+        "raw_l": raw_l,
+        "raw_r": raw_r,
+        "gold_names": gold_names,
+        "emb_l_names": emb_l,
+        "emb_r_names": emb_r,
+    }
+
+
+# --- page corpus whose text embeds extractable facts (extract.py patterns) ---
+
+_PAGE_TEMPLATE = (
+    "<html><head><title>{title}</title>"
+    "<script>var x = 1;</script><style>.a{{color:red}}</style></head>"
+    "<body><h1>{title}</h1><p>{body}</p></body></html>"
+)
+
+
+def pages_fixture(spark: SparkSession, n_pages: int = 200, seed: int = 42) -> tuple[DataFrame, list]:
+    """Synthesize pages + the exact expected triple set.
+
+    Facts use the extract.py pattern bank; html wraps the text so that
+    html_to_text(html) == text byte-identically (input_hint invariant).
+    """
+    rng = random.Random(seed)
+    people = [f"Person_{i}" for i in range(n_pages)]
+    cities = [f"City_{i}" for i in range(30)]
+    orgs = [f"Org_{i}" for i in range(40)]
+    rows, expected = [], []
+    for i in range(n_pages):
+        subj = people[i]
+        city = cities[rng.randrange(len(cities))]
+        org = orgs[rng.randrange(len(orgs))]
+        year = 1900 + rng.randrange(120)
+        sents = [
+            f"{subj} was born in {city} .",
+            f"{subj} works for {org} .",
+            f"{subj} is a Researcher .",
+            f"{subj} 's birthyear is \"{year}\" .",
+        ]
+        rng.shuffle(sents)
+        filler = f"Lorem ipsum dolor sit amet {i} consectetur."
+        body = f"Page {i} . " + " ".join(sents) + " " + filler
+        html = _PAGE_TEMPLATE.format(title=f"Page {i}", body=body).encode("utf-8")
+        # canonical text IS the deterministic extraction of the html
+        # (input_hint: byte-identical extracted text per url)
+        from prase_spark.extract import html_to_text
+
+        text = html_to_text(html)
+        url = f"https://example.org/page/{i}"
+        ts = datetime(2024, 1, 1 + (i % 28), tzinfo=timezone.utc)
+        rows.append((url, ts, bytearray(html), text, "en"))
+        expected += [
+            (url, subj, "bornIn", city, False),
+            (url, subj, "employer", org, False),
+            (url, subj, "type", "Researcher", False),
+            (url, subj, "birthyear", str(year), True),
+        ]
+    pages = spark.createDataFrame(rows, PAGES)
+    return pages, expected

@@ -1,0 +1,201 @@
+"""KG construction: normalize -> dict-encode -> INV-union -> functionality.
+
+Re-expresses the reference's object-graph build (objects/KG.py:95-235,
+test.py:10-55) as a handful of DataFrame jobs:
+
+- dedup dicts by name           -> ``distinct()``                (objects/KG.py:95-143)
+- dense id reassignment         -> distributed dense rank        (objects/KG.py:202-210)
+- inverse-edge doubling         -> ``unionByName`` of swapped    (objects/KG.py:145-157)
+- adjacency dicts by head/tail  -> *dropped*: joins on subj/obj replace them
+                                   (objects/KG.py:212-219)
+- functionality per predicate   -> groupBy agg                   (objects/Relation.py:45-49)
+
+Scale posture: ids are LONGs so every downstream shuffle moves 8-byte keys,
+not URIs; triples are hash-repartitioned by ``subj`` once and cached so both
+PARIS join probes reuse the partitioning; functionality/predicates are tiny
+and always broadcast.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prase_spark.ids import assign_dense_ids
+from prase_spark.normalize import inv_pred_name, normalize_literal, normalize_uri
+
+INV_SUFFIX = "-(INV)"
+
+
+@dataclass
+class KGFrames:
+    """Columnar equivalent of the reference's ``KG`` object (objects/KG.py:8-47)."""
+
+    nodes: DataFrame          # (ent_id, name, value, is_literal)
+    predicates: DataFrame     # (pred_id, name, value, is_attribute, is_inv)
+    triples: DataFrame        # (subj, pred, obj, subj_is_lit, obj_is_lit) — ids, INV included
+    functionality: DataFrame  # (pred_id, functionality, functionality_inv)
+
+    def entity_count(self) -> int:
+        return self.nodes.filter(~F.col("is_literal")).count()
+
+    def literal_count(self) -> int:
+        return self.nodes.filter(F.col("is_literal")).count()
+
+    def literals(self) -> DataFrame:
+        return self.nodes.filter(F.col("is_literal"))
+
+    def unpersist(self) -> None:
+        for df in (self.nodes, self.predicates, self.triples, self.functionality):
+            df.unpersist()
+
+
+def with_inverse(raw: DataFrame) -> DataFrame:
+    """INV-doubling at the name level (objects/KG.py:145-157).
+
+    Input: (subj, pred, obj, is_attr). Output adds is_inv and, for attribute
+    triples, marks the literal endpoint: forward attr triples have a literal
+    object; their inverses have a literal subject.
+    """
+    fwd = raw.select(
+        F.trim("subj").alias("subj"),
+        F.trim("pred").alias("pred"),
+        F.trim("obj").alias("obj"),
+        "is_attr",
+        F.lit(False).alias("is_inv"),
+        F.lit(False).alias("subj_is_lit"),
+        F.col("is_attr").alias("obj_is_lit"),
+    )
+    inv = raw.select(
+        F.trim("obj").alias("subj"),
+        inv_pred_name(F.col("pred")).alias("pred"),
+        F.trim("subj").alias("obj"),
+        "is_attr",
+        F.lit(True).alias("is_inv"),
+        F.col("is_attr").alias("subj_is_lit"),
+        F.lit(False).alias("obj_is_lit"),
+    )
+    return fwd.unionByName(inv)
+
+
+def build_kg(raw_triples: DataFrame, shuffle_partitions: int | None = None) -> KGFrames:
+    """Build the dict-encoded KG tables from raw string triples.
+
+    ``raw_triples``: (subj:string, pred:string, obj:string, is_attr:boolean).
+    Follows the reference id layout: entities 0..E-1 then literals E..E+L-1;
+    relations (incl. INV) before attributes (objects/KG.py:202-210,227-228).
+    """
+    spark = raw_triples.sparkSession
+    named = with_inverse(raw_triples)
+    named = named.persist()
+
+    # --- nodes: dedup by (name, is_literal) — entity and literal namespaces
+    # are distinct dicts in the reference (objects/KG.py:95-107,132-143).
+    node_names = (
+        named.select(F.col("subj").alias("name"), F.col("subj_is_lit").alias("is_literal"))
+        .unionByName(
+            named.select(F.col("obj").alias("name"), F.col("obj_is_lit").alias("is_literal"))
+        )
+        .distinct()
+    )
+    nodes = assign_dense_ids(
+        node_names, ["is_literal", "name"], id_col="ent_id", num_partitions=shuffle_partitions
+    )
+    nodes = nodes.withColumn(
+        "value",
+        F.when(F.col("is_literal"), normalize_literal(F.col("name"))).otherwise(
+            normalize_uri(F.col("name"))
+        ),
+    ).select("ent_id", "name", "value", "is_literal")
+    nodes = nodes.persist()
+
+    # --- predicates: dedup by (name, is_attr); relations before attributes.
+    pred_names = named.select(
+        F.col("pred").alias("name"), F.col("is_attr").alias("is_attribute"), "is_inv"
+    ).distinct()
+    predicates = assign_dense_ids(
+        pred_names, ["is_attribute", "name"], id_col="pred_id", num_partitions=shuffle_partitions
+    )
+    predicates = predicates.withColumn("value", normalize_uri(F.col("name"))).select(
+        "pred_id", "name", "value", "is_attribute", "is_inv"
+    )
+    predicates = predicates.persist()
+
+    # --- id-level triples (duplicates preserved: the reference counts dupes
+    # in frequency, objects/Relation.py:39-43).
+    n_subj = nodes.select(
+        F.col("name").alias("subj"),
+        F.col("is_literal").alias("subj_is_lit"),
+        F.col("ent_id").alias("subj_id"),
+    )
+    n_obj = nodes.select(
+        F.col("name").alias("obj"),
+        F.col("is_literal").alias("obj_is_lit"),
+        F.col("ent_id").alias("obj_id"),
+    )
+    p = predicates.select(
+        F.col("name").alias("pred"),
+        F.col("is_attribute").alias("is_attr"),
+        F.col("pred_id"),
+    )
+    triples = (
+        named.join(n_subj, ["subj", "subj_is_lit"])
+        .join(n_obj, ["obj", "obj_is_lit"])
+        .join(F.broadcast(p), ["pred", "is_attr"])
+        .select(
+            F.col("subj_id").alias("subj"),
+            F.col("pred_id").alias("pred"),
+            F.col("obj_id").alias("obj"),
+            "subj_is_lit",
+            "obj_is_lit",
+        )
+    )
+    n_part = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # One hash partitioning by subj, reused by every PARIS head-side probe.
+    triples = triples.repartition(n_part, "subj").persist()
+
+    # --- functionality (objects/Relation.py:45-49): distinct heads / frequency.
+    # Only the forward value feeds PARIS (model/PARIS.py:67 reads
+    # functionality_dict); fun_inv(pred) == fun(pred-(INV)) by construction.
+    functionality = triples.groupBy("pred").agg(
+        (F.countDistinct("subj") / F.count("*")).alias("functionality"),
+        (F.countDistinct("obj") / F.count("*")).alias("functionality_inv"),
+    ).select(F.col("pred").alias("pred_id"), "functionality", "functionality_inv")
+    functionality = functionality.persist()
+
+    named.unpersist()
+    return KGFrames(nodes=nodes, predicates=predicates, triples=triples, functionality=functionality)
+
+
+def kg_info(kg: KGFrames) -> dict:
+    """Counts report mirroring ``print_kg_info`` (objects/KG.py:256-263):
+    tuple/relation/attribute counts halved to undo INV doubling."""
+    trip = kg.triples.groupBy("obj_is_lit", "subj_is_lit").count().collect()
+    rel_tuples = sum(r["count"] for r in trip if not r["obj_is_lit"] and not r["subj_is_lit"])
+    attr_tuples = sum(r["count"] for r in trip if r["obj_is_lit"] or r["subj_is_lit"])
+    preds = kg.predicates.groupBy("is_attribute").count().collect()
+    n_rel = sum(r["count"] for r in preds if not r["is_attribute"])
+    n_attr = sum(r["count"] for r in preds if r["is_attribute"])
+    return {
+        "relation_tuples": rel_tuples // 2,
+        "attribute_tuples": attr_tuples // 2,
+        "entities": kg.entity_count(),
+        "literals": kg.literal_count(),
+        "relations": n_rel // 2,
+        "attributes": n_attr // 2,
+    }
+
+
+def top_functionality(kg: KGFrames, is_attribute: bool, inverse: bool, num: int = 10) -> DataFrame:
+    """Top-N report (objects/KG.py:266-288) — TakeOrderedAndProject, no full sort."""
+    key = "functionality_inv" if inverse else "functionality"
+    return (
+        kg.functionality.join(
+            F.broadcast(kg.predicates.filter(F.col("is_attribute") == is_attribute)), "pred_id"
+        )
+        .select("name", F.col(key).alias("func"))
+        .orderBy(F.desc("func"), "name")
+        .limit(num)
+    )

@@ -1,0 +1,292 @@
+"""One PARIS half-iteration as a single declarative DataFrame DAG.
+
+Reference kernel: model/PARIS.py:81-125 (``one_iteration_one_way``) — a
+per-entity Python loop over adjacency dicts with multiprocessing fan-out.
+Here the same math is two shuffle joins + two broadcast joins + two hash
+aggregations, so Catalyst/Tungsten run it whole-stage-codegen'd:
+
+    facts_l(h,r,e) ⋈ matches(h→h',p_h)[θ-filtered]          (J2a, shuffle)
+      ⟕ matches(e→e',p_e)                                    (J5, shuffle)
+      ⋈ facts_r(h',r',t')[t' non-literal]                    (J2b, shuffle)
+      ⋈ broadcast rel_align_l/r                              (J3)
+      ⋈ broadcast functionality_l/r                          (J4)
+    → groupBy(r)      Σ p_h·p_e                 = rel norm   (A4)
+    → groupBy(r,r')   Σ p_h·p_e [t'=e']         = rel score  (A3)
+    → groupBy(e,t')   Π factor → 1-Π            = noisy-OR   (A7)
+    → groupBy(e)      max_by(val)               = argmax     (A8)
+
+Semantics deviation (documented, SURVEY.md §7.4): the reference updates its
+match array *while* iterating (Gauss-Seidel, nondeterministic order); we run
+pure Jacobi — every read sees the previous iteration's state. Deterministic,
+and converges to comparable fixpoints (the P/R≥0.95 band absorbs the
+difference; the reference itself is run-to-run nondeterministic via
+random.shuffle at objects/KGs.py:188).
+
+Scale posture: matches/facts join on LONG ids; the two fact tables are
+pre-partitioned by subj (kgbuild); rel-align + functionality are O(|preds|²)
+sparse / O(|preds|) and always broadcast (the reference ships the same dicts
+to every worker process, objects/KGs.py:140-151); θ- and δ-filters prune
+before the expensive expansion exactly like the reference
+(model/PARIS.py:103, 75-78); AQE skew-join splits hub h' keys.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prase_spark.config import ParisConfig
+from prase_spark.kgbuild import KGFrames
+from prase_spark.normalize import clamp01
+from prase_spark.seed import max_merge
+
+
+@dataclass
+class AlignState:
+    """The iterated alignment state (objects/KGs.py:26-33)."""
+
+    matches_sub: DataFrame  # L-side: (ent_id, counterpart_id, prob, is_lit)
+    matches_sup: DataFrame  # R-side: same schema
+    rel_align_l: DataFrame  # (pred_id, counterpart_pred_id, prob)
+    rel_align_r: DataFrame
+    iter_num: int = 0
+    has_load: bool = False
+
+    def local_checkpoint(self) -> "AlignState":
+        """Truncate lineage in place (mandatory between iterations —
+        iterative self-joins otherwise grow the plan exponentially,
+        SURVEY.md §7.4). Parquet round-trip via checkpoint.py is the
+        durable/resumable variant."""
+        return AlignState(
+            matches_sub=self.matches_sub.localCheckpoint(),
+            matches_sup=self.matches_sup.localCheckpoint(),
+            rel_align_l=self.rel_align_l.localCheckpoint(),
+            rel_align_r=self.rel_align_r.localCheckpoint(),
+            iter_num=self.iter_num,
+            has_load=self.has_load,
+        )
+
+
+def _empty_rel_align(spark) -> DataFrame:
+    return spark.createDataFrame(
+        [], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE"
+    )
+
+
+def init_state(spark, matches_sub: DataFrame, matches_sup: DataFrame) -> AlignState:
+    return AlignState(
+        matches_sub=matches_sub,
+        matches_sup=matches_sup,
+        rel_align_l=_empty_rel_align(spark),
+        rel_align_r=_empty_rel_align(spark),
+    )
+
+
+def rel_align_update(
+    expanded: DataFrame, cand_base_norm: DataFrame, const: float
+) -> DataFrame:
+    """A3+A4+A5: numerator Σ p_h·p_e over matching tails, denominator
+    Σ p_h·p_e over facts with any counterpart, Laplace-style normalize
+    score/(const+norm) with norm defaulting to 1.0
+    (model/PARIS.py:105-115; objects/KGs.py:211-220)."""
+    numer = (
+        expanded.filter(F.col("t2") == F.col("e_cp"))
+        .filter(F.col("p_e") > 0.0)
+        .groupBy("r", "r2")
+        .agg(F.sum(F.col("p_h") * F.col("p_e")).alias("score"))
+    )
+    norm = (
+        cand_base_norm.filter(F.col("e_cp").isNotNull())
+        .groupBy("r")
+        .agg(F.sum(F.col("p_h") * F.col("p_e")).alias("norm"))
+    )
+    return (
+        numer.join(norm, "r", "left")
+        .select(
+            F.col("r").alias("pred_id"),
+            F.col("r2").alias("counterpart_pred_id"),
+            (F.col("score") / (F.lit(const) + F.coalesce(F.col("norm"), F.lit(1.0)))).alias(
+                "prob"
+            ),
+        )
+    )
+
+
+def entity_candidates(
+    expanded: DataFrame,
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    rel_align_l: DataFrame,
+    rel_align_r: DataFrame,
+    cfg: ParisConfig,
+    init: bool,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+) -> DataFrame:
+    """A7+A8: per-(e, t') noisy-OR product of evidence factors, then
+    per-e argmax (model/PARIS.py:56-78, 41-53). Returns
+    (ent_id, counterpart_id, prob, is_lit=false)."""
+    ral_l = rel_align_l.select(
+        F.col("pred_id").alias("r"),
+        F.col("counterpart_pred_id").alias("r2"),
+        F.col("prob").alias("raw_sub"),
+    )
+    ral_r = rel_align_r.select(
+        F.col("pred_id").alias("r2"),
+        F.col("counterpart_pred_id").alias("r"),
+        F.col("prob").alias("raw_sup"),
+    )
+    fun_l = kg_l.functionality.select(
+        F.col("pred_id").alias("r"), F.col("functionality").alias("fun_l")
+    )
+    fun_r = kg_r.functionality.select(
+        F.col("pred_id").alias("r2"), F.col("functionality").alias("fun_r")
+    )
+    eps = float(cfg.epsilon)
+    ev = (
+        expanded.join(F.broadcast(ral_l), ["r", "r2"], "left")
+        .join(F.broadcast(ral_r), ["r", "r2"], "left")
+        .withColumn("p_sub", clamp01(F.coalesce("raw_sub", F.lit(0.0))) / eps)
+        .withColumn("p_sup", clamp01(F.coalesce("raw_sup", F.lit(0.0))) / eps)
+    )
+    ev = ev.withColumn("below", (F.col("p_sub") < cfg.theta) & (F.col("p_sup") < cfg.theta))
+    if init:
+        # bootstrap: unknown rel-align probs default to θ (model/PARIS.py:62-64)
+        ev = (
+            ev.withColumn("p_sub", F.when(F.col("below"), F.lit(cfg.theta)).otherwise(F.col("p_sub")))
+            .withColumn("p_sup", F.when(F.col("below"), F.lit(cfg.theta)).otherwise(F.col("p_sup")))
+        )
+    else:
+        ev = ev.filter(~F.col("below"))
+    ev = ev.drop("below")
+    factor = (
+        (1.0 - F.col("p_h") * F.col("p_sup") * F.coalesce("fun_r", F.lit(0.0)) / eps)
+        * (1.0 - F.col("p_h") * F.col("p_sub") * F.coalesce("fun_l", F.lit(0.0)) / eps)
+    )
+    scored = (
+        ev.join(F.broadcast(fun_l), "r", "left")
+        .join(F.broadcast(fun_r), "r2", "left")
+        .withColumn("factor", factor)
+        .filter((1.0 - F.col("factor")) > cfg.delta)       # δ-prune (model/PARIS.py:75)
+        .groupBy("e", "t2")
+        .agg(F.product("factor").alias("factor_prod"))
+        .withColumn("score", 1.0 - F.col("factor_prod"))
+    )
+    if not init and embeddings_l is not None and embeddings_r is not None:
+        # fusion: val = w1·score + w2·cos(emb_e, emb_t2) (test.py:74-76),
+        # cosine computed natively (zip_with + aggregate — JVM, no Python).
+        emb_l = embeddings_l.select(F.col("ent_id").alias("e"), F.col("embedding").alias("emb_e"))
+        emb_r = embeddings_r.select(F.col("ent_id").alias("t2"), F.col("embedding").alias("emb_t"))
+        dot = F.aggregate(
+            F.zip_with("emb_e", "emb_t", lambda x, y: x * y), F.lit(0.0), lambda a, x: a + x
+        )
+        nrm = lambda c: F.sqrt(F.aggregate(c, F.lit(0.0), lambda a, x: a + x * x))  # noqa: E731
+        scored = (
+            scored.join(emb_l, "e", "left")
+            .join(emb_r, "t2", "left")
+            .withColumn(
+                "val",
+                F.when(
+                    F.col("emb_e").isNotNull() & F.col("emb_t").isNotNull(),
+                    F.lit(cfg.fusion_paris_weight) * F.col("score")
+                    + F.lit(cfg.fusion_cosine_weight)
+                    * dot / (nrm(F.col("emb_e")) * nrm(F.col("emb_t"))),
+                ).otherwise(F.col("score")),
+            )
+        )
+    else:
+        scored = scored.withColumn("val", F.col("score"))
+    return (
+        scored.withColumn("val", clamp01(F.col("val")))
+        .groupBy("e")
+        .agg(F.max_by(F.struct("t2", "val"), F.struct("val", "t2")).alias("best"))
+        .select(
+            F.col("e").alias("ent_id"),
+            F.col("best.t2").alias("counterpart_id"),
+            F.col("best.val").alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+    )
+
+
+def half_iteration(
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    matches_sub: DataFrame,
+    rel_align_l: DataFrame,
+    rel_align_r: DataFrame,
+    cfg: ParisConfig,
+    init: bool,
+    ent_align: bool = True,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+) -> tuple[DataFrame, DataFrame | None]:
+    """One directional pass: returns (new rel_align for this side,
+    entity-candidate updates or None). Mirrors __run_per_iteration_one_way
+    (objects/KGs.py:110-174) with Jacobi state reads."""
+    facts_l = kg_l.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h"), F.col("pred").alias("r"), F.col("obj").alias("e")
+    )
+    m_h = matches_sub.filter(F.col("prob") >= cfg.theta).select(
+        F.col("ent_id").alias("h"),
+        F.col("counterpart_id").alias("h_cp"),
+        F.col("prob").alias("p_h"),
+    )
+    m_e = matches_sub.select(
+        F.col("ent_id").alias("e"),
+        F.col("counterpart_id").alias("e_cp"),
+        F.col("prob").alias("p_e"),
+    )
+    cand_base = facts_l.join(m_h, "h").join(m_e, "e", "left")
+    facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
+    )
+    expanded = cand_base.join(facts_r, "h_cp").select(
+        "e", "r", "p_h", "e_cp", "p_e", "r2", "t2"
+    )
+    rel_new = rel_align_update(expanded, cand_base, cfg.const)
+    cands = None
+    if ent_align:
+        cands = entity_candidates(
+            expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
+            embeddings_l, embeddings_r,
+        )
+    return rel_new, cands
+
+
+def run_iteration(
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    state: AlignState,
+    cfg: ParisConfig,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+) -> AlignState:
+    """One full PARIS iteration (objects/KGs.py:104-108):
+    L→R pass (ent+rel) → max-merge → bipartite → R→L pass (rel only)."""
+    from prase_spark.matching import bipartite_match
+
+    init = (not state.has_load) and state.iter_num <= 1
+    rel_l_new, cands = half_iteration(
+        kg_l, kg_r, state.matches_sub, state.rel_align_l, state.rel_align_r,
+        cfg, init, ent_align=True,
+        embeddings_l=embeddings_l, embeddings_r=embeddings_r,
+    )
+    merged_sub = max_merge(state.matches_sub, cands)
+    new_sub, new_sup = bipartite_match(merged_sub, state.matches_sup)
+    # R-side rel stats read the post-bipartite sup state, ent_align=False
+    # (objects/KGs.py:107).
+    rel_r_new, _ = half_iteration(
+        kg_r, kg_l, new_sup, state.rel_align_r, state.rel_align_l,
+        cfg, init, ent_align=False,
+    )
+    return AlignState(
+        matches_sub=new_sub,
+        matches_sup=new_sup,
+        rel_align_l=rel_l_new,
+        rel_align_r=rel_r_new,
+        iter_num=state.iter_num + 1,
+        has_load=state.has_load,
+    )

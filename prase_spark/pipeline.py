@@ -1,0 +1,174 @@
+"""Driver orchestration: the PARIS fixpoint loop + result materialization.
+
+Mirrors the reference entry points (test.py:58-104, objects/KGs.py:91-108)
+as plain driver control flow over DataFrame jobs. Each iteration ends in a
+parquet checkpoint (resume point + lineage truncation).
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from prase_spark.checkpoint import load_state, roundtrip_state
+from prase_spark.config import ParisConfig
+from prase_spark.evaluate import evaluate_alignment
+from prase_spark.kgbuild import KGFrames, build_kg
+from prase_spark.matching import canonical_entity_ids
+from prase_spark.paris import AlignState, init_state, run_iteration
+from prase_spark.seed import literal_seed_matches
+
+
+@dataclass
+class AlignmentRun:
+    state: AlignState
+    evals: list = field(default_factory=list)
+
+
+def align(
+    spark: SparkSession,
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    cfg: ParisConfig | None = None,
+    gold: DataFrame | None = None,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+    resume_from: str | None = None,
+    checkpoint: bool = True,
+) -> AlignmentRun:
+    """Full fixpoint (objects/KGs.py:91-102). ``resume_from`` restores the
+    latest checkpoint in that directory and continues (S7)."""
+    cfg = cfg or ParisConfig()
+    if resume_from is not None:
+        state = load_state(spark, resume_from)
+    else:
+        sub, sup = literal_seed_matches(kg_l, kg_r)
+        state = init_state(spark, sub, sup)
+    run = AlignmentRun(state=state)
+    while run.state.iter_num < cfg.iterations:
+        nxt = run_iteration(
+            kg_l, kg_r, run.state, cfg,
+            embeddings_l=embeddings_l, embeddings_r=embeddings_r,
+        )
+        if checkpoint:
+            nxt = roundtrip_state(nxt, cfg.checkpoint_dir)
+        else:
+            nxt = nxt.local_checkpoint()
+        run.state = nxt
+        if gold is not None:
+            run.evals.append(evaluate_alignment(nxt.matches_sub, gold))
+    return run
+
+
+def alignment_results(
+    state: AlignState, kg_l: KGFrames, kg_r: KGFrames, theta: float
+) -> DataFrame:
+    """S9 (objects/KGs.py:373-409): one DataFrame with a ``kind`` column
+    (entity / literal / relation / attribute) instead of file sections.
+    Rel/attr rows are θ-thresholded like the reference."""
+    names_l = kg_l.nodes.select(F.col("ent_id").alias("ent_id"), F.col("name").alias("name_l"))
+    names_r = kg_r.nodes.select(F.col("ent_id").alias("counterpart_id"), F.col("name").alias("name_r"))
+    ent = (
+        state.matches_sub.join(names_l, "ent_id")
+        .join(names_r, "counterpart_id")
+        .select(
+            F.when(F.col("is_lit"), F.lit("literal")).otherwise(F.lit("entity")).alias("kind"),
+            "name_l",
+            "name_r",
+            "prob",
+        )
+    )
+    preds_l = kg_l.predicates.select(
+        F.col("pred_id"), F.col("name").alias("name_l"), F.col("is_attribute")
+    )
+    preds_r = kg_r.predicates.select(
+        F.col("pred_id").alias("counterpart_pred_id"), F.col("name").alias("name_r")
+    )
+    rel = (
+        state.rel_align_l.filter(F.col("prob") > theta)
+        .join(F.broadcast(preds_l), "pred_id")
+        .join(F.broadcast(preds_r), "counterpart_pred_id")
+        .select(
+            F.when(F.col("is_attribute"), F.lit("attribute")).otherwise(F.lit("relation")).alias("kind"),
+            "name_l",
+            "name_r",
+            "prob",
+        )
+    )
+    return ent.unionByName(rel)
+
+
+def materialize(
+    raw_triples: DataFrame,
+    kg: KGFrames,
+    canonical: DataFrame,
+    side: str = "L",
+    out_path: str | None = None,
+) -> DataFrame:
+    """Materialize one KG's name-level triples with canonical entity ids and
+    per-partition lineage/metrics columns (north_rule). Canonical id falls
+    back to the entity's own id when it joined no cluster."""
+    can = canonical.filter(F.col("side") == side).select("ent_id", "canonical_id")
+    ids = kg.nodes.join(can, "ent_id", "left").select(
+        "name",
+        "is_literal",
+        F.coalesce("canonical_id", F.col("ent_id")).alias("canon"),
+    )
+    smap = ids.filter(~F.col("is_literal")).select(
+        F.col("name").alias("subj"), F.col("canon").alias("canonical_subj")
+    )
+    omap = ids.select(
+        F.col("name").alias("o_name"),
+        F.col("is_literal").alias("o_lit"),
+        F.col("canon").alias("canonical_obj"),
+    )
+    out = (
+        raw_triples.select(
+            F.trim("subj").alias("subj"), F.trim("pred").alias("pred"),
+            F.trim("obj").alias("obj"), "is_attr",
+        )
+        .join(smap, "subj", "left")
+        .join(
+            omap,
+            (F.col("obj") == F.col("o_name")) & (F.col("o_lit") == F.col("is_attr")),
+            "left",
+        )
+        .select(
+            "subj",
+            "pred",
+            "obj",
+            "canonical_subj",
+            F.when(F.col("is_attr"), F.lit(None).cast("long"))
+            .otherwise(F.col("canonical_obj"))
+            .alias("canonical_obj"),
+        )
+        .withColumn("partition_id", F.spark_partition_id())
+        .withColumn(
+            "lineage",
+            F.concat(F.lit("prase_spark:"), F.lit(side), F.lit(":p"), F.col("partition_id")),
+        )
+    )
+    if out_path:
+        out.write.mode("overwrite").parquet(out_path)
+        return out.sparkSession.read.parquet(out_path)
+    return out
+
+
+def partition_metrics(materialized: DataFrame) -> DataFrame:
+    """Per-partition lineage/metrics table (north_rule): row counts and
+    canonicalization coverage per output partition."""
+    return materialized.groupBy("partition_id").agg(
+        F.count("*").alias("rows"),
+        F.sum(F.col("canonical_subj").isNotNull().cast("long")).alias("subj_canonicalized"),
+        F.sum(F.col("canonical_obj").isNotNull().cast("long")).alias("obj_canonicalized"),
+    )
+
+
+def build_kgs_from_raw(
+    spark: SparkSession, raw_l: DataFrame, raw_r: DataFrame
+) -> tuple[KGFrames, KGFrames]:
+    """construct_kgs analog (test.py:58-71)."""
+    return build_kg(raw_l), build_kg(raw_r)

@@ -1,0 +1,152 @@
+"""Seed alignments.
+
+- Literal-value seed join (objects/KGs.py:53-58): literals of KG_l equi-join
+  literals of KG_r on normalized value, prob=1.0 both directions.
+- External seed-link load (objects/KGs.py:481-512): name-resolved pairs with
+  optional prob rescale/range-filter, max-merged into the match state.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prase_spark.kgbuild import KGFrames
+
+
+def literal_seed_matches(kg_l: KGFrames, kg_r: KGFrames) -> tuple[DataFrame, DataFrame]:
+    """Initial (sub, sup) match state from shared literal values.
+
+    The reference's ``literal_dict_by_value`` keeps one literal per value
+    (last insert wins, objects/KG.py:140); we pick min ent_id per value for
+    determinism. Returns (matches_sub, matches_sup) with columns
+    (ent_id, counterpart_id, prob, is_lit).
+
+    Scale note: this is a plain equi-join on the value column; hub literal
+    values (years, country names) are exactly the AQE-skew-join case — the
+    per-value dedup below also caps the blowup at 1 row per value per side.
+    """
+    lit_l = (
+        kg_l.literals()
+        .groupBy("value")
+        .agg(F.min("ent_id").alias("l_id"))
+    )
+    lit_r = (
+        kg_r.literals()
+        .groupBy("value")
+        .agg(F.min("ent_id").alias("r_id"))
+    )
+    # All left literals sharing the value map to the canonical right literal
+    # (reference maps *every* left literal via the value dict).
+    all_lit_l = kg_l.literals().select("value", F.col("ent_id").alias("l_id"))
+    sub = (
+        all_lit_l.join(lit_r, "value")
+        .select(
+            F.col("l_id").alias("ent_id"),
+            F.col("r_id").alias("counterpart_id"),
+            F.lit(1.0).alias("prob"),
+            F.lit(True).alias("is_lit"),
+        )
+    )
+    all_lit_r = kg_r.literals().select("value", F.col("ent_id").alias("r_id"))
+    sup = (
+        all_lit_r.join(lit_l, "value")
+        .select(
+            F.col("r_id").alias("ent_id"),
+            F.col("l_id").alias("counterpart_id"),
+            F.lit(1.0).alias("prob"),
+            F.lit(True).alias("is_lit"),
+        )
+    )
+    return sub, sup
+
+
+def max_merge(prev: DataFrame, update: DataFrame) -> DataFrame:
+    """Keep per ent_id the (counterpart, prob) with the larger prob; the new
+    value wins ties — mirrors ``set_counterpart_id_and_prob``'s
+    ``prob < curr -> keep curr`` (model/PARIS.py:9-13, objects/KGs.py:70-80,
+    243-249)."""
+    p = prev.select(
+        "ent_id",
+        F.col("counterpart_id").alias("p_cp"),
+        F.col("prob").alias("p_prob"),
+        F.col("is_lit").alias("p_lit"),
+    )
+    u = update.select(
+        "ent_id",
+        F.col("counterpart_id").alias("u_cp"),
+        F.col("prob").alias("u_prob"),
+        F.col("is_lit").alias("u_lit"),
+    )
+    take_new = F.col("p_prob").isNull() | (F.col("u_prob") >= F.col("p_prob"))
+    return (
+        p.join(u, "ent_id", "full_outer")
+        .select(
+            "ent_id",
+            F.when(F.col("u_prob").isNotNull() & take_new, F.col("u_cp"))
+            .otherwise(F.col("p_cp"))
+            .alias("counterpart_id"),
+            F.when(F.col("u_prob").isNotNull() & take_new, F.col("u_prob"))
+            .otherwise(F.col("p_prob"))
+            .alias("prob"),
+            F.coalesce("p_lit", "u_lit").alias("is_lit"),
+        )
+    )
+
+
+def load_seed_links(
+    links: DataFrame,
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    prob_scale: float = 1.0,
+    init_value: float | None = None,
+    threshold_min: float = 0.0,
+    threshold_max: float = 1.0,
+) -> tuple[DataFrame, DataFrame]:
+    """Resolve name-level seed links to id-level match updates (S5,
+    objects/KGs.py:481-512). ``links``: (name_l, name_r[, prob]).
+
+    Returns (sub_update, sup_update) ready for :func:`max_merge` (or a
+    forced overwrite when the caller passes force=True semantics by merging
+    with ``force_merge``)."""
+    cols = links.columns
+    prob_col = F.col("prob").cast("double") if "prob" in cols else F.lit(1.0)
+    if init_value is not None:
+        prob_col = F.lit(float(init_value))
+    resolved = (
+        links.withColumn("prob", prob_col)
+        .filter(F.col("prob").between(threshold_min, threshold_max))
+        .withColumn("prob", F.col("prob") * F.lit(float(prob_scale)))
+        .join(
+            kg_l.nodes.select(F.col("name").alias("name_l"), F.col("ent_id").alias("l_id"),
+                              F.col("is_literal").alias("l_lit")),
+            "name_l",
+        )
+        .join(
+            kg_r.nodes.select(F.col("name").alias("name_r"), F.col("ent_id").alias("r_id"),
+                              F.col("is_literal").alias("r_lit")),
+            "name_r",
+        )
+    )
+    sub = resolved.select(
+        F.col("l_id").alias("ent_id"),
+        F.col("r_id").alias("counterpart_id"),
+        "prob",
+        F.col("l_lit").alias("is_lit"),
+    )
+    sup = resolved.select(
+        F.col("r_id").alias("ent_id"),
+        F.col("l_id").alias("counterpart_id"),
+        "prob",
+        F.col("r_lit").alias("is_lit"),
+    )
+    return sub, sup
+
+
+def force_merge(prev: DataFrame, update: DataFrame) -> DataFrame:
+    """Overwrite semantics of ``load_ent_links(force=True)``
+    (objects/KGs.py:70-80 with force): update rows replace prev rows."""
+    upd = update.groupBy("ent_id").agg(
+        F.max_by(F.struct("counterpart_id", "prob", "is_lit"), F.struct("prob", "counterpart_id")).alias("s")
+    ).select("ent_id", "s.counterpart_id", "s.prob", "s.is_lit")
+    return prev.join(upd.select("ent_id"), "ent_id", "left_anti").unionByName(upd)

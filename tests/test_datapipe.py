@@ -1,0 +1,197 @@
+"""Datapipe tests: dedup (exact/minhash/simhash/jaccard), similarity search,
+text stats, multimodal plumbing — with small exact oracles in pure Python."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy cat"),
+    (2, "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (3, "completely different text about spark engines and shuffles"),
+    (4, "der hund und die katze sind nicht das problem"),
+    (5, "le chat est dans la maison et les jardins"),
+    (6, ""),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id LONG, text STRING")
+
+
+def _tokens(s):
+    import re
+
+    return [t for t in re.sub(r"[^a-z0-9\s]", " ", s.lower()).split() if t]
+
+
+def _shingles(s, n=3):
+    toks = _tokens(s)
+    if len(toks) >= n:
+        return {" ".join(toks[i : i + n]) for i in range(len(toks) - n + 1)}
+    return {" ".join(toks)}
+
+
+def test_exact_dedup(docs):
+    from prase_spark.datapipe.dedup import exact_dedup
+
+    got = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
+    assert got[0] == 2 and 2 not in got and got[1] == 1
+
+
+def test_ngram_jaccard_pairs(docs):
+    from prase_spark.datapipe.dedup import ngram_jaccard_pairs
+
+    got = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    # independent oracle
+    for (a, b), j in got.items():
+        sa, sb = _shingles(DOCS[a][1]), _shingles(DOCS[b][1])
+        expect = len(sa & sb) / len(sa | sb)
+        assert abs(j - expect) < 1e-9, (a, b)
+    assert got[(0, 2)] == 1.0
+    assert 0.5 < got[(0, 1)] < 1.0
+
+
+def test_minhash_lsh_finds_near_dups(docs):
+    from prase_spark.datapipe.dedup import minhash_dedup, minhash_lsh_pairs
+
+    pairs = {
+        (r["key_a"], r["key_b"]) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert (0, 2) in pairs  # identical docs always collide
+    clusters = minhash_dedup(docs, threshold=0.8)
+    rows = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in clusters.collect()}
+    assert rows[0][0] == rows[2][0]          # near-dups share a cluster
+    assert rows[0][1] and not rows[2][1]     # min id kept
+    assert rows[3][1]                        # unique doc kept
+
+
+def test_simhash_pairs(docs):
+    from prase_spark.datapipe.dedup import simhash_pairs
+
+    got = {(r["key_a"], r["key_b"]): r["hamming"] for r in simhash_pairs(docs).collect()}
+    assert got[(0, 2)] == 0  # identical text -> identical simhash
+
+
+def test_textstats(docs):
+    from prase_spark.datapipe.textstats import (
+        add_fingerprint,
+        language_id,
+        quality_score,
+        token_count,
+    )
+
+    out = docs.select(
+        "doc_id",
+        token_count("text").alias("n"),
+        language_id("text").alias("lang"),
+        quality_score("text").alias("q"),
+    ).collect()
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[0]["n"] == len(_tokens(DOCS[0][1]))
+    assert by_id[0]["lang"] == "en"
+    assert by_id[4]["lang"] == "de"
+    assert by_id[5]["lang"] == "fr"
+    assert by_id[6]["lang"] == "und"
+    assert 0.0 <= by_id[3]["q"] <= 1.0 and by_id[6]["q"] == 0.0
+
+    fp = {r["doc_id"]: r["fingerprint"] for r in add_fingerprint(docs).collect()}
+    assert fp[0] == fp[2] and fp[0] != fp[1]
+
+
+def test_cosine_topk_exact(spark):
+    from prase_spark.datapipe.simsearch import cosine_topk
+
+    vecs = [
+        (0, [1.0, 0.0]),
+        (1, [0.9, 0.1]),
+        (2, [0.0, 1.0]),
+        (3, [0.5, 0.5]),
+    ]
+    corpus = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = corpus.filter("vec_id = 0").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    got = [
+        (r["vec_id"], r["rank"])
+        for r in cosine_topk(corpus, queries, k=3).orderBy("rank").collect()
+    ]
+    assert got == [(0, 1), (1, 2), (3, 3)]
+
+
+def test_lsh_topk_recall(spark):
+    """LSH-blocked top-1 should recover the exact top-1 for most queries."""
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import cosine_topk, lsh_topk
+
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(200, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(200)]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = corpus.filter("vec_id < 20").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {
+        r["query_id"]: r["vec_id"]
+        for r in cosine_topk(corpus, queries, k=1).collect()
+    }
+    approx = {
+        r["query_id"]: r["vec_id"]
+        for r in lsh_topk(corpus, queries, dim=16, k=1, n_bits=64, n_bands=16).collect()
+    }
+    hits = sum(1 for q, v in exact.items() if approx.get(q) == v)
+    assert hits >= 18  # self-match always collides in every band
+
+
+def test_ivf_topk(spark):
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import cosine_topk, ivf_topk
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(120, 8))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(120)]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = corpus.filter("vec_id < 10").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["query_id"]: r["vec_id"] for r in cosine_topk(corpus, queries, k=1).collect()}
+    approx = {
+        r["query_id"]: r["vec_id"]
+        for r in ivf_topk(corpus, queries, k=1, n_cells=8, n_probe=4).collect()
+    }
+    hits = sum(1 for q, v in exact.items() if approx.get(q) == v)
+    assert hits >= 7
+
+
+def test_multimodal_features(spark):
+    from prase_spark.datapipe.multimodal import (
+        MEDIA,
+        extract_media_features,
+        frame_sample_plan,
+    )
+
+    rows = [
+        (0, "image", bytearray(b"imgbytes-0"), "image/png", 64, 64, None),
+        (1, "image", bytearray(b"imgbytes-0"), "image/png", 64, 64, None),
+        (2, "video", bytearray(b"vid"), "video/mp4", 640, 480, 3500),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    feats = {r["media_id"]: r for r in extract_media_features(media).collect()}
+    assert feats[0]["features"] == feats[1]["features"]  # deterministic
+    assert feats[0]["digest"] == feats[1]["digest"] != feats[2]["digest"]
+    assert len(feats[0]["features"]) == 8
+    frames = frame_sample_plan(media, every_ms=1000).collect()
+    assert [r["frame_ts_ms"] for r in frames] == [0, 1000, 2000, 3000]
+    # parallelism invariance of the stubbed decode
+    f1 = sorted(map(tuple, extract_media_features(media.coalesce(1)).collect()))
+    f8 = sorted(map(tuple, extract_media_features(media.repartition(3)).collect()))
+    assert f1 == f8

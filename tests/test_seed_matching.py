@@ -1,0 +1,92 @@
+"""Literal-seed join (J1), max-merge (A6), bipartite matching (J6),
+connected components — unit semantics tests."""
+
+from pyspark.sql import functions as F
+
+from prase_spark.kgbuild import build_kg
+from prase_spark.matching import bipartite_match, canonical_entity_ids, connected_components
+from prase_spark.schemas import RAW_TRIPLES
+from prase_spark.seed import literal_seed_matches, max_merge
+
+MATCH_SCHEMA = "ent_id LONG, counterpart_id LONG, prob DOUBLE, is_lit BOOLEAN"
+
+
+def test_literal_seed(spark):
+    raw_l = spark.createDataFrame(
+        [
+            ("A", "name", '"alice"', True),
+            ("B", "name", '"bob"^^<xsd:string>', True),
+            ("C", "name", '"nomatch-l"', True),
+        ],
+        RAW_TRIPLES,
+    )
+    raw_r = spark.createDataFrame(
+        [
+            ("X", "label", "alice", True),
+            ("Y", "label", "bob", True),
+            ("Z", "label", '"nomatch-r"', True),
+        ],
+        RAW_TRIPLES,
+    )
+    kg_l, kg_r = build_kg(raw_l), build_kg(raw_r)
+    sub, sup = literal_seed_matches(kg_l, kg_r)
+    lit_l = {r["value"]: r["ent_id"] for r in kg_l.literals().collect()}
+    lit_r = {r["value"]: r["ent_id"] for r in kg_r.literals().collect()}
+    got_sub = {r["ent_id"]: r["counterpart_id"] for r in sub.collect()}
+    assert got_sub == {lit_l["alice"]: lit_r["alice"], lit_l["bob"]: lit_r["bob"]}
+    got_sup = {r["ent_id"]: r["counterpart_id"] for r in sup.collect()}
+    assert got_sup == {lit_r["alice"]: lit_l["alice"], lit_r["bob"]: lit_l["bob"]}
+    assert all(r["prob"] == 1.0 and r["is_lit"] for r in sub.collect())
+
+
+def test_max_merge_new_wins_ties(spark):
+    prev = spark.createDataFrame([(1, 10, 0.5, False), (2, 20, 0.9, False)], MATCH_SCHEMA)
+    upd = spark.createDataFrame([(1, 11, 0.5, False), (2, 21, 0.3, False), (3, 30, 0.2, False)], MATCH_SCHEMA)
+    got = {r["ent_id"]: (r["counterpart_id"], r["prob"]) for r in max_merge(prev, upd).collect()}
+    # tie at 0.5 -> new wins (reference keeps update when prob >= curr)
+    assert got == {1: (11, 0.5), 2: (20, 0.9), 3: (30, 0.2)}
+
+
+def test_bipartite_mutual_best(spark):
+    # l1 and l2 both claim r1; l1 stronger. l3 claims r3 unopposed.
+    sub = spark.createDataFrame(
+        [(1, 101, 0.9, False), (2, 101, 0.6, False), (3, 103, 0.7, False), (50, 150, 1.0, True)],
+        MATCH_SCHEMA,
+    )
+    sup = spark.createDataFrame([(150, 50, 1.0, True)], MATCH_SCHEMA)
+    new_sub, new_sup = bipartite_match(sub, sup)
+    got_sub = {r["ent_id"]: r["counterpart_id"] for r in new_sub.collect()}
+    got_sup = {r["ent_id"]: (r["counterpart_id"], r["prob"]) for r in new_sup.collect()}
+    # l2's claim on r1 loses -> dropped; l1, l3 reciprocated; literal kept
+    assert got_sub == {1: 101, 3: 103, 50: 150}
+    assert got_sup[101] == (1, 0.9) and got_sup[103] == (3, 0.7) and got_sup[150] == (50, 1.0)
+
+
+def test_bipartite_existing_sup_wins_ties(spark):
+    sub = spark.createDataFrame([(1, 101, 0.5, False)], MATCH_SCHEMA)
+    sup = spark.createDataFrame([(101, 9, 0.5, False)], MATCH_SCHEMA)
+    new_sub, new_sup = bipartite_match(sub, sup)
+    # strict >: existing sup (9, 0.5) survives; l1 not reciprocated -> dropped
+    assert {r["ent_id"]: r["counterpart_id"] for r in new_sup.collect()} == {101: 9}
+    assert new_sub.count() == 0
+
+
+def test_connected_components(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20)], "src LONG, dst LONG"
+    )
+    got = {r["node"]: r["component"] for r in connected_components(edges).collect()}
+    assert got[1] == got[2] == got[3] == 1
+    assert got[10] == got[11] == 10
+    assert got[20] == 20
+
+
+def test_canonical_entity_ids(spark):
+    sub = spark.createDataFrame(
+        [(1, 101, 0.9, False), (2, 101, 0.8, False), (3, 103, 0.05, False)], MATCH_SCHEMA
+    )
+    got = canonical_entity_ids(sub, threshold=0.1).collect()
+    by_key = {(r["side"], r["ent_id"]): r["canonical_id"] for r in got}
+    # 1 and 2 both ≥ θ on r101 -> same cluster; 3 below threshold -> absent
+    assert by_key[("L", 1)] == by_key[("L", 2)] == by_key[("R", 101)]
+    assert ("L", 3) not in by_key
