@@ -67,6 +67,46 @@ def load_state(spark: SparkSession, base_dir: str, iter_num: int | None = None) 
     )
 
 
+def export_params(
+    state: AlignState,
+    kg_l_nodes, kg_r_nodes, kg_l_preds, kg_r_preds,
+):
+    """Name-level parameter export mirroring ``save_params``
+    (objects/KGs.py:411-438): one DataFrame (side, name_l, name_r, prob)
+    covering entity/literal matches (both sides) and rel-align rows > 0."""
+    from pyspark.sql import functions as F
+
+    def ent_rows(matches, nodes_l, nodes_r, side):
+        nl = nodes_l.select(F.col("ent_id"), F.col("name").alias("name_l"))
+        nr = nodes_r.select(
+            F.col("ent_id").alias("counterpart_id"), F.col("name").alias("name_r")
+        )
+        return (
+            matches.join(nl, "ent_id")
+            .join(nr, "counterpart_id")
+            .select(F.lit(side).alias("side"), "name_l", "name_r", "prob")
+        )
+
+    def rel_rows(rel, preds_l, preds_r, side):
+        pl = preds_l.select(F.col("pred_id"), F.col("name").alias("name_l"))
+        pr = preds_r.select(
+            F.col("pred_id").alias("counterpart_pred_id"), F.col("name").alias("name_r")
+        )
+        return (
+            rel.filter(F.col("prob") > 0.0)
+            .join(F.broadcast(pl), "pred_id")
+            .join(F.broadcast(pr), "counterpart_pred_id")
+            .select(F.lit(side).alias("side"), "name_l", "name_r", "prob")
+        )
+
+    return (
+        ent_rows(state.matches_sub, kg_l_nodes, kg_r_nodes, "L")
+        .unionByName(ent_rows(state.matches_sup, kg_r_nodes, kg_l_nodes, "R"))
+        .unionByName(rel_rows(state.rel_align_l, kg_l_preds, kg_r_preds, "L"))
+        .unionByName(rel_rows(state.rel_align_r, kg_r_preds, kg_l_preds, "R"))
+    )
+
+
 def roundtrip_state(state: AlignState, base_dir: str) -> AlignState:
     """Persist + reload: truncates lineage so iteration N+1's plan does not
     embed iterations 1..N (the Spark analog of the reference's per-iteration

@@ -31,6 +31,17 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot / (na * nb)
 
 
+def resolve_embeddings(named_embeddings: DataFrame, nodes: DataFrame) -> DataFrame:
+    """S4 (objects/KGs.py:522-539): attach external embeddings keyed by
+    entity name to engine ids. Input (name, embedding) -> (ent_id, embedding);
+    entities only (the reference indexes ``entity_dict_by_name``)."""
+    return (
+        named_embeddings.join(
+            nodes.filter(~F.col("is_literal")).select("ent_id", "name"), "name"
+        ).select("ent_id", "embedding")
+    )
+
+
 def brute_force_argmax(
     emb_l: DataFrame, emb_r: DataFrame, prob: float = 0.2
 ) -> tuple[DataFrame, DataFrame]:
@@ -167,7 +178,11 @@ def blend_embeddings(
     norm = F.sqrt(
         F.aggregate("pooled", F.lit(0.0), lambda acc, x: acc + x * x)
     )
+    # rows without an update keep their original vector untouched (the
+    # reference only writes the provided indices, objects/KGs.py:182-183)
     return joined.select(
         "ent_id",
-        F.transform("pooled", lambda x: (x / norm).cast("float")).alias("embedding"),
+        F.when(F.col("new").isNull(), F.col("old").cast("array<float>"))
+        .otherwise(F.transform("pooled", lambda x: (x / norm).cast("float")))
+        .alias("embedding"),
     )

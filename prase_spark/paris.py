@@ -85,20 +85,30 @@ def init_state(spark, matches_sub: DataFrame, matches_sup: DataFrame) -> AlignSt
 
 
 def rel_align_update(
-    expanded: DataFrame, cand_base_norm: DataFrame, const: float
+    cand_base: DataFrame, facts_r: DataFrame, const: float
 ) -> DataFrame:
     """A3+A4+A5: numerator Σ p_h·p_e over matching tails, denominator
     Σ p_h·p_e over facts with any counterpart, Laplace-style normalize
     score/(const+norm) with norm defaulting to 1.0
-    (model/PARIS.py:105-115; objects/KGs.py:211-220)."""
+    (model/PARIS.py:105-115; objects/KGs.py:211-220).
+
+    Scale note: the numerator condition ``t' == match(e)`` is an
+    equi-condition, so it joins facts_r on BOTH (h', t') keys — it never
+    materializes the hub-head expansion the candidate path needs. The R→L
+    pass (ent_align=False) therefore costs two narrow joins total."""
     numer = (
-        expanded.filter(F.col("t2") == F.col("e_cp"))
-        .filter(F.col("p_e") > 0.0)
+        cand_base.filter(F.col("e_cp").isNotNull() & (F.col("p_e") > 0.0))
+        .join(
+            facts_r.select(
+                F.col("h_cp"), F.col("r2"), F.col("t2").alias("e_cp")
+            ),
+            ["h_cp", "e_cp"],
+        )
         .groupBy("r", "r2")
         .agg(F.sum(F.col("p_h") * F.col("p_e")).alias("score"))
     )
     norm = (
-        cand_base_norm.filter(F.col("e_cp").isNotNull())
+        cand_base.filter(F.col("e_cp").isNotNull())
         .groupBy("r")
         .agg(F.sum(F.col("p_h") * F.col("p_e")).alias("norm"))
     )
@@ -239,20 +249,26 @@ def half_iteration(
         F.col("counterpart_id").alias("e_cp"),
         F.col("prob").alias("p_e"),
     )
-    cand_base = facts_l.join(m_h, "h").join(m_e, "e", "left")
+    # cand_base is consumed by norm, numerator, and (if ent_align) the
+    # expansion — pin it; it is O(matched facts), never hub-expanded.
+    cand_base = facts_l.join(m_h, "h").join(m_e, "e", "left").persist()
     facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
         F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
     )
-    expanded = cand_base.join(facts_r, "h_cp").select(
-        "e", "r", "p_h", "e_cp", "p_e", "r2", "t2"
-    )
-    rel_new = rel_align_update(expanded, cand_base, cfg.const)
+    rel_new = rel_align_update(cand_base, facts_r, cfg.const).localCheckpoint()
     cands = None
     if ent_align:
+        # The hub-head expansion has exactly ONE consumer (the candidate
+        # scorer); its δ-filter drops hub garbage before the product-agg
+        # shuffle, so the wide intermediate is streamed, never stored.
+        expanded = cand_base.join(facts_r, "h_cp").select(
+            "e", "r", "p_h", "e_cp", "p_e", "r2", "t2"
+        )
         cands = entity_candidates(
             expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
             embeddings_l, embeddings_r,
-        )
+        ).localCheckpoint()
+    cand_base.unpersist()
     return rel_new, cands
 
 
@@ -274,8 +290,11 @@ def run_iteration(
         cfg, init, ent_align=True,
         embeddings_l=embeddings_l, embeddings_r=embeddings_r,
     )
-    merged_sub = max_merge(state.matches_sub, cands)
+    merged_sub = max_merge(state.matches_sub, cands).localCheckpoint()
     new_sub, new_sup = bipartite_match(merged_sub, state.matches_sup)
+    # new_sub's pass-2 filter reads new_sup; pin new_sup so the R-side rel
+    # pass and the sub filter don't recompute the claim aggregation.
+    new_sup = new_sup.localCheckpoint()
     # R-side rel stats read the post-bipartite sup state, ent_align=False
     # (objects/KGs.py:107).
     rel_r_new, _ = half_iteration(

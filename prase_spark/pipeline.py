@@ -63,6 +63,55 @@ def align(
     return run
 
 
+def prase_feedback_align(
+    spark: SparkSession,
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    cfg: ParisConfig | None = None,
+    seed_links: DataFrame | None = None,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+    gold: DataFrame | None = None,
+    load_weight: float = 1.0,
+    reset_weight: float | None = None,
+    prior_state: AlignState | None = None,
+    checkpoint: bool = False,
+) -> AlignmentRun:
+    """The PRASE feedback loop (test.py:83-104):
+
+    1. optional prob rescale of a prior state (reset_ent_align_prob),
+    2. mapping feedback: force-merge embedding-module seed links
+       (load_ent_links force=True, probs scaled by load_weight),
+    3. embedding feedback + fusion-active fixpoint (0.8/0.2 by default).
+    """
+    from prase_spark.seed import force_merge, load_seed_links, rescale_probs
+
+    cfg = cfg or ParisConfig()
+    if prior_state is None:
+        sub, sup = literal_seed_matches(kg_l, kg_r)
+        state = init_state(spark, sub, sup)
+    else:
+        state = prior_state
+        if reset_weight is not None:
+            state.matches_sub = rescale_probs(state.matches_sub, reset_weight)
+            state.matches_sup = rescale_probs(state.matches_sup, reset_weight)
+    if seed_links is not None:
+        sub_u, sup_u = load_seed_links(seed_links, kg_l, kg_r, prob_scale=load_weight)
+        state.matches_sub = force_merge(state.matches_sub, sub_u)
+        state.matches_sup = force_merge(state.matches_sup, sup_u)
+    run = AlignmentRun(state=state)
+    while run.state.iter_num < cfg.iterations:
+        nxt = run_iteration(
+            kg_l, kg_r, run.state, cfg,
+            embeddings_l=embeddings_l, embeddings_r=embeddings_r,
+        )
+        nxt = roundtrip_state(nxt, cfg.checkpoint_dir) if checkpoint else nxt.local_checkpoint()
+        run.state = nxt
+        if gold is not None:
+            run.evals.append(evaluate_alignment(nxt.matches_sub, gold))
+    return run
+
+
 def alignment_results(
     state: AlignState, kg_l: KGFrames, kg_r: KGFrames, theta: float
 ) -> DataFrame:

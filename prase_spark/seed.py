@@ -143,6 +143,18 @@ def load_seed_links(
     return sub, sup
 
 
+def rescale_probs(matches: DataFrame, weight: float) -> DataFrame:
+    """P11 ``reset_ent_align_prob(lambda x: w*x)`` (objects/KGs.py:514-520):
+    rescale entity-match probs; literal seed rows keep prob (the reference
+    iterates entity_set only)."""
+    return matches.withColumn(
+        "prob",
+        F.when(F.col("is_lit"), F.col("prob")).otherwise(
+            F.col("prob") * F.lit(float(weight))
+        ),
+    )
+
+
 def force_merge(prev: DataFrame, update: DataFrame) -> DataFrame:
     """Overwrite semantics of ``load_ent_links(force=True)``
     (objects/KGs.py:70-80 with force): update rows replace prev rows."""

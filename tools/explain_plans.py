@@ -1,0 +1,63 @@
+"""Dump formatted physical plans for the hot operators — the SURVEY.md
+'iterate until it's the plan you'd want' loop. Checks for: broadcast joins
+on rel-align/functionality, no unexpected exchanges, pushed filters, and
+whole-stage codegen coverage."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, ".")
+
+from prase_spark.config import ParisConfig, get_spark  # noqa: E402
+
+
+def main():
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    spark = get_spark("explain", master="local[4]", shuffle_partitions=8)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from prase_spark.kgbuild import build_kg
+    from prase_spark.paris import half_iteration, init_state
+    from prase_spark.seed import literal_seed_matches
+    from prase_spark.tpch_kg import tpch_raw_triples
+
+    kg1 = build_kg(tpch_raw_triples(spark, sf, 1))
+    kg2 = build_kg(tpch_raw_triples(spark, sf, 2))
+    sub, sup = literal_seed_matches(kg1, kg2)
+    state = init_state(spark, sub, sup)
+
+    print("=" * 70, "\nFUNCTIONALITY AGG PLAN\n", "=" * 70)
+    kg1.functionality.explain("formatted")
+
+    print("=" * 70, "\nLITERAL SEED JOIN PLAN\n", "=" * 70)
+    sub.explain("formatted")
+
+    # candidate scoring plan (the PARIS kernel) — build it without the
+    # eager localCheckpoint so the full DAG is visible
+    from pyspark.sql import functions as F
+
+    from prase_spark.paris import entity_candidates
+
+    cfg = ParisConfig()
+    facts_l = kg1.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h"), F.col("pred").alias("r"), F.col("obj").alias("e")
+    )
+    m_h = state.matches_sub.filter(F.col("prob") >= cfg.theta).select(
+        F.col("ent_id").alias("h"), F.col("counterpart_id").alias("h_cp"), F.col("prob").alias("p_h")
+    )
+    m_e = state.matches_sub.select(
+        F.col("ent_id").alias("e"), F.col("counterpart_id").alias("e_cp"), F.col("prob").alias("p_e")
+    )
+    facts_r = kg2.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
+    )
+    cand_base = facts_l.join(m_h, "h").join(m_e, "e", "left")
+    expanded = cand_base.join(facts_r, "h_cp").select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
+    cands = entity_candidates(expanded, kg1, kg2, state.rel_align_l, state.rel_align_r, cfg, init=True)
+    print("=" * 70, "\nPARIS CANDIDATE PLAN\n", "=" * 70)
+    cands.explain("formatted")
+
+
+if __name__ == "__main__":
+    main()
