@@ -32,6 +32,9 @@ def main():
         t0 = time.time()
         fn()
         timings[name] = round(time.time() - t0, 3)
+        # drop caches persisted inside the query (KG frames etc.) so later
+        # queries aren't squeezed by stale storage memory
+        spark.catalog.clearCache()
 
     # q1: KG build + functionality agg over the INV-doubled KG1 (A1/A2/U5)
     def q_kg_build():

@@ -124,7 +124,7 @@ def rel_align_update(
     )
 
 
-def entity_candidates(
+def candidate_scores(
     expanded: DataFrame,
     kg_l: KGFrames,
     kg_r: KGFrames,
@@ -132,12 +132,10 @@ def entity_candidates(
     rel_align_r: DataFrame,
     cfg: ParisConfig,
     init: bool,
-    embeddings_l: DataFrame | None = None,
-    embeddings_r: DataFrame | None = None,
 ) -> DataFrame:
-    """A7+A8: per-(e, t') noisy-OR product of evidence factors, then
-    per-e argmax (model/PARIS.py:56-78, 41-53). Returns
-    (ent_id, counterpart_id, prob, is_lit=false)."""
+    """A7: per-(e, t') noisy-OR score 1 - Π factors (model/PARIS.py:56-78).
+    Returns (e, t2, score). Split from the argmax so the driver gate can
+    oracle-check the raw scores."""
     ral_l = rel_align_l.select(
         F.col("pred_id").alias("r"),
         F.col("counterpart_pred_id").alias("r2"),
@@ -175,14 +173,32 @@ def entity_candidates(
         (1.0 - F.col("p_h") * F.col("p_sup") * F.coalesce("fun_r", F.lit(0.0)) / eps)
         * (1.0 - F.col("p_h") * F.col("p_sub") * F.coalesce("fun_l", F.lit(0.0)) / eps)
     )
-    scored = (
+    return (
         ev.join(F.broadcast(fun_l), "r", "left")
         .join(F.broadcast(fun_r), "r2", "left")
         .withColumn("factor", factor)
         .filter((1.0 - F.col("factor")) > cfg.delta)       # δ-prune (model/PARIS.py:75)
         .groupBy("e", "t2")
         .agg(F.product("factor").alias("factor_prod"))
-        .withColumn("score", 1.0 - F.col("factor_prod"))
+        .select("e", "t2", (1.0 - F.col("factor_prod")).alias("score"))
+    )
+
+
+def entity_candidates(
+    expanded: DataFrame,
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    rel_align_l: DataFrame,
+    rel_align_r: DataFrame,
+    cfg: ParisConfig,
+    init: bool,
+    embeddings_l: DataFrame | None = None,
+    embeddings_r: DataFrame | None = None,
+) -> DataFrame:
+    """A8 on top of A7: optional embedding fusion, clamp, per-e argmax
+    (model/PARIS.py:41-53). Returns (ent_id, counterpart_id, prob, is_lit)."""
+    scored = candidate_scores(
+        expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init
     )
     if not init and embeddings_l is not None and embeddings_r is not None:
         # fusion: val = w1·score + w2·cos(emb_e, emb_t2) (test.py:74-76),
@@ -218,6 +234,36 @@ def entity_candidates(
             F.col("best.val").alias("prob"),
             F.lit(False).alias("is_lit"),
         )
+    )
+
+
+def evidence_expansion(
+    kg_l: KGFrames, kg_r: KGFrames, matches_sub: DataFrame, theta: float
+) -> DataFrame:
+    """J2: the θ-pruned candidate-evidence expansion
+    (e, r, p_h, e_cp, p_e, r2, t2) — one row per (fact of e, fact of h')
+    pair, mirroring the nested loops at model/PARIS.py:100-120."""
+    facts_l = kg_l.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h"), F.col("pred").alias("r"), F.col("obj").alias("e")
+    )
+    m_h = matches_sub.filter(F.col("prob") >= theta).select(
+        F.col("ent_id").alias("h"),
+        F.col("counterpart_id").alias("h_cp"),
+        F.col("prob").alias("p_h"),
+    )
+    m_e = matches_sub.select(
+        F.col("ent_id").alias("e"),
+        F.col("counterpart_id").alias("e_cp"),
+        F.col("prob").alias("p_e"),
+    )
+    facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
+        F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
+    )
+    return (
+        facts_l.join(m_h, "h")
+        .join(m_e, "e", "left")
+        .join(facts_r, "h_cp")
+        .select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
     )
 
 
