@@ -50,10 +50,20 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # KG workloads are CPU-heavy per byte (URI strings, regex); the
+        # default 1m floor coalesces small-byte stages below core count and
+        # idles executors — keep coalescing but let parallelism win.
+        .config("spark.sql.adaptive.coalescePartitions.minPartitionSize", "64k")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("PRASE_DRIVER_MEM", "8g"))
+        # pre-size the heap: lazy heap expansion causes a one-time multi-
+        # second GC churn on the first heavy query (observed 28s -> 3s)
+        .config(
+            "spark.driver.extraJavaOptions",
+            f"-Xms{os.environ.get('PRASE_DRIVER_XMS', '4g')}",
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )

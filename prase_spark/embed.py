@@ -31,6 +31,27 @@ def cosine_expr(a: Column | str, b: Column | str) -> Column:
     return dot / (na * nb)
 
 
+def pandas_fusion(py_func):
+    """Wrap a reference-style scalar ``fusion_func(prob, x, y) -> float``
+    (test.py:74-76) as an Arrow-batched column callable for
+    entity_candidates(fusion=...). The default native weighted-cosine path
+    is faster — use this only for custom fusion logic."""
+    import pyspark.sql.functions as SF
+    from pyspark.sql.types import DoubleType
+
+    @SF.pandas_udf(DoubleType())
+    def _f(score: pd.Series, emb_e: pd.Series, emb_t: pd.Series) -> pd.Series:
+        out = [
+            float(py_func(s, np.asarray(a, dtype=np.float64), np.asarray(b, dtype=np.float64)))
+            if a is not None and b is not None
+            else float(s)
+            for s, a, b in zip(score, emb_e, emb_t)
+        ]
+        return pd.Series(out)
+
+    return lambda score_col, emb_e_col, emb_t_col: _f(score_col, emb_e_col, emb_t_col)
+
+
 def resolve_embeddings(named_embeddings: DataFrame, nodes: DataFrame) -> DataFrame:
     """S4 (objects/KGs.py:522-539): attach external embeddings keyed by
     entity name to engine ids. Input (name, embedding) -> (ent_id, embedding);

@@ -160,3 +160,126 @@ def pages_fixture(spark: SparkSession, n_pages: int = 200, seed: int = 42) -> tu
         ]
     pages = spark.createDataFrame(rows, PAGES)
     return pages, expected
+
+
+def synthetic_kg_distributed(
+    spark: SparkSession,
+    n_ent: int,
+    kg: int = 1,
+    avg_deg: int = 4,
+    n_pred: int = 24,
+    dropout: float = 0.1,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side two-KG synthesis for benchmark-scale alignment runs
+    (RAW_TRIPLES schema). Same recipe as two_kg_fixture — KG2 is a renamed
+    copy with deterministic edge dropout and rare literal perturbation —
+    but generated per-entity on executors, so 10^6+ entities are cheap.
+
+    Deterministic per (entity id, kg): edges/attrs derive from hash-seeded
+    per-entity RNGs using the SHARED skeleton seed, so KG1 and KG2 agree on
+    the underlying facts; only dropout/perturbation differ by kg."""
+    import pandas as pd
+
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ent_fmt = "<http://a.org/resource/E{i}>" if kg == 1 else "http://b.org/entity/Q{i}"
+    pred_fmt = "http://a.org/ontology/p{j}" if kg == 1 else "http://b.org/prop/direct/P{j}"
+    attr_fmt = "http://a.org/ontology/attr{j}" if kg == 1 else "http://b.org/prop/direct/A{j}"
+
+    def gen(batches):
+        for pdf in batches:
+            subj, pred, obj, is_attr = [], [], [], []
+            for h in pdf["id"]:
+                h = int(h)
+                skel = random.Random(h * 1000003 % (2**31))          # shared skeleton
+                side = random.Random((h * 7919 + kg) % (2**31))      # per-kg dropout
+                h_name = ent_fmt.format(i=h)
+                for _ in range(skel.randint(2, avg_deg + 2)):
+                    t = skel.randrange(n_ent)
+                    p = skel.randrange(n_pred)
+                    if t == h:
+                        continue
+                    if kg == 2 and side.random() < dropout:
+                        continue
+                    subj.append(h_name)
+                    pred.append(pred_fmt.format(j=p))
+                    obj.append(ent_fmt.format(i=t))
+                    is_attr.append(False)
+                # unique literal bootstraps the seed join; rare perturbation
+                lit = f"uniq-name-{h:09d}"
+                if kg == 2 and side.random() < 0.05:
+                    lit += "-PERTURBED"
+                subj.append(h_name)
+                pred.append(attr_fmt.format(j=0))
+                obj.append(lit)
+                is_attr.append(True)
+                # shared date literal: moderately hubby (each date shared by
+                # ~n_ent/40k entities) — exercises skew paths without
+                # quadratic blowup in the benchmark generator
+                date = f"{1900 + h % 120}-{1 + (h // 120) % 12:02d}-{1 + (h // 1440) % 28:02d}"
+                subj.append(h_name)
+                pred.append(attr_fmt.format(j=1))
+                obj.append(f'"{date}"^^<http://www.w3.org/2001/XMLSchema#date>')
+                is_attr.append(True)
+            yield pd.DataFrame({"subj": subj, "pred": pred, "obj": obj, "is_attr": is_attr})
+
+    return spark.range(0, n_ent, 1, n_part).mapInPandas(gen, RAW_TRIPLES)
+
+
+def synthetic_pages_distributed(
+    spark: SparkSession,
+    n_pages: int,
+    sentences_per_page: int = 40,
+    partitions: int | None = None,
+) -> DataFrame:
+    """Executor-side page synthesis for benchmark-scale corpora (the
+    driver-side generator above tops out around 10^4 pages).
+
+    Deterministic per page id (hash-seeded, no global RNG), ~4-6 KB of text
+    per page with ~8 extractable facts — Common-Crawl-ish body sizes so
+    throughput measurements are compute-bound, not overhead-bound.
+    """
+    import pandas as pd
+
+    from prase_spark.extract import html_to_text
+
+    n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+
+    def gen(batches):
+        for pdf in batches:
+            rows_out = {"url": [], "warc_ts": [], "html": [], "text": [], "lang": []}
+            for i in pdf["id"]:
+                i = int(i)
+                rng = random.Random(i * 2654435761 % (2**31))
+                subj = f"Person_{i % 50000}"
+                sents = []
+                for s in range(sentences_per_page):
+                    k = rng.randrange(6)
+                    if k == 0:
+                        sents.append(f"{subj} was born in City_{rng.randrange(500)} .")
+                    elif k == 1:
+                        sents.append(f"{subj} works for Org_{rng.randrange(2000)} .")
+                    elif k == 2:
+                        sents.append(f"{subj} is a Researcher .")
+                    elif k == 3:
+                        sents.append(f'{subj} \'s birthyear is "{1900 + rng.randrange(120)}" .')
+                    else:
+                        sents.append(
+                            "the quick brown fox number "
+                            + str(rng.randrange(10**9))
+                            + " jumps over the lazy dog while the committee deliberates at length about "
+                            + f"Org_{rng.randrange(2000)} and its many subsidiaries in City_{rng.randrange(500)} region"
+                        )
+                body = " ".join(sents)
+                html = _PAGE_TEMPLATE.format(title=f"Page {i}", body=body).encode("utf-8")
+                rows_out["url"].append(f"https://example.org/page/{i}")
+                rows_out["warc_ts"].append(datetime(2024, 1, 1 + (i % 28), tzinfo=timezone.utc))
+                rows_out["html"].append(html)
+                rows_out["text"].append(html_to_text(html))
+                rows_out["lang"].append("en")
+            yield pd.DataFrame(rows_out)
+
+    return (
+        spark.range(0, n_pages, 1, n_part)
+        .mapInPandas(gen, PAGES)
+    )

@@ -80,13 +80,27 @@ def with_inverse(raw: DataFrame) -> DataFrame:
     return fwd.unionByName(inv)
 
 
-def build_kg(raw_triples: DataFrame, shuffle_partitions: int | None = None) -> KGFrames:
+def build_kg(
+    raw_triples: DataFrame,
+    shuffle_partitions: int | None = None,
+    ent_norm=None,
+    pred_norm=None,
+    lite_norm=None,
+) -> KGFrames:
     """Build the dict-encoded KG tables from raw string triples.
 
     ``raw_triples``: (subj:string, pred:string, obj:string, is_attr:boolean).
     Follows the reference id layout: entities 0..E-1 then literals E..E+L-1;
     relations (incl. INV) before attributes (objects/KG.py:202-210,227-228).
+
+    ``ent_norm``/``pred_norm``/``lite_norm``: optional Column->Column
+    normalizers replacing the defaults — the per-KG pluggable pre-funcs of
+    the reference (objects/KG.py:9-15). Pass native column expressions (or
+    a pandas-UDF-wrapped callable) — never row-at-a-time UDFs.
     """
+    ent_norm = ent_norm or normalize_uri
+    pred_norm = pred_norm or normalize_uri
+    lite_norm = lite_norm or normalize_literal
     spark = raw_triples.sparkSession
     named = with_inverse(raw_triples)
     named = named.persist()
@@ -105,8 +119,8 @@ def build_kg(raw_triples: DataFrame, shuffle_partitions: int | None = None) -> K
     )
     nodes = nodes.withColumn(
         "value",
-        F.when(F.col("is_literal"), normalize_literal(F.col("name"))).otherwise(
-            normalize_uri(F.col("name"))
+        F.when(F.col("is_literal"), lite_norm(F.col("name"))).otherwise(
+            ent_norm(F.col("name"))
         ),
     ).select("ent_id", "name", "value", "is_literal")
     nodes = nodes.persist()
@@ -118,7 +132,7 @@ def build_kg(raw_triples: DataFrame, shuffle_partitions: int | None = None) -> K
     predicates = assign_dense_ids(
         pred_names, ["is_attribute", "name"], id_col="pred_id", num_partitions=shuffle_partitions
     )
-    predicates = predicates.withColumn("value", normalize_uri(F.col("name"))).select(
+    predicates = predicates.withColumn("value", pred_norm(F.col("name"))).select(
         "pred_id", "name", "value", "is_attribute", "is_inv"
     )
     predicates = predicates.persist()

@@ -194,9 +194,15 @@ def entity_candidates(
     init: bool,
     embeddings_l: DataFrame | None = None,
     embeddings_r: DataFrame | None = None,
+    fusion=None,
 ) -> DataFrame:
     """A8 on top of A7: optional embedding fusion, clamp, per-e argmax
-    (model/PARIS.py:41-53). Returns (ent_id, counterpart_id, prob, is_lit)."""
+    (model/PARIS.py:41-53). Returns (ent_id, counterpart_id, prob, is_lit).
+
+    ``fusion``: optional callable (score_col, emb_e_col, emb_t_col) ->
+    Column replacing the default native 0.8/0.2 weighted cosine — the
+    pluggable ``fusion_func`` of the reference (objects/KGs.py:82-83);
+    build pandas-UDF-backed ones with embed.pandas_fusion."""
     scored = candidate_scores(
         expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init
     )
@@ -216,7 +222,9 @@ def entity_candidates(
                 "val",
                 F.when(
                     F.col("emb_e").isNotNull() & F.col("emb_t").isNotNull(),
-                    F.lit(cfg.fusion_paris_weight) * F.col("score")
+                    fusion(F.col("score"), F.col("emb_e"), F.col("emb_t"))
+                    if fusion is not None
+                    else F.lit(cfg.fusion_paris_weight) * F.col("score")
                     + F.lit(cfg.fusion_cosine_weight)
                     * dot / (nrm(F.col("emb_e")) * nrm(F.col("emb_t"))),
                 ).otherwise(F.col("score")),
@@ -278,6 +286,7 @@ def half_iteration(
     ent_align: bool = True,
     embeddings_l: DataFrame | None = None,
     embeddings_r: DataFrame | None = None,
+    fusion=None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """One directional pass: returns (new rel_align for this side,
     entity-candidate updates or None). Mirrors __run_per_iteration_one_way
@@ -307,12 +316,16 @@ def half_iteration(
         # The hub-head expansion has exactly ONE consumer (the candidate
         # scorer); its δ-filter drops hub garbage before the product-agg
         # shuffle, so the wide intermediate is streamed, never stored.
-        expanded = cand_base.join(facts_r, "h_cp").select(
-            "e", "r", "p_h", "e_cp", "p_e", "r2", "t2"
-        )
+        if cfg.salt_buckets > 1:
+            from prase_spark.skew import salted_join
+
+            expanded = salted_join(cand_base, facts_r, "h_cp", cfg.salt_buckets)
+        else:
+            expanded = cand_base.join(facts_r, "h_cp")
+        expanded = expanded.select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
         cands = entity_candidates(
             expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
-            embeddings_l, embeddings_r,
+            embeddings_l, embeddings_r, fusion=fusion,
         ).localCheckpoint()
     cand_base.unpersist()
     return rel_new, cands
@@ -325,6 +338,7 @@ def run_iteration(
     cfg: ParisConfig,
     embeddings_l: DataFrame | None = None,
     embeddings_r: DataFrame | None = None,
+    fusion=None,
 ) -> AlignState:
     """One full PARIS iteration (objects/KGs.py:104-108):
     L→R pass (ent+rel) → max-merge → bipartite → R→L pass (rel only)."""
@@ -334,7 +348,7 @@ def run_iteration(
     rel_l_new, cands = half_iteration(
         kg_l, kg_r, state.matches_sub, state.rel_align_l, state.rel_align_r,
         cfg, init, ent_align=True,
-        embeddings_l=embeddings_l, embeddings_r=embeddings_r,
+        embeddings_l=embeddings_l, embeddings_r=embeddings_r, fusion=fusion,
     )
     merged_sub = max_merge(state.matches_sub, cands).localCheckpoint()
     new_sub, new_sup = bipartite_match(merged_sub, state.matches_sup)

@@ -1,0 +1,71 @@
+"""Explicit skew handling for hub-entity joins (north_rule: "partitioning /
+shuffle / skew handled explicitly"; SURVEY.md §4).
+
+AQE's skew-join splitting is the always-on backstop (config.py). This module
+adds targeted hot-key salting for the PARIS expansion join, where a handful
+of hub counterparts (countries, years-as-literals) can dominate a partition:
+
+1. sketch the build side's key frequencies (one cheap agg),
+2. split both sides into hot / cold key sets,
+3. replicate the hot build rows ``salt_buckets`` times and scatter the hot
+   probe rows by a hash salt, join, then union with the plain cold join.
+
+The salted join is exactly equivalent to the plain join (every probe row
+meets every matching build row exactly once).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hot_keys(df: DataFrame, key: str, min_rows: int = 100_000, top_k: int = 200) -> DataFrame:
+    """Frequency-sketch the join key; keys with ≥ min_rows occurrences (cap
+    top_k) are 'hot'. One groupBy over the build side."""
+    return (
+        df.groupBy(key)
+        .agg(F.count("*").alias("__cnt"))
+        .filter(F.col("__cnt") >= min_rows)
+        .orderBy(F.desc("__cnt"))
+        .limit(top_k)
+        .select(key)
+    )
+
+
+def salted_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    salt_buckets: int,
+    hot: DataFrame | None = None,
+    hot_min_rows: int = 100_000,
+) -> DataFrame:
+    """probe ⋈ build on ``key`` with hot keys salted ``salt_buckets`` ways.
+
+    Equivalent row multiset to ``probe.join(build, key)``. The hot-key set
+    is broadcast (tiny); cold traffic takes the normal shuffle join.
+    """
+    if salt_buckets <= 1:
+        return probe.join(build, key)
+    hot = hot if hot is not None else hot_keys(build, key, hot_min_rows)
+    hot = F.broadcast(hot.select(F.col(key)).distinct())
+
+    probe_hot = probe.join(hot, key, "left_semi")
+    probe_cold = probe.join(hot, key, "left_anti")
+    build_hot = build.join(hot, key, "left_semi")
+    build_cold = build.join(hot, key, "left_anti")
+
+    # scatter probe rows across buckets (deterministic: hash of the full
+    # row — no monotonically_increasing_id, which breaks replay/retry
+    # determinism); replicate build rows to all buckets
+    salted_probe = probe_hot.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in probe_hot.columns]), F.lit(salt_buckets)).cast("int"),
+    )
+    buckets = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
+    salted_build = build_hot.select("*", buckets)
+
+    hot_joined = salted_probe.join(salted_build, [key, "__salt"]).drop("__salt")
+    cold_joined = probe_cold.join(build_cold, key)
+    return hot_joined.unionByName(cold_joined)

@@ -1,0 +1,68 @@
+"""Salted-join equivalence + PARIS-with-salting equivalence."""
+
+from collections import Counter
+
+from prase_spark.config import ParisConfig
+from prase_spark.fixtures import two_kg_fixture
+from prase_spark.kgbuild import build_kg
+from prase_spark.paris import half_iteration, init_state
+from prase_spark.seed import literal_seed_matches
+from prase_spark.skew import hot_keys, salted_join
+
+
+def test_salted_join_equivalent(spark):
+    probe = spark.createDataFrame(
+        [(k, i) for k in [1, 1, 1, 1, 2, 3] for i in range(50)], "k LONG, pv INT"
+    )
+    build = spark.createDataFrame(
+        [(1, "a"), (1, "b"), (2, "c"), (4, "d")], "k LONG, bv STRING"
+    )
+    plain = Counter(tuple(r) for r in probe.join(build, "k").collect())
+    salted = Counter(
+        tuple(r)
+        for r in salted_join(probe, build, "k", salt_buckets=4, hot_min_rows=2).collect()
+    )
+    assert plain == salted
+
+
+def test_hot_keys(spark):
+    df = spark.createDataFrame([(1,)] * 500 + [(2,)] * 3, "k LONG")
+    hot = [r["k"] for r in hot_keys(df, "k", min_rows=100).collect()]
+    assert hot == [1]
+
+
+def test_paris_salting_equivalent(spark):
+    fx = two_kg_fixture(spark, n_ent=60, seed=42)
+    kg_l, kg_r = build_kg(fx["raw_l"]), build_kg(fx["raw_r"])
+    sub, _ = literal_seed_matches(kg_l, kg_r)
+    base_cfg = ParisConfig()
+    salt_cfg = ParisConfig(salt_buckets=4)
+    # drop the hot-row threshold so the salted path actually engages
+    import prase_spark.paris as paris_mod
+    import prase_spark.skew as skew_mod
+
+    orig = skew_mod.salted_join
+
+    def low_threshold(probe, build, key, buckets, hot=None, hot_min_rows=100_000):
+        return orig(probe, build, key, buckets, hot, hot_min_rows=5)
+
+    skew_mod.salted_join = low_threshold
+    try:
+        # paris imports salted_join lazily from the module, so the patch is seen
+        _, cands_salted = half_iteration(
+            kg_l, kg_r, sub,
+            spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE"),
+            spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE"),
+            salt_cfg, init=True,
+        )
+    finally:
+        skew_mod.salted_join = orig
+    _, cands_plain = half_iteration(
+        kg_l, kg_r, sub,
+        spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE"),
+        spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE"),
+        base_cfg, init=True,
+    )
+    got_s = {r["ent_id"]: (r["counterpart_id"], round(r["prob"], 9)) for r in cands_salted.collect()}
+    got_p = {r["ent_id"]: (r["counterpart_id"], round(r["prob"], 9)) for r in cands_plain.collect()}
+    assert got_s == got_p
