@@ -7,7 +7,6 @@ parquet checkpoint (resume point + lineage truncation).
 
 from __future__ import annotations
 
-import os
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -17,7 +16,6 @@ from prase_spark.checkpoint import load_state, roundtrip_state
 from prase_spark.config import ParisConfig
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.kgbuild import KGFrames, build_kg
-from prase_spark.matching import canonical_entity_ids
 from prase_spark.paris import AlignState, init_state, run_iteration
 from prase_spark.seed import literal_seed_matches
 
