@@ -287,16 +287,10 @@ def half_iteration(
     embeddings_l: DataFrame | None = None,
     embeddings_r: DataFrame | None = None,
     fusion=None,
-    scratch: list | None = None,
 ) -> tuple[DataFrame, DataFrame | None]:
     """One directional pass: returns (new rel_align for this side,
     entity-candidate updates or None). Mirrors __run_per_iteration_one_way
-    (objects/KGs.py:110-174) with Jacobi state reads.
-
-    ``scratch``: when provided, intermediate persists are appended for the
-    caller to release after its materialization wave and the outputs stay
-    LAZY (run_iteration batches them into parallel waves — see below).
-    Standalone calls (tests, gate queries) keep the eager behavior."""
+    (objects/KGs.py:110-174) with Jacobi state reads."""
     facts_l = kg_l.triples.filter(~F.col("obj_is_lit")).select(
         F.col("subj").alias("h"), F.col("pred").alias("r"), F.col("obj").alias("e")
     )
@@ -316,7 +310,7 @@ def half_iteration(
     facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
         F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
     )
-    rel_new = rel_align_update(cand_base, facts_r, cfg.const)
+    rel_new = rel_align_update(cand_base, facts_r, cfg.const).localCheckpoint()
     cands = None
     if ent_align:
         # The hub-head expansion has exactly ONE consumer (the candidate
@@ -332,13 +326,7 @@ def half_iteration(
         cands = entity_candidates(
             expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
             embeddings_l, embeddings_r, fusion=fusion,
-        )
-    if scratch is not None:
-        scratch.append(cand_base)
-        return rel_new, cands
-    rel_new = rel_new.localCheckpoint()
-    if cands is not None:
-        cands = cands.localCheckpoint()
+        ).localCheckpoint()
     cand_base.unpersist()
     return rel_new, cands
 
@@ -356,51 +344,28 @@ def run_iteration(
     L→R pass (ent+rel) → max-merge → bipartite → R→L pass (rel only)."""
     from prase_spark.matching import bipartite_match
 
-    from concurrent.futures import ThreadPoolExecutor
-
     init = (not state.has_load) and state.iter_num <= 1
-    scratch: list = []
     rel_l_new, cands = half_iteration(
         kg_l, kg_r, state.matches_sub, state.rel_align_l, state.rel_align_r,
         cfg, init, ent_align=True,
         embeddings_l=embeddings_l, embeddings_r=embeddings_r, fusion=fusion,
-        scratch=scratch,
     )
-    cands = cands.persist()
-    scratch.append(cands)
-    merged_sub = max_merge(state.matches_sub, cands).persist()
-    scratch.append(merged_sub)
+    merged_sub = max_merge(state.matches_sub, cands).localCheckpoint()
     new_sub, new_sup = bipartite_match(merged_sub, state.matches_sup)
-    new_sup_lazy = new_sup.persist()
-    scratch.append(new_sup_lazy)
+    # new_sub's pass-2 filter reads new_sup; pin new_sup so the R-side rel
+    # pass and the sub filter don't recompute the claim aggregation.
+    new_sup = new_sup.localCheckpoint()
     # R-side rel stats read the post-bipartite sup state, ent_align=False
     # (objects/KGs.py:107).
     rel_r_new, _ = half_iteration(
-        kg_r, kg_l, new_sup_lazy, state.rel_align_r, state.rel_align_l,
-        cfg, init, ent_align=False, scratch=scratch,
+        kg_r, kg_l, new_sup, state.rel_align_r, state.rel_align_l,
+        cfg, init, ent_align=False,
     )
-    # Materialize in two parallel waves (driver threads; the Spark scheduler
-    # interleaves their stages) instead of ~9 sequential jobs — iteration
-    # wall time is latency-bound at small scale (see BENCH.md):
-    #   wave A: new_sup (fills cand_base/cands/merged caches) + rel_l
-    #   wave B: new_sub (cache hits) + rel_r (reads new_sup cache)
-    with ThreadPoolExecutor(2) as ex:
-        f_sup = ex.submit(new_sup_lazy.localCheckpoint)
-        f_rel_l = ex.submit(rel_l_new.localCheckpoint)
-        new_sup_ck = f_sup.result()
-        rel_l_ck = f_rel_l.result()
-    with ThreadPoolExecutor(2) as ex:
-        f_sub = ex.submit(new_sub.localCheckpoint)
-        f_rel_r = ex.submit(rel_r_new.localCheckpoint)
-        new_sub_ck = f_sub.result()
-        rel_r_ck = f_rel_r.result()
-    for df in scratch:
-        df.unpersist()
     return AlignState(
-        matches_sub=new_sub_ck,
-        matches_sup=new_sup_ck,
-        rel_align_l=rel_l_ck,
-        rel_align_r=rel_r_ck,
+        matches_sub=new_sub,
+        matches_sup=new_sup,
+        rel_align_l=rel_l_new,
+        rel_align_r=rel_r_new,
         iter_num=state.iter_num + 1,
         has_load=state.has_load,
     )
