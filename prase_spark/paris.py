@@ -361,6 +361,9 @@ def run_iteration(
         kg_r, kg_l, new_sup, state.rel_align_r, state.rel_align_l,
         cfg, init, ent_align=False,
     )
+    # pin the last lazy output too: every returned frame is materialized
+    # exactly once, so callers need no second checkpoint wave
+    new_sub = new_sub.localCheckpoint()
     return AlignState(
         matches_sub=new_sub,
         matches_sup=new_sup,

@@ -53,8 +53,7 @@ def align(
         )
         if checkpoint:
             nxt = roundtrip_state(nxt, cfg.checkpoint_dir)
-        else:
-            nxt = nxt.local_checkpoint()
+        # else: run_iteration already materialized every state frame once
         run.state = nxt
         if gold is not None:
             run.evals.append(evaluate_alignment(nxt.matches_sub, gold))
@@ -103,7 +102,8 @@ def prase_feedback_align(
             kg_l, kg_r, run.state, cfg,
             embeddings_l=embeddings_l, embeddings_r=embeddings_r,
         )
-        nxt = roundtrip_state(nxt, cfg.checkpoint_dir) if checkpoint else nxt.local_checkpoint()
+        if checkpoint:
+            nxt = roundtrip_state(nxt, cfg.checkpoint_dir)
         run.state = nxt
         if gold is not None:
             run.evals.append(evaluate_alignment(nxt.matches_sub, gold))

@@ -86,9 +86,50 @@ spark.stop()
 """
 
 
+KERNEL_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark, ParisConfig
+
+cpus = int(sys.argv[1])
+n_ent = int(sys.argv[2])
+spark = get_spark("scaling_kernel", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from prase_spark.fixtures import synthetic_kg_distributed
+from prase_spark.kgbuild import build_kg
+from prase_spark.paris import candidate_scores, evidence_expansion, init_state
+from prase_spark.seed import literal_seed_matches
+
+kg1 = build_kg(synthetic_kg_distributed(spark, n_ent, kg=1, partitions=cpus * 2))
+kg2 = build_kg(synthetic_kg_distributed(spark, n_ent, kg=2, partitions=cpus * 2))
+n_facts = kg1.triples.count() + kg2.triples.count()
+kg1.functionality.count(); kg2.functionality.count()
+sub, _ = literal_seed_matches(kg1, kg2)
+sub = sub.persist(); sub.count()
+cfg = ParisConfig()
+empty = spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE")
+
+def kernel():
+    expanded = evidence_expansion(kg1, kg2, sub, cfg.theta)
+    return candidate_scores(expanded, kg1, kg2, empty, empty, cfg, init=True).count()
+
+n_cand = kernel()  # warmup: codegen + python workers + heap steady state
+t0 = time.time()
+n_cand = kernel()
+elapsed = time.time() - t0
+print(json.dumps({{"cpus": cpus, "facts": n_facts, "candidates": n_cand,
+                   "sec": round(elapsed, 3),
+                   "facts_per_sec": round(n_facts / elapsed, 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
     if workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
+    elif workload == "paris-kernel":
+        script, arg2 = KERNEL_WORKLOAD.format(repo=repo), str(kg_ents)
     else:
         script, arg2 = PARIS_WORKLOAD.format(repo=repo), str(kg_ents)
     out = subprocess.run(
@@ -104,7 +145,7 @@ def main():
     ap.add_argument("--pages", type=int, default=300000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--workload", choices=["extract", "paris", "both"], default="extract")
+    ap.add_argument("--workload", choices=["extract", "paris", "paris-kernel", "both"], default="extract")
     ap.add_argument("--kg-ents", type=int, default=400000)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
@@ -116,11 +157,12 @@ def main():
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
         unit = "docs_per_sec" if wl == "extract" else "facts_per_sec"
-        title = (
-            f"extraction+stats (pages={args.pages})"
-            if wl == "extract"
-            else f"PARIS 2-iteration alignment (synthetic 2x{args.kg_ents}-entity KGs)"
-        )
+        if wl == "extract":
+            title = f"extraction+stats (pages={args.pages})"
+        elif wl == "paris-kernel":
+            title = f"PARIS candidate-scoring kernel (synthetic 2x{args.kg_ents}-entity KGs)"
+        else:
+            title = f"PARIS 2-iteration alignment (synthetic 2x{args.kg_ents}-entity KGs)"
         result = {
             "workload": title,
             "low": lo,
