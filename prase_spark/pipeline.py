@@ -73,10 +73,13 @@ def prase_feedback_align(
     reset_weight: float | None = None,
     prior_state: AlignState | None = None,
     checkpoint: bool = False,
+    reset_from_embeddings: bool = False,
 ) -> AlignmentRun:
     """The PRASE feedback loop (test.py:83-104):
 
-    1. optional prob rescale of a prior state (reset_ent_align_prob),
+    1. optional prob rescale of a prior state (reset_ent_align_prob), or
+       the embedding global-argmax reset (reset_ent_align_result,
+       objects/KGs.py:265-279) when ``reset_from_embeddings`` is set,
     2. mapping feedback: force-merge embedding-module seed links
        (load_ent_links force=True, probs scaled by load_weight),
     3. embedding feedback + fusion-active fixpoint (0.8/0.2 by default).
@@ -92,6 +95,17 @@ def prase_feedback_align(
         if reset_weight is not None:
             state.matches_sub = rescale_probs(state.matches_sub, reset_weight)
             state.matches_sup = rescale_probs(state.matches_sup, reset_weight)
+    if reset_from_embeddings:
+        if embeddings_l is None or embeddings_r is None:
+            raise ValueError("reset_from_embeddings requires both embedding tables")
+        from prase_spark.embed import brute_force_argmax
+
+        # J7 reset: entity matches replaced by the similarity argmax at
+        # prob 0.2 both ways; literal seed rows are preserved (the
+        # reference resets only entity slots, objects/KGs.py:266-271).
+        sub_r, sup_r = brute_force_argmax(embeddings_l, embeddings_r, prob=0.2)
+        state.matches_sub = state.matches_sub.filter("is_lit").unionByName(sub_r)
+        state.matches_sup = state.matches_sup.filter("is_lit").unionByName(sup_r)
     if seed_links is not None:
         sub_u, sup_u = load_seed_links(seed_links, kg_l, kg_r, prob_scale=load_weight)
         state.matches_sub = force_merge(state.matches_sub, sub_u)
