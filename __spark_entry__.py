@@ -27,11 +27,20 @@ _TOKS_SQL = (
 )
 
 
+_KG_CACHE: dict = {}
+
+
 def _kg(spark: SparkSession, sf_dir: str, kg: int):
+    """Memoized KG build — the driver runs many gate queries in one
+    session and each TPC-H KG build costs ~30s at sf0.01; the KGFrames are
+    persisted DataFrames, safe to share within a session."""
     from prase_spark.kgbuild import build_kg
     from prase_spark.tpch_kg import tpch_raw_triples
 
-    return build_kg(tpch_raw_triples(spark, sf_dir, kg))
+    key = (id(spark), sf_dir, kg)
+    if key not in _KG_CACHE:
+        _KG_CACHE[key] = build_kg(tpch_raw_triples(spark, sf_dir, kg))
+    return _KG_CACHE[key]
 
 
 # --------------------------------------------------------------------------
