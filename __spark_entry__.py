@@ -272,6 +272,36 @@ def _q_paris_iter1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_paris_iter1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8 on the real kernel: per-entity argmax over the iteration-1
+    candidate scores. Scores are rounded to 6dp BEFORE the argmax on both
+    sides so FP product-order noise cannot flip ties; ties break by
+    candidate name descending (mirrors the engine's max-by-id tie-break,
+    since ids are assigned in name order)."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.paris import candidate_scores, evidence_expansion
+    from prase_spark.seed import literal_seed_matches
+
+    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    sub, _ = literal_seed_matches(kg1, kg2)
+    cfg = ParisConfig()
+    empty = spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE")
+    expanded = evidence_expansion(kg1, kg2, sub, cfg.theta)
+    scores = candidate_scores(expanded, kg1, kg2, empty, empty, cfg, init=True)
+    e_names = kg1.nodes.select(F.col("ent_id").alias("e"), F.col("name").alias("e_name"))
+    t_names = kg2.nodes.select(F.col("ent_id").alias("t2"), F.col("name").alias("cand_name"))
+    named = (
+        scores.join(e_names, "e").join(t_names, "t2")
+        .select("e_name", "cand_name", F.round("score", 6).alias("score"))
+    )
+    w = Window.partitionBy("e_name").orderBy(F.desc("score"), F.desc("cand_name"))
+    return (
+        named.withColumn("rn", F.row_number().over(w))
+        .filter("rn = 1")
+        .select("e_name", "cand_name", "score")
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 def _q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -338,6 +368,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+
     return {
         "kg1_functionality": _q_kg1_functionality,
         "kg1_dict_encode": _q_kg1_dict_encode,
@@ -357,6 +388,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "paris_iter1_scores": _q_paris_iter1_scores,
+        "paris_iter1_argmax": _q_paris_iter1_argmax,
         # rows-only (non-SQL-expressible; covered by pytest oracles)
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
@@ -381,6 +413,51 @@ def oracle_sql() -> dict[str, str]:
     de = "['" + "','".join(_DE) + "']"
     fr = "['" + "','".join(_FR) + "']"
     es = "['" + "','".join(_ES) + "']"
+
+    _paris_scores_sql = f"""
+            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
+            t1 AS ({kg1_inv}), t2 AS ({kg2_inv}),
+            f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
+                   FROM t1 GROUP BY pred),
+            f2 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
+                   FROM t2 GROUP BY pred),
+            l_val AS (
+                SELECT DISTINCT trim(obj) AS name,
+                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
+                FROM kg1_raw WHERE is_attr
+            ),
+            r_val AS (
+                SELECT DISTINCT trim(obj) AS name,
+                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
+                FROM kg2_raw WHERE is_attr
+            ),
+            -- canonical right literal per value = min name (ids are assigned
+            -- in name order, so min ent_id == min name)
+            r_min AS (SELECT value, min(name) AS rname FROM r_val GROUP BY value),
+            matches AS (
+                SELECT l.name AS h_name, r_min.rname AS h_cp
+                FROM l_val l JOIN r_min USING (value)
+            ),
+            cand_base AS (
+                SELECT t.obj AS e, t.pred AS r, m.h_cp
+                FROM t1 t JOIN matches m ON t.subj = m.h_name AND t.subj_is_lit
+                WHERE NOT t.obj_is_lit
+            ),
+            ev AS (
+                SELECT cb.e, cb.r, g.pred AS r2, g.obj AS t2,
+                       (1.0 - 1.0 * 0.1 * coalesce(f2.fun, 0.0) / 1.01)
+                     * (1.0 - 1.0 * 0.1 * coalesce(f1.fun, 0.0) / 1.01) AS factor
+                FROM cand_base cb
+                JOIN t2 g ON g.subj = cb.h_cp AND g.subj_is_lit
+                LEFT JOIN f1 ON f1.pred = cb.r
+                LEFT JOIN f2 ON f2.pred = g.pred
+                WHERE NOT g.obj_is_lit
+            )
+            SELECT e AS e_name, t2 AS cand_name,
+                   round(1.0 - product(factor), 6) AS score
+            FROM ev WHERE 1.0 - factor > 0.01
+            GROUP BY e, t2
+        """
 
     return {
         "kg1_functionality": f"""
@@ -573,49 +650,13 @@ def oracle_sql() -> dict[str, str]:
                 FROM scored
             ) WHERE rank <= 3
         """,
-        "paris_iter1_scores": f"""
-            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
-            t1 AS ({kg1_inv}), t2 AS ({kg2_inv}),
-            f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
-                   FROM t1 GROUP BY pred),
-            f2 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
-                   FROM t2 GROUP BY pred),
-            l_val AS (
-                SELECT DISTINCT trim(obj) AS name,
-                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
-                FROM kg1_raw WHERE is_attr
-            ),
-            r_val AS (
-                SELECT DISTINCT trim(obj) AS name,
-                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
-                FROM kg2_raw WHERE is_attr
-            ),
-            -- canonical right literal per value = min name (ids are assigned
-            -- in name order, so min ent_id == min name)
-            r_min AS (SELECT value, min(name) AS rname FROM r_val GROUP BY value),
-            matches AS (
-                SELECT l.name AS h_name, r_min.rname AS h_cp
-                FROM l_val l JOIN r_min USING (value)
-            ),
-            cand_base AS (
-                SELECT t.obj AS e, t.pred AS r, m.h_cp
-                FROM t1 t JOIN matches m ON t.subj = m.h_name AND t.subj_is_lit
-                WHERE NOT t.obj_is_lit
-            ),
-            ev AS (
-                SELECT cb.e, cb.r, g.pred AS r2, g.obj AS t2,
-                       (1.0 - 1.0 * 0.1 * coalesce(f2.fun, 0.0) / 1.01)
-                     * (1.0 - 1.0 * 0.1 * coalesce(f1.fun, 0.0) / 1.01) AS factor
-                FROM cand_base cb
-                JOIN t2 g ON g.subj = cb.h_cp AND g.subj_is_lit
-                LEFT JOIN f1 ON f1.pred = cb.r
-                LEFT JOIN f2 ON f2.pred = g.pred
-                WHERE NOT g.obj_is_lit
-            )
-            SELECT e AS e_name, t2 AS cand_name,
-                   round(1.0 - product(factor), 6) AS score
-            FROM ev WHERE 1.0 - factor > 0.01
-            GROUP BY e, t2
+        "paris_iter1_scores": _paris_scores_sql,
+        "paris_iter1_argmax": f"""
+            SELECT e_name, cand_name, score FROM (
+                SELECT e_name, cand_name, score, row_number() OVER (
+                    PARTITION BY e_name ORDER BY score DESC, cand_name DESC
+                ) AS rn FROM ({_paris_scores_sql})
+            ) WHERE rn = 1
         """,
         "ngram_jaccard_docs": f"""
             WITH corpus AS (
