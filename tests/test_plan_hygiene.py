@@ -1,0 +1,50 @@
+"""Physical-plan hygiene guards (SURVEY.md §4 / scale posture): the PARIS
+candidate DAG must broadcast its small sides and never degenerate into a
+cartesian product; parquet scans must receive pushed filters."""
+
+from pyspark.sql import functions as F
+
+from prase_spark.config import ParisConfig
+from prase_spark.fixtures import two_kg_fixture
+from prase_spark.kgbuild import build_kg
+from prase_spark.paris import candidate_scores, evidence_expansion
+from prase_spark.seed import literal_seed_matches
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candidate_plan_hygiene(spark):
+    fx = two_kg_fixture(spark, n_ent=40, seed=42)
+    kg_l, kg_r = build_kg(fx["raw_l"]), build_kg(fx["raw_r"])
+    sub, _ = literal_seed_matches(kg_l, kg_r)
+    cfg = ParisConfig()
+    empty = spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE")
+    cands = candidate_scores(
+        evidence_expansion(kg_l, kg_r, sub, cfg.theta), kg_l, kg_r, empty, empty, cfg, True
+    )
+    plan = _plan(cands)
+    assert "CartesianProduct" not in plan
+    # rel-align + functionality lookups are explicit broadcasts (J3/J4)
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    # the noisy-OR product aggregation stays a hash aggregate
+    assert "HashAggregate" in plan
+
+
+def test_scan_pushdown(spark):
+    df = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    q = df.filter(F.col("o_orderkey") % 7 != 0).select("o_orderkey")
+    plan = _plan(q)
+    # column pruning reaches the parquet scan: only the selected column read
+    assert "ReadSchema: struct<o_orderkey" in plan
+
+
+def test_no_cartesian_in_alignment_results(spark):
+    from prase_spark.pipeline import align, alignment_results
+
+    fx = two_kg_fixture(spark, n_ent=30, seed=42)
+    kg_l, kg_r = build_kg(fx["raw_l"]), build_kg(fx["raw_r"])
+    run = align(spark, kg_l, kg_r, ParisConfig(iterations=1), checkpoint=False)
+    res = alignment_results(run.state, kg_l, kg_r, 0.1)
+    assert "CartesianProduct" not in _plan(res)
