@@ -60,9 +60,17 @@ def assign_dense_ids(
     offset_df = spark.createDataFrame(offsets, schema="__pid INT, __offset LONG")
 
     w = Window.partitionBy("__pid").orderBy(*order_cols)
-    return (
+    out = (
         parted.withColumn("__rn", F.row_number().over(w))
         .join(F.broadcast(offset_df), "__pid")
         .withColumn(id_col, (F.col("__rn") - 1 + F.col("__offset")).cast("long"))
         .drop("__pid", "__rn", "__offset")
     )
+    # Pin the assignment eagerly: ids must NEVER be recomputed — a fresh
+    # evaluation would re-sample range boundaries against the collected
+    # offsets (silent id corruption). localCheckpoint stores RDD blocks
+    # that survive catalog.clearCache() (which only unpersists SQL
+    # relations), so downstream cache hygiene can't resurrect the race.
+    out = out.localCheckpoint()
+    parted.unpersist()
+    return out
