@@ -33,11 +33,17 @@ _KG_CACHE: dict = {}
 def _kg(spark: SparkSession, sf_dir: str, kg: int):
     """Memoized KG build — the driver runs many gate queries in one
     session and each TPC-H KG build costs ~30s at sf0.01; the KGFrames are
-    persisted DataFrames, safe to share within a session."""
+    persisted DataFrames, safe to share within a session. Keyed by the
+    stable applicationId (id(spark) can be recycled after GC and would hand
+    back frames bound to a stopped SparkContext); entries from stopped
+    contexts are evicted."""
     from prase_spark.kgbuild import build_kg
     from prase_spark.tpch_kg import tpch_raw_triples
 
-    key = (id(spark), sf_dir, kg)
+    sc = spark.sparkContext
+    for k in [k for k in _KG_CACHE if k[0] != sc.applicationId]:
+        del _KG_CACHE[k]
+    key = (sc.applicationId, sf_dir, kg)
     if key not in _KG_CACHE:
         _KG_CACHE[key] = build_kg(tpch_raw_triples(spark, sf_dir, kg))
     return _KG_CACHE[key]

@@ -119,22 +119,33 @@ def minhash_lsh_pairs(
 def exact_jaccard(
     shingles: DataFrame, pairs: DataFrame
 ) -> DataFrame:
-    """Exact Jaccard for candidate pairs via shingle co-occurrence counts:
-    |A∩B| from a self-join on shingle restricted to candidates, |A∪B| from
-    per-doc set sizes. Returns (key_a, key_b, jaccard)."""
-    sizes = shingles.groupBy("key").agg(F.count("*").alias("sz"))
-    sa = shingles.select(F.col("key").alias("key_a"), "shingle")
-    sb = shingles.select(F.col("key").alias("key_b"), "shingle")
-    inter = (
-        sa.join(sb, "shingle")
-        .filter(F.col("key_a") < F.col("key_b"))
-        .join(pairs, ["key_a", "key_b"], "left_semi")
-        .groupBy("key_a", "key_b")
-        .agg(F.count("*").alias("inter"))
+    """Exact Jaccard for candidate pairs — per-pair set intersection, NO
+    shingle co-occurrence join.
+
+    The obvious verify plan (self-join the shingle table on ``shingle``,
+    then semi-filter to candidates) costs Σ df(shingle)² regardless of how
+    few candidates LSH produced: Catalyst cannot push a pair-semi below the
+    shingle join, and one boilerplate shingle in 10⁸ docs is a 10¹⁶-row
+    partition. Instead each doc's shingle set is packed into one array
+    (bounded by tokens/doc), the candidate pairs pull both arrays via two
+    key equi-joins, and |A∩B| is a native ``array_intersect`` — total cost
+    O(|pairs| × shingles/doc), independent of shingle document frequency.
+    Returns (key_a, key_b, jaccard)."""
+    sets_ = shingles.groupBy("key").agg(
+        F.collect_set("shingle").alias("shset"), F.count("*").alias("sz")
+    )
+    cand_keys_a = pairs.select(F.col("key_a").alias("key")).distinct()
+    cand_keys_b = pairs.select(F.col("key_b").alias("key")).distinct()
+    sets_a = sets_.join(cand_keys_a, "key", "left_semi").select(
+        F.col("key").alias("key_a"), F.col("shset").alias("set_a"), F.col("sz").alias("sz_a")
+    )
+    sets_b = sets_.join(cand_keys_b, "key", "left_semi").select(
+        F.col("key").alias("key_b"), F.col("shset").alias("set_b"), F.col("sz").alias("sz_b")
     )
     return (
-        inter.join(sizes.withColumnRenamed("key", "key_a").withColumnRenamed("sz", "sz_a"), "key_a")
-        .join(sizes.withColumnRenamed("key", "key_b").withColumnRenamed("sz", "sz_b"), "key_b")
+        pairs.join(sets_a, "key_a")
+        .join(sets_b, "key_b")
+        .withColumn("inter", F.size(F.array_intersect("set_a", "set_b")))
         .select(
             "key_a",
             "key_b",
@@ -143,19 +154,41 @@ def exact_jaccard(
     )
 
 
+def cap_shingle_df(shingles: DataFrame, max_df: int) -> DataFrame:
+    """Stop-shingle filter: drop shingles occurring in more than ``max_df``
+    docs. A shingle shared by millions of documents ("all rights reserved…")
+    carries ~zero Jaccard information but d² candidate pairs; capping it
+    bounds the candidate self-join at Σ min(df, max_df)² per shingle."""
+    hot = (
+        shingles.groupBy("shingle")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("shingle")
+    )
+    return shingles.join(hot, "shingle", "left_anti")
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,
     text_col: str = "text",
     key_col: str = "doc_id",
     shingle_n: int = 3,
+    max_shingle_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidates are
     blocked by shared shingles (never all-pairs), so this is exact AND
-    shuffle-bounded; it doubles as the oracle for the MinHash path."""
+    shuffle-bounded; it doubles as the oracle for the MinHash path.
+
+    ``max_shingle_df`` (the stop-shingle cap) applies to candidate
+    GENERATION only — verification always scores the complete shingle sets,
+    so any emitted jaccard is exact; a pair sharing nothing but >max_df
+    boilerplate shingles is skipped (its jaccard is dominated by stop
+    shingles anyway). None (default) keeps generation exact too."""
     sh = shingle_table(df, text_col, key_col, shingle_n)
-    sa = sh.select(F.col("key").alias("key_a"), "shingle")
-    sb = sh.select(F.col("key").alias("key_b"), "shingle")
+    gen = cap_shingle_df(sh, max_shingle_df) if max_shingle_df is not None else sh
+    sa = gen.select(F.col("key").alias("key_a"), "shingle")
+    sb = gen.select(F.col("key").alias("key_b"), "shingle")
     cand = (
         sa.join(sb, "shingle").filter(F.col("key_a") < F.col("key_b")).select("key_a", "key_b").distinct()
     )
@@ -221,20 +254,16 @@ def simhash_pairs(
     """Near-dup candidates by SimHash banding (4 bands of 16 bits: any pair
     within hamming distance 3 shares ≥1 exact band), verified by true
     hamming distance ≤ max_hamming."""
+    # The 64-expression signature is evaluated ONCE per input row: the
+    # band fan-out is an explode over a 4-element index range sitting above
+    # the signature projection (a Generate bars projection collapse, so
+    # Catalyst cannot inline the heavy expression 4×, which the previous
+    # union-of-selects shape did).
     sh = df.select(F.col(key_col).alias("key"), simhash64(text_col, shingle_n).alias("sig"))
-    bands = []
-    for b in range(4):
-        bands.append(
-            sh.select(
-                "key",
-                "sig",
-                F.lit(b).alias("band"),
-                F.shiftrightunsigned("sig", b * 16).bitwiseAND(F.lit(0xFFFF)).alias("band_key"),
-            )
-        )
-    banded = bands[0]
-    for other in bands[1:]:
-        banded = banded.unionByName(other)
+    banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
+        "band_key",
+        F.expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(F.lit(0xFFFF)),
+    )
     a = banded.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"), "band", "band_key")
     cand = (

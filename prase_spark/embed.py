@@ -183,6 +183,62 @@ def lsh_argmax(
     )
 
 
+def lsh_argmax_pair(
+    emb_l: DataFrame,
+    emb_r: DataFrame,
+    dim: int,
+    prob: float = 0.2,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """LSH-blocked J7 reset returning BOTH directions with the reference's
+    sup derivation (objects/KGs.py:277-279: the ascending loop makes the
+    sup slot the max ent_id among claimants — same rule as
+    brute_force_argmax)."""
+    sub = lsh_argmax(emb_l, emb_r, dim, prob, n_bits, n_bands, seed)
+    sup = (
+        sub.groupBy("counterpart_id")
+        .agg(F.max("ent_id").alias("l_id"))
+        .select(
+            F.col("counterpart_id").alias("ent_id"),
+            F.col("l_id").alias("counterpart_id"),
+            F.lit(prob).alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+    )
+    return sub, sup
+
+
+# Above this many candidate pairs the exact cross join is never the right
+# plan; the LSH-blocked argmax replaces it (recall >= 0.95 vs brute force,
+# tests/test_reset_path.py).
+_BRUTE_FORCE_PAIR_BUDGET = 4_000_000
+
+
+def embedding_reset_matches(
+    emb_l: DataFrame,
+    emb_r: DataFrame,
+    prob: float = 0.2,
+    use_lsh: bool | None = None,
+    pair_budget: int = _BRUTE_FORCE_PAIR_BUDGET,
+) -> tuple[DataFrame, DataFrame]:
+    """J7 dispatcher: exact cross-join argmax at test scale, LSH-blocked
+    argmax beyond ``pair_budget`` candidate pairs (or when forced via
+    ``use_lsh``). The cross join is THE cartesian scale-killer at web scale,
+    so production paths must never reach it implicitly — the size gate here
+    costs two count jobs on the (small-schema) embedding tables."""
+    if use_lsh is None:
+        use_lsh = emb_l.count() * emb_r.count() > pair_budget
+    if not use_lsh:
+        return brute_force_argmax(emb_l, emb_r, prob)
+    first = emb_l.select(F.size("embedding").alias("d")).first()
+    dim = int(first["d"]) if first is not None else 0
+    if dim <= 0:
+        return brute_force_argmax(emb_l, emb_r, prob)
+    return lsh_argmax_pair(emb_l, emb_r, dim, prob)
+
+
 def blend_embeddings(
     current: DataFrame, updates: DataFrame, alpha: float = 0.5
 ) -> DataFrame:

@@ -24,10 +24,19 @@ def evaluate_alignment(
     )
     correct = pred.join(gold, ["ent_l", "ent_r"], "inner")
 
+    # Bucket probs to the threshold grid BEFORE collecting: fused scores are
+    # near-continuous doubles, so a raw groupBy("prob") collect is
+    # O(#matched entities) driver rows. bucket(p) = max{t in grid : t <= p}
+    # preserves every sweep sum exactly (p >= t  <=>  bucket(p) >= t for
+    # t in the grid), and the collect is <= len(thresholds)+1 rows.
+    bucket = F.lit(float("-inf"))
+    for t in sorted(thresholds):
+        bucket = F.when(F.col("prob") >= F.lit(float(t)), F.lit(float(t))).otherwise(bucket)
+
     def histogram(df: DataFrame) -> list[tuple[float, int]]:
         return [
-            (r["prob"], r["cnt"])
-            for r in df.groupBy("prob").agg(F.count("*").alias("cnt")).collect()
+            (r["bucket"], r["cnt"])
+            for r in df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt")).collect()
         ]
 
     pred_hist, correct_hist = histogram(pred), histogram(correct)

@@ -49,7 +49,11 @@ def bipartite_match(
         F.coalesce(F.col("s.is_lit"), F.lit(False)).alias("is_lit"),
     ).filter(F.col("counterpart_id").isNotNull())
     # Pass 2 reads the *updated* sup state (reference mutates in place).
-    sup_ent = new_sup.filter(~F.col("is_lit")).select(
+    # Literal sup rows participate in the reciprocity lookup too: the
+    # reference indexes sup_ent_match[sub_counterpart_id] regardless of
+    # literal-ness (objects/KGs.py:236-241), so an entity force-merged onto
+    # a literal counterpart is cleared unless the literal points back.
+    sup_ent = new_sup.select(
         F.col("ent_id").alias("counterpart_id"),
         F.col("counterpart_id").alias("reciprocal"),
     )

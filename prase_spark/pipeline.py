@@ -74,6 +74,7 @@ def prase_feedback_align(
     prior_state: AlignState | None = None,
     checkpoint: bool = False,
     reset_from_embeddings: bool = False,
+    reset_use_lsh: bool | None = None,
 ) -> AlignmentRun:
     """The PRASE feedback loop (test.py:83-104):
 
@@ -86,24 +87,38 @@ def prase_feedback_align(
     """
     from prase_spark.seed import force_merge, load_seed_links, rescale_probs
 
+    import dataclasses
+
     cfg = cfg or ParisConfig()
     if prior_state is None:
         sub, sup = literal_seed_matches(kg_l, kg_r)
         state = init_state(spark, sub, sup)
     else:
-        state = prior_state
+        # Fresh copy — never mutate the caller's state object — and restart
+        # iter_num at 0: the reference's kgs.run() always executes
+        # `iteration` ADDITIONAL rounds and resets _iter_num per run
+        # (objects/KGs.py:94-99), so a feedback pass after a completed
+        # align() must not silently run zero iterations. has_load carries
+        # over, so a checkpoint-loaded state keeps its no-bootstrap
+        # schedule while a plain prior state re-bootstraps like the
+        # reference.
+        state = dataclasses.replace(prior_state, iter_num=0)
         if reset_weight is not None:
             state.matches_sub = rescale_probs(state.matches_sub, reset_weight)
             state.matches_sup = rescale_probs(state.matches_sup, reset_weight)
     if reset_from_embeddings:
         if embeddings_l is None or embeddings_r is None:
             raise ValueError("reset_from_embeddings requires both embedding tables")
-        from prase_spark.embed import brute_force_argmax
+        from prase_spark.embed import embedding_reset_matches
 
         # J7 reset: entity matches replaced by the similarity argmax at
         # prob 0.2 both ways; literal seed rows are preserved (the
         # reference resets only entity slots, objects/KGs.py:266-271).
-        sub_r, sup_r = brute_force_argmax(embeddings_l, embeddings_r, prob=0.2)
+        # embedding_reset_matches size-gates the exact cross join and
+        # switches to the LSH-blocked argmax beyond the pair budget.
+        sub_r, sup_r = embedding_reset_matches(
+            embeddings_l, embeddings_r, prob=0.2, use_lsh=reset_use_lsh
+        )
         state.matches_sub = state.matches_sub.filter("is_lit").unionByName(sub_r)
         state.matches_sup = state.matches_sup.filter("is_lit").unionByName(sup_r)
     if seed_links is not None:

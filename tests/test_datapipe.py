@@ -195,3 +195,74 @@ def test_multimodal_features(spark):
     f1 = sorted(map(tuple, extract_media_features(media.coalesce(1)).collect()))
     f8 = sorted(map(tuple, extract_media_features(media.repartition(3)).collect()))
     assert f1 == f8
+
+
+def test_jaccard_verify_no_shingle_shuffle(spark):
+    """Hot-shingle guard: a boilerplate shingle present in EVERY doc must not
+    create a shingle-keyed shuffle in the verify path (df² blowup), and the
+    stop-shingle cap must restrict candidate generation while verification
+    stays exact over the complete sets."""
+    from prase_spark.datapipe.dedup import (
+        exact_jaccard,
+        ngram_jaccard_pairs,
+        shingle_table,
+    )
+
+    boiler = "all rights reserved by the operator of this site"
+    rows = [
+        (
+            i,
+            f"unique document body number {i} says "
+            + ("alpha beta gamma words" if i % 2 else "delta epsilon zeta words")
+            + " " + boiler,
+        )
+        for i in range(20)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+
+    # 1) verify plan hygiene: no exchange keyed on the shingle column
+    sh = shingle_table(docs)
+    pairs = spark.createDataFrame([(0, 2), (1, 3)], "key_a LONG, key_b LONG")
+    verified = exact_jaccard(sh, pairs)
+    plan = verified._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shingle" not in plan
+
+    # 2) verification is exact (python set oracle) even with the boilerplate
+    got = {(r["key_a"], r["key_b"]): r["jaccard"] for r in verified.collect()}
+    for (a, b), j in got.items():
+        sa, sb = _shingles(rows[a][1]), _shingles(rows[b][1])
+        assert abs(j - len(sa & sb) / len(sa | sb)) < 1e-9, (a, b)
+
+    # 3) stop-shingle cap: boiler shingles (df=20) are dropped from candidate
+    # generation at max_df=10; cross-parity pairs (only boiler in common plus
+    # df<=10 boundary shingles) shrink, same-parity pairs survive, and every
+    # emitted jaccard still matches the exact python oracle.
+    capped = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0, max_shingle_df=10).collect()
+    }
+    uncapped = {
+        (r["key_a"], r["key_b"]): r["jaccard"]
+        for r in ngram_jaccard_pairs(docs, threshold=0.0).collect()
+    }
+    assert set(capped) <= set(uncapped)
+    assert (0, 2) in capped and (1, 3) in capped
+    for (a, b), j in capped.items():
+        sa, sb = _shingles(rows[a][1]), _shingles(rows[b][1])
+        assert abs(j - len(sa & sb) / len(sa | sb)) < 1e-9, (a, b)
+
+
+def test_minhash_dedup_no_shingle_shuffle(spark):
+    """The full near-dup pipeline (LSH candidates + array verify) must never
+    shuffle keyed on the raw shingle column."""
+    from prase_spark.datapipe.dedup import minhash_dedup
+
+    rows = [(i, f"some shared boilerplate across docs plus token {i // 2}") for i in range(12)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = minhash_dedup(docs, threshold=0.8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(shingle" not in plan
+    rows_out = {r["doc_id"]: (r["cluster_id"], r["keep"]) for r in out.collect()}
+    # doc pairs (2k, 2k+1) are exact dups -> same cluster, min kept
+    assert rows_out[0][0] == rows_out[1][0]
+    assert rows_out[0][1] and not rows_out[1][1]

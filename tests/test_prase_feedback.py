@@ -86,3 +86,62 @@ def test_export_params_and_split(spark, fx):
     train, test = embed_align_split(run.state.matches_sub, fx["gold"], threshold=0.1)
     # every gold pair is either predicted (train side) or in the test split
     assert test.count() + train.join(fx["gold"], ["ent_l", "ent_r"]).count() >= fx["gold"].count() * 0.95
+
+
+def test_feedback_runs_additional_iterations(spark, fx):
+    """A feedback pass after a completed align() must run cfg.iterations
+    ADDITIONAL rounds (reference kgs.run() restarts _iter_num at 0,
+    objects/KGs.py:94-99) — and must not mutate the caller's state."""
+    cfg = ParisConfig(iterations=2)
+    first = align(spark, fx["kg_l"], fx["kg_r"], cfg, checkpoint=False)
+    assert first.state.iter_num == 2
+    before = {
+        (r["ent_id"], r["counterpart_id"], r["prob"])
+        for r in first.state.matches_sub.collect()
+    }
+    prior_sub = first.state.matches_sub
+    run = prase_feedback_align(
+        spark, fx["kg_l"], fx["kg_r"], cfg,
+        prior_state=first.state, gold=fx["gold"], reset_weight=0.5,
+        embeddings_l=fx["emb_l"], embeddings_r=fx["emb_r"],
+    )
+    # the feedback fixpoint actually iterated (was a silent no-op before)
+    assert run.state.iter_num == 2
+    assert len(run.evals) == 2
+    # caller's state object untouched: same frame reference, same values
+    assert first.state.iter_num == 2
+    assert first.state.matches_sub is prior_sub
+    after = {
+        (r["ent_id"], r["counterpart_id"], r["prob"])
+        for r in first.state.matches_sub.collect()
+    }
+    assert before == after
+
+
+def test_evaluate_alignment_bucketed_exact(spark):
+    """The threshold-grid bucketing keeps the sweep exact for off-grid probs
+    while collecting <= len(grid)+1 rows."""
+    from prase_spark.evaluate import evaluate_alignment
+
+    rows = [
+        (1, 1, 0.3500001, False),
+        (2, 2, 0.1, False),
+        (3, 4, 0.95, False),    # wrong match
+        (4, 4, 0.0999999, False),
+        (5, 5, 0.7, False),
+        (9, 9, 1.0, True),      # literal row excluded
+    ]
+    m = spark.createDataFrame(rows, "ent_id LONG, counterpart_id LONG, prob DOUBLE, is_lit BOOLEAN")
+    gold = spark.createDataFrame([(i, i) for i in range(1, 6)], "ent_l LONG, ent_r LONG")
+    out = evaluate_alignment(m, gold)
+    by_t = {round(e["threshold"], 1): e for e in out}
+    # at 0.1: preds with prob>=0.1 -> ids 1,2,3,5 (4 preds, 3 correct)
+    assert by_t[0.1]["predicted"] == 4 and by_t[0.1]["correct"] == 3
+    # at 0.0: everything (5 preds, 4 correct)
+    assert by_t[0.0]["predicted"] == 5 and by_t[0.0]["correct"] == 4
+    # at 0.9: only the wrong 0.95 match
+    assert by_t[0.9]["predicted"] == 1 and by_t[0.9]["correct"] == 0
+    # 0.1*7 = 0.7000000000000001 > 0.7 — the float grid excludes the 0.7
+    # pred exactly as the reference's [0.1*i] sweep does (bucketing must
+    # preserve that edge, not "fix" it)
+    assert by_t[0.7]["predicted"] == 1 and by_t[0.7]["precision"] == 0.0
