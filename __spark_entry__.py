@@ -308,27 +308,37 @@ def _q_paris_iter1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
-
 def _q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full MinHash near-dup pipeline (LSH bands -> exact-Jaccard verify ->
+    connected components) with the DuckDB-replicable poly hash so the gate
+    value-verifies the whole chain (the xxhash64 default is the fast path;
+    structure is identical — see datapipe/hashing.py)."""
     from prase_spark.datapipe.dedup import minhash_dedup
+    from prase_spark.datapipe.hashing import poly_hash61
 
     corpus = _dup_docs(spark, sf_dir, 80, 40)
-    return minhash_dedup(corpus, threshold=0.8).select("doc_id", "cluster_id", "keep")
+    return minhash_dedup(corpus, threshold=0.8, hash_fn=poly_hash61).select(
+        "doc_id", "cluster_id", "keep"
+    )
 
 
 def _q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.dedup import simhash_pairs
+    from prase_spark.datapipe.hashing import poly_hash61
 
     corpus = _dup_docs(spark, sf_dir, 80, 40)
-    return simhash_pairs(corpus, max_hamming=3)
+    return simhash_pairs(corpus, max_hamming=3, hash_fn=poly_hash61)
 
 
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prase_spark.datapipe.hashing import poly_hash61
     from prase_spark.datapipe.textstats import add_fingerprint
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return add_fingerprint(d).select("doc_id", "fingerprint")
+    return add_fingerprint(d, hash_fn=poly_hash61).select("doc_id", "fingerprint")
+
+
+# ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -409,12 +419,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect) — semantically identical derivations
 # --------------------------------------------------------------------------
 
+_CORPUS_80_40 = """
+            SELECT doc_id AS key, text FROM documents WHERE doc_id < 80
+            UNION ALL
+            SELECT doc_id + 100000, text FROM documents WHERE doc_id < 40
+"""
+
+
+def _shingle_cte(n: int) -> str:
+    """DuckDB twin of shingle_table/word_shingles for word n-grams: distinct
+    (key, shingle) from tk(key, t) with the short-doc fallback."""
+    return f"""
+            SELECT DISTINCT key,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_aggregate(t[i:i+{n - 1}], 'string_agg', ' ')
+                        ELSE list_aggregate(t, 'string_agg', ' ') END AS shingle
+            FROM tk, LATERAL (
+                SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
+            ) g
+"""
+
+
 def oracle_sql() -> dict[str, str]:
+    from prase_spark.datapipe.dedup import _MERSENNE, minhash_params
+    from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL, NORM_URI_SQL
 
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
+    poly_shingle = POLY_SQL.format(c="shingle")
+    mh_params = ",\n                ".join(
+        f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(64, 42))
+    )
     en = "['" + "','".join(_EN) + "']"
     de = "['" + "','".join(_DE) + "']"
     fr = "['" + "','".join(_FR) + "']"
@@ -655,6 +692,101 @@ def oracle_sql() -> dict[str, str]:
                        ) AS rank
                 FROM scored
             ) WHERE rank <= 3
+        """,
+        "minhash_neardup_docs": f"""
+            WITH RECURSIVE corpus AS ({_CORPUS_80_40}),
+            tk AS (SELECT key, {toks} AS t FROM corpus),
+            sh AS ({_shingle_cte(3)}),
+            hx AS (SELECT key, shingle, {poly_shingle} AS x FROM sh),
+            params(h, a, b) AS (VALUES
+                {mh_params}
+            ),
+            sig AS (
+                SELECT key, h,
+                       min(CAST((CAST(a AS HUGEINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+                FROM hx, params GROUP BY key, h
+            ),
+            banded AS (
+                SELECT key, h // 4 AS band,
+                       list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+                FROM sig GROUP BY key, h // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.key AS key_a, b.key AS key_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.key < b.key
+            ),
+            sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
+            inter AS (
+                SELECT c.key_a, c.key_b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.key = c.key_a
+                JOIN sh sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
+                GROUP BY c.key_a, c.key_b
+            ),
+            verified AS (
+                SELECT key_a, key_b
+                FROM inter
+                JOIN sizes za ON za.key = key_a
+                JOIN sizes zb ON zb.key = key_b
+                WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.8
+            ),
+            edges_sym AS (
+                SELECT key_a AS a, key_b AS b FROM verified
+                UNION
+                SELECT key_b, key_a FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM edges_sym
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges_sym e ON r.b = e.a
+            ),
+            comp AS (
+                SELECT a AS node, min(b) AS component
+                FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
+                GROUP BY a
+            )
+            SELECT doc_id, cluster_id,
+                   doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS keep
+            FROM (
+                SELECT c.key AS doc_id, coalesce(comp.component, c.key) AS cluster_id
+                FROM corpus c LEFT JOIN comp ON comp.node = c.key
+            )
+        """,
+        "simhash_pairs_docs": f"""
+            WITH corpus AS ({_CORPUS_80_40}),
+            tk AS (SELECT key, {toks} AS t FROM corpus),
+            sh AS ({_shingle_cte(2)}),
+            hx AS (SELECT key, {poly_shingle} AS h FROM sh),
+            votes AS (
+                SELECT key, i,
+                       sum(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS v
+                FROM hx, (SELECT unnest(generate_series(0, 60)) AS i) bits
+                GROUP BY key, i
+            ),
+            sig AS (
+                SELECT key,
+                       CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS sig
+                FROM votes GROUP BY key
+            ),
+            banded AS (
+                SELECT key, sig, b AS band, (sig >> (b * 16)) & 65535 AS band_key
+                FROM sig, (SELECT unnest(generate_series(0, 3)) AS b) bands
+            ),
+            cand AS (
+                SELECT DISTINCT a.key AS key_a, b.key AS key_b,
+                       a.sig AS sig_a, b.sig AS sig_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.key < b.key
+            )
+            SELECT key_a, key_b, CAST(bit_count(xor(sig_a, sig_b)) AS INT) AS hamming
+            FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3
+        """,
+        "fingerprint_docs": f"""
+            WITH tk AS (SELECT doc_id, {toks} AS t FROM documents)
+            SELECT doc_id,
+                   {POLY_SQL.format(c="coalesce(list_aggregate(t, 'string_agg', ' '), '')")} AS fingerprint
+            FROM tk
         """,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""

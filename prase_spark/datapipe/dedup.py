@@ -56,24 +56,35 @@ def shingle_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
     ).distinct()
 
 
-def minhash_signatures(
-    shingles: DataFrame, num_hashes: int = 64, seed: int = 42
-) -> DataFrame:
-    """(key, h, minhash) — one universal-hash family member per h:
-    ((a_h * x + b_h) mod p); x = xxhash64(shingle). All native exprs:
-    the per-h expansion is an explode of a literal parameter array, the
-    min is a hash aggregation. No Python, no UDF."""
+def minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
+    """The seeded universal-hash family (a_h, b_h) — shared with the DuckDB
+    oracle generator so both engines use identical parameters."""
     import random
 
     rng = random.Random(seed)
-    params = [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(num_hashes)]
+
+
+def minhash_signatures(
+    shingles: DataFrame, num_hashes: int = 64, seed: int = 42, hash_fn=None
+) -> DataFrame:
+    """(key, h, minhash) — one universal-hash family member per h:
+    ((a_h * x + b_h) mod p); x = hash(shingle). All native exprs:
+    the per-h expansion is an explode of a literal parameter array, the
+    min is a hash aggregation. No Python, no UDF.
+
+    ``hash_fn``: Column->Column string hash; default F.xxhash64 (fast
+    path). Pass hashing.poly_hash61 for the DuckDB-replicable variant the
+    correctness gate verifies value-for-value."""
+    hash_fn = hash_fn or F.xxhash64
+    params = minhash_params(num_hashes, seed)
     param_rows = F.array(
         *[
             F.struct(F.lit(h).alias("h"), F.lit(a).alias("a"), F.lit(b).alias("b"))
             for h, (a, b) in enumerate(params)
         ]
     )
-    x = (F.xxhash64("shingle").cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
+    x = (hash_fn(F.col("shingle")).cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
     return (
         shingles.withColumn("x", x)
         .withColumn("p", F.explode(param_rows))
@@ -97,14 +108,21 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
-    """Candidate near-dup pairs (key_a < key_b) sharing ≥1 LSH band."""
-    sigs = minhash_signatures(shingle_table(df, text_col, key_col, shingle_n), num_hashes, seed)
+    """Candidate near-dup pairs (key_a < key_b) sharing ≥1 LSH band.
+
+    The band key is the sorted ``h:minhash`` concat string itself (exact —
+    no second hashing layer, so the band join is engine-replicable; a band
+    key is ~4 slot strings, well under typical URI key widths)."""
+    sigs = minhash_signatures(
+        shingle_table(df, text_col, key_col, shingle_n), num_hashes, seed, hash_fn
+    )
     rows_per_band = num_hashes // bands
     banded = (
         sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
         .groupBy("key", "band")
-        .agg(F.xxhash64(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash"))))).alias("band_key"))
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash")))).alias("band_key"))
     )
     a = banded.select(F.col("key").alias("key_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), "band", "band_key")
@@ -204,12 +222,13 @@ def minhash_dedup(
     bands: int = 16,
     shingle_n: int = 3,
     seed: int = 42,
+    hash_fn=None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify ->
     connected components -> keep min key per cluster.
     Returns (doc_id, cluster_id, keep)."""
     sh = shingle_table(df, text_col, key_col, shingle_n)
-    cand = minhash_lsh_pairs(df, text_col, key_col, num_hashes, bands, shingle_n, seed)
+    cand = minhash_lsh_pairs(df, text_col, key_col, num_hashes, bands, shingle_n, seed, hash_fn)
     verified = exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
     comp = connected_components(verified, src="key_a", dst="key_b")
     all_keys = df.select(F.col(key_col).alias("node"))
@@ -222,12 +241,15 @@ def minhash_dedup(
     )
 
 
-def simhash64(col: Column | str, shingle_n: int = 2) -> Column:
+def simhash64(col: Column | str, shingle_n: int = 2, hash_fn=None) -> Column:
     """64-bit SimHash over word shingles — pure native bit arithmetic:
-    per-shingle xxhash64, sum of per-bit +/-1 votes via explode-free
-    aggregate over the shingle array."""
+    per-shingle hash, sum of per-bit +/-1 votes via explode-free
+    aggregate over the shingle array. ``hash_fn`` defaults to xxhash64;
+    hashing.poly_hash61 makes the signature DuckDB-replicable (its bits
+    61-63 are then constant-zero — see hashing.py)."""
+    hash_fn = hash_fn or F.xxhash64
     grams = word_shingles(col, shingle_n)
-    hashes = F.transform(grams, lambda g: F.xxhash64(g))
+    hashes = F.transform(grams, lambda g: hash_fn(g))
     bit_votes = [
         F.aggregate(
             hashes,
@@ -250,6 +272,7 @@ def simhash_pairs(
     key_col: str = "doc_id",
     max_hamming: int = 3,
     shingle_n: int = 2,
+    hash_fn=None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding (4 bands of 16 bits: any pair
     within hamming distance 3 shares ≥1 exact band), verified by true
@@ -259,7 +282,7 @@ def simhash_pairs(
     # the signature projection (a Generate bars projection collapse, so
     # Catalyst cannot inline the heavy expression 4×, which the previous
     # union-of-selects shape did).
-    sh = df.select(F.col(key_col).alias("key"), simhash64(text_col, shingle_n).alias("sig"))
+    sh = df.select(F.col(key_col).alias("key"), simhash64(text_col, shingle_n, hash_fn).alias("sig"))
     banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
         "band_key",
         F.expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(F.lit(0xFFFF)),

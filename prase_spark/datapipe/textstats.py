@@ -81,11 +81,14 @@ def add_language(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("lang_pred", language_id(text_col))
 
 
-def fingerprint64(col: Column | str) -> Column:
-    """Stable 64-bit document fingerprint over normalized tokens
-    (xxhash64 of the canonical token stream)."""
-    return F.xxhash64(F.concat_ws(" ", tokens(col)))
+def fingerprint64(col: Column | str, hash_fn=None) -> Column:
+    """Stable 64-bit document fingerprint over normalized tokens: a hash of
+    the canonical token stream. ``hash_fn`` defaults to xxhash64 (fast
+    path); pass datapipe.hashing.poly_hash61 for the DuckDB-replicable
+    variant the correctness gate value-verifies."""
+    hash_fn = hash_fn or F.xxhash64
+    return hash_fn(F.concat_ws(" ", tokens(col)))
 
 
-def add_fingerprint(df: DataFrame, text_col: str = "text") -> DataFrame:
-    return df.withColumn("fingerprint", fingerprint64(text_col))
+def add_fingerprint(df: DataFrame, text_col: str = "text", hash_fn=None) -> DataFrame:
+    return df.withColumn("fingerprint", fingerprint64(text_col, hash_fn))
