@@ -405,12 +405,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "paris_iter1_scores": _q_paris_iter1_scores,
         "paris_iter1_argmax": _q_paris_iter1_argmax,
-        # rows-only (non-SQL-expressible; covered by pytest oracles)
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
-        "lsh_ann_topk": _q_lsh_ann_topk,
         "paris_align_tpch": _q_paris_align_tpch,
+        # rows-only (non-SQL-expressible; covered by pytest oracles)
+        "lsh_ann_topk": _q_lsh_ann_topk,
         "extract_pages": _q_extract_pages,
     }
 
@@ -418,6 +418,202 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # --------------------------------------------------------------------------
 # oracle SQL (DuckDB dialect) — semantically identical derivations
 # --------------------------------------------------------------------------
+
+def _paris_iter_ctes(i: int) -> str:
+    """One full PARIS iteration (run_iteration, prase_spark/paris.py:334-374)
+    as DuckDB CTE blocks. Inputs: m_sub_{i-1} / m_sup_{i-1} (match states,
+    name-level with lit flags), rel_l_{i-1} / rel_r_{i-1} (Jacobi: scoring
+    reads the PREVIOUS iteration's rel aligns), t1/t2 (INV-doubled fact
+    tables), f1/f2 (functionality). Emits m_sub_{i}, m_sup_{i} (via
+    new_sup_{i}), rel_l_{i}, rel_r_{i}. init bootstrap is active for both
+    of the first two iterations (paris.py:347: iter_num <= 1)."""
+    p, c = i - 1, i
+    init = i <= 2
+    boot_sub = f"CASE WHEN below THEN 0.1 ELSE p_sub_raw END" if init else "p_sub_raw"
+    boot_sup = f"CASE WHEN below THEN 0.1 ELSE p_sup_raw END" if init else "p_sup_raw"
+    not_below = "" if init else "WHERE NOT below"
+    return f"""
+            cand_base_{c} AS (
+                SELECT f.obj AS e, f.pred AS r, m.prob AS p_h,
+                       m.cp AS h_cp, m.cp_lit AS h_cp_lit,
+                       me.cp AS e_cp, me.cp_lit AS e_cp_lit, me.prob AS p_e
+                FROM t1 f
+                JOIN m_sub_{p} m ON m.e = f.subj AND m.e_lit = f.subj_is_lit AND m.prob >= 0.1
+                LEFT JOIN m_sub_{p} me ON me.e = f.obj AND me.e_lit = f.obj_is_lit
+                WHERE NOT f.obj_is_lit
+            ),
+            rel_l_{c} AS (
+                SELECT n.r, n.r2, n.score / (10.0 + coalesce(d.norm, 1.0)) AS prob
+                FROM (
+                    SELECT cb.r, g.pred AS r2, sum(cb.p_h * cb.p_e) AS score
+                    FROM cand_base_{c} cb
+                    JOIN t2 g ON g.subj = cb.h_cp AND g.subj_is_lit = cb.h_cp_lit
+                             AND g.obj = cb.e_cp AND g.obj_is_lit = cb.e_cp_lit
+                    WHERE NOT g.obj_is_lit AND cb.p_e > 0
+                    GROUP BY cb.r, g.pred
+                ) n
+                LEFT JOIN (
+                    SELECT r, sum(p_h * p_e) AS norm FROM cand_base_{c}
+                    WHERE e_cp IS NOT NULL GROUP BY r
+                ) d ON d.r = n.r
+            ),
+            ev_{c} AS (
+                SELECT x.*, {boot_sub} AS p_sub, {boot_sup} AS p_sup FROM (
+                    SELECT cb.e, cb.r, g.pred AS r2, g.obj AS t2, cb.p_h,
+                           least(greatest(coalesce(sub.prob, 0.0), 0.0), 1.0) / 1.01 AS p_sub_raw,
+                           least(greatest(coalesce(sup.prob, 0.0), 0.0), 1.0) / 1.01 AS p_sup_raw,
+                           (least(greatest(coalesce(sub.prob, 0.0), 0.0), 1.0) / 1.01 < 0.1
+                            AND least(greatest(coalesce(sup.prob, 0.0), 0.0), 1.0) / 1.01 < 0.1) AS below
+                    FROM cand_base_{c} cb
+                    JOIN t2 g ON g.subj = cb.h_cp AND g.subj_is_lit = cb.h_cp_lit
+                    LEFT JOIN rel_l_{p} sub ON sub.r = cb.r AND sub.r2 = g.pred
+                    LEFT JOIN rel_r_{p} sup ON sup.rr = g.pred AND sup.rl = cb.r
+                    WHERE NOT g.obj_is_lit
+                ) x {not_below}
+            ),
+            scores_{c} AS (
+                SELECT e, t2, 1.0 - product(factor) AS score FROM (
+                    SELECT ev.e, ev.t2,
+                           (1.0 - ev.p_h * ev.p_sup * coalesce(f2.fun, 0.0) / 1.01)
+                         * (1.0 - ev.p_h * ev.p_sub * coalesce(f1.fun, 0.0) / 1.01) AS factor
+                    FROM ev_{c} ev
+                    LEFT JOIN f1 ON f1.pred = ev.r
+                    LEFT JOIN f2 ON f2.pred = ev.r2
+                )
+                WHERE 1.0 - factor > 0.01
+                GROUP BY e, t2
+            ),
+            cands_{c} AS (
+                SELECT e, t2 AS cp, val AS prob FROM (
+                    SELECT e, t2, least(greatest(score, 0.0), 1.0) AS val,
+                           row_number() OVER (
+                               PARTITION BY e
+                               ORDER BY least(greatest(score, 0.0), 1.0) DESC, t2 DESC
+                           ) AS rn
+                    FROM scores_{c}
+                ) WHERE rn = 1
+            ),
+            merged_{c} AS (
+                SELECT coalesce(pr.e, u.e) AS e, coalesce(pr.e_lit, FALSE) AS e_lit,
+                       CASE WHEN u.prob IS NOT NULL AND (pr.prob IS NULL OR u.prob >= pr.prob)
+                            THEN u.cp ELSE pr.cp END AS cp,
+                       CASE WHEN u.prob IS NOT NULL AND (pr.prob IS NULL OR u.prob >= pr.prob)
+                            THEN FALSE ELSE pr.cp_lit END AS cp_lit,
+                       CASE WHEN u.prob IS NOT NULL AND (pr.prob IS NULL OR u.prob >= pr.prob)
+                            THEN u.prob ELSE pr.prob END AS prob
+                FROM m_sub_{p} pr FULL OUTER JOIN cands_{c} u
+                  ON u.e = pr.e AND pr.e_lit = FALSE
+            ),
+            claims_{c} AS (
+                SELECT sup_e, new_cp, new_prob FROM (
+                    SELECT cp AS sup_e, e AS new_cp, prob AS new_prob,
+                           row_number() OVER (
+                               PARTITION BY cp ORDER BY prob DESC, e DESC
+                           ) AS rn
+                    FROM merged_{c} WHERE NOT e_lit
+                ) WHERE rn = 1
+            ),
+            new_sup_{c} AS (
+                SELECT e, e_lit, cp, cp_lit, prob FROM (
+                    SELECT coalesce(s.e, cl.sup_e) AS e, coalesce(s.e_lit, FALSE) AS e_lit,
+                           CASE WHEN cl.new_prob IS NOT NULL AND cl.new_prob > coalesce(s.prob, 0.0)
+                                THEN cl.new_cp ELSE s.cp END AS cp,
+                           CASE WHEN cl.new_prob IS NOT NULL AND cl.new_prob > coalesce(s.prob, 0.0)
+                                THEN FALSE ELSE s.cp_lit END AS cp_lit,
+                           CASE WHEN cl.new_prob IS NOT NULL AND cl.new_prob > coalesce(s.prob, 0.0)
+                                THEN cl.new_prob ELSE s.prob END AS prob
+                    FROM m_sup_{p} s FULL OUTER JOIN claims_{c} cl
+                      ON cl.sup_e = s.e AND s.e_lit = FALSE
+                ) WHERE cp IS NOT NULL
+            ),
+            m_sub_{c} AS (
+                SELECT k.e, k.e_lit, k.cp, k.cp_lit, k.prob
+                FROM (SELECT * FROM merged_{c} WHERE NOT e_lit) k
+                LEFT JOIN new_sup_{c} ns ON ns.e = k.cp AND ns.e_lit = k.cp_lit
+                WHERE ns.e IS NULL OR (ns.cp = k.e AND ns.cp_lit = FALSE)
+                UNION ALL
+                SELECT e, e_lit, cp, cp_lit, prob FROM merged_{c} WHERE e_lit
+            ),
+            m_sup_{c} AS (SELECT * FROM new_sup_{c}),
+            cand_base_r_{c} AS (
+                SELECT f.obj AS e, f.pred AS r, m.prob AS p_h,
+                       m.cp AS h_cp, m.cp_lit AS h_cp_lit,
+                       me.cp AS e_cp, me.cp_lit AS e_cp_lit, me.prob AS p_e
+                FROM t2 f
+                JOIN m_sup_{c} m ON m.e = f.subj AND m.e_lit = f.subj_is_lit AND m.prob >= 0.1
+                LEFT JOIN m_sup_{c} me ON me.e = f.obj AND me.e_lit = f.obj_is_lit
+                WHERE NOT f.obj_is_lit
+            ),
+            rel_r_{c} AS (
+                SELECT n.rr, n.rl, n.score / (10.0 + coalesce(d.norm, 1.0)) AS prob
+                FROM (
+                    SELECT cb.r AS rr, g.pred AS rl, sum(cb.p_h * cb.p_e) AS score
+                    FROM cand_base_r_{c} cb
+                    JOIN t1 g ON g.subj = cb.h_cp AND g.subj_is_lit = cb.h_cp_lit
+                             AND g.obj = cb.e_cp AND g.obj_is_lit = cb.e_cp_lit
+                    WHERE NOT g.obj_is_lit AND cb.p_e > 0
+                    GROUP BY cb.r, g.pred
+                ) n
+                LEFT JOIN (
+                    SELECT r AS rr, sum(p_h * p_e) AS norm FROM cand_base_r_{c}
+                    WHERE e_cp IS NOT NULL GROUP BY r
+                ) d ON d.rr = n.rr
+            )"""
+
+
+def _paris_align_sql(iterations: int = 2) -> str:
+    """The flagship align() + alignment_results() as one DuckDB query:
+    literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
+    result rows (kind, name_l, name_r, prob)."""
+    from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL
+
+    kg1_inv = INV_SQL.format(src="kg1_raw")
+    kg2_inv = INV_SQL.format(src="kg2_raw")
+    iter_blocks = ",".join(_paris_iter_ctes(i) for i in range(1, iterations + 1))
+    n = iterations
+    return f"""
+            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
+            t1 AS ({kg1_inv}), t2 AS ({kg2_inv}),
+            f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
+                   FROM t1 GROUP BY pred),
+            f2 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
+                   FROM t2 GROUP BY pred),
+            l_val AS (
+                SELECT DISTINCT trim(obj) AS name,
+                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
+                FROM kg1_raw WHERE is_attr
+            ),
+            r_val AS (
+                SELECT DISTINCT trim(obj) AS name,
+                       {NORM_LIT_SQL.format(c='trim(obj)')} AS value
+                FROM kg2_raw WHERE is_attr
+            ),
+            r_min AS (SELECT value, min(name) AS rname FROM r_val GROUP BY value),
+            l_min AS (SELECT value, min(name) AS lname FROM l_val GROUP BY value),
+            m_sub_0 AS (
+                SELECT l.name AS e, TRUE AS e_lit, r_min.rname AS cp,
+                       TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
+                FROM l_val l JOIN r_min USING (value)
+            ),
+            m_sup_0 AS (
+                SELECT r.name AS e, TRUE AS e_lit, l_min.lname AS cp,
+                       TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
+                FROM r_val r JOIN l_min USING (value)
+            ),
+            rel_l_0 AS (SELECT '' AS r, '' AS r2, 0.0 AS prob WHERE FALSE),
+            rel_r_0 AS (SELECT '' AS rr, '' AS rl, 0.0 AS prob WHERE FALSE),
+            {iter_blocks},
+            pred_kinds AS (SELECT DISTINCT pred, is_attr FROM t1)
+            SELECT CASE WHEN e_lit THEN 'literal' ELSE 'entity' END AS kind,
+                   e AS name_l, cp AS name_r, round(prob, 6) AS prob
+            FROM m_sub_{n}
+            UNION ALL
+            SELECT CASE WHEN pk.is_attr THEN 'attribute' ELSE 'relation' END AS kind,
+                   rl.r AS name_l, rl.r2 AS name_r, round(rl.prob, 6) AS prob
+            FROM rel_l_{n} rl JOIN pred_kinds pk ON pk.pred = rl.r
+            WHERE rl.prob > 0.1
+        """
+
 
 _CORPUS_80_40 = """
             SELECT doc_id AS key, text FROM documents WHERE doc_id < 80
@@ -788,6 +984,7 @@ def oracle_sql() -> dict[str, str]:
                    {POLY_SQL.format(c="coalesce(list_aggregate(t, 'string_agg', ' '), '')")} AS fingerprint
             FROM tk
         """,
+        "paris_align_tpch": _paris_align_sql(iterations=2),
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""
             SELECT e_name, cand_name, score FROM (
