@@ -342,6 +342,9 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-blocked ANN top-3: the seeded hyperplane bank is shared with the
+    DuckDB oracle (inlined as dot-product literals), so the full
+    signature->band-join->cosine-topk chain is value-verified."""
     from prase_spark.datapipe.simsearch import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
@@ -351,7 +354,7 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_topk(emb, queries, dim=dim, k=3)
+    return lsh_topk(emb, queries, dim=dim, k=3).select("query_id", "vec_id", "rank")
 
 
 def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -369,13 +372,35 @@ def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Deterministic page->triple extraction over the synthetic page corpus
-    (rows-only: corpus is generated, not a parquet view)."""
+    """The REAL html->text->triples extraction pipeline (Arrow mapInPandas,
+    prase_spark/extract.py) over pages templated deterministically from the
+    documents table: each page embeds 4 extractable facts derived from
+    doc_id plus the document's lowercase text as filler (which the
+    capitalized-entity pattern bank must ignore). The DuckDB oracle derives
+    the expected triple set independently from doc_id arithmetic."""
     from prase_spark.extract import extract_triples
-    from prase_spark.fixtures import pages_fixture
 
-    pages, _ = pages_fixture(spark, n_pages=100)
-    return extract_triples(pages)
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    subj = F.concat(F.lit("Person_"), i)
+    body = F.concat(
+        subj, F.lit(" was born in City_"), (F.col("doc_id") % 30).cast("string"),
+        F.lit(" . "), subj, F.lit(" works for Org_"), (F.col("doc_id") % 40).cast("string"),
+        F.lit(" . "), subj, F.lit(" is a Researcher . "),
+        subj, F.lit(" 's birthyear is \""), (F.lit(1900) + F.col("doc_id") % 120).cast("string"),
+        F.lit("\" . "), F.col("text"),
+    )
+    html = F.concat(
+        F.lit("<html><head><title>Doc "), i,
+        F.lit("</title><script>var x = 1;</script><style>.a{color:red}</style>"
+              "</head><body><h1>Doc "), i, F.lit("</h1><p>"), body,
+        F.lit("</p></body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.org/doc/"), i).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_triples(pages, use_text_column=False)
 
 
 def entry(spark: SparkSession) -> DataFrame:
@@ -409,7 +434,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
-        # rows-only (non-SQL-expressible; covered by pytest oracles)
         "lsh_ann_topk": _q_lsh_ann_topk,
         "extract_pages": _q_extract_pages,
     }
@@ -612,6 +636,73 @@ def _paris_align_sql(iterations: int = 2) -> str:
                    rl.r AS name_l, rl.r2 AS name_r, round(rl.prob, 6) AS prob
             FROM rel_l_{n} rl JOIN pred_kinds pk ON pk.pred = rl.r
             WHERE rl.prob > 0.1
+        """
+
+
+def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk: the seeded hyperplane bank (identical to
+    embed.hyperplane_signatures) inlined as dot-product literals."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bits, dim))
+    bpb = n_bits // n_bands
+
+    def band_expr(b: int) -> str:
+        parts = []
+        for j in range(bpb):
+            lst = "[" + ",".join(repr(float(x)) for x in planes[b * bpb + j]) + "]"
+            parts.append(f"(CASE WHEN list_dot_product(v, {lst}) >= 0.0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(parts)
+
+    structs = ",\n                ".join(
+        f"struct_pack(band := {b}, bk := {band_expr(b)})" for b in range(n_bands)
+    )
+    return f"""
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            sigrows AS (SELECT vec_id, unnest([
+                {structs}
+            ]) AS s FROM base),
+            banded AS (SELECT vec_id, s.band AS band, s.bk AS band_key FROM sigrows),
+            qb AS (SELECT vec_id AS query_id, band, band_key FROM banded WHERE vec_id < 5),
+            cand AS (
+                SELECT DISTINCT q.query_id, c.vec_id
+                FROM banded c JOIN qb q ON q.band = c.band AND q.band_key = c.band_key
+            ),
+            scored AS (
+                SELECT cand.query_id, cand.vec_id,
+                       list_cosine_similarity(cb.v, qv.v) AS cosine
+                FROM cand
+                JOIN base cb ON cb.vec_id = cand.vec_id
+                JOIN base qv ON qv.vec_id = cand.query_id
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id,
+                       row_number() OVER (
+                           PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                       ) AS rank
+                FROM scored
+            ) WHERE rank <= {k}
+        """
+
+
+_EXTRACT_PAGES_SQL = """
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   'Person_' || doc_id AS subj, 'bornIn' AS pred,
+                   'City_' || (doc_id % 30) AS obj, FALSE AS is_attr
+            FROM documents
+            UNION ALL
+            SELECT 'https://example.org/doc/' || doc_id, 'Person_' || doc_id,
+                   'employer', 'Org_' || (doc_id % 40), FALSE
+            FROM documents
+            UNION ALL
+            SELECT 'https://example.org/doc/' || doc_id, 'Person_' || doc_id,
+                   'type', 'Researcher', FALSE
+            FROM documents
+            UNION ALL
+            SELECT 'https://example.org/doc/' || doc_id, 'Person_' || doc_id,
+                   'birthyear', CAST(1900 + doc_id % 120 AS VARCHAR), TRUE
+            FROM documents
         """
 
 
@@ -985,6 +1076,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tk
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
+        "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=64, n_bands=16, k=3),
+        "extract_pages": _EXTRACT_PAGES_SQL,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""
             SELECT e_name, cand_name, score FROM (
