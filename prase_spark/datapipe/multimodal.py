@@ -91,6 +91,79 @@ def extract_media_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.select("media_id", "kind", "payload").mapInPandas(run, _FEAT_SCHEMA)
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+_JPEG_SOF = {0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF}
+
+
+def probe_image_header(payload: bytes | None) -> tuple[str | None, int | None, int | None]:
+    """True (format, width, height) from container headers — pure-Python
+    byte parsing, NO codec libraries: PNG IHDR (spec: 8-byte signature,
+    first chunk IHDR carries BE width/height), JPEG SOFn segment scan
+    (height/width follow the 1-byte precision in any start-of-frame
+    marker), GIF logical screen descriptor (LE), RIFF/WAVE container tag.
+    Pixel DECODE still requires real codecs (decode_real); header metadata
+    is fully real."""
+    if payload is None:
+        return (None, None, None)
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG) and len(b) >= 24 and b[12:16] == b"IHDR":
+        return ("png", int.from_bytes(b[16:20], "big"), int.from_bytes(b[20:24], "big"))
+    if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
+        return (
+            "gif",
+            int.from_bytes(b[6:8], "little"),
+            int.from_bytes(b[8:10], "little"),
+        )
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("wav", None, None)
+    if b[:2] == b"\xff\xd8":
+        i = 2
+        while i + 3 < len(b):
+            if b[i] != 0xFF:
+                i += 1
+                continue
+            m = b[i + 1]
+            if m == 0xFF:
+                i += 1
+                continue
+            if m in (0xD8, 0x01) or 0xD0 <= m <= 0xD7:  # standalone markers
+                i += 2
+                continue
+            if m in _JPEG_SOF and i + 9 <= len(b):
+                return (
+                    "jpeg",
+                    int.from_bytes(b[i + 7 : i + 9], "big"),
+                    int.from_bytes(b[i + 5 : i + 7], "big"),
+                )
+            i += 2 + int.from_bytes(b[i + 2 : i + 4], "big")
+        return ("jpeg", None, None)
+    return (None, None, None)
+
+
+_PROBE_SCHEMA = "media_id LONG, fmt STRING, width INT, height INT"
+
+
+def probe_media_metadata(media: DataFrame) -> DataFrame:
+    """(media row) -> (media_id, fmt, width, height) with REAL dimensions
+    parsed from the payload's container header (probe_image_header). Arrow-
+    batched, row-local, parallelism-invariant — replaces the declared-stub
+    metadata for formats whose headers are self-describing."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            probed = pdf["payload"].map(probe_image_header)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": probed.map(lambda t: t[0]),
+                    "width": probed.map(lambda t: t[1]).astype("Int32"),
+                    "height": probed.map(lambda t: t[2]).astype("Int32"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, _PROBE_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
     computed natively from duration metadata; the decode of each frame is

@@ -266,3 +266,66 @@ def test_minhash_dedup_no_shingle_shuffle(spark):
     # doc pairs (2k, 2k+1) are exact dups -> same cluster, min kept
     assert rows_out[0][0] == rows_out[1][0]
     assert rows_out[0][1] and not rows_out[1][1]
+
+
+def _mk_png(w, h):
+    import struct
+    import zlib
+
+    ihdr = struct.pack(">II", w, h) + b"\x08\x02\x00\x00\x00"
+    chunk = b"IHDR" + ihdr
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + struct.pack(">I", len(ihdr))
+        + chunk
+        + struct.pack(">I", zlib.crc32(chunk) & 0xFFFFFFFF)
+    )
+
+
+def _mk_jpeg(w, h):
+    import struct
+
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x02\x00" + b"\x00" * 6
+    sof0 = b"\xff\xc0" + struct.pack(">HBHH", 11, 8, h, w) + b"\x03"
+    return b"\xff\xd8" + app0 + sof0 + b"\xff\xd9"
+
+
+def _mk_gif(w, h):
+    import struct
+
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00" * 4
+
+
+def test_probe_media_headers(spark):
+    """Real container-header parsing: PNG IHDR, JPEG SOF0 (behind an APP0
+    segment), GIF descriptor — true dimensions, no codec libs, stable at
+    any parallelism."""
+    from prase_spark.datapipe.multimodal import (
+        MEDIA,
+        probe_image_header,
+        probe_media_metadata,
+    )
+
+    assert probe_image_header(_mk_png(640, 480)) == ("png", 640, 480)
+    assert probe_image_header(_mk_jpeg(123, 77)) == ("jpeg", 123, 77)
+    assert probe_image_header(_mk_gif(12, 34)) == ("gif", 12, 34)
+    assert probe_image_header(b"RIFF\x00\x00\x00\x00WAVEfmt ") == ("wav", None, None)
+    assert probe_image_header(b"garbage") == (None, None, None)
+    assert probe_image_header(None) == (None, None, None)
+
+    rows = [
+        (0, "image", bytearray(_mk_png(640, 480)), "image/png", None, None, None),
+        (1, "image", bytearray(_mk_jpeg(123, 77)), "image/jpeg", None, None, None),
+        (2, "image", bytearray(_mk_gif(12, 34)), "image/gif", None, None, None),
+        (3, "image", bytearray(b"not an image"), "application/octet-stream", None, None, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA)
+    got = {r["media_id"]: (r["fmt"], r["width"], r["height"])
+           for r in probe_media_metadata(media).collect()}
+    assert got[0] == ("png", 640, 480)
+    assert got[1] == ("jpeg", 123, 77)
+    assert got[2] == ("gif", 12, 34)
+    assert got[3] == (None, None, None)
+    p1 = sorted(map(tuple, probe_media_metadata(media.coalesce(1)).collect()))
+    p3 = sorted(map(tuple, probe_media_metadata(media.repartition(3)).collect()))
+    assert p1 == p3
