@@ -48,9 +48,14 @@ def main():
     def q_paris():
         e._q_paris_align_tpch(spark, sf_dir).count()
 
-    # q4: minhash near-dup pipeline over documents
+    # q4: minhash near-dup pipeline over documents — production fast path
+    # (xxhash64); the gate query runs the same pipeline with the
+    # SQL-replicable poly hash for value verification
     def q_minhash():
-        e._q_minhash_neardup_docs(spark, sf_dir).count()
+        from prase_spark.datapipe.dedup import minhash_dedup
+
+        corpus = e._dup_docs(spark, sf_dir, 10_000_000, 50)
+        minhash_dedup(corpus, threshold=0.8).count()
 
     # q5: brute-force ANN top-k
     def q_ann():

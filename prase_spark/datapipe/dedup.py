@@ -36,9 +36,13 @@ def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") 
     )
 
 
-def word_shingles(col: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles as an array<string> (native)."""
-    toks = tokens(col)
+def word_shingles_of(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles from an ALREADY-MATERIALIZED token
+    array column. Callers must bind ``toks`` to a real column (projection
+    below), never pass ``tokens(text)`` inline: higher-order functions are
+    interpreted (no codegen subexpression elimination), so a captured
+    tokenizer expression is re-evaluated per lambda element — measured 14x
+    slower on 300-char docs."""
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     grams = F.transform(
         idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
@@ -48,11 +52,19 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+def word_shingles(col: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles as an array<string> (native). Prefer
+    shingle_table / word_shingles_of in hot paths (see note there)."""
+    return word_shingles_of(tokens(col), n)
+
+
 def shingle_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(key, shingle) exploded — the base for minhash + exact jaccard."""
-    return df.select(
-        F.col(key_col).alias("key"),
-        F.explode(word_shingles(text_col, n)).alias("shingle"),
+    """(key, shingle) exploded — the base for minhash + exact jaccard.
+    The tokenizer runs once per row in the projection BELOW the explode
+    (the Generate bars projection collapse), not per shingle."""
+    toked = df.select(F.col(key_col).alias("key"), tokens(text_col).alias("__toks"))
+    return toked.select(
+        "key", F.explode(word_shingles_of(F.col("__toks"), n)).alias("shingle")
     ).distinct()
 
 
@@ -114,16 +126,37 @@ def minhash_lsh_pairs(
 
     The band key is the sorted ``h:minhash`` concat string itself (exact —
     no second hashing layer, so the band join is engine-replicable; a band
-    key is ~4 slot strings, well under typical URI key widths)."""
-    sigs = minhash_signatures(
-        shingle_table(df, text_col, key_col, shingle_n), num_hashes, seed, hash_fn
-    )
+    key is ~4 slot strings, well under typical URI key widths).
+
+    Signatures are computed as ``num_hashes`` min-aggregates in ONE
+    groupBy(key) over the shingle rows — value-identical to the long-format
+    minhash_signatures (pytest-pinned) but without exploding the parameter
+    family, so the shuffle is O(docs × num_hashes columns) instead of
+    O(shingles × num_hashes rows)."""
+    hash_fn = hash_fn or F.xxhash64
+    params = minhash_params(num_hashes, seed)
     rows_per_band = num_hashes // bands
-    banded = (
-        sigs.withColumn("band", (F.col("h") / rows_per_band).cast("int"))
-        .groupBy("key", "band")
-        .agg(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash")))).alias("band_key"))
+    sh = shingle_table(df, text_col, key_col, shingle_n)
+    x = (hash_fn(F.col("shingle")).cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
+    hx = sh.select("key", x.alias("x"))
+    mins = hx.groupBy("key").agg(
+        *[
+            F.min(((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).cast("long")).alias(f"m{h}")
+            for h, (a, b) in enumerate(params)
+        ]
     )
+    band_structs = []
+    for b in range(bands):
+        slots = range(b * rows_per_band, (b + 1) * rows_per_band)
+        entries = F.sort_array(
+            F.array(*[F.concat_ws(":", F.lit(str(h)), F.col(f"m{h}")) for h in slots])
+        )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", entries).alias("band_key"))
+        )
+    banded = mins.select(
+        "key", F.explode(F.array(*band_structs)).alias("s")
+    ).select("key", "s.band", "s.band_key")
     a = banded.select(F.col("key").alias("key_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), "band", "band_key")
     return (
@@ -266,6 +299,39 @@ def simhash64(col: Column | str, shingle_n: int = 2, hash_fn=None) -> Column:
     return out
 
 
+def simhash_signature_table(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    shingle_n: int = 2,
+    hash_fn=None,
+) -> DataFrame:
+    """(key, sig): SimHash signatures computed scale-properly — shingles
+    exploded to rows (tokenizer + hash run once per shingle), 64 bit votes
+    summed in one vectorized hash aggregate, signature assembled from the
+    votes. Value-identical to simhash64 (pytest-pinned)."""
+    hash_fn = hash_fn or F.xxhash64
+    toked = df.select(F.col(key_col).alias("key"), tokens(text_col).alias("__toks"))
+    ex = toked.select(
+        "key", F.explode(word_shingles_of(F.col("__toks"), shingle_n)).alias("shingle")
+    )
+    hx = ex.select("key", hash_fn(F.col("shingle")).alias("h"))
+    votes = [
+        F.sum(
+            F.when(
+                F.col("h").bitwiseAND(F.lit(1 << i) if i < 63 else F.lit(-(1 << 63))) != 0, 1
+            ).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = hx.groupBy("key").agg(*votes)
+    sig = F.lit(0).cast("long")
+    for i in range(64):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        sig = sig.bitwiseOR(F.shiftleft(bit, i))
+    return agg.select("key", sig.alias("sig"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -277,12 +343,12 @@ def simhash_pairs(
     """Near-dup candidates by SimHash banding (4 bands of 16 bits: any pair
     within hamming distance 3 shares ≥1 exact band), verified by true
     hamming distance ≤ max_hamming."""
-    # The 64-expression signature is evaluated ONCE per input row: the
-    # band fan-out is an explode over a 4-element index range sitting above
-    # the signature projection (a Generate bars projection collapse, so
-    # Catalyst cannot inline the heavy expression 4×, which the previous
-    # union-of-selects shape did).
-    sh = df.select(F.col(key_col).alias("key"), simhash64(text_col, shingle_n, hash_fn).alias("sig"))
+    # Signatures via explode + ONE vectorized hash aggregate (the
+    # array-aggregate simhash64 evaluates its captured shingle-hash array
+    # once per bit in interpreted HOF mode — see simhash_signature_table).
+    # Band fan-out is an explode above the signature, so the Generate bars
+    # projection collapse and the signature is never re-evaluated per band.
+    sh = simhash_signature_table(df, text_col, key_col, shingle_n, hash_fn)
     banded = sh.withColumn("band", F.explode(F.sequence(F.lit(0), F.lit(3)))).withColumn(
         "band_key",
         F.expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(F.lit(0xFFFF)),

@@ -102,11 +102,23 @@ def build_kg(
     pred_norm = pred_norm or normalize_uri
     lite_norm = lite_norm or normalize_literal
     spark = raw_triples.sparkSession
-    named = with_inverse(raw_triples)
-    named = named.persist()
+    # Resolve FORWARD triples only and derive INV rows by swapping the
+    # already-resolved ids (the INV name set is identical to the forward
+    # one, so doubling the strings before dict-encode/resolution would
+    # double every heavy stage — scan, node distinct, resolution joins —
+    # for zero information; measured ~40% of KG-build wall at sf0.1).
+    named = raw_triples.select(
+        F.trim("subj").alias("subj"),
+        F.trim("pred").alias("pred"),
+        F.trim("obj").alias("obj"),
+        "is_attr",
+        F.lit(False).alias("subj_is_lit"),
+        F.col("is_attr").alias("obj_is_lit"),
+    ).persist()
 
     # --- nodes: dedup by (name, is_literal) — entity and literal namespaces
     # are distinct dicts in the reference (objects/KG.py:95-107,132-143).
+    # Forward subjects/objects already cover every name the INV copy uses.
     node_names = (
         named.select(F.col("subj").alias("name"), F.col("subj_is_lit").alias("is_literal"))
         .unionByName(
@@ -126,9 +138,18 @@ def build_kg(
     nodes = nodes.persist()
 
     # --- predicates: dedup by (name, is_attr); relations before attributes.
-    pred_names = named.select(
-        F.col("pred").alias("name"), F.col("is_attr").alias("is_attribute"), "is_inv"
+    # INV names are generated from the (tiny) distinct forward set, not
+    # scanned from doubled data.
+    fwd_preds = named.select(
+        F.col("pred").alias("name"), F.col("is_attr").alias("is_attribute")
     ).distinct()
+    pred_names = fwd_preds.withColumn("is_inv", F.lit(False)).unionByName(
+        fwd_preds.select(
+            inv_pred_name(F.col("name")).alias("name"),
+            "is_attribute",
+            F.lit(True).alias("is_inv"),
+        )
+    )
     predicates = assign_dense_ids(
         pred_names, ["is_attribute", "name"], id_col="pred_id", num_partitions=shuffle_partitions
     )
@@ -138,7 +159,9 @@ def build_kg(
     predicates = predicates.persist()
 
     # --- id-level triples (duplicates preserved: the reference counts dupes
-    # in frequency, objects/Relation.py:39-43).
+    # in frequency, objects/Relation.py:39-43). One resolution pass over the
+    # forward rows; the INV twin is an explode of the resolved row — no
+    # second scan, no second join wave.
     n_subj = nodes.select(
         F.col("name").alias("subj"),
         F.col("is_literal").alias("subj_is_lit"),
@@ -149,26 +172,48 @@ def build_kg(
         F.col("is_literal").alias("obj_is_lit"),
         F.col("ent_id").alias("obj_id"),
     )
-    p = predicates.select(
+    p_fwd = predicates.filter(~F.col("is_inv")).select(
         F.col("name").alias("pred"),
         F.col("is_attribute").alias("is_attr"),
         F.col("pred_id"),
     )
-    triples = (
+    p_inv = predicates.filter(F.col("is_inv")).select(
+        F.col("name").alias("inv_name"),
+        F.col("is_attribute").alias("is_attr"),
+        F.col("pred_id").alias("inv_pred_id"),
+    )
+    pmap = p_fwd.join(
+        p_inv,
+        (p_inv["inv_name"] == inv_pred_name(p_fwd["pred"])) & (p_fwd["is_attr"] == p_inv["is_attr"]),
+    ).select("pred", p_fwd["is_attr"].alias("is_attr"), "pred_id", "inv_pred_id")
+    resolved = (
         named.join(n_subj, ["subj", "subj_is_lit"])
         .join(n_obj, ["obj", "obj_is_lit"])
-        .join(F.broadcast(p), ["pred", "is_attr"])
-        .select(
-            F.col("subj_id").alias("subj"),
-            F.col("pred_id").alias("pred"),
-            F.col("obj_id").alias("obj"),
-            "subj_is_lit",
-            "obj_is_lit",
-        )
+        .join(F.broadcast(pmap), ["pred", "is_attr"])
     )
+    both = resolved.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("subj_id").alias("subj"),
+                    F.col("pred_id").alias("pred"),
+                    F.col("obj_id").alias("obj"),
+                    F.col("subj_is_lit").alias("subj_is_lit"),
+                    F.col("obj_is_lit").alias("obj_is_lit"),
+                ),
+                F.struct(
+                    F.col("obj_id").alias("subj"),
+                    F.col("inv_pred_id").alias("pred"),
+                    F.col("subj_id").alias("obj"),
+                    F.col("obj_is_lit").alias("subj_is_lit"),
+                    F.col("subj_is_lit").alias("obj_is_lit"),
+                ),
+            )
+        ).alias("t")
+    ).select("t.*")
     n_part = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # One hash partitioning by subj, reused by every PARIS head-side probe.
-    triples = triples.repartition(n_part, "subj").persist()
+    triples = both.repartition(n_part, "subj").persist()
 
     # --- functionality (objects/Relation.py:45-49): distinct heads / frequency.
     # Only the forward value feeds PARIS (model/PARIS.py:67 reads

@@ -329,3 +329,43 @@ def test_probe_media_headers(spark):
     p1 = sorted(map(tuple, probe_media_metadata(media.coalesce(1)).collect()))
     p3 = sorted(map(tuple, probe_media_metadata(media.repartition(3)).collect()))
     assert p1 == p3
+
+
+def test_simhash_signature_table_matches_column_expr(spark, docs):
+    """The exploded-aggregate signature path is value-identical to the
+    simhash64 column expression."""
+    from prase_spark.datapipe.dedup import simhash64, simhash_signature_table
+
+    via_table = {
+        r["key"]: r["sig"] for r in simhash_signature_table(docs).collect()
+    }
+    via_expr = {
+        r["doc_id"]: r["sig"]
+        for r in docs.select("doc_id", simhash64("text").alias("sig")).collect()
+    }
+    assert via_table == via_expr
+
+
+def test_minhash_wide_matches_long_signatures(spark, docs):
+    """The wide (64-min-aggregate) signature path inside minhash_lsh_pairs
+    produces band keys identical to the long-format minhash_signatures."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.dedup import minhash_signatures, shingle_table
+
+    sigs = minhash_signatures(shingle_table(docs), 64, 42)
+    long_bands = (
+        sigs.withColumn("band", (F.col("h") / 4).cast("int"))
+        .groupBy("key", "band")
+        .agg(F.concat_ws(",", F.sort_array(F.collect_list(F.concat_ws(":", "h", "minhash")))).alias("band_key"))
+    )
+    a = long_bands.select(F.col("key").alias("key_a"), "band", "band_key")
+    b = long_bands.select(F.col("key").alias("key_b"), "band", "band_key")
+    expected = {
+        (r["key_a"], r["key_b"])
+        for r in a.join(b, ["band", "band_key"]).filter("key_a < key_b").distinct().collect()
+    }
+    from prase_spark.datapipe.dedup import minhash_lsh_pairs
+
+    got = {(r["key_a"], r["key_b"]) for r in minhash_lsh_pairs(docs).collect()}
+    assert got == expected
