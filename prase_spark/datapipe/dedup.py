@@ -121,8 +121,11 @@ def minhash_lsh_pairs(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn=None,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (key_a < key_b) sharing ≥1 LSH band.
+    ``shingles``: optionally reuse a precomputed (persisted) shingle table
+    so composite pipelines don't re-tokenize the corpus.
 
     The band key is the sorted ``h:minhash`` concat string itself (exact —
     no second hashing layer, so the band join is engine-replicable; a band
@@ -136,7 +139,7 @@ def minhash_lsh_pairs(
     hash_fn = hash_fn or F.xxhash64
     params = minhash_params(num_hashes, seed)
     rows_per_band = num_hashes // bands
-    sh = shingle_table(df, text_col, key_col, shingle_n)
+    sh = shingles if shingles is not None else shingle_table(df, text_col, key_col, shingle_n)
     x = (hash_fn(F.col("shingle")).cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
     hx = sh.select("key", x.alias("x"))
     mins = hx.groupBy("key").agg(
@@ -237,12 +240,17 @@ def ngram_jaccard_pairs(
     boilerplate shingles is skipped (its jaccard is dominated by stop
     shingles anyway). None (default) keeps generation exact too."""
     sh = shingle_table(df, text_col, key_col, shingle_n)
+    # pin the shingle table (read by candidate gen AND by the verify's set
+    # packing) and the candidate pairs (read 3x inside exact_jaccard — two
+    # key semi-joins + the pair join; unpinned, the whole candidate DAG
+    # would re-run per read)
+    sh = sh.localCheckpoint()
     gen = cap_shingle_df(sh, max_shingle_df) if max_shingle_df is not None else sh
     sa = gen.select(F.col("key").alias("key_a"), "shingle")
     sb = gen.select(F.col("key").alias("key_b"), "shingle")
     cand = (
         sa.join(sb, "shingle").filter(F.col("key_a") < F.col("key_b")).select("key_a", "key_b").distinct()
-    )
+    ).localCheckpoint()
     return exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
 
 
@@ -259,10 +267,17 @@ def minhash_dedup(
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify ->
     connected components -> keep min key per cluster.
-    Returns (doc_id, cluster_id, keep)."""
-    sh = shingle_table(df, text_col, key_col, shingle_n)
-    cand = minhash_lsh_pairs(df, text_col, key_col, num_hashes, bands, shingle_n, seed, hash_fn)
-    verified = exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold)
+    Returns (doc_id, cluster_id, keep).
+
+    Each intermediate is materialized exactly once: the shingle table feeds
+    both the signature pass and the verify's set packing, and the candidate
+    pairs are read 3x inside exact_jaccard — left lazy, the candidate DAG
+    (tokenize -> minhash -> band join) would re-run per consumer."""
+    sh = shingle_table(df, text_col, key_col, shingle_n).localCheckpoint()
+    cand = minhash_lsh_pairs(
+        df, text_col, key_col, num_hashes, bands, shingle_n, seed, hash_fn, shingles=sh
+    ).localCheckpoint()
+    verified = exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold).localCheckpoint()
     comp = connected_components(verified, src="key_a", dst="key_b")
     all_keys = df.select(F.col(key_col).alias("node"))
     labeled = all_keys.join(comp, "node", "left").select(
