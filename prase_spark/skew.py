@@ -40,15 +40,29 @@ def salted_join(
     salt_buckets: int,
     hot: DataFrame | None = None,
     hot_min_rows: int = 100_000,
+    scatter: str = "auto",
 ) -> DataFrame:
     """probe ⋈ build on ``key`` with hot keys salted ``salt_buckets`` ways.
 
     Equivalent row multiset to ``probe.join(build, key)``. The hot-key set
     is broadcast (tiny); cold traffic takes the normal shuffle join.
+
+    ``scatter`` picks which side is split across salt buckets (the OTHER
+    side's hot rows are replicated to every bucket, multiplying its shuffle
+    volume by salt_buckets — so scatter the frequency-heavy side):
+    - "probe"/"build": fixed direction;
+    - "auto" (default): sketch hot-key row counts on BOTH sides (two cheap
+      aggs + a 2-value collect) and scatter whichever carries more hot
+      rows. For the PARIS hub-head join either side can dominate (hub
+      literals blow up the probe, hub entities the build), so a fixed
+      direction is a perf inversion half the time.
     """
     if salt_buckets <= 1:
         return probe.join(build, key)
-    hot = hot if hot is not None else hot_keys(build, key, hot_min_rows)
+    if hot is None:
+        hot = hot_keys(probe, key, hot_min_rows).unionByName(
+            hot_keys(build, key, hot_min_rows)
+        ).distinct()
     hot = F.broadcast(hot.select(F.col(key)).distinct())
 
     probe_hot = probe.join(hot, key, "left_semi")
@@ -56,16 +70,27 @@ def salted_join(
     build_hot = build.join(hot, key, "left_semi")
     build_cold = build.join(hot, key, "left_anti")
 
-    # scatter probe rows across buckets (deterministic: hash of the full
-    # row — no monotonically_increasing_id, which breaks replay/retry
-    # determinism); replicate build rows to all buckets
-    salted_probe = probe_hot.withColumn(
+    if scatter == "auto":
+        n_probe_hot = probe_hot.count()
+        n_build_hot = build_hot.count()
+        scatter = "probe" if n_probe_hot >= n_build_hot else "build"
+
+    scatter_df, replicate_df = (
+        (probe_hot, build_hot) if scatter == "probe" else (build_hot, probe_hot)
+    )
+    # scatter rows across buckets (deterministic: hash of the full row — no
+    # monotonically_increasing_id, which breaks replay/retry determinism);
+    # replicate the other side's rows to all buckets
+    scattered = scatter_df.withColumn(
         "__salt",
-        F.pmod(F.xxhash64(*[F.col(c) for c in probe_hot.columns]), F.lit(salt_buckets)).cast("int"),
+        F.pmod(F.xxhash64(*[F.col(c) for c in scatter_df.columns]), F.lit(salt_buckets)).cast("int"),
     )
     buckets = F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1))).alias("__salt")
-    salted_build = build_hot.select("*", buckets)
+    replicated = replicate_df.select("*", buckets)
 
-    hot_joined = salted_probe.join(salted_build, [key, "__salt"]).drop("__salt")
+    if scatter == "probe":
+        hot_joined = scattered.join(replicated, [key, "__salt"]).drop("__salt")
+    else:
+        hot_joined = replicated.join(scattered, [key, "__salt"]).drop("__salt")
     cold_joined = probe_cold.join(build_cold, key)
     return hot_joined.unionByName(cold_joined)

@@ -125,11 +125,65 @@ spark.stop()
 """
 
 
+ITER_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark, ParisConfig
+
+cpus = int(sys.argv[1])
+n_ent = int(sys.argv[2])
+salt = int(os.environ.get("PRASE_SALT_BUCKETS", "0"))
+iters = int(os.environ.get("PRASE_BENCH_ITERS", "3"))
+spark = get_spark("scaling_iters", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+import pyspark.sql.functions as F
+from prase_spark.fixtures import synthetic_kg_distributed
+from prase_spark.kgbuild import build_kg
+from prase_spark.paris import init_state, run_iteration
+from prase_spark.seed import literal_seed_matches
+
+def with_hub(raw, kg):
+    # plant a hub: 1% of entities also point at entity 0, so the matched
+    # hub head carries a quadratic expansion (the AQE/salting stress case)
+    ent = ("<http://a.org/resource/E{{i}}>" if kg == 1 else "http://b.org/entity/Q{{i}}")
+    pred = ("http://a.org/ontology/hub" if kg == 1 else "http://b.org/prop/direct/HUB")
+    hub = (spark.range(0, n_ent, 100)
+           .select(F.format_string(ent.replace("{{i}}", "%d"), "id").alias("subj"),
+                   F.lit(pred).alias("pred"),
+                   F.lit(ent.replace("{{i}}", "0")).alias("obj"),
+                   F.lit(False).alias("is_attr")))
+    return raw.unionByName(hub)
+
+kg1 = build_kg(with_hub(synthetic_kg_distributed(spark, n_ent, kg=1, partitions=cpus * 2), 1))
+kg2 = build_kg(with_hub(synthetic_kg_distributed(spark, n_ent, kg=2, partitions=cpus * 2), 2))
+n_facts = kg1.triples.count() + kg2.triples.count()
+kg1.functionality.count(); kg2.functionality.count(); kg1.nodes.count(); kg2.nodes.count()
+
+sub, sup = literal_seed_matches(kg1, kg2)
+state = init_state(spark, sub, sup)
+cfg = ParisConfig(iterations=iters, salt_buckets=salt)
+iter_secs = []
+for i in range(iters):
+    t0 = time.time()
+    state = run_iteration(kg1, kg2, state, cfg)
+    state.matches_sub.count()
+    iter_secs.append(round(time.time() - t0, 3))
+print(json.dumps({{"cpus": cpus, "facts": n_facts, "salt_buckets": salt,
+                   "iter_secs": iter_secs,
+                   "sec": round(sum(iter_secs), 3),
+                   "facts_per_sec": round(n_facts * iters / sum(iter_secs), 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
     if workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
     elif workload == "paris-kernel":
         script, arg2 = KERNEL_WORKLOAD.format(repo=repo), str(kg_ents)
+    elif workload == "paris-iters":
+        script, arg2 = ITER_WORKLOAD.format(repo=repo), str(kg_ents)
     else:
         script, arg2 = PARIS_WORKLOAD.format(repo=repo), str(kg_ents)
     out = subprocess.run(
@@ -140,15 +194,53 @@ def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_en
     return json.loads(line)
 
 
+def run_iters_comparison(repo: str, cpus: int, kg_ents: int, salt_buckets: int) -> None:
+    """Per-iteration flatness + salting on/off on a hub-planted KG pair.
+    Appends the evidence table to BENCH.md."""
+    results = []
+    for salt in (0, salt_buckets):
+        os.environ["PRASE_SALT_BUCKETS"] = str(salt)
+        r = run_level(repo, cpus, 0, "paris-iters", kg_ents)
+        results.append(r)
+        print(json.dumps(r))
+    os.environ.pop("PRASE_SALT_BUCKETS", None)
+    with open(os.path.join(repo, "BENCH.md"), "a", encoding="utf8") as f:
+        f.write(
+            f"\n## Per-iteration flatness + salting (hub-planted 2x{kg_ents}-entity KGs, "
+            f"{results[0]['facts']} facts, {cpus} cores)\n\n"
+            "| salt_buckets | iter1 s | iter2 s | iter3 s | total s |\n|---|---|---|---|---|\n"
+        )
+        for r in results:
+            its = r["iter_secs"] + ["-"] * (3 - len(r["iter_secs"]))
+            f.write(
+                f"| {r['salt_buckets']} | {its[0]} | {its[1]} | {its[2]} | {r['sec']} |\n"
+            )
+        f.write(
+            "\nPer-iteration wall times must stay flat (lineage truncation via "
+            "per-iteration localCheckpoint); the salted row exercises the "
+            "explicit hot-key path on the planted hub (AQE skew-join stays on "
+            "in both rows, so the delta is salting's marginal value).\n"
+        )
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages", type=int, default=300000)
     ap.add_argument("--low", type=int, default=8)
     ap.add_argument("--high", type=int, default=32)
-    ap.add_argument("--workload", choices=["extract", "paris", "paris-kernel", "both"], default="extract")
+    ap.add_argument(
+        "--workload",
+        choices=["extract", "paris", "paris-kernel", "paris-iters", "both"],
+        default="extract",
+    )
     ap.add_argument("--kg-ents", type=int, default=400000)
+    ap.add_argument("--salt-buckets", type=int, default=8)
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
+
+    if args.workload == "paris-iters":
+        run_iters_comparison(repo, args.high, args.kg_ents, args.salt_buckets)
+        return
 
     workloads = ["extract", "paris"] if args.workload == "both" else [args.workload]
     for wl in workloads:

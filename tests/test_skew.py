@@ -66,3 +66,23 @@ def test_paris_salting_equivalent(spark):
     got_s = {r["ent_id"]: (r["counterpart_id"], round(r["prob"], 9)) for r in cands_salted.collect()}
     got_p = {r["ent_id"]: (r["counterpart_id"], round(r["prob"], 9)) for r in cands_plain.collect()}
     assert got_s == got_p
+
+
+def test_salted_join_scatter_directions(spark):
+    """Both scatter directions and the auto sketch produce the exact plain-
+    join multiset; auto picks the frequency-heavy side."""
+    probe = spark.createDataFrame(
+        [(k, i) for k in [1, 1, 2] for i in range(10)], "k LONG, pv INT"
+    )
+    build = spark.createDataFrame(
+        [(1, f"b{i}") for i in range(200)] + [(2, "c"), (4, "d")], "k LONG, bv STRING"
+    )
+    plain = Counter(tuple(r) for r in probe.join(build, "k").collect())
+    for mode in ("probe", "build", "auto"):
+        got = Counter(
+            tuple(r)
+            for r in salted_join(
+                probe, build, "k", salt_buckets=3, hot_min_rows=50, scatter=mode
+            ).collect()
+        )
+        assert got == plain, mode
