@@ -457,7 +457,7 @@ def _paris_iter_ctes(i: int) -> str:
     boot_sup = f"CASE WHEN below THEN 0.1 ELSE p_sup_raw END" if init else "p_sup_raw"
     not_below = "" if init else "WHERE NOT below"
     return f"""
-            cand_base_{c} AS (
+            cand_base_{c} AS MATERIALIZED (
                 SELECT f.obj AS e, f.pred AS r, m.prob AS p_h,
                        m.cp AS h_cp, m.cp_lit AS h_cp_lit,
                        me.cp AS e_cp, me.cp_lit AS e_cp_lit, me.prob AS p_e
@@ -466,7 +466,7 @@ def _paris_iter_ctes(i: int) -> str:
                 LEFT JOIN m_sub_{p} me ON me.e = f.obj AND me.e_lit = f.obj_is_lit
                 WHERE NOT f.obj_is_lit
             ),
-            rel_l_{c} AS (
+            rel_l_{c} AS MATERIALIZED (
                 SELECT n.r, n.r2, n.score / (10.0 + coalesce(d.norm, 1.0)) AS prob
                 FROM (
                     SELECT cb.r, g.pred AS r2, sum(cb.p_h * cb.p_e) AS score
@@ -481,7 +481,7 @@ def _paris_iter_ctes(i: int) -> str:
                     WHERE e_cp IS NOT NULL GROUP BY r
                 ) d ON d.r = n.r
             ),
-            ev_{c} AS (
+            ev_{c} AS MATERIALIZED (
                 SELECT x.*, {boot_sub} AS p_sub, {boot_sup} AS p_sup FROM (
                     SELECT cb.e, cb.r, g.pred AS r2, g.obj AS t2, cb.p_h,
                            least(greatest(coalesce(sub.prob, 0.0), 0.0), 1.0) / 1.01 AS p_sub_raw,
@@ -495,7 +495,7 @@ def _paris_iter_ctes(i: int) -> str:
                     WHERE NOT g.obj_is_lit
                 ) x {not_below}
             ),
-            scores_{c} AS (
+            scores_{c} AS MATERIALIZED (
                 SELECT e, t2, 1.0 - product(factor) AS score FROM (
                     SELECT ev.e, ev.t2,
                            (1.0 - ev.p_h * ev.p_sup * coalesce(f2.fun, 0.0) / 1.01)
@@ -507,7 +507,7 @@ def _paris_iter_ctes(i: int) -> str:
                 WHERE 1.0 - factor > 0.01
                 GROUP BY e, t2
             ),
-            cands_{c} AS (
+            cands_{c} AS MATERIALIZED (
                 SELECT e, t2 AS cp, val AS prob FROM (
                     SELECT e, t2, least(greatest(score, 0.0), 1.0) AS val,
                            row_number() OVER (
@@ -517,7 +517,7 @@ def _paris_iter_ctes(i: int) -> str:
                     FROM scores_{c}
                 ) WHERE rn = 1
             ),
-            merged_{c} AS (
+            merged_{c} AS MATERIALIZED (
                 SELECT coalesce(pr.e, u.e) AS e, coalesce(pr.e_lit, FALSE) AS e_lit,
                        CASE WHEN u.prob IS NOT NULL AND (pr.prob IS NULL OR u.prob >= pr.prob)
                             THEN u.cp ELSE pr.cp END AS cp,
@@ -528,7 +528,7 @@ def _paris_iter_ctes(i: int) -> str:
                 FROM m_sub_{p} pr FULL OUTER JOIN cands_{c} u
                   ON u.e = pr.e AND pr.e_lit = FALSE
             ),
-            claims_{c} AS (
+            claims_{c} AS MATERIALIZED (
                 SELECT sup_e, new_cp, new_prob FROM (
                     SELECT cp AS sup_e, e AS new_cp, prob AS new_prob,
                            row_number() OVER (
@@ -537,7 +537,7 @@ def _paris_iter_ctes(i: int) -> str:
                     FROM merged_{c} WHERE NOT e_lit
                 ) WHERE rn = 1
             ),
-            new_sup_{c} AS (
+            new_sup_{c} AS MATERIALIZED (
                 SELECT e, e_lit, cp, cp_lit, prob FROM (
                     SELECT coalesce(s.e, cl.sup_e) AS e, coalesce(s.e_lit, FALSE) AS e_lit,
                            CASE WHEN cl.new_prob IS NOT NULL AND cl.new_prob > coalesce(s.prob, 0.0)
@@ -550,7 +550,7 @@ def _paris_iter_ctes(i: int) -> str:
                       ON cl.sup_e = s.e AND s.e_lit = FALSE
                 ) WHERE cp IS NOT NULL
             ),
-            m_sub_{c} AS (
+            m_sub_{c} AS MATERIALIZED (
                 SELECT k.e, k.e_lit, k.cp, k.cp_lit, k.prob
                 FROM (SELECT * FROM merged_{c} WHERE NOT e_lit) k
                 LEFT JOIN new_sup_{c} ns ON ns.e = k.cp AND ns.e_lit = k.cp_lit
@@ -558,8 +558,8 @@ def _paris_iter_ctes(i: int) -> str:
                 UNION ALL
                 SELECT e, e_lit, cp, cp_lit, prob FROM merged_{c} WHERE e_lit
             ),
-            m_sup_{c} AS (SELECT * FROM new_sup_{c}),
-            cand_base_r_{c} AS (
+            m_sup_{c} AS MATERIALIZED (SELECT * FROM new_sup_{c}),
+            cand_base_r_{c} AS MATERIALIZED (
                 SELECT f.obj AS e, f.pred AS r, m.prob AS p_h,
                        m.cp AS h_cp, m.cp_lit AS h_cp_lit,
                        me.cp AS e_cp, me.cp_lit AS e_cp_lit, me.prob AS p_e
@@ -568,7 +568,7 @@ def _paris_iter_ctes(i: int) -> str:
                 LEFT JOIN m_sup_{c} me ON me.e = f.obj AND me.e_lit = f.obj_is_lit
                 WHERE NOT f.obj_is_lit
             ),
-            rel_r_{c} AS (
+            rel_r_{c} AS MATERIALIZED (
                 SELECT n.rr, n.rl, n.score / (10.0 + coalesce(d.norm, 1.0)) AS prob
                 FROM (
                     SELECT cb.r AS rr, g.pred AS rl, sum(cb.p_h * cb.p_e) AS score
@@ -597,7 +597,7 @@ def _paris_align_sql(iterations: int = 2) -> str:
     n = iterations
     return f"""
             WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
-            t1 AS ({kg1_inv}), t2 AS ({kg2_inv}),
+            t1 AS MATERIALIZED ({kg1_inv}), t2 AS MATERIALIZED ({kg2_inv}),
             f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
                    FROM t1 GROUP BY pred),
             f2 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
@@ -614,12 +614,12 @@ def _paris_align_sql(iterations: int = 2) -> str:
             ),
             r_min AS (SELECT value, min(name) AS rname FROM r_val GROUP BY value),
             l_min AS (SELECT value, min(name) AS lname FROM l_val GROUP BY value),
-            m_sub_0 AS (
+            m_sub_0 AS MATERIALIZED (
                 SELECT l.name AS e, TRUE AS e_lit, r_min.rname AS cp,
                        TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
                 FROM l_val l JOIN r_min USING (value)
             ),
-            m_sup_0 AS (
+            m_sup_0 AS MATERIALIZED (
                 SELECT r.name AS e, TRUE AS e_lit, l_min.lname AS cp,
                        TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
                 FROM r_val r JOIN l_min USING (value)
@@ -746,7 +746,7 @@ def oracle_sql() -> dict[str, str]:
 
     _paris_scores_sql = f"""
             WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
-            t1 AS ({kg1_inv}), t2 AS ({kg2_inv}),
+            t1 AS MATERIALIZED ({kg1_inv}), t2 AS MATERIALIZED ({kg2_inv}),
             f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
                    FROM t1 GROUP BY pred),
             f2 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
