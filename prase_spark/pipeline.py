@@ -183,10 +183,13 @@ def materialize(
     canonical: DataFrame,
     side: str = "L",
     out_path: str | None = None,
+    fmt: str | None = None,
 ) -> DataFrame:
     """Materialize one KG's name-level triples with canonical entity ids and
     per-partition lineage/metrics columns (north_rule). Canonical id falls
-    back to the entity's own id when it joined no cluster."""
+    back to the entity's own id when it joined no cluster. ``fmt`` routes
+    the sink through io.write_table (Iceberg when the session has an
+    Iceberg catalog, parquet otherwise)."""
     can = canonical.filter(F.col("side") == side).select("ent_id", "canonical_id")
     ids = kg.nodes.join(can, "ent_id", "left").select(
         "name",
@@ -228,8 +231,10 @@ def materialize(
         )
     )
     if out_path:
-        out.write.mode("overwrite").parquet(out_path)
-        return out.sparkSession.read.parquet(out_path)
+        from prase_spark.io import read_table, write_table
+
+        used = write_table(out, out_path, mode="overwrite", fmt=fmt)
+        return read_table(out.sparkSession, out_path, fmt=used)
     return out
 
 

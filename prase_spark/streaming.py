@@ -54,6 +54,51 @@ def run_extraction_stream(
     return writer.start()
 
 
+def stream_first_seen(df: DataFrame, key_col: str = "url") -> DataFrame:
+    """Custom STATEFUL streaming operator (applyInPandasWithState): emit
+    each key's row only the FIRST time the key is seen over the stream's
+    lifetime — cross-micro-batch exact dedup, the streaming twin of
+    datapipe.dedup.exact_dedup for continuous crawl ingest (a re-crawled
+    url must not re-enter the corpus).
+
+    State per key is a single seen flag (bounded: one tiny state row per
+    distinct key, RocksDB/HDFS-backed at cluster scale, restored from the
+    stream checkpoint on restart). Within a batch, ties break
+    deterministically by the row's full string sort order. Output schema ==
+    input schema."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    out_schema = df.schema
+    cols = df.columns
+
+    def dedup(key, pdfs, state: GroupState):
+        def sort_rows(pdf):
+            return pdf.sort_values(by=cols, key=lambda s: s.astype(str), kind="mergesort")
+
+        if state.exists:
+            for _ in pdfs:  # drain the iterator per the API contract
+                pass
+            return
+        best = None
+        for pdf in pdfs:
+            if len(pdf) == 0:
+                continue
+            cand = sort_rows(pdf).head(1)
+            best = cand if best is None else sort_rows(pd.concat([best, cand])).head(1)
+        if best is not None:
+            state.update((1,))
+            yield best
+
+    return df.groupBy(key_col).applyInPandasWithState(
+        dedup,
+        outputStructType=out_schema,
+        stateStructType="seen INT",
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Windowed aggregation pattern over an event stream (late data handled
     by watermark) — the standard stateful-op shape for pipeline metrics."""

@@ -33,3 +33,41 @@ def test_streaming_event_counts_shape(spark):
     assert len(out) > 0
     cols = set(streaming_event_counts(ev).columns)
     assert cols == {"window", "event_type", "events", "value_sum"}
+
+
+def test_stream_first_seen_cross_batch_dedup(spark, tmp_path):
+    """applyInPandasWithState operator: a key emitted in an earlier
+    micro-batch (or earlier run — state restored from checkpoint) is
+    suppressed forever."""
+    from prase_spark.streaming import stream_first_seen, stream_pages
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    pages1, _ = pages_fixture(spark, n_pages=10)
+    pages1.write.parquet(src)  # urls page/0..9
+    pages2, _ = pages_fixture(spark, n_pages=20)
+    pages2.filter("url like '%page/1_'").write.mode("append").parquet(src)  # 10..19 new
+    pages1.limit(5).write.mode("append").parquet(src)  # re-crawl dups of 0..9
+
+    def run():
+        stream = stream_pages(spark, src, max_files_per_trigger=1)
+        deduped = stream_first_seen(stream.select("url", "text"), key_col="url")
+        q = (
+            deduped.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run()
+    got = spark.read.parquet(out)
+    assert got.count() == 20
+    assert got.select("url").distinct().count() == 20
+
+    # restart with ONLY duplicate urls landing: state survives the restart,
+    # nothing new is emitted
+    pages1.limit(7).write.mode("append").parquet(src)
+    run()
+    assert spark.read.parquet(out).count() == 20
