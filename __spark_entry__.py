@@ -357,6 +357,25 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_topk(emb, queries, dim=dim, k=3).select("query_id", "vec_id", "rank")
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup clustering over the embeddings table with
+    planted exact copies (vec_id+100000 for vec_id < 50); the DuckDB twin
+    inlines the same hyperplane bank."""
+    from prase_spark.datapipe.simsearch import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    return embedding_neardup(corpus, dim=64, threshold=0.99).select(
+        "vec_id", "cluster_id", "keep"
+    )
+
+
 def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full PARIS alignment between the two TPC-H-derived KGs
     (2 Jacobi iterations + bipartite). Rows-only for the driver; the pytest
@@ -435,6 +454,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
     }
 
@@ -683,6 +703,76 @@ def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3,
                        ) AS rank
                 FROM scored
             ) WHERE rank <= {k}
+        """
+
+
+def _embedding_neardup_sql(
+    dim: int = 64,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    threshold: float = 0.99,
+    seed: int = 42,
+) -> str:
+    """DuckDB twin of embedding_neardup over the planted-copy corpus."""
+    import numpy as np
+
+    rng = np.random.default_rng(seed)
+    planes = rng.normal(size=(n_bits, dim))
+    bpb = n_bits // n_bands
+
+    def band_expr(b: int) -> str:
+        parts = []
+        for j in range(bpb):
+            lst = "[" + ",".join(repr(float(x)) for x in planes[b * bpb + j]) + "]"
+            parts.append(f"(CASE WHEN list_dot_product(v, {lst}) >= 0.0 THEN {1 << j} ELSE 0 END)")
+        return " + ".join(parts)
+
+    structs = ",\n                ".join(
+        f"struct_pack(band := {b}, bk := {band_expr(b)})" for b in range(n_bands)
+    )
+    return f"""
+            WITH RECURSIVE corpus AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50
+            ),
+            sigrows AS (SELECT vec_id, unnest([
+                {structs}
+            ]) AS s FROM corpus),
+            banded AS (SELECT vec_id, s.band AS band, s.bk AS band_key FROM sigrows),
+            cand AS (
+                SELECT DISTINCT a.vec_id AS key_a, b.vec_id AS key_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.vec_id < b.vec_id
+            ),
+            verified AS (
+                SELECT key_a, key_b
+                FROM cand
+                JOIN corpus ca ON ca.vec_id = key_a
+                JOIN corpus cb ON cb.vec_id = key_b
+                WHERE list_cosine_similarity(ca.v, cb.v) >= {threshold}
+            ),
+            edges_sym AS (
+                SELECT key_a AS a, key_b AS b FROM verified
+                UNION
+                SELECT key_b, key_a FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM edges_sym
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges_sym e ON r.b = e.a
+            ),
+            comp AS (
+                SELECT a AS node, min(b) AS component
+                FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
+                GROUP BY a
+            )
+            SELECT vec_id, cluster_id,
+                   vec_id = min(vec_id) OVER (PARTITION BY cluster_id) AS keep
+            FROM (
+                SELECT c.vec_id, coalesce(comp.component, c.vec_id) AS cluster_id
+                FROM corpus c LEFT JOIN comp ON comp.node = c.vec_id
+            )
         """
 
 
@@ -1077,6 +1167,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=64, n_bands=16, k=3),
+        "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=32, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""

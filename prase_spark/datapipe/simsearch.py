@@ -83,6 +83,63 @@ def lsh_topk(
     )
 
 
+def embedding_neardup(
+    corpus: DataFrame,
+    dim: int,
+    threshold: float = 0.99,
+    n_bits: int = 32,
+    n_bands: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate CLUSTERING: hyperplane-LSH-blocked
+    candidate self-join -> exact native cosine verify >= threshold ->
+    connected components -> keep min id per cluster.
+    Returns (id_col, cluster_id, keep) for every corpus row.
+
+    Scale posture mirrors minhash_dedup: signatures computed once
+    (pinned), candidates are band equi-joins (never all-pairs), each
+    intermediate materialized exactly once."""
+    from prase_spark.matching import connected_components
+
+    sig = hyperplane_signatures(
+        corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
+        dim, n_bits, n_bands, seed,
+    ).localCheckpoint()
+    a = sig.select(F.col("ent_id").alias("key_a"), "band", "band_key")
+    b = sig.select(F.col("ent_id").alias("key_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b")
+        .distinct()
+        .localCheckpoint()
+    )
+    va = corpus.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
+    vb = corpus.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
+    verified = (
+        cand.join(va, "key_a")
+        .join(vb, "key_b")
+        .withColumn("cos", cosine_expr("va", "vb"))
+        .filter(F.col("cos") >= threshold)
+        .select("key_a", "key_b")
+        .localCheckpoint()
+    )
+    comp = connected_components(verified, src="key_a", dst="key_b")
+    labeled = (
+        corpus.select(F.col(id_col).alias("node"))
+        .join(comp, "node", "left")
+        .select(
+            F.col("node").alias(id_col),
+            F.coalesce("component", F.col("node")).alias("cluster_id"),
+        )
+    )
+    return labeled.withColumn(
+        "keep", F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id"))
+    )
+
+
 def _seeded_centroids(corpus_pd: np.ndarray, n_cells: int, seed: int) -> np.ndarray:
     rng = np.random.default_rng(seed)
     idx = rng.choice(len(corpus_pd), size=min(n_cells, len(corpus_pd)), replace=False)

@@ -369,3 +369,27 @@ def test_minhash_wide_matches_long_signatures(spark, docs):
 
     got = {(r["key_a"], r["key_b"]) for r in minhash_lsh_pairs(docs).collect()}
     assert got == expected
+
+
+def test_embedding_neardup_clusters(spark):
+    """LSH-blocked embedding near-dup: exact copies cluster with their
+    original (min id kept); unrelated random vectors stay singletons."""
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import embedding_neardup
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(100, 16))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(100)]
+    rows += [(1000 + i, [float(x) for x in mat[i]]) for i in range(10)]  # copies
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = {r["vec_id"]: (r["cluster_id"], r["keep"]) for r in
+           embedding_neardup(corpus, dim=16, threshold=0.99).collect()}
+    assert len(out) == 110
+    for i in range(10):
+        assert out[1000 + i][0] == out[i][0] == i   # copy joins original's cluster
+        assert out[i][1] and not out[1000 + i][1]   # min id kept
+    singles = [v for k, (v, _) in out.items() if 10 <= k < 100]
+    assert len(set(singles)) == 90                  # randoms stay singletons
+    plan = embedding_neardup(corpus, dim=16)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
