@@ -393,3 +393,32 @@ def test_embedding_neardup_clusters(spark):
     assert len(set(singles)) == 90                  # randoms stay singletons
     plan = embedding_neardup(corpus, dim=16)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_poly_hash61_property(spark):
+    """poly_hash61 equals the independent pure-Python fold over random
+    ASCII strings (hypothesis)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from prase_spark.datapipe.hashing import POLY_INIT, POLY_MULT, POLY_P, poly_hash61
+
+    def py_poly(s: str) -> int:
+        acc = POLY_INIT
+        for ch in s:
+            acc = (acc * POLY_MULT + ord(ch)) % POLY_P
+        return acc
+
+    samples = []
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=40))
+    def gen(s):
+        samples.append(s)
+
+    gen()
+    rows = [(i, s) for i, s in enumerate(samples)]
+    df = spark.createDataFrame(rows, "i LONG, s STRING")
+    got = {r["i"]: r["h"] for r in df.select("i", poly_hash61("s").alias("h")).collect()}
+    for i, s in rows:
+        assert got[i] == py_poly(s), repr(s)
