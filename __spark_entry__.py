@@ -659,9 +659,10 @@ def _paris_align_sql(iterations: int = 2) -> str:
         """
 
 
-def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3, seed: int = 42) -> str:
-    """DuckDB twin of lsh_topk: the seeded hyperplane bank (identical to
-    embed.hyperplane_signatures) inlined as dot-product literals."""
+def _hyperplane_bands_sql(dim: int, n_bits: int, n_bands: int, seed: int) -> str:
+    """The seeded hyperplane bank (identical to embed.hyperplane_signatures)
+    inlined as dot-product literals: a list of (band, bk) structs for
+    ``unnest`` — shared by every LSH-blocked oracle."""
     import numpy as np
 
     rng = np.random.default_rng(seed)
@@ -675,9 +676,44 @@ def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3,
             parts.append(f"(CASE WHEN list_dot_product(v, {lst}) >= 0.0 THEN {1 << j} ELSE 0 END)")
         return " + ".join(parts)
 
-    structs = ",\n                ".join(
+    return ",\n                ".join(
         f"struct_pack(band := {b}, bk := {band_expr(b)})" for b in range(n_bands)
     )
+
+
+def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
+    """Recursive-CTE connected components over a ``verified`` pair CTE +
+    keep-min-per-cluster projection over ``corpus`` — the DuckDB twin of
+    matching.connected_components + the dedup keep rule, shared by the
+    minhash and embedding near-dup oracles."""
+    return f"""
+            edges_sym AS (
+                SELECT key_a AS a, key_b AS b FROM verified
+                UNION
+                SELECT key_b, key_a FROM verified
+            ),
+            reach AS (
+                SELECT a, b FROM edges_sym
+                UNION
+                SELECT r.a, e.b FROM reach r JOIN edges_sym e ON r.b = e.a
+            ),
+            comp AS (
+                SELECT a AS node, min(b) AS component
+                FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
+                GROUP BY a
+            )
+            SELECT {out_id}, cluster_id,
+                   {out_id} = min({out_id}) OVER (PARTITION BY cluster_id) AS keep
+            FROM (
+                SELECT c.{corpus_id} AS {out_id}, coalesce(comp.component, c.{corpus_id}) AS cluster_id
+                FROM corpus c LEFT JOIN comp ON comp.node = c.{corpus_id}
+            )
+    """
+
+
+def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk (hyperplane bank from _hyperplane_bands_sql)."""
+    structs = _hyperplane_bands_sql(dim, n_bits, n_bands, seed)
     return f"""
             WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
             sigrows AS (SELECT vec_id, unnest([
@@ -714,22 +750,7 @@ def _embedding_neardup_sql(
     seed: int = 42,
 ) -> str:
     """DuckDB twin of embedding_neardup over the planted-copy corpus."""
-    import numpy as np
-
-    rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bits, dim))
-    bpb = n_bits // n_bands
-
-    def band_expr(b: int) -> str:
-        parts = []
-        for j in range(bpb):
-            lst = "[" + ",".join(repr(float(x)) for x in planes[b * bpb + j]) + "]"
-            parts.append(f"(CASE WHEN list_dot_product(v, {lst}) >= 0.0 THEN {1 << j} ELSE 0 END)")
-        return " + ".join(parts)
-
-    structs = ",\n                ".join(
-        f"struct_pack(band := {b}, bk := {band_expr(b)})" for b in range(n_bands)
-    )
+    structs = _hyperplane_bands_sql(dim, n_bits, n_bands, seed)
     return f"""
             WITH RECURSIVE corpus AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -752,27 +773,7 @@ def _embedding_neardup_sql(
                 JOIN corpus cb ON cb.vec_id = key_b
                 WHERE list_cosine_similarity(ca.v, cb.v) >= {threshold}
             ),
-            edges_sym AS (
-                SELECT key_a AS a, key_b AS b FROM verified
-                UNION
-                SELECT key_b, key_a FROM verified
-            ),
-            reach AS (
-                SELECT a, b FROM edges_sym
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN edges_sym e ON r.b = e.a
-            ),
-            comp AS (
-                SELECT a AS node, min(b) AS component
-                FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
-                GROUP BY a
-            )
-            SELECT vec_id, cluster_id,
-                   vec_id = min(vec_id) OVER (PARTITION BY cluster_id) AS keep
-            FROM (
-                SELECT c.vec_id, coalesce(comp.component, c.vec_id) AS cluster_id
-                FROM corpus c LEFT JOIN comp ON comp.node = c.vec_id
-            )
+            {_cc_keep_sql("vec_id", "vec_id")}
         """
 
 
@@ -1108,27 +1109,7 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sizes zb ON zb.key = key_b
                 WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.8
             ),
-            edges_sym AS (
-                SELECT key_a AS a, key_b AS b FROM verified
-                UNION
-                SELECT key_b, key_a FROM verified
-            ),
-            reach AS (
-                SELECT a, b FROM edges_sym
-                UNION
-                SELECT r.a, e.b FROM reach r JOIN edges_sym e ON r.b = e.a
-            ),
-            comp AS (
-                SELECT a AS node, min(b) AS component
-                FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
-                GROUP BY a
-            )
-            SELECT doc_id, cluster_id,
-                   doc_id = min(doc_id) OVER (PARTITION BY cluster_id) AS keep
-            FROM (
-                SELECT c.key AS doc_id, coalesce(comp.component, c.key) AS cluster_id
-                FROM corpus c LEFT JOIN comp ON comp.node = c.key
-            )
+            {_cc_keep_sql("key", "doc_id")}
         """,
         "simhash_pairs_docs": f"""
             WITH corpus AS ({_CORPUS_80_40}),

@@ -148,9 +148,13 @@ def minhash_lsh_pairs(
             for h, (a, b) in enumerate(params)
         ]
     )
+    # ceil-divide so remainder slots (num_hashes % bands != 0) still form a
+    # final partial band instead of silently dropping out of candidate
+    # generation (matches the long-format banding h // rows_per_band)
+    n_groups = -(-num_hashes // rows_per_band)
     band_structs = []
-    for b in range(bands):
-        slots = range(b * rows_per_band, (b + 1) * rows_per_band)
+    for b in range(n_groups):
+        slots = range(b * rows_per_band, min((b + 1) * rows_per_band, num_hashes))
         entries = F.sort_array(
             F.array(*[F.concat_ws(":", F.lit(str(h)), F.col(f"m{h}")) for h in slots])
         )

@@ -17,9 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 def iceberg_available(spark: SparkSession) -> bool:
     """True when some ``spark.sql.catalog.*`` points at an Iceberg catalog
-    implementation (the standard way an Iceberg runtime is wired in)."""
-    for k, v in spark.sparkContext.getConf().getAll():
-        if k.startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
+    implementation (the standard way an Iceberg runtime is wired in).
+
+    Reads the SESSION conf via ``SET`` (covers catalogs configured at
+    runtime with ``spark.conf.set`` — DSv2 catalogs resolve lazily, so
+    that wiring is legitimate), falling back to the launch-time context
+    conf."""
+    try:
+        rows = spark.sql("SET").collect()
+        pairs = [(r[0], r[1]) for r in rows]
+    except Exception:
+        pairs = spark.sparkContext.getConf().getAll()
+    for k, v in pairs:
+        if str(k).startswith("spark.sql.catalog.") and "iceberg" in str(v).lower():
             return True
     return False
 
@@ -51,8 +61,15 @@ def write_table(
         writer = df.writeTo(location).using("iceberg")
         if mode == "overwrite":
             writer.createOrReplace()
-        else:
+        elif mode == "append":
             writer.append()
+        else:
+            # 'error'/'ignore' have no DataFrameWriterV2 analog; appending
+            # would silently break the fail-if-exists contract
+            raise ValueError(
+                f"mode={mode!r} is not supported for fmt='iceberg'; "
+                "use 'overwrite' or 'append'"
+            )
     else:
         df.write.mode(mode).parquet(location)
     return fmt

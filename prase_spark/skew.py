@@ -20,17 +20,22 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
-def hot_keys(df: DataFrame, key: str, min_rows: int = 100_000, top_k: int = 200) -> DataFrame:
-    """Frequency-sketch the join key; keys with ≥ min_rows occurrences (cap
-    top_k) are 'hot'. One groupBy over the build side."""
+def hot_key_counts(df: DataFrame, key: str, min_rows: int = 100_000, top_k: int = 200) -> DataFrame:
+    """Frequency-sketch the join key: (key, __cnt) for keys with ≥ min_rows
+    occurrences (cap top_k). One groupBy; the counts double as the
+    scatter-direction signal so no extra pass is needed."""
     return (
         df.groupBy(key)
         .agg(F.count("*").alias("__cnt"))
         .filter(F.col("__cnt") >= min_rows)
         .orderBy(F.desc("__cnt"))
         .limit(top_k)
-        .select(key)
     )
+
+
+def hot_keys(df: DataFrame, key: str, min_rows: int = 100_000, top_k: int = 200) -> DataFrame:
+    """Hot join keys only (see hot_key_counts)."""
+    return hot_key_counts(df, key, min_rows, top_k).select(key)
 
 
 def salted_join(
@@ -60,20 +65,25 @@ def salted_join(
     if salt_buckets <= 1:
         return probe.join(build, key)
     if hot is None:
-        hot = hot_keys(probe, key, hot_min_rows).unionByName(
-            hot_keys(build, key, hot_min_rows)
-        ).distinct()
+        # the sketch aggregates are tiny (≤ top_k rows) — collect them once;
+        # their counts decide the scatter direction with NO extra pass over
+        # probe/build (auto previously cost two full count() jobs)
+        hp = {r[key]: r["__cnt"] for r in hot_key_counts(probe, key, hot_min_rows).collect()}
+        hb = {r[key]: r["__cnt"] for r in hot_key_counts(build, key, hot_min_rows).collect()}
+        keys = sorted(set(hp) | set(hb))
+        spark = probe.sparkSession
+        hot = spark.createDataFrame([(k,) for k in keys], probe.select(key).schema)
+        if scatter == "auto":
+            scatter = "probe" if sum(hp.values()) >= sum(hb.values()) else "build"
+    elif scatter == "auto":
+        # caller-supplied hot set carries no counts; default to probe
+        scatter = "probe"
     hot = F.broadcast(hot.select(F.col(key)).distinct())
 
     probe_hot = probe.join(hot, key, "left_semi")
     probe_cold = probe.join(hot, key, "left_anti")
     build_hot = build.join(hot, key, "left_semi")
     build_cold = build.join(hot, key, "left_anti")
-
-    if scatter == "auto":
-        n_probe_hot = probe_hot.count()
-        n_build_hot = build_hot.count()
-        scatter = "probe" if n_probe_hot >= n_build_hot else "build"
 
     scatter_df, replicate_df = (
         (probe_hot, build_hot) if scatter == "probe" else (build_hot, probe_hot)

@@ -422,3 +422,15 @@ def test_poly_hash61_property(spark):
     got = {r["i"]: r["h"] for r in df.select("i", poly_hash61("s").alias("h")).collect()}
     for i, s in rows:
         assert got[i] == py_poly(s), repr(s)
+
+
+def test_minhash_remainder_slots_banded(spark, docs):
+    """num_hashes not divisible by bands: remainder slots form a final
+    partial band (never silently dropped from candidate generation)."""
+    from prase_spark.datapipe.dedup import minhash_lsh_pairs
+
+    pairs = {
+        (r["key_a"], r["key_b"])
+        for r in minhash_lsh_pairs(docs, num_hashes=60, bands=16).collect()
+    }
+    assert (0, 2) in pairs  # identical docs collide in every band incl. the partial one
