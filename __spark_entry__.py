@@ -229,6 +229,27 @@ def _q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
+def _q_token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prase_spark.datapipe.textstats import token_count_bpe
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", token_count_bpe("text").alias("n_bpe_tokens"))
+
+
+def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prase_spark.datapipe.textstats import repetition_ratio
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return d.select("doc_id", F.round(repetition_ratio("text"), 6).alias("repetition"))
+
+
+def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from prase_spark.datapipe.textstats import corpus_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_stats(d)
+
+
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Brute-force cosine top-3 for the first 5 vectors as queries."""
     from prase_spark.datapipe.simsearch import cosine_topk
@@ -445,6 +466,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
+        "token_count_bpe_docs": _q_token_count_bpe_docs,
+        "repetition_docs": _q_repetition_docs,
+        "corpus_stats": _q_corpus_stats,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "paris_iter1_scores": _q_paris_iter1_scores,
@@ -823,9 +847,14 @@ def oracle_sql() -> dict[str, str]:
     from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL, NORM_URI_SQL
 
+    from prase_spark.datapipe.textstats import BPE_RE
+
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
+    # DuckDB string literals are standard-SQL (no backslash escaping) —
+    # only quotes need doubling
+    _BPE_SQL_PAT = BPE_RE.replace("'", "''")
     poly_shingle = POLY_SQL.format(c="shingle")
     mh_params = ",\n                ".join(
         f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(64, 42))
@@ -1010,6 +1039,59 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({toks}) AS n_tokens FROM documents
+        """,
+        "token_count_bpe_docs": f"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '{_BPE_SQL_PAT}')) AS n_bpe_tokens
+            FROM documents
+        """,
+        "repetition_docs": f"""
+            WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
+            SELECT doc_id,
+                   round(CASE WHEN len(toks) > 0
+                              THEN len(list_distinct(toks)) * 1.0 / len(toks)
+                              ELSE 0.0 END, 6) AS repetition
+            FROM base
+        """,
+        "corpus_stats": f"""
+            WITH base AS (
+                SELECT doc_id, text,
+                       length(text) AS n_chars,
+                       length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                       {toks} AS toks
+                FROM documents
+            ),
+            per_doc AS (
+                SELECT doc_id,
+                       len(toks) AS n_tokens,
+                       round((least(1.0, len(toks) / 50.0)
+                            + CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END
+                            + least(1.0, len(list_distinct(list_intersect(toks, {en}))) / 3.0)) / 3.0, 6) AS quality,
+                       len(list_distinct(list_intersect(toks, {en}))) AS h_en,
+                       len(list_distinct(list_intersect(toks, {de}))) AS h_de,
+                       len(list_distinct(list_intersect(toks, {fr}))) AS h_fr,
+                       len(list_distinct(list_intersect(toks, {es}))) AS h_es
+                FROM base
+            ),
+            langed AS (
+                SELECT doc_id, n_tokens, quality,
+                       CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY h DESC, lang DESC
+                    ) AS rn
+                    FROM (
+                        SELECT doc_id, n_tokens, quality, 'en' AS lang, h_en AS h FROM per_doc
+                        UNION ALL SELECT doc_id, n_tokens, quality, 'de', h_de FROM per_doc
+                        UNION ALL SELECT doc_id, n_tokens, quality, 'fr', h_fr FROM per_doc
+                        UNION ALL SELECT doc_id, n_tokens, quality, 'es', h_es FROM per_doc
+                    )
+                ) WHERE rn = 1
+            )
+            SELECT lang_pred, count(*) AS docs, sum(n_tokens) AS total_tokens,
+                   round(avg(n_tokens), 4) AS avg_tokens,
+                   round(avg(quality), 6) AS avg_quality
+            FROM langed GROUP BY lang_pred
         """,
         "quality_docs": f"""
             WITH base AS (

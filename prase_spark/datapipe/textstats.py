@@ -42,6 +42,51 @@ def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
     return df.withColumn("n_tokens", token_count(text_col))
 
 
+# GPT-2-style pre-tokenizer (the "BPE-ish regex" tokenizer): contraction
+# suffixes, space-prefixed letter/digit runs, punctuation runs, whitespace.
+# ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
+BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+
+
+def token_count_bpe(col: Column | str) -> Column:
+    """Count of BPE-ish pre-token spans — a calibrated proxy for LLM token
+    budgets (the whitespace count under-estimates subword splits).
+    Allocation-free regexp_count, same shape as token_count."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_RE))
+
+
+def repetition_ratio(col: Column | str) -> Column:
+    """distinct tokens / total tokens in [0,1]; low values flag the
+    boilerplate/spam repetition that corpus filters drop. 0.0 for empty."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) > 0, F.size(F.array_distinct(toks)) / F.size(toks)
+    ).otherwise(F.lit(0.0))
+
+
+def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Dataset-card rollup per predicted language: docs, token totals,
+    mean quality — the one-pass corpus summary a training-data pipeline
+    reports after filtering. One hash aggregation."""
+    c = F.col(text_col)
+    return (
+        df.select(
+            language_id(c).alias("lang_pred"),
+            token_count(c).alias("n_tokens"),
+            quality_score(c).alias("quality"),
+        )
+        .groupBy("lang_pred")
+        .agg(
+            F.count("*").alias("docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("quality"), 6).alias("avg_quality"),
+        )
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Composite [0,1] quality heuristic: length band + alpha ratio +
     stopword presence. Deterministic, fully native."""

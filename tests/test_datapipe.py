@@ -434,3 +434,33 @@ def test_minhash_remainder_slots_banded(spark, docs):
         for r in minhash_lsh_pairs(docs, num_hashes=60, bands=16).collect()
     }
     assert (0, 2) in pairs  # identical docs collide in every band incl. the partial one
+
+
+def test_bpe_token_count_and_repetition(spark):
+    from prase_spark.datapipe.textstats import (
+        corpus_stats,
+        repetition_ratio,
+        token_count_bpe,
+    )
+
+    rows = [
+        (0, "It's the fox's den."),
+        (1, "word word word word"),
+        (2, "all distinct tokens here"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {
+        r["doc_id"]: (r["bpe"], r["rep"])
+        for r in df.select(
+            "doc_id",
+            token_count_bpe("text").alias("bpe"),
+            F.round(repetition_ratio("text"), 6).alias("rep"),
+        ).collect()
+    }
+    # "It's the fox's den." -> It|'s| the| fox|'s| den|.|  -> spans incl. ws
+    assert got[0][0] > 4
+    assert got[3] == (0, 0.0)
+    assert got[1][1] == 0.25 and got[2][1] == 1.0
+    stats = corpus_stats(df.filter("doc_id < 3")).collect()
+    assert sum(r["docs"] for r in stats) == 3
