@@ -58,6 +58,36 @@ def main():
     print("=" * 70, "\nPARIS CANDIDATE PLAN\n", "=" * 70)
     cands.explain("formatted")
 
+    # dedup suite plans: candidate generation must be banded (no shingle-
+    # keyed exchange), verification per-pair (array_intersect, no self-join)
+    from prase_spark.datapipe.dedup import exact_jaccard, minhash_lsh_pairs, shingle_table
+
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    print("=" * 70, "\nMINHASH LSH CANDIDATE PLAN\n", "=" * 70)
+    minhash_lsh_pairs(docs).explain("formatted")
+    pairs = spark.createDataFrame([(0, 1)], "key_a LONG, key_b LONG")
+    print("=" * 70, "\nEXACT-JACCARD VERIFY PLAN (array path)\n", "=" * 70)
+    exact_jaccard(shingle_table(docs), pairs).explain("formatted")
+
+    from prase_spark.datapipe.simsearch import embedding_neardup
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
+        "vec_id", "cast(embedding as array<double>) AS embedding"
+    )
+    print("=" * 70, "\nEMBEDDING NEAR-DUP VERIFY PLAN\n", "=" * 70)
+    # plan only (localCheckpoints execute eagerly; the interesting part is
+    # the banded candidate join + cosine verify before CC)
+    from prase_spark.embed import hyperplane_signatures
+    from pyspark.sql import functions as FF
+
+    sig = hyperplane_signatures(
+        emb.select(FF.col("vec_id").alias("ent_id"), "embedding"), dim=64
+    )
+    a = sig.select(FF.col("ent_id").alias("key_a"), "band", "band_key")
+    b = sig.select(FF.col("ent_id").alias("key_b"), "band", "band_key")
+    cand = a.join(b, ["band", "band_key"]).filter("key_a < key_b")
+    cand.explain("formatted")
+
 
 if __name__ == "__main__":
     main()
