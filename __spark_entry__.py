@@ -229,6 +229,76 @@ def _q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
+def _q_tsv_scan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S1/S2/P4: the real TSV scan path — a deterministic 2-file corpus
+    (rel + attr) WITH planted malformed lines (blank, missing fields,
+    empty fields) is written to disk and read back through
+    read_triples_tsv; the single-file http router classifies a second
+    read. The oracle derives the surviving rows from generate_series."""
+    import os
+    import tempfile
+
+    from prase_spark.sources import read_triples_tsv
+
+    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
+    os.makedirs(base, exist_ok=True)
+    rel_path = os.path.join(base, "rel.tsv")
+    attr_path = os.path.join(base, "attr.tsv")
+    with open(rel_path, "w", encoding="utf8") as f:
+        for k in range(200):
+            f.write(f"<http://a.org/E{k}>\thttp://a.org/p{k % 5}\t<http://a.org/E{(k + 1) % 200}>\n")
+            if k % 20 == 0:
+                f.write("\n")                       # blank line
+            if k % 30 == 0:
+                f.write(f"<http://a.org/E{k}>\tonlytwo\n")   # missing obj
+            if k % 40 == 0:
+                f.write(f"\thttp://a.org/p0\t<http://a.org/E1>\n")  # empty subj
+    with open(attr_path, "w", encoding="utf8") as f:
+        for k in range(100):
+            f.write(f"<http://a.org/E{k}>\thttp://a.org/attr0\t\"v{k}\"\n")
+    out = read_triples_tsv(spark, rel_path, attr_path)
+    return out.select("subj", "pred", "obj", "is_attr")
+
+
+def _q_tsv_router_http(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2: single-file self-classifying scan — obj containing 'http' routes
+    to relation, else attribute (test.py:49-52)."""
+    import os
+    import tempfile
+
+    from prase_spark.sources import read_triples_tsv
+
+    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
+    os.makedirs(base, exist_ok=True)
+    mixed = os.path.join(base, "mixed.tsv")
+    with open(mixed, "w", encoding="utf8") as f:
+        for k in range(120):
+            if k % 3 == 0:
+                f.write(f"e{k}\tp\thttp://b.org/Q{k}\n")
+            else:
+                f.write(f"e{k}\tattr\tvalue {k}\n")
+    return read_triples_tsv(spark, mixed).select("subj", "pred", "obj", "is_attr")
+
+
+def _q_embed_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P15: alpha-blend + L2 normalize — updates are the reversed vectors
+    for vec_id < 100; rows without an update keep their vector untouched.
+    Output exploded (vec_id, i, val) so the gate can value-hash arrays."""
+    from prase_spark.embed import blend_embeddings
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("ent_id"),
+        F.col("embedding").cast("array<float>").alias("embedding"),
+    )
+    updates = emb.filter(F.col("ent_id") < 100).select(
+        "ent_id", F.reverse("embedding").alias("embedding")
+    )
+    blended = blend_embeddings(emb, updates, alpha=0.5)
+    return blended.select(
+        F.col("ent_id").alias("vec_id"), F.posexplode("embedding").alias("i", "val")
+    ).select("vec_id", "i", F.round(F.col("val").cast("double"), 6).alias("val"))
+
+
 def _q_token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.textstats import token_count_bpe
 
@@ -466,6 +536,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_count_docs": _q_token_count_docs,
         "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
+        "tsv_scan_triples": _q_tsv_scan_triples,
+        "tsv_router_http": _q_tsv_router_http,
+        "embed_blend": _q_embed_blend,
         "token_count_bpe_docs": _q_token_count_bpe_docs,
         "repetition_docs": _q_repetition_docs,
         "corpus_stats": _q_corpus_stats,
@@ -1036,6 +1109,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT min(doc_id) AS doc_id, count(*) AS dup_count
             FROM corpus GROUP BY text
+        """,
+        "tsv_scan_triples": """
+            SELECT '<http://a.org/E' || k || '>' AS subj,
+                   'http://a.org/p' || (k % 5) AS pred,
+                   '<http://a.org/E' || ((k + 1) % 200) || '>' AS obj,
+                   FALSE AS is_attr
+            FROM (SELECT unnest(generate_series(0, 199)) AS k)
+            UNION ALL
+            SELECT '<http://a.org/E' || k || '>', 'http://a.org/attr0',
+                   '"v' || k || '"', TRUE
+            FROM (SELECT unnest(generate_series(0, 99)) AS k)
+        """,
+        "tsv_router_http": """
+            SELECT 'e' || k AS subj, 'p' AS pred,
+                   'http://b.org/Q' || k AS obj, FALSE AS is_attr
+            FROM (SELECT unnest(generate_series(0, 119)) AS k) WHERE k % 3 = 0
+            UNION ALL
+            SELECT 'e' || k, 'attr', 'value ' || k, TRUE
+            FROM (SELECT unnest(generate_series(0, 119)) AS k) WHERE k % 3 <> 0
+        """,
+        "embed_blend": """
+            WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            upd AS (
+                SELECT vec_id, list_reverse(embedding::DOUBLE[]) AS u
+                FROM embeddings WHERE vec_id < 100
+            ),
+            ex AS (
+                SELECT e.vec_id, g.i, e.v[g.i] AS o,
+                       CASE WHEN u.u IS NULL THEN NULL ELSE u.u[g.i] END AS n
+                FROM emb e LEFT JOIN upd u ON u.vec_id = e.vec_id,
+                     LATERAL (SELECT unnest(generate_series(1, len(e.v))) AS i) g
+            ),
+            pooled AS (SELECT vec_id, i, o, n, 0.5 * o + 0.5 * n AS p FROM ex),
+            normed AS (
+                SELECT vec_id, i, o, n, p,
+                       sqrt(sum(p * p) OVER (PARTITION BY vec_id)) AS nrm
+                FROM pooled
+            )
+            SELECT vec_id, i - 1 AS i,
+                   round(CAST(CAST(CASE WHEN n IS NULL THEN o ELSE p / nrm END AS REAL) AS DOUBLE), 6) AS val
+            FROM normed
         """,
         "token_count_docs": f"""
             SELECT doc_id, len({toks}) AS n_tokens FROM documents
