@@ -280,6 +280,84 @@ def _q_tsv_router_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_triples_tsv(spark, mixed).select("subj", "pred", "obj", "is_attr")
 
 
+def _q_embedding_table_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S4: mapping TSV (name, idx) + vector parquet -> (name, embedding),
+    via read_embedding_table; output (name, vec_id, dim) so the join result
+    is value-checkable without array hashing."""
+    import os
+    import tempfile
+
+    from prase_spark.sources import read_embedding_table
+
+    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
+    os.makedirs(base, exist_ok=True)
+    mapping = os.path.join(base, "ent_ids.tsv")
+    with open(mapping, "w", encoding="utf8") as f:
+        for k in range(0, 400, 2):  # half the ids exist in the vector table
+            f.write(f"ent_{k}\t{k}\n")
+    vectors = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("idx"), "embedding"
+    )
+    tmp_vec = os.path.join(base, "vectors.parquet")
+    vectors.write.mode("overwrite").parquet(tmp_vec)
+    out = read_embedding_table(spark, mapping, tmp_vec)
+    return out.select(
+        "name", F.size("embedding").alias("dim")
+    )
+
+
+def _q_gold_links_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6: gold-pair TSV load; extra columns ignored (the reference reads
+    params[0], params[1] only)."""
+    import os
+    import tempfile
+
+    from prase_spark.sources import read_gold_links_tsv
+
+    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
+    os.makedirs(base, exist_ok=True)
+    gold = os.path.join(base, "gold.tsv")
+    with open(gold, "w", encoding="utf8") as f:
+        for k in range(250):
+            extra = "\tignored" if k % 5 == 0 else ""
+            f.write(f"<http://a.org/E{k}>\thttp://b.org/Q{k}{extra}\n")
+    return read_gold_links_tsv(spark, gold)
+
+
+def _q_seed_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: name-level seed links resolved to engine ids against the two real
+    KGs (load_seed_links), mapped back to names — links whose names are
+    missing on either side drop out; prob scale applied."""
+    from prase_spark.seed import load_seed_links
+
+    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
+    links = c.select(
+        F.concat(
+            F.lit("<http://a.org/resource/Customer_"), F.col("c_custkey").cast("string"), F.lit(">")
+        ).alias("name_l"),
+        # every 3rd link points at a counterpart name that does NOT exist in
+        # KG2 (order dropout namespace) -> must not resolve
+        F.when(
+            F.col("c_custkey") % 3 == 0,
+            F.concat(F.lit("http://b.org/entity/MISSING"), F.col("c_custkey").cast("string")),
+        )
+        .otherwise(F.concat(F.lit("http://b.org/entity/QC"), F.col("c_custkey").cast("string")))
+        .alias("name_r"),
+        ((F.col("c_custkey") % 10) / 10.0).alias("prob"),
+    )
+    sub, _ = load_seed_links(links, kg1, kg2, prob_scale=0.5)
+    names_l = kg1.nodes.select(F.col("ent_id"), F.col("name").alias("name_l"))
+    names_r = kg2.nodes.select(
+        F.col("ent_id").alias("counterpart_id"), F.col("name").alias("name_r")
+    )
+    return (
+        sub.join(names_l, "ent_id")
+        .join(names_r, "counterpart_id")
+        .select("name_l", "name_r", F.round("prob", 6).alias("prob"), "is_lit")
+    )
+
+
 def _q_embed_blend(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P15: alpha-blend + L2 normalize — updates are the reversed vectors
     for vec_id < 100; rows without an update keep their vector untouched.
@@ -538,6 +616,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": _q_langid_docs,
         "tsv_scan_triples": _q_tsv_scan_triples,
         "tsv_router_http": _q_tsv_router_http,
+        "embedding_table_load": _q_embedding_table_load,
+        "gold_links_load": _q_gold_links_load,
+        "seed_resolution": _q_seed_resolution,
         "embed_blend": _q_embed_blend,
         "token_count_bpe_docs": _q_token_count_bpe_docs,
         "repetition_docs": _q_repetition_docs,
@@ -1128,6 +1209,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'e' || k, 'attr', 'value ' || k, TRUE
             FROM (SELECT unnest(generate_series(0, 119)) AS k) WHERE k % 3 <> 0
+        """,
+        "embedding_table_load": """
+            SELECT 'ent_' || k AS name, len(embedding) AS dim
+            FROM (SELECT unnest(generate_series(0, 399, 2)) AS k)
+            JOIN embeddings ON vec_id = k
+        """,
+        "gold_links_load": """
+            SELECT '<http://a.org/E' || k || '>' AS name_l,
+                   'http://b.org/Q' || k AS name_r
+            FROM (SELECT unnest(generate_series(0, 249)) AS k)
+        """,
+        "seed_resolution": """
+            SELECT '<http://a.org/resource/Customer_' || c_custkey || '>' AS name_l,
+                   'http://b.org/entity/QC' || c_custkey AS name_r,
+                   round((c_custkey % 10) / 10.0 * 0.5, 6) AS prob,
+                   FALSE AS is_lit
+            FROM customer WHERE c_custkey % 3 <> 0
         """,
         "embed_blend": """
             WITH emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
