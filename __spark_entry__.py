@@ -229,6 +229,20 @@ def _q_langid_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", language_id("text").alias("lang_pred"))
 
 
+def _gate_tmp_dir(sf_dir: str) -> str:
+    """Scratch dir for gate queries that exercise real file readers — keyed
+    by sf_dir AND pid so cross-sf sequential runs and concurrent gate
+    processes never read each other's (lazily-consumed) files."""
+    import hashlib
+    import os
+    import tempfile
+
+    tag = hashlib.sha256(sf_dir.encode()).hexdigest()[:12]
+    base = os.path.join(tempfile.gettempdir(), f"prase_gate_{tag}_{os.getpid()}")
+    os.makedirs(base, exist_ok=True)
+    return base
+
+
 def _q_tsv_scan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1/S2/P4: the real TSV scan path — a deterministic 2-file corpus
     (rel + attr) WITH planted malformed lines (blank, missing fields,
@@ -236,12 +250,10 @@ def _q_tsv_scan_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     read_triples_tsv; the single-file http router classifies a second
     read. The oracle derives the surviving rows from generate_series."""
     import os
-    import tempfile
 
     from prase_spark.sources import read_triples_tsv
 
-    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
-    os.makedirs(base, exist_ok=True)
+    base = _gate_tmp_dir(sf_dir)
     rel_path = os.path.join(base, "rel.tsv")
     attr_path = os.path.join(base, "attr.tsv")
     with open(rel_path, "w", encoding="utf8") as f:
@@ -264,12 +276,10 @@ def _q_tsv_router_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S2: single-file self-classifying scan — obj containing 'http' routes
     to relation, else attribute (test.py:49-52)."""
     import os
-    import tempfile
 
     from prase_spark.sources import read_triples_tsv
 
-    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
-    os.makedirs(base, exist_ok=True)
+    base = _gate_tmp_dir(sf_dir)
     mixed = os.path.join(base, "mixed.tsv")
     with open(mixed, "w", encoding="utf8") as f:
         for k in range(120):
@@ -282,15 +292,13 @@ def _q_tsv_router_http(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_embedding_table_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: mapping TSV (name, idx) + vector parquet -> (name, embedding),
-    via read_embedding_table; output (name, vec_id, dim) so the join result
-    is value-checkable without array hashing."""
+    via read_embedding_table; output (name, dim) so the join result is
+    value-checkable without array hashing."""
     import os
-    import tempfile
 
     from prase_spark.sources import read_embedding_table
 
-    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
-    os.makedirs(base, exist_ok=True)
+    base = _gate_tmp_dir(sf_dir)
     mapping = os.path.join(base, "ent_ids.tsv")
     with open(mapping, "w", encoding="utf8") as f:
         for k in range(0, 400, 2):  # half the ids exist in the vector table
@@ -310,12 +318,10 @@ def _q_gold_links_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: gold-pair TSV load; extra columns ignored (the reference reads
     params[0], params[1] only)."""
     import os
-    import tempfile
 
     from prase_spark.sources import read_gold_links_tsv
 
-    base = os.path.join(tempfile.gettempdir(), "prase_gate_tsv")
-    os.makedirs(base, exist_ok=True)
+    base = _gate_tmp_dir(sf_dir)
     gold = os.path.join(base, "gold.tsv")
     with open(gold, "w", encoding="utf8") as f:
         for k in range(250):
@@ -982,6 +988,27 @@ _CORPUS_80_40 = """
 """
 
 
+def _langid_rank_sql(extra: str = "") -> str:
+    """Language ranking over a ``per_doc`` CTE carrying h_en/h_de/h_fr/h_es
+    (+ any passthrough columns named in ``extra``) — the ONE copy of the
+    'best marker count, ties by lang code desc, und when 0' rule shared by
+    the langid_docs and corpus_stats oracles."""
+    return f"""
+                SELECT doc_id{extra}, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
+                FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY doc_id ORDER BY h DESC, lang DESC
+                    ) AS rn
+                    FROM (
+                        SELECT doc_id{extra}, 'en' AS lang, h_en AS h FROM per_doc
+                        UNION ALL SELECT doc_id{extra}, 'de', h_de FROM per_doc
+                        UNION ALL SELECT doc_id{extra}, 'fr', h_fr FROM per_doc
+                        UNION ALL SELECT doc_id{extra}, 'es', h_es FROM per_doc
+                    )
+                ) WHERE rn = 1
+    """
+
+
 def _shingle_cte(n: int) -> str:
     """DuckDB twin of shingle_table/word_shingles for word n-grams: distinct
     (key, shingle) from tk(key, t) with the short-doc fallback."""
@@ -1017,6 +1044,17 @@ def oracle_sql() -> dict[str, str]:
     de = "['" + "','".join(_DE) + "']"
     fr = "['" + "','".join(_FR) + "']"
     es = "['" + "','".join(_ES) + "']"
+    # shared per-doc fragments (quality formula + language marker hits) so
+    # quality_docs / langid_docs / corpus_stats test ONE set of semantics
+    quality_expr = (
+        "round((least(1.0, len(toks) / 50.0)"
+        " + CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END"
+        f" + least(1.0, len(list_distinct(list_intersect(toks, {en}))) / 3.0)) / 3.0, 6)"
+    )
+    hits_cols = ",\n                       ".join(
+        f"len(list_distinct(list_intersect(toks, {words}))) AS h_{lang}"
+        for lang, words in (("en", en), ("de", de), ("fr", fr), ("es", es))
+    )
 
     _paris_scores_sql = f"""
             WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
@@ -1276,33 +1314,15 @@ def oracle_sql() -> dict[str, str]:
             per_doc AS (
                 SELECT doc_id,
                        len(toks) AS n_tokens,
-                       round((least(1.0, len(toks) / 50.0)
-                            + CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END
-                            + least(1.0, len(list_distinct(list_intersect(toks, {en}))) / 3.0)) / 3.0, 6) AS quality,
-                       len(list_distinct(list_intersect(toks, {en}))) AS h_en,
-                       len(list_distinct(list_intersect(toks, {de}))) AS h_de,
-                       len(list_distinct(list_intersect(toks, {fr}))) AS h_fr,
-                       len(list_distinct(list_intersect(toks, {es}))) AS h_es
+                       {quality_expr} AS quality,
+                       {hits_cols}
                 FROM base
             ),
-            langed AS (
-                SELECT doc_id, n_tokens, quality,
-                       CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
-                FROM (
-                    SELECT *, row_number() OVER (
-                        PARTITION BY doc_id ORDER BY h DESC, lang DESC
-                    ) AS rn
-                    FROM (
-                        SELECT doc_id, n_tokens, quality, 'en' AS lang, h_en AS h FROM per_doc
-                        UNION ALL SELECT doc_id, n_tokens, quality, 'de', h_de FROM per_doc
-                        UNION ALL SELECT doc_id, n_tokens, quality, 'fr', h_fr FROM per_doc
-                        UNION ALL SELECT doc_id, n_tokens, quality, 'es', h_es FROM per_doc
-                    )
-                ) WHERE rn = 1
-            )
+            langed AS ({_langid_rank_sql(", n_tokens, quality")})
             SELECT lang_pred, count(*) AS docs, sum(n_tokens) AS total_tokens,
                    round(avg(n_tokens), 4) AS avg_tokens,
-                   round(avg(quality), 6) AS avg_quality
+                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0
+                         / count(*) / 1000000, 6) AS avg_quality
             FROM langed GROUP BY lang_pred
         """,
         "quality_docs": f"""
@@ -1312,40 +1332,17 @@ def oracle_sql() -> dict[str, str]:
                        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
                        {toks} AS toks
                 FROM documents
-            ),
-            parts AS (
-                SELECT doc_id,
-                       least(1.0, len(toks) / 50.0) AS len_score,
-                       CASE WHEN n_chars > 0 THEN alpha * 1.0 / n_chars ELSE 0.0 END AS alpha_ratio,
-                       least(1.0, len(list_distinct(list_intersect(toks, {en}))) / 3.0) AS stop_score
-                FROM base
             )
-            SELECT doc_id, round((len_score + alpha_ratio + stop_score) / 3.0, 6) AS quality
-            FROM parts
+            SELECT doc_id, {quality_expr} AS quality FROM base
         """,
         "langid_docs": f"""
             WITH base AS (SELECT doc_id, {toks} AS toks FROM documents),
-            hits AS (
+            per_doc AS (
                 SELECT doc_id,
-                       len(list_distinct(list_intersect(toks, {en}))) AS h_en,
-                       len(list_distinct(list_intersect(toks, {de}))) AS h_de,
-                       len(list_distinct(list_intersect(toks, {fr}))) AS h_fr,
-                       len(list_distinct(list_intersect(toks, {es}))) AS h_es
+                       {hits_cols}
                 FROM base
-            ),
-            ranked AS (
-                SELECT doc_id, lang, h, row_number() OVER (
-                    PARTITION BY doc_id ORDER BY h DESC, lang DESC
-                ) AS rn
-                FROM (
-                    SELECT doc_id, 'en' AS lang, h_en AS h FROM hits
-                    UNION ALL SELECT doc_id, 'de', h_de FROM hits
-                    UNION ALL SELECT doc_id, 'fr', h_fr FROM hits
-                    UNION ALL SELECT doc_id, 'es', h_es FROM hits
-                )
             )
-            SELECT doc_id, CASE WHEN h > 0 THEN lang ELSE 'und' END AS lang_pred
-            FROM ranked WHERE rn = 1
+            {_langid_rank_sql()}
         """,
         "ann_topk": """
             WITH q AS (

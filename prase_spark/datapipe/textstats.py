@@ -44,8 +44,11 @@ def add_token_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 # GPT-2-style pre-tokenizer (the "BPE-ish regex" tokenizer): contraction
 # suffixes, space-prefixed letter/digit runs, punctuation runs, whitespace.
-# ASCII classes so Java regex (Spark) and RE2 (DuckDB) agree byte-for-byte.
-BPE_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9\s]+|\s+"
+# The whitespace class is spelled out explicitly because \s DIFFERS between
+# Java regex (includes \x0b) and RE2 (does not) — with the literal class
+# both engines count identically; the other classes are plain ASCII.
+_WS = r" \t\n\x0b\f\r"
+BPE_RE = rf"'(?:s|t|re|ve|m|ll|d)| ?[a-zA-Z]+| ?[0-9]+| ?[^a-zA-Z0-9{_WS}]+|[{_WS}]+"
 
 
 def token_count_bpe(col: Column | str) -> Column:
@@ -82,7 +85,12 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("total_tokens"),
             F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            F.round(F.avg("quality"), 6).alias("avg_quality"),
+            # exact integer micro-quality sum -> ONE division: avg of
+            # doubles is summation-order-dependent across engines/partition
+            # layouts and can flip the 6th decimal; this is deterministic
+            F.round(
+                F.sum(F.round(F.col("quality") * 1e6).cast("long")) / F.count("*") / 1e6, 6
+            ).alias("avg_quality"),
         )
     )
 

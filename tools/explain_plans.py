@@ -69,24 +69,31 @@ def main():
     print("=" * 70, "\nEXACT-JACCARD VERIFY PLAN (array path)\n", "=" * 70)
     exact_jaccard(shingle_table(docs), pairs).explain("formatted")
 
-    from prase_spark.datapipe.simsearch import embedding_neardup
-
     emb = spark.read.parquet(f"{sf}/embeddings.parquet").selectExpr(
         "vec_id", "cast(embedding as array<double>) AS embedding"
     )
-    print("=" * 70, "\nEMBEDDING NEAR-DUP VERIFY PLAN\n", "=" * 70)
-    # plan only (localCheckpoints execute eagerly; the interesting part is
-    # the banded candidate join + cosine verify before CC)
-    from prase_spark.embed import hyperplane_signatures
-    from pyspark.sql import functions as FF
+    print("=" * 70, "\nEMBEDDING NEAR-DUP CANDIDATE+VERIFY PLAN\n", "=" * 70)
+    # rebuilt without the eager localCheckpoints so the banded candidate
+    # join AND the cosine verify are visible as one DAG (the CC tail is
+    # iterative driver control flow, not a single plan)
+    from prase_spark.embed import cosine_expr, hyperplane_signatures
 
     sig = hyperplane_signatures(
-        emb.select(FF.col("vec_id").alias("ent_id"), "embedding"), dim=64
+        emb.select(F.col("vec_id").alias("ent_id"), "embedding"), dim=64
     )
-    a = sig.select(FF.col("ent_id").alias("key_a"), "band", "band_key")
-    b = sig.select(FF.col("ent_id").alias("key_b"), "band", "band_key")
-    cand = a.join(b, ["band", "band_key"]).filter("key_a < key_b")
-    cand.explain("formatted")
+    a = sig.select(F.col("ent_id").alias("key_a"), "band", "band_key")
+    b = sig.select(F.col("ent_id").alias("key_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"]).filter("key_a < key_b")
+        .select("key_a", "key_b").distinct()
+    )
+    va = emb.select(F.col("vec_id").alias("key_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("key_b"), F.col("embedding").alias("vb"))
+    verified = (
+        cand.join(va, "key_a").join(vb, "key_b")
+        .withColumn("cos", cosine_expr("va", "vb")).filter("cos >= 0.99")
+    )
+    verified.explain("formatted")
 
 
 if __name__ == "__main__":
