@@ -23,6 +23,13 @@ def bipartite_match(
     at :229). Pass 2: left matches not reciprocated by the updated right
     state are dropped (:232-241). Only entity rows participate; literal seed
     rows pass through untouched (the reference iterates ``entity_set``).
+
+    Documented deviation: when two NEW claimants tie on prob exactly, we
+    keep the larger ent_id (max_by struct order) whereas the reference's
+    sequential id-order loop keeps the FIRST (smallest) claimant. Exact
+    float ties between distinct claimants are vanishing-rare post-iteration
+    1; the P/R≥0.95 parity band absorbs them, and the SQL oracle mirrors
+    THIS rule so the value gate is internally exact.
     """
     sub_ent = matches_sub.filter(~F.col("is_lit"))
     claims = (
