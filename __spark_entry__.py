@@ -1366,13 +1366,13 @@ def oracle_sql() -> dict[str, str]:
             WITH RECURSIVE corpus AS ({_CORPUS_80_40}),
             tk AS (SELECT key, {toks} AS t FROM corpus),
             sh AS ({_shingle_cte(3)}),
-            hx AS (SELECT key, shingle, {poly_shingle} AS x FROM sh),
+            hx AS (SELECT key, shingle, {poly_shingle} % {_MERSENNE} AS x FROM sh),
             params(h, a, b) AS (VALUES
                 {mh_params}
             ),
             sig AS (
                 SELECT key, h,
-                       min(CAST((CAST(a AS HUGEINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+                       min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
                 FROM hx, params GROUP BY key, h
             ),
             banded AS (

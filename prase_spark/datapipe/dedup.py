@@ -23,8 +23,14 @@ from pyspark.sql import functions as F
 from prase_spark.datapipe.textstats import tokens
 from prase_spark.matching import connected_components
 
-# Mersenne prime for the universal-hash family; fits comfortably in a long.
-_MERSENNE = (1 << 61) - 1
+# Mersenne prime for the universal-hash family. 2^31-1 keeps the whole
+# (a*x + b) mod p chain in overflow-safe LONG arithmetic under ANSI mode
+# (a, x < 2^31 -> a*x < 2^62): the previous 2^61-1 modulus forced
+# decimal(38,0) — BigDecimal-backed at that precision, measured ~8x slower
+# per signature on KB-scale docs. A 31-bit minhash space is ample: LSH
+# banding compares equality of 4-slot signatures (~124 bits per band) and
+# near-dup verification is exact regardless.
+_MERSENNE = (1 << 31) - 1
 
 
 def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
@@ -59,13 +65,18 @@ def word_shingles(col: Column | str, n: int = 3) -> Column:
 
 
 def shingle_table(df: DataFrame, text_col: str = "text", key_col: str = "doc_id", n: int = 3) -> DataFrame:
-    """(key, shingle) exploded — the base for minhash + exact jaccard.
-    The tokenizer runs once per row in the projection BELOW the explode
-    (the Generate bars projection collapse), not per shingle."""
+    """(key, shingle) exploded, distinct per key — the base for minhash +
+    exact jaccard. The tokenizer runs once per row in the projection BELOW
+    the explode (the Generate bars projection collapse), not per shingle.
+
+    Per-key distinctness comes from word_shingles_of's array_distinct, NOT
+    from a DataFrame distinct(): a global distinct would re-shuffle the
+    largest table in the dedup pipeline for rows that are already unique
+    (``key_col`` must be a key of ``df``, which every caller guarantees)."""
     toked = df.select(F.col(key_col).alias("key"), tokens(text_col).alias("__toks"))
     return toked.select(
         "key", F.explode(word_shingles_of(F.col("__toks"), n)).alias("shingle")
-    ).distinct()
+    )
 
 
 def minhash_params(num_hashes: int, seed: int) -> list[tuple[int, int]]:
@@ -96,16 +107,14 @@ def minhash_signatures(
             for h, (a, b) in enumerate(params)
         ]
     )
-    x = (hash_fn(F.col("shingle")).cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
+    x = F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE))
     return (
         shingles.withColumn("x", x)
         .withColumn("p", F.explode(param_rows))
         .select(
             "key",
             F.col("p.h").alias("h"),
-            ((F.col("p.a").cast("decimal(38,0)") * F.col("x") + F.col("p.b")) % _MERSENNE)
-            .cast("long")
-            .alias("hv"),
+            ((F.col("p.a") * F.col("x") + F.col("p.b")) % _MERSENNE).alias("hv"),
         )
         .groupBy("key", "h")
         .agg(F.min("hv").alias("minhash"))
@@ -140,11 +149,11 @@ def minhash_lsh_pairs(
     params = minhash_params(num_hashes, seed)
     rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, text_col, key_col, shingle_n)
-    x = (hash_fn(F.col("shingle")).cast("decimal(38,0)") % _MERSENNE + _MERSENNE) % _MERSENNE
+    x = F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE))
     hx = sh.select("key", x.alias("x"))
     mins = hx.groupBy("key").agg(
         *[
-            F.min(((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).cast("long")).alias(f"m{h}")
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).alias(f"m{h}")
             for h, (a, b) in enumerate(params)
         ]
     )

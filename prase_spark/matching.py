@@ -97,6 +97,7 @@ def connected_components(
         .withColumn("component", F.col("node"))
         .localCheckpoint()
     )
+    changed = 0
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
@@ -125,6 +126,14 @@ def connected_components(
         if changed == 0:
             break
     sym.unpersist()
+    if changed != 0:
+        # returning partially-propagated labels would silently split real
+        # clusters — fail loudly instead (hash-min needs O(longest chain)
+        # rounds; raise max_iter, or pre-contract chains, for such graphs)
+        raise RuntimeError(
+            f"connected_components did not converge within max_iter={max_iter}; "
+            "the component graph has chains longer than max_iter"
+        )
     return labels
 
 

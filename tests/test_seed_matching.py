@@ -90,3 +90,22 @@ def test_canonical_entity_ids(spark):
     # 1 and 2 both ≥ θ on r101 -> same cluster; 3 below threshold -> absent
     assert by_key[("L", 1)] == by_key[("L", 2)] == by_key[("R", 101)]
     assert ("L", 3) not in by_key
+
+
+def test_connected_components_nonconvergence_raises(spark):
+    """A chain longer than max_iter must fail loudly, never return
+    partially-propagated (wrong) labels."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from prase_spark.matching import connected_components
+
+    chain = spark.range(30).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, max_iter=3)
+    # and converges fine with enough rounds (hash-min propagates min label
+    # a growing distance per round, so ~log-ish rounds suffice in practice)
+    comp = connected_components(chain, max_iter=31)
+    assert comp.select("component").distinct().count() == 1
