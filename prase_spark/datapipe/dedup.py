@@ -1,18 +1,24 @@
 """Deduplication suite for web-scale corpora.
 
-- exact_dedup: hash-groupBy on normalized text (SQL-expressible).
-- fingerprint_dedup: 64-bit token-stream fingerprint groupBy.
+- exact_dedup: hash-groupBy on exact text (SQL-expressible); the
+  fingerprint variant (textstats.fingerprint64 groupBy) dedups on the
+  normalized token stream.
 - minhash_lsh_pairs / minhash_dedup: shingle -> minhash -> band -> bucket
   join; near-dup pairs verified by exact Jaccard; clusters via
   connected-components; keep min doc_id per cluster.
-- simhash_pairs: 64-bit simhash + banded hamming blocking.
+- simhash_signature_table / simhash_pairs: 64-bit simhash + banded
+  hamming blocking.
 - ngram_jaccard_pairs: exact n-gram Jaccard on blocked candidates (the
-  small-scale oracle for the MinHash path).
-- embedding near-dup: see simsearch.cosine_topk / lsh paths.
+  small-scale oracle for the MinHash path), stop-shingle df cap for
+  boilerplate-heavy corpora.
+- embedding-cosine near-dup: simsearch.embedding_neardup (hyperplane-LSH
+  blocked); ANN via simsearch.cosine_topk/lsh_topk/ivf_topk.
 
 Scale posture: everything is shingle-explode + groupBy + equi-join; no
 cross joins; candidate generation is banded so the shuffle is
-O(docs x bands), not O(docs^2).
+O(docs x bands), not O(docs^2); verification is per-pair array
+intersection, independent of shingle document frequency; composite
+pipelines pin every intermediate exactly once.
 """
 
 from __future__ import annotations
