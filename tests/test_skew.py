@@ -86,3 +86,39 @@ def test_salted_join_scatter_directions(spark):
             ).collect()
         )
         assert got == plain, mode
+
+
+def test_salted_full_alignment_value_identical(spark):
+    """The full 2-iteration fixpoint with salting engaged (low hot
+    threshold, auto scatter) is value-identical to the plain run — salting
+    must be a pure physical rewrite through max-merge/bipartite/rel
+    passes, not just within one join."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.pipeline import align, alignment_results
+
+    fx = two_kg_fixture(spark, n_ent=80, seed=42)
+    kg_l, kg_r = build_kg(fx["raw_l"]), build_kg(fx["raw_r"])
+
+    import prase_spark.skew as skew_mod
+
+    orig = skew_mod.salted_join
+
+    def low_threshold(probe, build, key, buckets, hot=None, hot_min_rows=100_000, scatter="auto"):
+        return orig(probe, build, key, buckets, hot, hot_min_rows=20, scatter=scatter)
+
+    def run(cfg):
+        r = align(spark, kg_l, kg_r, cfg, checkpoint=False)
+        res = alignment_results(r.state, kg_l, kg_r, 0.1)
+        return {
+            (x["kind"], x["name_l"], x["name_r"], round(x["prob"], 9))
+            for x in res.collect()
+        }
+
+    skew_mod.salted_join = low_threshold
+    try:
+        salted = run(ParisConfig(iterations=2, salt_buckets=4))
+    finally:
+        skew_mod.salted_join = orig
+    plain = run(ParisConfig(iterations=2))
+    assert salted == plain and len(plain) > 0
