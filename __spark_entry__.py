@@ -290,6 +290,40 @@ def _q_tsv_router_http(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_triples_tsv(spark, mixed).select("subj", "pred", "obj", "is_attr")
 
 
+def _q_pages_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSONL page-corpus scan (read_pages_jsonl) over a deterministic dump
+    WITH planted malformed records (invalid JSON, missing url/text); html
+    round-trips base64 -> binary. Output avoids raw binary/timestamp
+    columns so the gate value-hashes cleanly."""
+    import base64
+    import os
+
+    from prase_spark.sources import read_pages_jsonl
+
+    base = _gate_tmp_dir(sf_dir)
+    path = os.path.join(base, "pages.jsonl")
+    with open(path, "w", encoding="utf8") as f:
+        for k in range(150):
+            html = base64.b64encode(f"<html><body>Page {k}</body></html>".encode()).decode()
+            f.write(
+                f'{{"url": "https://ex.org/p/{k}", '
+                f'"warc_ts": "2024-03-{1 + k % 9:02d} {k % 10:02d}:00:00", '
+                f'"html": "{html}", "text": "page body {k}", "lang": "en"}}\n'
+            )
+            if k % 25 == 0:
+                f.write("this is not json at all\n")
+            if k % 30 == 0:
+                f.write('{"warc_ts": "2024-01-01 00:00:00", "lang": "en"}\n')
+    out = read_pages_jsonl(spark, path)
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        F.length("html").alias("n_html"),
+        "text",
+        "lang",
+    )
+
+
 def _q_embedding_table_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: mapping TSV (name, idx) + vector parquet -> (name, embedding),
     via read_embedding_table; output (name, dim) so the join result is
@@ -622,6 +656,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_docs": _q_langid_docs,
         "tsv_scan_triples": _q_tsv_scan_triples,
         "tsv_router_http": _q_tsv_router_http,
+        "pages_jsonl_scan": _q_pages_jsonl_scan,
         "embedding_table_load": _q_embedding_table_load,
         "gold_links_load": _q_gold_links_load,
         "seed_resolution": _q_seed_resolution,
@@ -1247,6 +1282,14 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'e' || k, 'attr', 'value ' || k, TRUE
             FROM (SELECT unnest(generate_series(0, 119)) AS k) WHERE k % 3 <> 0
+        """,
+        "pages_jsonl_scan": """
+            SELECT 'https://ex.org/p/' || k AS url,
+                   strftime(make_timestamp(2024, 3, 1 + k % 9, k % 10, 0, 0),
+                            '%Y-%m-%d %H:%M:%S') AS ts,
+                   length('<html><body>Page ' || k || '</body></html>') AS n_html,
+                   'page body ' || k AS text, 'en' AS lang
+            FROM (SELECT unnest(generate_series(0, 149)) AS k)
         """,
         "embedding_table_load": """
             SELECT 'ent_' || k AS name, len(embedding) AS dim

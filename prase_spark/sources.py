@@ -85,6 +85,34 @@ def read_embedding_table(
     return mapping.join(vectors, "idx").select("name", "embedding")
 
 
+def read_pages_jsonl(spark: SparkSession, path: str) -> DataFrame:
+    """Page corpus from JSONL records — the common interchange for crawl
+    dumps alongside Iceberg (no reference analog; input_hint schema):
+
+        {"url": str, "warc_ts": ISO-8601 str, "html": base64 str,
+         "text": str, "lang": str}
+
+    Malformed JSON lines and records missing url/text are dropped (the P4
+    filter posture); html is decoded base64 -> binary. Output matches the
+    PAGES schema."""
+    raw = (
+        spark.read.schema(
+            "url STRING, warc_ts STRING, html STRING, text STRING, lang STRING"
+        )
+        .option("mode", "DROPMALFORMED")
+        .json(path)
+    )
+    return raw.filter(
+        F.col("url").isNotNull() & F.col("text").isNotNull()
+    ).select(
+        "url",
+        F.to_timestamp("warc_ts").alias("warc_ts"),
+        F.unbase64("html").alias("html"),
+        "text",
+        "lang",
+    )
+
+
 def sample_links(links: DataFrame, num: int | None, seed: int = 42) -> DataFrame:
     """T4 (objects/KGs.py:506): bounded random sample of seed links —
     deterministic via seeded rand ordering instead of random.choices."""

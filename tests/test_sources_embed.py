@@ -93,3 +93,28 @@ def test_blend_embeddings(spark):
     # αold+(1-α)new = [0.5,0.5] -> normalized [≈0.707, ≈0.707] (P15)
     assert abs(out[0][0] - 0.7071067) < 1e-4 and abs(out[0][1] - 0.7071067) < 1e-4
     assert out[1] == [0.0, 1.0]  # untouched rows pass through
+
+
+def test_read_pages_jsonl(spark, tmp_path):
+    """JSONL page reader: base64 html round-trips to the exact bytes;
+    malformed JSON and records missing url/text are dropped."""
+    import base64
+
+    from prase_spark.sources import read_pages_jsonl
+
+    p = tmp_path / "pages.jsonl"
+    html = b"<html><body>Hi</body></html>"
+    b64 = base64.b64encode(html).decode()
+    p.write_text(
+        f'{{"url": "u1", "warc_ts": "2024-01-02 03:04:05", "html": "{b64}", '
+        '"text": "hello", "lang": "en"}\n'
+        "garbage line\n"
+        '{"warc_ts": "2024-01-01 00:00:00", "lang": "en"}\n'
+        '{"url": "u2", "warc_ts": "2024-01-02 03:04:05", "html": null, '
+        '"text": "no html", "lang": "de"}\n',
+        encoding="utf8",
+    )
+    rows = {r["url"]: r for r in read_pages_jsonl(spark, str(p)).collect()}
+    assert set(rows) == {"u1", "u2"}
+    assert bytes(rows["u1"]["html"]) == html
+    assert rows["u2"]["html"] is None and rows["u2"]["lang"] == "de"
