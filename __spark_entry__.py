@@ -121,6 +121,15 @@ def _q_top10_attr_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.select(F.col("name").alias("pred_name"), F.round("func", 9).alias("func"))
 
 
+def _q_kg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S11/A10: the KG counts report (print_kg_info analog) as one row."""
+    from prase_spark.kgbuild import kg_info
+
+    info = kg_info(_kg(spark, sf_dir, 1))
+    cols = sorted(info)
+    return spark.createDataFrame([tuple(int(info[c]) for c in cols)], ", ".join(f"{c} LONG" for c in cols))
+
+
 def _q_mutual_best_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 analog over events: mutual-best (user, event_type) by value sum."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
@@ -646,6 +655,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "normalize_literal": _q_normalize_literal,
         "literal_seed": _q_literal_seed,
         "top10_attr_functionality": _q_top10_attr_functionality,
+        "kg_info": _q_kg_info,
         "mutual_best_events": _q_mutual_best_events,
         "eval_prf_sweep": _q_eval_prf_sweep,
         "anti_join_customers": _q_anti_join_customers,
@@ -1194,6 +1204,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pred_name, round(func, 9) AS func
             FROM fun ORDER BY func DESC, pred_name LIMIT 10
+        """,
+        "kg_info": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            t AS (SELECT trim(subj) AS subj, trim(pred) AS pred,
+                         trim(obj) AS obj, is_attr FROM kg1_raw),
+            ents AS (
+                SELECT subj AS n FROM t
+                UNION SELECT obj FROM t WHERE NOT is_attr
+            )
+            SELECT (SELECT count(*) FROM t WHERE is_attr) AS attribute_tuples,
+                   (SELECT count(DISTINCT pred) FROM t WHERE is_attr) AS attributes,
+                   (SELECT count(*) FROM ents) AS entities,
+                   (SELECT count(DISTINCT obj) FROM t WHERE is_attr) AS literals,
+                   (SELECT count(*) FROM t WHERE NOT is_attr) AS relation_tuples,
+                   (SELECT count(DISTINCT pred) FROM t WHERE NOT is_attr) AS relations
         """,
         "mutual_best_events": """
             WITH score AS (
