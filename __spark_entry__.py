@@ -167,14 +167,22 @@ def _q_eval_prf_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("threshold")
         .agg(F.count("*").alias("predicted"), F.sum("correct").alias("correct"))
     )
+    # exact-integer half-up rounding ((2N+D) div (2D)) — P/R/F1 are ratios
+    # of small integers, so round(double, 6) (engine-dependent on decimal
+    # ties) is never needed; f1 = 2PR/(P+R) = 2c/(p+g) exactly
     return agg.select(
         F.round("threshold", 1).alias("threshold"),
-        F.round(F.col("correct") / F.col("predicted"), 6).alias("precision"),
-        F.round(F.col("correct") / F.lit(float(total)), 6).alias("recall"),
-        F.round(
-            2.0 * (F.col("correct") / F.col("predicted")) * (F.col("correct") / total)
-            / ((F.col("correct") / F.col("predicted")) + (F.col("correct") / total)),
-            6,
+        (
+            F.expr("(2 * correct * 1000000 + predicted) div (2 * predicted)") / F.lit(1e6)
+        ).alias("precision"),
+        (
+            F.expr(f"(2 * correct * 1000000 + {total}) div (2 * {total}L)") / F.lit(1e6)
+        ).alias("recall"),
+        (
+            F.expr(
+                f"(4 * correct * 1000000 + (predicted + {total}))"
+                f" div (2 * (predicted + {total}L))"
+            ) / F.lit(1e6)
         ).alias("f1"),
     )
 
@@ -434,10 +442,23 @@ def _q_token_count_bpe_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from prase_spark.datapipe.textstats import repetition_ratio
+    """distinct/total token ratio — integer ratio, so the 6dp rounding is
+    exact-integer half-up in both engines (no round(double) tie risk)."""
+    from prase_spark.datapipe.textstats import tokens
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return d.select("doc_id", F.round(repetition_ratio("text"), 6).alias("repetition"))
+    sel = d.select(
+        "doc_id",
+        F.size(tokens("text")).cast("long").alias("nt"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("nd"),
+    )
+    return sel.select(
+        "doc_id",
+        F.when(
+            F.col("nt") > 0,
+            F.expr("(2 * nd * 1000000 + nt) div (2 * nt)") / F.lit(1e6),
+        ).otherwise(F.lit(0.0)).alias("repetition"),
+    )
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -560,19 +581,30 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-blocked ANN top-3: the seeded hyperplane bank is shared with the
-    DuckDB oracle (inlined as dot-product literals), so the full
-    signature->band-join->cosine-topk chain is value-verified."""
+    """LSH-blocked ANN top-3 over the planted-copy corpus: the seeded
+    hyperplane bank is shared with the DuckDB oracle (inlined as
+    dot-product literals), so the full signature->band-join->cosine-topk
+    chain is value-verified. Band keys are production-width (96/8 = 12-bit
+    keys — auto_band_bits sizing for the ~550-row corpus): identical
+    planted copies collide in every band, so the gate exercises exactly
+    the near-dup-retrieval regime wide-key LSH is for."""
     from prase_spark.datapipe.simsearch import lsh_topk
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
     )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
     dim = len(emb.select("embedding").first()["embedding"])
-    return lsh_topk(emb, queries, dim=dim, k=3).select("query_id", "vec_id", "rank")
+    return lsh_topk(corpus, queries, dim=dim, k=3, n_bits=96, n_bands=8).select(
+        "query_id", "vec_id", "rank"
+    )
 
 
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -589,7 +621,7 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
         )
     )
-    return embedding_neardup(corpus, dim=64, threshold=0.99).select(
+    return embedding_neardup(corpus, dim=64, threshold=0.99, n_bits=96, n_bands=8).select(
         "vec_id", "cluster_id", "keep"
     )
 
@@ -895,7 +927,7 @@ def _hyperplane_bands_sql(dim: int, n_bits: int, n_bands: int, seed: int) -> str
     import numpy as np
 
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bits, dim))
+    planes = np.round(rng.normal(size=(n_bits, dim)), 6)
     bpb = n_bits // n_bands
 
     def band_expr(b: int) -> str:
@@ -940,11 +972,16 @@ def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
     """
 
 
-def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3, seed: int = 42) -> str:
-    """DuckDB twin of lsh_topk (hyperplane bank from _hyperplane_bands_sql)."""
+def _lsh_ann_sql(dim: int = 64, n_bits: int = 96, n_bands: int = 8, k: int = 3, seed: int = 42) -> str:
+    """DuckDB twin of lsh_topk over the planted-copy corpus (hyperplane
+    bank from _hyperplane_bands_sql)."""
     structs = _hyperplane_bands_sql(dim, n_bits, n_bands, seed)
     return f"""
-            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            WITH base AS (
+                SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+                UNION ALL
+                SELECT vec_id + 100000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 50
+            ),
             sigrows AS (SELECT vec_id, unnest([
                 {structs}
             ]) AS s FROM base),
@@ -973,7 +1010,7 @@ def _lsh_ann_sql(dim: int = 64, n_bits: int = 64, n_bands: int = 16, k: int = 3,
 
 def _embedding_neardup_sql(
     dim: int = 64,
-    n_bits: int = 32,
+    n_bits: int = 96,
     n_bands: int = 8,
     threshold: float = 0.99,
     seed: int = 42,
@@ -1260,10 +1297,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             tot AS (SELECT count(*) AS total FROM pred)
             SELECT round(threshold, 1) AS threshold,
-                   round(correct * 1.0 / predicted, 6) AS precision,
-                   round(correct * 1.0 / total, 6) AS recall,
-                   round(2.0 * (correct * 1.0 / predicted) * (correct * 1.0 / total)
-                         / ((correct * 1.0 / predicted) + (correct * 1.0 / total)), 6) AS f1
+                   ((2 * correct * 1000000 + predicted) // (2 * predicted)) / 1000000.0 AS precision,
+                   ((2 * correct * 1000000 + total) // (2 * total)) / 1000000.0 AS recall,
+                   ((4 * correct * 1000000 + (predicted + total))
+                      // (2 * (predicted + total))) / 1000000.0 AS f1
             FROM agg, tot
         """,
         "anti_join_customers": """
@@ -1366,15 +1403,19 @@ def oracle_sql() -> dict[str, str]:
         "repetition_docs": f"""
             WITH base AS (SELECT doc_id, {toks} AS toks FROM documents)
             SELECT doc_id,
-                   round(CASE WHEN len(toks) > 0
-                              THEN len(list_distinct(toks)) * 1.0 / len(toks)
-                              ELSE 0.0 END, 6) AS repetition
+                   CASE WHEN len(toks) > 0
+                        THEN ((2 * len(list_distinct(toks)) * 1000000 + len(toks))
+                                // (2 * len(toks))) / 1000000.0
+                        ELSE 0.0 END AS repetition
             FROM base
         """,
         "corpus_stats": f"""
+            -- averages are EXACT-INTEGER half-up rounded ((2N+D)//(2D)) —
+            -- never round() of a double, whose decimal-tie behavior differs
+            -- between engines (textstats.quality_micro_parts)
             WITH base AS (
                 SELECT doc_id, text,
-                       length(text) AS n_chars,
+                       greatest(length(text), 1) AS ncp,
                        length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
                        {toks} AS toks
                 FROM documents
@@ -1382,15 +1423,17 @@ def oracle_sql() -> dict[str, str]:
             per_doc AS (
                 SELECT doc_id,
                        len(toks) AS n_tokens,
-                       {quality_expr} AS quality,
+                       (2 * (1000000 * (least(len(toks), 50) * 3 * ncp
+                                        + alpha * 150
+                                        + least(len(list_distinct(list_intersect(toks, {en}))), 3) * 50 * ncp))
+                          + 450 * ncp) // (2 * 450 * ncp) AS q_micro,
                        {hits_cols}
                 FROM base
             ),
-            langed AS ({_langid_rank_sql(", n_tokens, quality")})
+            langed AS ({_langid_rank_sql(", n_tokens, q_micro")})
             SELECT lang_pred, count(*) AS docs, sum(n_tokens) AS total_tokens,
-                   round(avg(n_tokens), 4) AS avg_tokens,
-                   round(sum(CAST(round(quality * 1000000) AS BIGINT)) * 1.0
-                         / count(*) / 1000000, 6) AS avg_quality
+                   ((2 * sum(n_tokens) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_tokens,
+                   ((2 * sum(q_micro) + count(*)) // (2 * count(*))) / 1000000.0 AS avg_quality
             FROM langed GROUP BY lang_pred
         """,
         "quality_docs": f"""
@@ -1506,8 +1549,8 @@ def oracle_sql() -> dict[str, str]:
             FROM tk
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
-        "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=64, n_bands=16, k=3),
-        "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=32, n_bands=8, threshold=0.99),
+        "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
+        "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""

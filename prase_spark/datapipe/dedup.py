@@ -26,8 +26,13 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+import logging
+
+from prase_spark.datapipe.buckets import DEFAULT_MAX_BUCKET, cap_band_buckets
 from prase_spark.datapipe.textstats import tokens
 from prase_spark.matching import connected_components
+
+logger = logging.getLogger("prase_spark.datapipe")
 
 # Mersenne prime for the universal-hash family. 2^31-1 keeps the whole
 # (a*x + b) mod p chain in overflow-safe LONG arithmetic under ANSI mode
@@ -39,13 +44,46 @@ from prase_spark.matching import connected_components
 _MERSENNE = (1 << 31) - 1
 
 
-def exact_dedup(df: DataFrame, text_col: str = "text", key_col: str = "doc_id") -> DataFrame:
-    """Keep min key per exact text value. One shuffle (hash agg)."""
-    return (
-        df.groupBy(text_col)
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id", hash_fn=None
+) -> DataFrame:
+    """Keep min key per exact text value.
+
+    Groups on xxhash64(text) — NOT on the text itself: with multi-KB
+    documents as the grouping key, every shuffle-side key comparison and
+    sort touches the full text; an 8-byte hash key moves the text as
+    payload only. Collision-SAFE, not collision-assuming: within each hash
+    group the distinct texts are counted, and the (astronomically rare at
+    64 bits, but nonzero at 10^12 docs) colliding groups are re-grouped on
+    the exact text — so the result is byte-exact dedup at hash-group cost.
+    ``hash_fn``: pluggable for tests (deliberately-colliding hash)."""
+    hash_fn = hash_fn or F.xxhash64
+    hashed = df.select(
+        F.col(key_col).alias(key_col),
+        F.col(text_col).alias(text_col),
+        hash_fn(F.col(text_col)).alias("__h"),
+    )
+    # collision detection via min(text)==max(text): plain partial-aggregable
+    # order stats (a count(DISTINCT text) would Expand and re-group on the
+    # full text — exactly the shuffle shape this rewrite removes)
+    grouped = hashed.groupBy("__h").agg(
+        F.min_by(F.struct(key_col, text_col), F.col(key_col)).alias("rep"),
+        F.count("*").alias("dup_count"),
+        (F.min(text_col) == F.max(text_col)).alias("__uniform"),
+    )
+    safe = grouped.filter(F.col("__uniform")).select(
+        F.col(f"rep.{key_col}").alias(key_col),
+        F.col(f"rep.{text_col}").alias(text_col),
+        "dup_count",
+    )
+    unsafe_h = grouped.filter(~F.col("__uniform")).select("__h")
+    unsafe = (
+        hashed.join(unsafe_h, "__h", "left_semi")
+        .groupBy(text_col)
         .agg(F.min(key_col).alias(key_col), F.count("*").alias("dup_count"))
         .select(key_col, text_col, "dup_count")
     )
+    return safe.unionByName(unsafe)
 
 
 def word_shingles_of(toks: Column, n: int = 3) -> Column:
@@ -137,10 +175,16 @@ def minhash_lsh_pairs(
     seed: int = 42,
     hash_fn=None,
     shingles: DataFrame | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs (key_a < key_b) sharing ≥1 LSH band.
     ``shingles``: optionally reuse a precomputed (persisted) shingle table
     so composite pipelines don't re-tokenize the corpus.
+
+    ``max_bucket_size`` guards the banded self-join against degenerate
+    buckets (e.g. millions of near-empty docs sharing one signature);
+    ``stats_out`` surfaces bucket telemetry — see buckets.cap_band_buckets.
 
     The band key is the sorted ``h:minhash`` concat string itself (exact —
     no second hashing layer, so the band join is engine-replicable; a band
@@ -152,6 +196,11 @@ def minhash_lsh_pairs(
     family, so the shuffle is O(docs × num_hashes columns) instead of
     O(shingles × num_hashes rows)."""
     hash_fn = hash_fn or F.xxhash64
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be <= num_hashes ({num_hashes}): each band "
+            "needs at least one signature slot"
+        )
     params = minhash_params(num_hashes, seed)
     rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, text_col, key_col, shingle_n)
@@ -179,6 +228,7 @@ def minhash_lsh_pairs(
     banded = mins.select(
         "key", F.explode(F.array(*band_structs)).alias("s")
     ).select("key", "s.band", "s.band_key")
+    banded = cap_band_buckets(banded, max_bucket_size, stats_out=stats_out, label="minhash_lsh")
     a = banded.select(F.col("key").alias("key_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), "band", "band_key")
     return (
@@ -247,7 +297,7 @@ def ngram_jaccard_pairs(
     text_col: str = "text",
     key_col: str = "doc_id",
     shingle_n: int = 3,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = 10_000,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs ≥ threshold. Candidates are
     blocked by shared shingles (never all-pairs), so this is exact AND
@@ -257,14 +307,33 @@ def ngram_jaccard_pairs(
     GENERATION only — verification always scores the complete shingle sets,
     so any emitted jaccard is exact; a pair sharing nothing but >max_df
     boilerplate shingles is skipped (its jaccard is dominated by stop
-    shingles anyway). None (default) keeps generation exact too."""
+    shingles anyway). The default is FINITE: one shingle shared by d docs
+    is d² candidate rows, so an uncapped default is quadratic on
+    boilerplate-heavy corpora; dropped shingles are logged. Pass None for
+    fully exact generation at small scale."""
     sh = shingle_table(df, text_col, key_col, shingle_n)
     # pin the shingle table (read by candidate gen AND by the verify's set
     # packing) and the candidate pairs (read 3x inside exact_jaccard — two
     # key semi-joins + the pair join; unpinned, the whole candidate DAG
     # would re-run per read)
     sh = sh.localCheckpoint()
-    gen = cap_shingle_df(sh, max_shingle_df) if max_shingle_df is not None else sh
+    if max_shingle_df is not None:
+        hot = (
+            sh.groupBy("shingle")
+            .agg(F.count("*").alias("df"))
+            .filter(F.col("df") > max_shingle_df)
+            .localCheckpoint()
+        )
+        n_hot = hot.count()
+        if n_hot:
+            logger.warning(
+                "ngram_jaccard_pairs: dropped %d stop-shingles with df > %d from "
+                "candidate generation (verification stays exact)",
+                n_hot, max_shingle_df,
+            )
+        gen = sh.join(hot.select("shingle"), "shingle", "left_anti")
+    else:
+        gen = sh
     sa = gen.select(F.col("key").alias("key_a"), "shingle")
     sb = gen.select(F.col("key").alias("key_b"), "shingle")
     cand = (
@@ -283,6 +352,8 @@ def minhash_dedup(
     shingle_n: int = 3,
     seed: int = 42,
     hash_fn=None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Full near-dup pipeline: LSH candidates -> exact-Jaccard verify ->
     connected components -> keep min key per cluster.
@@ -291,10 +362,14 @@ def minhash_dedup(
     Each intermediate is materialized exactly once: the shingle table feeds
     both the signature pass and the verify's set packing, and the candidate
     pairs are read 3x inside exact_jaccard — left lazy, the candidate DAG
-    (tokenize -> minhash -> band join) would re-run per consumer."""
+    (tokenize -> minhash -> band join) would re-run per consumer.
+
+    ``max_bucket_size`` / ``stats_out``: band-bucket guard + telemetry
+    (buckets.cap_band_buckets) on the LSH candidate join."""
     sh = shingle_table(df, text_col, key_col, shingle_n).localCheckpoint()
     cand = minhash_lsh_pairs(
-        df, text_col, key_col, num_hashes, bands, shingle_n, seed, hash_fn, shingles=sh
+        df, text_col, key_col, num_hashes, bands, shingle_n, seed, hash_fn,
+        shingles=sh, max_bucket_size=max_bucket_size, stats_out=stats_out,
     ).localCheckpoint()
     verified = exact_jaccard(sh, cand).filter(F.col("jaccard") >= threshold).localCheckpoint()
     comp = connected_components(verified, src="key_a", dst="key_b")
@@ -373,10 +448,26 @@ def simhash_pairs(
     max_hamming: int = 3,
     shingle_n: int = 2,
     hash_fn=None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Near-dup candidates by SimHash banding (4 bands of 16 bits: any pair
     within hamming distance 3 shares ≥1 exact band), verified by true
-    hamming distance ≤ max_hamming."""
+    hamming distance ≤ max_hamming.
+
+    Empty/whitespace/NULL docs are NOT dropped: the shingle fallback gives
+    them the '' shingle, so they all share one signature and pair with each
+    other at hamming 0 (value-identical to the array-aggregate simhash64
+    path; pytest-pinned).
+
+    SCALE BOUND: the hamming≤3 pigeonhole forces exactly 4 bands over 64
+    bits, capping the keyspace at 2^16 buckets/band — at ~10^7+ docs the
+    AVERAGE bucket exceeds 10^2 rows and candidate volume grows as
+    n²/2^16, so this variant is for corpora ≤ ~10^7 docs. Beyond that use
+    minhash_lsh_pairs (unbounded band keyspace) or a Manku-style permuted
+    multi-table scheme. ``max_bucket_size`` (default 10^4) bounds any
+    single bucket's contribution regardless; ``stats_out`` surfaces the
+    top buckets (buckets.cap_band_buckets)."""
     # Signatures via explode + ONE vectorized hash aggregate (the
     # array-aggregate simhash64 evaluates its captured shingle-hash array
     # once per bit in interpreted HOF mode — see simhash_signature_table).
@@ -387,6 +478,7 @@ def simhash_pairs(
         "band_key",
         F.expr("shiftrightunsigned(sig, band * 16)").bitwiseAND(F.lit(0xFFFF)),
     )
+    banded = cap_band_buckets(banded, max_bucket_size, stats_out=stats_out, label="simhash")
     a = banded.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"), "band", "band_key")
     cand = (

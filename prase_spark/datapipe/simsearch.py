@@ -17,6 +17,7 @@ import numpy as np
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from prase_spark.datapipe.buckets import DEFAULT_MAX_BUCKET, cap_band_buckets
 from prase_spark.embed import cosine_expr, hyperplane_signatures
 
 
@@ -50,18 +51,30 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_bits: int = 64,
-    n_bands: int = 16,
+    n_bits: int = 128,
+    n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 hyperplane band with the
-    query, then exact cosine + window top-k on the candidate set."""
-    c_sig = hyperplane_signatures(
-        corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
-        dim, n_bits, n_bands, seed,
+    query, then exact cosine + window top-k on the candidate set.
+
+    Band-width tradeoff (hyperplane_signatures docstring): 16-bit default
+    keys retrieve NEAR-DUPLICATE-grade neighbors (cos ≳ 0.9) with high
+    recall at 8 bands; for moderate-similarity top-k (cos ~ 0.3-0.7) the
+    band-match probability collapses and the honest scale tool is ivf_topk
+    (probe-bounded) — not narrower LSH keys, which re-admit the quadratic
+    join. Corpus band buckets are guarded by ``max_bucket_size``."""
+    c_sig = cap_band_buckets(
+        hyperplane_signatures(
+            corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
+            dim, n_bits, n_bands, seed,
+        ),
+        max_bucket_size, stats_out=stats_out, label="lsh_topk",
     ).select(F.col("ent_id").alias("vec_id"), "band", "band_key")
     q_sig = hyperplane_signatures(
         queries.select(F.col(query_id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
@@ -87,11 +100,13 @@ def embedding_neardup(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.99,
-    n_bits: int = 32,
+    n_bits: int = 128,
     n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate CLUSTERING: hyperplane-LSH-blocked
     candidate self-join -> exact native cosine verify >= threshold ->
@@ -99,13 +114,20 @@ def embedding_neardup(
     Returns (id_col, cluster_id, keep) for every corpus row.
 
     Scale posture mirrors minhash_dedup: signatures computed once
-    (pinned), candidates are band equi-joins (never all-pairs), each
-    intermediate materialized exactly once."""
+    (pinned), candidates are band equi-joins (never all-pairs) with
+    16-bit default band keys (near-dup-grade cosine keeps high band-match
+    probability, so recall holds where it matters; see
+    hyperplane_signatures), degenerate buckets capped (``max_bucket_size``
+    — all-zero vectors share every signature), each intermediate
+    materialized exactly once. ``stats_out`` surfaces bucket telemetry."""
     from prase_spark.matching import connected_components
 
-    sig = hyperplane_signatures(
-        corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
-        dim, n_bits, n_bands, seed,
+    sig = cap_band_buckets(
+        hyperplane_signatures(
+            corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
+            dim, n_bits, n_bands, seed,
+        ),
+        max_bucket_size, stats_out=stats_out, label="embedding_neardup",
     ).localCheckpoint()
     a = sig.select(F.col("ent_id").alias("key_a"), "band", "band_key")
     b = sig.select(F.col("ent_id").alias("key_b"), "band", "band_key")

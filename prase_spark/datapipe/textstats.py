@@ -69,29 +69,72 @@ def repetition_ratio(col: Column | str) -> Column:
     ).otherwise(F.lit(0.0))
 
 
+def quality_micro_parts(col: Column | str) -> tuple[Column, Column]:
+    """quality_score as an exact rational N/D in long arithmetic, for
+    round-half-up micro-unit integers: micro = (2N + D) div (2D). Derived
+    entirely from the row's integer facts (token count, alpha chars, char
+    count, stopword hits) — never from a double. Rounding a double is
+    engine-dependent on decimal ties (Spark HALF_UPs the shortest decimal
+    repr, DuckDB rounds the binary value), so any cross-engine-verified
+    aggregate must start from this.
+
+    quality = (min(nt,50)/50 + alpha/nc + min(hits,3)/3) / 3 over common
+    denominator D = 450*nc; N is pre-scaled by 10^6 so N/D is micro-units.
+    Bounds: 2N <= 9*10^8 * n_chars — safe in longs to ~10 GB docs."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = tokens(c)
+    nt = F.least(F.size(toks), F.lit(50)).cast("long")
+    hits = F.least(
+        F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in _LANG_MARKERS["en"]]))),
+        F.lit(3),
+    ).cast("long")
+    alpha = F.length(F.regexp_replace(F.lower(c), r"[^a-z]", "")).cast("long")
+    ncp = F.greatest(F.length(c), F.lit(1)).cast("long")  # '' -> alpha=0, term 0
+    n_num = F.lit(1_000_000).cast("long") * (
+        nt * F.lit(3) * ncp + alpha * F.lit(150) + hits * F.lit(50) * ncp
+    )
+    d_den = F.lit(450).cast("long") * ncp
+    return n_num, d_den
+
+
 def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     """Dataset-card rollup per predicted language: docs, token totals,
     mean quality — the one-pass corpus summary a training-data pipeline
-    reports after filtering. One hash aggregation."""
+    reports after filtering. One hash aggregation.
+
+    Both reported averages are EXACT-INTEGER half-up rounded (quality via
+    quality_micro, avg_tokens via integral div on the token sum): rounding
+    a double average is engine-dependent on decimal ties, which is exactly
+    the cross-engine hash flip a value-verified gate cannot afford."""
     c = F.col(text_col)
-    return (
+    n_num, d_den = quality_micro_parts(c)
+    agg = (
         df.select(
             language_id(c).alias("lang_pred"),
             token_count(c).alias("n_tokens"),
-            quality_score(c).alias("quality"),
+            n_num.alias("q_num"),
+            d_den.alias("q_den"),
         )
+        .withColumn("q_micro", F.expr("(2 * q_num + q_den) div (2 * q_den)"))
         .groupBy("lang_pred")
         .agg(
             F.count("*").alias("docs"),
             F.sum("n_tokens").alias("total_tokens"),
-            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
-            # exact integer micro-quality sum -> ONE division: avg of
-            # doubles is summation-order-dependent across engines/partition
-            # layouts and can flip the 6th decimal; this is deterministic
-            F.round(
-                F.sum(F.round(F.col("quality") * 1e6).cast("long")) / F.count("*") / 1e6, 6
-            ).alias("avg_quality"),
+            F.sum("q_micro").alias("q_micro_sum"),
         )
+    )
+    # round_half_up(total/docs, 4) = (2*total*10^4 + docs) div (2*docs),
+    # then ONE exact /10^4 — both engines divide the same integer
+    return agg.select(
+        "lang_pred",
+        "docs",
+        "total_tokens",
+        (
+            F.expr("(2 * total_tokens * 10000 + docs) div (2 * docs)") / F.lit(10000.0)
+        ).alias("avg_tokens"),
+        (
+            F.expr("(2 * q_micro_sum + docs) div (2 * docs)") / F.lit(1000000.0)
+        ).alias("avg_quality"),
     )
 
 

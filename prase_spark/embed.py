@@ -101,17 +101,40 @@ def brute_force_argmax(
     return sub, sup
 
 
+def auto_band_bits(
+    n_rows: int, margin: int = 2, min_bits: int = 8, max_bits: int = 24
+) -> int:
+    """Size the band key to the corpus: bits ≈ log2(n) + margin keeps the
+    EXPECTED random-collision volume per band at n²/2^bits ≈ n/2^margin —
+    linear in n, not quadratic. 4-bit keys (16 buckets) on a 10^9-row
+    corpus are n²/16 candidate pairs: the cross join in disguise."""
+    import math
+
+    bits = math.ceil(math.log2(max(n_rows, 2))) + margin
+    return max(min_bits, min(max_bits, bits))
+
+
 def hyperplane_signatures(
-    emb: DataFrame, dim: int, n_bits: int = 32, n_bands: int = 8, seed: int = 42
+    emb: DataFrame, dim: int, n_bits: int = 128, n_bands: int = 8, seed: int = 42
 ) -> DataFrame:
     """Random-hyperplane (SimHash) signatures, banded for LSH joins.
 
-    Deterministic: planes from a seeded generator, broadcast to executors
-    inside an Arrow-batched pandas transform. Output: one row per (ent_id,
-    band, band_key) — candidate pairs are equi-joins on (band, band_key).
+    Deterministic: planes from a seeded generator (rounded to 6 decimals so
+    engine-twin oracles can inline them as compact literals), broadcast to
+    executors inside an Arrow-batched pandas transform. Output: one row per
+    (ent_id, band, band_key) — candidate pairs are equi-joins on
+    (band, band_key).
+
+    Band keys are ``n_bits // n_bands`` bits wide — the scale lever. The
+    default (128/8 = 16-bit keys, 65,536 buckets/band) suits ~10^4-10^6 row
+    corpora; size it as log2(n)+margin via auto_band_bits (expected random
+    candidate volume per band is n²·2^-bits). Wider keys cut candidates AND
+    recall per band; hold recall by adding bands, not by narrowing keys.
     """
+    if n_bits % n_bands != 0:
+        raise ValueError(f"n_bits ({n_bits}) must be a multiple of n_bands ({n_bands})")
     rng = np.random.default_rng(seed)
-    planes = rng.normal(size=(n_bits, dim)).astype(np.float64)
+    planes = np.round(rng.normal(size=(n_bits, dim)), 6).astype(np.float64)
     bits_per_band = n_bits // n_bands
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -139,19 +162,27 @@ def lsh_candidate_pairs(
     emb_l: DataFrame,
     emb_r: DataFrame,
     dim: int,
-    n_bits: int = 32,
+    n_bits: int = 128,
     n_bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Blocked candidate pairs (l_id, r_id): same band key in any band.
     Replaces the all-pairs matmul at scale (SURVEY.md §4: MinHash/LSH
-    blocking is the scale substitute for J7)."""
-    sig_l = hyperplane_signatures(emb_l, dim, n_bits, n_bands, seed).select(
-        F.col("ent_id").alias("l_id"), "band", "band_key"
-    )
-    sig_r = hyperplane_signatures(emb_r, dim, n_bits, n_bands, seed).select(
-        F.col("ent_id").alias("r_id"), "band", "band_key"
-    )
+    blocking is the scale substitute for J7). ``max_bucket_size`` guards
+    each side's band buckets (buckets.cap_band_buckets); production
+    entry points default it on."""
+    from prase_spark.datapipe.buckets import cap_band_buckets
+
+    sig_l = cap_band_buckets(
+        hyperplane_signatures(emb_l, dim, n_bits, n_bands, seed),
+        max_bucket_size, stats_out=stats_out, label="hyperplane_lsh_l",
+    ).select(F.col("ent_id").alias("l_id"), "band", "band_key")
+    sig_r = cap_band_buckets(
+        hyperplane_signatures(emb_r, dim, n_bits, n_bands, seed),
+        max_bucket_size, label="hyperplane_lsh_r",
+    ).select(F.col("ent_id").alias("r_id"), "band", "band_key")
     return sig_l.join(sig_r, ["band", "band_key"]).select("l_id", "r_id").distinct()
 
 
@@ -160,10 +191,11 @@ def lsh_argmax(
     emb_r: DataFrame,
     dim: int,
     prob: float = 0.2,
-    n_bits: int = 32,
+    n_bits: int = 128,
     n_bands: int = 8,
     seed: int = 42,
     metric: str = "dot",
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Approximate J7: argmax within LSH-blocked candidates.
 
@@ -175,7 +207,9 @@ def lsh_argmax(
     through sheer norm despite a poor angle can fall outside the candidate
     set (recall caveat, tested ≥0.9 on the fixture). 'cosine' is offered
     for normalized-embedding workloads."""
-    pairs = lsh_candidate_pairs(emb_l, emb_r, dim, n_bits, n_bands, seed)
+    pairs = lsh_candidate_pairs(
+        emb_l, emb_r, dim, n_bits, n_bands, seed, max_bucket_size=max_bucket_size
+    )
     l = emb_l.select(F.col("ent_id").alias("l_id"), F.col("embedding").alias("emb_l"))
     r = emb_r.select(F.col("ent_id").alias("r_id"), F.col("embedding").alias("emb_r"))
     dot = F.aggregate(
@@ -200,15 +234,16 @@ def lsh_argmax_pair(
     emb_r: DataFrame,
     dim: int,
     prob: float = 0.2,
-    n_bits: int = 32,
+    n_bits: int = 128,
     n_bands: int = 8,
     seed: int = 42,
+    max_bucket_size: int | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """LSH-blocked J7 reset returning BOTH directions with the reference's
     sup derivation (objects/KGs.py:277-279: the ascending loop makes the
     sup slot the max ent_id among claimants — same rule as
     brute_force_argmax)."""
-    sub = lsh_argmax(emb_l, emb_r, dim, prob, n_bits, n_bands, seed)
+    sub = lsh_argmax(emb_l, emb_r, dim, prob, n_bits, n_bands, seed, max_bucket_size=max_bucket_size)
     sup = (
         sub.groupBy("counterpart_id")
         .agg(F.max("ent_id").alias("l_id"))
@@ -239,16 +274,36 @@ def embedding_reset_matches(
     argmax beyond ``pair_budget`` candidate pairs (or when forced via
     ``use_lsh``). The cross join is THE cartesian scale-killer at web scale,
     so production paths must never reach it implicitly — the size gate here
-    costs two count jobs on the (small-schema) embedding tables."""
+    costs two count jobs on the (small-schema) embedding tables.
+
+    The LSH band key is auto-sized to the corpus (auto_band_bits over the
+    larger side's row count): a fixed narrow key re-admits the quadratic
+    join through the blocked path at web scale. Recall is held by BAND
+    COUNT, not key width — J7 counterparts are moderate-similarity
+    (cos ~0.6 on the alignment fixtures), where per-band match probability
+    is p^bits (p = 1-θ/π), so 48 bands keep argmax recall ≳0.95 while
+    candidate volume stays ~bands·n²/2^bits ≈ 12n (linear). The bucket
+    guard is ON here (degenerate embeddings — all-zero vectors — share
+    every signature)."""
+    if use_lsh is False:
+        return brute_force_argmax(emb_l, emb_r, prob)
+    n_l, n_r = emb_l.count(), emb_r.count()
     if use_lsh is None:
-        use_lsh = emb_l.count() * emb_r.count() > pair_budget
+        use_lsh = n_l * n_r > pair_budget
     if not use_lsh:
         return brute_force_argmax(emb_l, emb_r, prob)
     first = emb_l.select(F.size("embedding").alias("d")).first()
     dim = int(first["d"]) if first is not None else 0
     if dim <= 0:
         return brute_force_argmax(emb_l, emb_r, prob)
-    return lsh_argmax_pair(emb_l, emb_r, dim, prob)
+    n_bands = 48
+    bits = auto_band_bits(max(n_l, n_r))
+    from prase_spark.datapipe.buckets import DEFAULT_MAX_BUCKET
+
+    return lsh_argmax_pair(
+        emb_l, emb_r, dim, prob, n_bits=bits * n_bands, n_bands=n_bands,
+        max_bucket_size=DEFAULT_MAX_BUCKET,
+    )
 
 
 def blend_embeddings(

@@ -22,7 +22,6 @@ def evaluate_alignment(
     pred = matches_sub.filter(~F.col("is_lit")).select(
         F.col("ent_id").alias("ent_l"), F.col("counterpart_id").alias("ent_r"), "prob"
     )
-    correct = pred.join(gold, ["ent_l", "ent_r"], "inner")
 
     # Bucket probs to the threshold grid BEFORE collecting: fused scores are
     # near-continuous doubles, so a raw groupBy("prob") collect is
@@ -33,13 +32,20 @@ def evaluate_alignment(
     for t in sorted(thresholds):
         bucket = F.when(F.col("prob") >= F.lit(float(t)), F.lit(float(t))).otherwise(bucket)
 
-    def histogram(df: DataFrame) -> list[tuple[float, int]]:
-        return [
-            (r["bucket"], r["cnt"])
-            for r in df.groupBy(bucket.alias("bucket")).agg(F.count("*").alias("cnt")).collect()
-        ]
-
-    pred_hist, correct_hist = histogram(pred), histogram(correct)
+    # ONE aggregation for both histograms: tag each predicted pair with its
+    # gold membership (left join against the deduped gold set — the
+    # reference's gold is a dict, so set semantics) and count/count-nonnull
+    # per bucket. Two separate histogram jobs would re-run the prediction
+    # DAG per iteration of the PRASE loop.
+    g = gold.select("ent_l", "ent_r").distinct().withColumn("__g", F.lit(1))
+    hist_rows = (
+        pred.join(g, ["ent_l", "ent_r"], "left")
+        .groupBy(bucket.alias("bucket"))
+        .agg(F.count("*").alias("pred_cnt"), F.count("__g").alias("correct_cnt"))
+        .collect()
+    )
+    pred_hist = [(r["bucket"], r["pred_cnt"]) for r in hist_rows]
+    correct_hist = [(r["bucket"], r["correct_cnt"]) for r in hist_rows]
     total = gold.count()
     out = []
     for t in thresholds:

@@ -70,6 +70,12 @@ def salted_join(
         # probe/build (auto previously cost two full count() jobs)
         hp = {r[key]: r["__cnt"] for r in hot_key_counts(probe, key, hot_min_rows).collect()}
         hb = {r[key]: r["__cnt"] for r in hot_key_counts(build, key, hot_min_rows).collect()}
+        # NULL keys are a classic skew source but never match an equi-join:
+        # they belong on the cold path (where the inner join drops them,
+        # exactly like the plain join would). Keeping None in the hot set
+        # would also crash the sort (None is unorderable against int/str).
+        hp = {k: v for k, v in hp.items() if k is not None}
+        hb = {k: v for k, v in hb.items() if k is not None}
         keys = sorted(set(hp) | set(hb))
         spark = probe.sparkSession
         hot = spark.createDataFrame([(k,) for k in keys], probe.select(key).schema)

@@ -1,0 +1,167 @@
+"""Band-bucket guard + telemetry (buckets.py) and LSH band-width scaling:
+the n²-in-disguise guards for every banded candidate generator."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.buckets import bucket_stats, cap_band_buckets
+from prase_spark.embed import auto_band_bits
+
+
+def test_auto_band_bits_sizing():
+    # log2(n) + 2 margin, clamped to [8, 24]
+    assert auto_band_bits(100) == 9
+    assert auto_band_bits(10) == 8  # min clamp
+    assert auto_band_bits(1_000_000) == 22
+    assert auto_band_bits(10**9) == 24  # max clamp
+    assert auto_band_bits(0) == 8  # degenerate corpus
+
+
+def test_cap_band_buckets_drops_giant_bucket(spark):
+    rows = [(i, 0, 7) for i in range(100)] + [(1000 + i, 0, 9) for i in range(5)]
+    banded = spark.createDataFrame(rows, "key LONG, band INT, band_key LONG")
+    stats = {}
+    capped = cap_band_buckets(banded, max_bucket_size=50, stats_out=stats)
+    left = capped.collect()
+    assert len(left) == 5 and all(r["band_key"] == 9 for r in left)
+    assert stats["capped_buckets"] == 1 and stats["capped_rows"] == 100
+    assert stats["largest_buckets"][0] == {"band": 0, "band_key": 7, "rows": 100}
+    # None disables the cap but still reports stats
+    stats2 = {}
+    uncapped = cap_band_buckets(banded, max_bucket_size=None, stats_out=stats2)
+    assert uncapped.count() == 105
+    assert stats2["capped_buckets"] == 0 and stats2["capped_rows"] == 0
+    assert stats2["largest_buckets"][0]["rows"] == 100
+
+
+def test_bucket_stats_topk(spark):
+    rows = [(i, 0, i % 3) for i in range(30)]
+    banded = spark.createDataFrame(rows, "key LONG, band INT, band_key LONG")
+    top = bucket_stats(banded, top_k=2)
+    assert len(top) == 2 and all(s["rows"] == 10 for s in top)
+
+
+def test_minhash_giant_bucket_guard(spark):
+    """200 identical docs = one 200-row band bucket per band; the guard must
+    bound the candidate join and surface telemetry."""
+    from prase_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "the very same empty boilerplate body") for i in range(200)],
+        "doc_id LONG, text STRING",
+    )
+    unguarded = minhash_lsh_pairs(docs, max_bucket_size=None)
+    assert unguarded.count() == 200 * 199 // 2  # quadratic without the guard
+    stats = {}
+    guarded = minhash_lsh_pairs(docs, max_bucket_size=50, stats_out=stats)
+    assert guarded.count() == 0  # every bucket was degenerate -> skipped
+    assert stats["capped_buckets"] == 16  # one per band
+    assert stats["capped_rows"] == 16 * 200
+    assert stats["largest_buckets"][0]["rows"] == 200
+
+
+def test_minhash_guard_keeps_healthy_buckets(spark):
+    """The guard must not disturb candidates below the cap."""
+    from prase_spark.datapipe.dedup import minhash_lsh_pairs
+
+    rows = [(i, f"shared near duplicate text body for pair {i // 2}") for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    base = {(r["key_a"], r["key_b"]) for r in minhash_lsh_pairs(docs, max_bucket_size=None).collect()}
+    capped = {(r["key_a"], r["key_b"]) for r in minhash_lsh_pairs(docs, max_bucket_size=50).collect()}
+    assert capped == base and (0, 1) in base
+
+
+def test_simhash_giant_bucket_guard(spark):
+    from prase_spark.datapipe.dedup import simhash_pairs
+
+    docs = spark.createDataFrame(
+        [(i, "identical page content everywhere") for i in range(120)],
+        "doc_id LONG, text STRING",
+    )
+    assert simhash_pairs(docs, max_bucket_size=None).count() == 120 * 119 // 2
+    stats = {}
+    assert simhash_pairs(docs, max_bucket_size=40, stats_out=stats).count() == 0
+    assert stats["capped_buckets"] == 4 and stats["capped_rows"] == 4 * 120
+
+
+def test_simhash_empty_docs_pair_at_hamming_zero(spark):
+    """Empty/whitespace/NULL docs all get the ''-shingle fallback signature
+    in BOTH simhash paths and pair with each other at hamming 0 (pinned:
+    the signature-table path is value-identical to simhash64 here)."""
+    from prase_spark.datapipe.dedup import simhash64, simhash_pairs, simhash_signature_table
+
+    df = spark.createDataFrame(
+        [(1, "hello world foo"), (2, ""), (3, "   "), (4, None)],
+        "doc_id LONG, text STRING",
+    )
+    sigs = {r["key"]: r["sig"] for r in simhash_signature_table(df).collect()}
+    legacy = {r["doc_id"]: r["s"] for r in df.select("doc_id", simhash64("text").alias("s")).collect()}
+    assert sigs == legacy and len(sigs) == 4
+    pairs = {(r["key_a"], r["key_b"]) for r in simhash_pairs(df).collect()}
+    assert pairs == {(2, 3), (2, 4), (3, 4)}
+
+
+def test_pipeline_stats_out_telemetry(spark):
+    """minhash_dedup / embedding_neardup surface band-bucket telemetry via
+    stats_out — the side channel a 100-TB operator watches."""
+    from prase_spark.datapipe.dedup import minhash_dedup
+    from prase_spark.datapipe.simsearch import embedding_neardup
+
+    texts = [
+        "alpha beta gamma delta epsilon zeta words",
+        "one two three four five six seven eight",
+        "red orange yellow green blue indigo violet",
+    ]
+    docs = spark.createDataFrame(
+        [(i, texts[i % 3]) for i in range(9)], "doc_id LONG, text STRING"
+    )
+    stats = {}
+    minhash_dedup(docs, stats_out=stats).count()
+    assert stats["capped_buckets"] == 0 and stats["largest_buckets"][0]["rows"] == 3
+
+    # two orthogonal triples -> two disjoint signature groups of 3
+    vecs = [(i, [1.0, 0.0, 0.0, 0.0] if i < 3 else [0.0, 1.0, 0.0, 0.0]) for i in range(6)]
+    emb = spark.createDataFrame(vecs, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    estats = {}
+    embedding_neardup(emb, dim=4, threshold=0.999, stats_out=estats).count()
+    assert estats["capped_buckets"] == 0 and estats["largest_buckets"][0]["rows"] == 3
+
+
+def test_minhash_bands_validation(spark):
+    from prase_spark.datapipe.dedup import minhash_lsh_pairs
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    with pytest.raises(ValueError, match="bands"):
+        minhash_lsh_pairs(docs, num_hashes=8, bands=16)
+
+
+def test_hyperplane_band_width_bounds_candidates(spark):
+    """VERDICT r2 #1 'done' criterion: at the 16-bit default band keys the
+    blocked candidate volume on a random corpus is ~linear in n (expected
+    n²·bands/2^bits), nowhere near the n²/2 the old 4-bit keys produced."""
+    import numpy as np
+
+    from prase_spark.embed import lsh_candidate_pairs
+
+    n, dim = 4000, 8
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(n, dim))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(n)]
+    emb = spark.createDataFrame(rows, "ent_id LONG, embedding ARRAY<DOUBLE>")
+    wide = lsh_candidate_pairs(emb, emb, dim=dim).count()
+    narrow = lsh_candidate_pairs(emb, emb, dim=dim, n_bits=32, n_bands=8).count()
+    # measured on this fixture: 16-bit keys ~106k candidates (0.66% of n²,
+    # dim-8 bits are correlated so the tail is fatter than 64-dim corpora);
+    # 4-bit keys admit multi-millions — the n²-in-disguise VERDICT flagged
+    assert wide <= (n * n) // 100, wide
+    assert wide * 20 <= narrow, (wide, narrow)
+    assert wide >= n  # every vector at least collides with itself
+
+
+def test_hyperplane_requires_divisible_bands():
+    import numpy as np  # noqa: F401  (parity with module import guard)
+
+    from prase_spark.embed import hyperplane_signatures
+
+    with pytest.raises(ValueError, match="multiple"):
+        hyperplane_signatures(None, dim=4, n_bits=30, n_bands=8)

@@ -40,6 +40,25 @@ def test_exact_dedup(docs):
 
     got = {r["doc_id"]: r["dup_count"] for r in exact_dedup(docs).collect()}
     assert got[0] == 2 and 2 not in got and got[1] == 1
+    # plan hygiene: the MAIN aggregation shuffles on the 8-byte hash (the
+    # residual text-keyed exchange sits below the collision left-semi and
+    # only ever sees rows of colliding hash groups — ~0 in practice)
+    plan = exact_dedup(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(__h" in plan
+
+
+def test_exact_dedup_collision_safe(spark):
+    """A deliberately colliding hash (text length) must still dedup
+    byte-exactly: colliding groups are re-grouped on the full text."""
+    from prase_spark.datapipe.dedup import exact_dedup
+
+    rows = [(1, "aaaa"), (2, "bbbb"), (3, "aaaa"), (4, "cc"), (5, "cc")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {
+        r["doc_id"]: (r["text"], r["dup_count"])
+        for r in exact_dedup(df, hash_fn=F.length).collect()
+    }
+    assert out == {1: ("aaaa", 2), 2: ("bbbb", 1), 4: ("cc", 2)}
 
 
 def test_ngram_jaccard_pairs(docs):
@@ -145,7 +164,8 @@ def test_lsh_topk_recall(spark):
     }
     approx = {
         r["query_id"]: r["vec_id"]
-        for r in lsh_topk(corpus, queries, dim=16, k=1, n_bits=64, n_bands=16).collect()
+        # production-width default band keys (128/8 = 16-bit)
+        for r in lsh_topk(corpus, queries, dim=16, k=1).collect()
     }
     hits = sum(1 for q, v in exact.items() if approx.get(q) == v)
     assert hits >= 18  # self-match always collides in every band

@@ -25,6 +25,25 @@ def test_salted_join_equivalent(spark):
     assert plain == salted
 
 
+def test_salted_join_null_keys(spark):
+    """A NULL-heavy key column (classic skew source) must not crash the
+    auto sketch; NULL rows take the cold path where the inner join drops
+    them — exactly like the plain join."""
+    probe = spark.createDataFrame(
+        [(None, i) for i in range(40)] + [(1, 100), (1, 101), (2, 102)],
+        "k LONG, pv INT",
+    )
+    build = spark.createDataFrame(
+        [(None, "n")] * 30 + [(1, "a"), (2, "b")], "k LONG, bv STRING"
+    )
+    plain = Counter(tuple(r) for r in probe.join(build, "k").collect())
+    salted = Counter(
+        tuple(r)
+        for r in salted_join(probe, build, "k", salt_buckets=3, hot_min_rows=10).collect()
+    )
+    assert plain == salted and len(plain) == 3
+
+
 def test_hot_keys(spark):
     df = spark.createDataFrame([(1,)] * 500 + [(2,)] * 3, "k LONG")
     hot = [r["k"] for r in hot_keys(df, "k", min_rows=100).collect()]

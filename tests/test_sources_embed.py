@@ -78,7 +78,9 @@ def test_lsh_argmax_agrees_with_brute_force(spark):
     emb_r = spark.createDataFrame(rows_r, "ent_id LONG, embedding ARRAY<DOUBLE>")
     approx = {
         r["ent_id"]: r["counterpart_id"]
-        for r in lsh_argmax(emb_l, emb_r, dim=16, n_bits=64, n_bands=16).collect()
+        # production-width default band keys (128/8 = 16-bit): noisy copies
+        # (cos ≈ 0.995) keep per-band match prob ~0.6, ~0.999 over 8 bands
+        for r in lsh_argmax(emb_l, emb_r, dim=16).collect()
     }
     correct = sum(1 for i in range(60) if approx.get(i) == i + 1000)
     assert correct >= 54  # ≥90% recall of the true nearest copy
