@@ -569,6 +569,18 @@ def _q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs(corpus, max_hamming=3, hash_fn=poly_hash61)
 
 
+def _q_simhash_manku_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ≥10^7-doc SimHash path: Manku block-combination tables (20
+    tables of ~32-bit keys). Shares the banded variant's oracle — the two
+    are value-identical by construction, so the driver hash-verifies the
+    Manku implementation against the independent DuckDB banding."""
+    from prase_spark.datapipe.dedup import simhash_pairs_manku
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    corpus = _dup_docs(spark, sf_dir, 80, 40)
+    return simhash_pairs_manku(corpus, max_hamming=3, hash_fn=poly_hash61)
+
+
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.hashing import poly_hash61
     from prase_spark.datapipe.textstats import add_fingerprint
@@ -712,6 +724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paris_iter1_argmax": _q_paris_iter1_argmax,
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "simhash_manku_docs": _q_simhash_manku_docs,
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1183,7 +1196,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY e, t2
         """
 
-    return {
+    out = {
         "kg1_functionality": f"""
             WITH kg1_raw AS ({KG1_SQL}), triples AS ({kg1_inv})
             SELECT pred AS pred_name,
@@ -1590,3 +1603,9 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
         """,
     }
+    # Manku-table simhash is value-identical to the banded variant (both
+    # blockers are exact for hamming<=3, verification computes true
+    # hamming) — it shares the banded oracle, so the equivalence itself is
+    # hash-verified by the driver.
+    out["simhash_manku_docs"] = out["simhash_pairs_docs"]
+    return out

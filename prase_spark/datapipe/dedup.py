@@ -491,3 +491,76 @@ def simhash_pairs(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("key_a", "key_b", "hamming")
+
+
+def simhash_pairs_manku(
+    df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    max_hamming: int = 3,
+    shingle_n: int = 2,
+    hash_fn=None,
+    n_blocks: int | None = None,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """SimHash near-dup pairs via Manku-style block-combination tables —
+    the ≥10^7-doc replacement for the 4×16-bit banding in simhash_pairs
+    (Manku, Jain & Das Sarma, WWW'07 §3: near-duplicate detection for web
+    crawling; re-derived here, no code consulted).
+
+    The 64-bit signature splits into B = max_hamming+3 blocks; a pair
+    within hamming distance k=max_hamming differs in at most k blocks, so
+    it AGREES on some (B-k)-block combination — one table per combination
+    (C(B,k) tables; B=6,k=3 → 20 tables) keyed on the concatenated bits of
+    its B-k blocks (~64·(B-k)/B ≈ 32 bits). Same exact-recall guarantee as
+    banding, but the band keyspace grows from 2^16 to ~2^32 buckets: at
+    10^9 docs the average bucket falls from ~15k rows (10^12 candidate
+    pairs/band) to <1 row. Shuffle cost is 20 signature rows/doc instead
+    of 4 — linear, and the price of staying subquadratic.
+
+    Output is VALUE-IDENTICAL to simhash_pairs (both blockers are exact
+    for hamming ≤ k and verification computes true hamming) — pinned by
+    pytest and by sharing simhash_pairs' DuckDB gate oracle."""
+    from itertools import combinations
+
+    if max_hamming < 1:
+        raise ValueError("max_hamming must be >= 1")
+    b_total = n_blocks or (max_hamming + 3)
+    if b_total <= max_hamming:
+        raise ValueError(f"n_blocks ({b_total}) must exceed max_hamming ({max_hamming})")
+    sizes = [64 // b_total + (1 if i < 64 % b_total else 0) for i in range(b_total)]
+    offsets = [sum(sizes[:i]) for i in range(b_total)]
+
+    def block(i: int) -> Column:
+        return F.expr(f"shiftrightunsigned(sig, {offsets[i]})").bitwiseAND(
+            F.lit((1 << sizes[i]) - 1)
+        )
+
+    tables = list(combinations(range(b_total), b_total - max_hamming))
+    structs = []
+    for t, combo in enumerate(tables):
+        key = F.lit(0).cast("long")
+        shift = 0
+        for i in combo:
+            key = key.bitwiseOR(F.shiftleft(block(i), shift))
+            shift += sizes[i]
+        structs.append(F.struct(F.lit(t).alias("band"), key.alias("band_key")))
+
+    sh = simhash_signature_table(df, text_col, key_col, shingle_n, hash_fn)
+    banded = sh.select(
+        "key", "sig", F.explode(F.array(*structs)).alias("s")
+    ).select("key", "sig", "s.band", "s.band_key")
+    banded = cap_band_buckets(banded, max_bucket_size, stats_out=stats_out, label="simhash_manku")
+    a = banded.select(F.col("key").alias("key_a"), F.col("sig").alias("sig_a"), "band", "band_key")
+    b = banded.select(F.col("key").alias("key_b"), F.col("sig").alias("sig_b"), "band", "band_key")
+    cand = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return cand.withColumn("hamming", hamming).filter(
+        F.col("hamming") <= max_hamming
+    ).select("key_a", "key_b", "hamming")

@@ -127,6 +127,30 @@ def test_pipeline_stats_out_telemetry(spark):
     assert estats["capped_buckets"] == 0 and estats["largest_buckets"][0]["rows"] == 3
 
 
+def test_simhash_manku_equals_banded(spark):
+    """Manku block-combination tables must emit EXACTLY the banded
+    variant's pair set (both blockers are exact for hamming<=k), with the
+    wider ~32-bit keys. Fixture: near-dup pairs + distinct docs."""
+    from prase_spark.datapipe.dedup import simhash_pairs, simhash_pairs_manku
+
+    rows = []
+    for i in range(30):
+        base = f"document number {i} talks about topic {i % 5} in detail with many words"
+        rows.append((2 * i, base))
+        rows.append((2 * i + 1, base + (" extra" if i % 2 else "")))
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    banded = {(r["key_a"], r["key_b"], r["hamming"]) for r in simhash_pairs(docs).collect()}
+    manku = {(r["key_a"], r["key_b"], r["hamming"]) for r in simhash_pairs_manku(docs).collect()}
+    assert manku == banded and len(banded) > 0
+    # guard works on this path too
+    stats = {}
+    ident = spark.createDataFrame(
+        [(i, "same text for all") for i in range(80)], "doc_id LONG, text STRING"
+    )
+    assert simhash_pairs_manku(ident, max_bucket_size=40, stats_out=stats).count() == 0
+    assert stats["capped_buckets"] == 20  # one degenerate bucket per table
+
+
 def test_minhash_bands_validation(spark):
     from prase_spark.datapipe.dedup import minhash_lsh_pairs
 
