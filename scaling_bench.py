@@ -31,7 +31,11 @@ from prase_spark.fixtures import synthetic_pages_distributed
 from prase_spark.datapipe.textstats import token_count, quality_score
 
 # executor-side page synthesis (~5KB/page), materialized outside the window
-pages = synthetic_pages_distributed(spark, n_pages, partitions=cpus * 2)
+# partition multiplier: waves per core — 2 means exactly two task waves
+# (straggler-sensitive); 4+ smooths stragglers at the cost of per-task
+# overhead. Applied to BOTH legs so the comparison stays fair.
+parts_mult = int(os.environ.get("PRASE_SCALE_PARTS_MULT", "2"))
+pages = synthetic_pages_distributed(spark, n_pages, partitions=cpus * parts_mult)
 pages = pages.select("url", "text").persist()
 pages.count()
 
