@@ -169,6 +169,61 @@ def _seeded_centroids(corpus_pd: np.ndarray, n_cells: int, seed: int) -> np.ndar
     return cents / np.maximum(np.linalg.norm(cents, axis=1, keepdims=True), 1e-12)
 
 
+def _centroid_df(spark, cents: np.ndarray):
+    rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    return spark.createDataFrame(rows, "cell INT, c_vec ARRAY<DOUBLE>")
+
+
+def train_ivf_centroids(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    iters: int = 2,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd refinement of the IVF coarse quantizer (spherical
+    k-means): seeded-sample init, then ``iters`` rounds of
+    assign (broadcast-centroid cosine argmax) -> per-cell mean (posexplode
+    + ONE hash aggregation over corpus×dim rows) -> renormalize. Only
+    n_cells×dim rows ever reach the driver per round — this is the
+    k-means|| shape that replaces the sample-only centroids at cluster
+    scale. Empty cells keep their previous centroid."""
+    spark = corpus.sparkSession
+    sample = corpus.select(vec_col).limit(sample_cap).collect()
+    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+    cents = _seeded_centroids(mat, n_cells, seed)
+    c = corpus.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    for _ in range(iters):
+        cent_df = _centroid_df(spark, cents)
+        assign = (
+            c.join(F.broadcast(cent_df))
+            .withColumn("sim", cosine_expr("v", "c_vec"))
+            .groupBy("vid")
+            .agg(
+                F.max_by("cell", F.struct("sim", (-F.col("cell")).alias("nc"))).alias("cell"),
+                F.first("v").alias("v"),
+            )
+        )
+        sums = (
+            assign.select("cell", F.posexplode("v").alias("pos", "x"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+            .collect()
+        )
+        new = cents.copy()
+        acc: dict[int, np.ndarray] = {}
+        for r in sums:
+            acc.setdefault(r["cell"], np.zeros(cents.shape[1]))[r["pos"]] = r["s"] / r["n"]
+        for cell, vec in acc.items():
+            nrm = np.linalg.norm(vec)
+            if nrm > 1e-12:
+                new[cell] = vec / nrm
+        cents = new
+    return cents
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -180,17 +235,24 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    train_iters: int = 0,
 ) -> DataFrame:
     """IVF: coarse-quantize corpus to its nearest centroid cell; probe the
     n_probe nearest cells per query. Centroids come from a deterministic
-    seeded sample (driver-side, capped — at cluster scale this is a
-    k-means|| job; the assignment/probe joins are identical)."""
-    sample = corpus.select(vec_col).limit(sample_cap).collect()
-    mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
-    cents = _seeded_centroids(mat, n_cells, seed)
-    cent_rows = [(i, [float(x) for x in cents[i]]) for i in range(len(cents))]
+    seeded sample; ``train_iters`` > 0 refines them with distributed
+    Lloyd rounds (train_ivf_centroids — the k-means|| shape: only
+    n_cells×dim rows reach the driver per round), tightening cells so the
+    same n_probe covers more of the true neighborhood."""
     spark = corpus.sparkSession
-    cent_df = spark.createDataFrame(cent_rows, "cell INT, c_vec ARRAY<DOUBLE>")
+    if train_iters > 0:
+        cents = train_ivf_centroids(
+            corpus, n_cells, train_iters, seed, sample_cap, id_col, vec_col
+        )
+    else:
+        sample = corpus.select(vec_col).limit(sample_cap).collect()
+        mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+        cents = _seeded_centroids(mat, n_cells, seed)
+    cent_df = _centroid_df(spark, cents)
 
     c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
     assign = (

@@ -192,6 +192,42 @@ def test_ivf_topk(spark):
     assert hits >= 7
 
 
+def test_ivf_trained_centroids(spark):
+    """Lloyd-refined IVF: on well-separated blobs, 2 training rounds give
+    exact recall@1 at n_probe=1 and must not lose to the sample-only
+    quantizer at equal probe budget."""
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import cosine_topk, ivf_topk, train_ivf_centroids
+
+    rng = np.random.default_rng(3)
+    centers = np.eye(4)  # 4 orthogonal blob directions in dim 4
+    mat = np.vstack([c + rng.normal(size=(40, 4)) * 0.05 for c in centers])
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(160)]
+    corpus = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    queries = corpus.filter("vec_id % 40 = 7").select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    exact = {r["query_id"]: r["vec_id"] for r in cosine_topk(corpus, queries, k=1).collect()}
+
+    def recall(train_iters):
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in ivf_topk(
+                corpus, queries, k=1, n_cells=4, n_probe=1, train_iters=train_iters
+            ).collect()
+        }
+        return sum(1 for q, v in exact.items() if got.get(q) == v)
+
+    r_trained = recall(2)
+    assert r_trained == len(exact)  # blobs are separable -> exact at n_probe=1
+    assert r_trained >= recall(0)
+    # trained centroids align with the blob directions (cos > 0.95 each)
+    cents = train_ivf_centroids(corpus, n_cells=4, iters=2)
+    best = [max(abs(float(np.dot(c, e))) for c in cents) for e in centers]
+    assert all(b > 0.95 for b in best), best
+
+
 def test_multimodal_features(spark):
     from prase_spark.datapipe.multimodal import (
         MEDIA,
