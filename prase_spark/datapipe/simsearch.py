@@ -59,6 +59,7 @@ def lsh_topk(
     query_id_col: str = "query_id",
     max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
     stats_out: dict | None = None,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: candidates share ≥1 hyperplane band with the
     query, then exact cosine + window top-k on the candidate set.
@@ -68,7 +69,16 @@ def lsh_topk(
     recall at 8 bands; for moderate-similarity top-k (cos ~ 0.3-0.7) the
     band-match probability collapses and the honest scale tool is ivf_topk
     (probe-bounded) — not narrower LSH keys, which re-admit the quadratic
-    join. Corpus band buckets are guarded by ``max_bucket_size``."""
+    join. Corpus band buckets are guarded by ``max_bucket_size``.
+
+    ``multi_probe=1`` additionally probes every 1-bit-flip neighbor of
+    each QUERY band key (Lv et al.'s multi-probe idea re-expressed as a
+    query-side fan-out): the corpus side — the big side — is untouched,
+    the broadcast query signature table grows ×(bits_per_band+1), and the
+    per-band match probability rises from p^b to p^b + b·p^(b-1)(1-p);
+    at cos 0.9 / 16-bit keys / 8 bands that is ~0.49 -> ~0.94 recall.
+    This is how recall is bought back at production key widths without
+    re-admitting the quadratic join."""
     c_sig = cap_band_buckets(
         hyperplane_signatures(
             corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
@@ -80,6 +90,19 @@ def lsh_topk(
         queries.select(F.col(query_id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
         dim, n_bits, n_bands, seed,
     ).select(F.col("ent_id").alias("query_id"), "band", "band_key")
+    if multi_probe:
+        if multi_probe != 1:
+            raise ValueError("multi_probe supports 0 (off) or 1 (1-bit-flip probes)")
+        bits_per_band = n_bits // n_bands
+        masks = F.array(F.lit(0), *[F.lit(1 << j) for j in range(bits_per_band)])
+        q_sig = q_sig.select(
+            "query_id", "band",
+            F.explode(masks).alias("__m"),
+            "band_key",
+        ).select(
+            "query_id", "band",
+            F.col("band_key").bitwiseXOR(F.col("__m")).alias("band_key"),
+        )
     cand = c_sig.join(F.broadcast(q_sig), ["band", "band_key"]).select(
         "query_id", "vec_id"
     ).distinct()

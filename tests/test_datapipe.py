@@ -171,6 +171,39 @@ def test_lsh_topk_recall(spark):
     assert hits >= 18  # self-match always collides in every band
 
 
+def test_lsh_topk_multi_probe_recall(spark):
+    """Query-side 1-bit-flip probing must substantially lift recall at
+    production-width (16-bit) band keys on near-dup-grade (cos≈0.9)
+    neighbors, without touching the corpus side."""
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import lsh_topk
+
+    rng = np.random.default_rng(9)
+    mat = rng.normal(size=(300, 16))
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    noisy = mat + rng.normal(size=mat.shape) * 0.121  # cos ≈ 0.9 to the original
+    corpus = spark.createDataFrame(
+        [(i, [float(x) for x in mat[i]]) for i in range(300)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(i, [float(x) for x in noisy[i]]) for i in range(100)],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+
+    def recall(mp):
+        got = {
+            r["query_id"]: r["vec_id"]
+            for r in lsh_topk(corpus, queries, dim=16, k=1, multi_probe=mp).collect()
+        }
+        return sum(1 for q in range(100) if got.get(q) == q)
+
+    r0, r1 = recall(0), recall(1)
+    assert r1 >= r0 + 20, (r0, r1)  # theory: ~0.50 -> ~0.94 band recall
+    assert r1 >= 75, (r0, r1)
+
+
 def test_ivf_topk(spark):
     import numpy as np
 
