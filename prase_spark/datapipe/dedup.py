@@ -277,20 +277,6 @@ def exact_jaccard(
     )
 
 
-def cap_shingle_df(shingles: DataFrame, max_df: int) -> DataFrame:
-    """Stop-shingle filter: drop shingles occurring in more than ``max_df``
-    docs. A shingle shared by millions of documents ("all rights reserved…")
-    carries ~zero Jaccard information but d² candidate pairs; capping it
-    bounds the candidate self-join at Σ min(df, max_df)² per shingle."""
-    hot = (
-        shingles.groupBy("shingle")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("shingle")
-    )
-    return shingles.join(hot, "shingle", "left_anti")
-
-
 def ngram_jaccard_pairs(
     df: DataFrame,
     threshold: float = 0.8,

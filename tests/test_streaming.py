@@ -35,6 +35,64 @@ def test_streaming_event_counts_shape(spark):
     assert cols == {"window", "event_type", "events", "value_sum"}
 
 
+def test_streaming_windowed_counts_watermark(spark, tmp_path):
+    """streaming_event_counts as a REAL stream: append-mode windows
+    finalize only once the (checkpoint-persisted) watermark passes, and
+    data later than the watermark is DROPPED, never re-opening an emitted
+    window."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    src, out, ckpt = str(tmp_path / "src"), str(tmp_path / "out"), str(tmp_path / "ck")
+    schema = "ts TIMESTAMP, event_type STRING, value DOUBLE"
+
+    def write(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(schema).parquet(src)
+        agg = streaming_event_counts(stream, window="1 hour", watermark="2 hours")
+        flat = agg.select(
+            F.col("window.start").alias("ws"), "event_type", "events", "value_sum"
+        )
+        q = (
+            flat.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    def t(h, m=0):
+        return dt.datetime(2026, 1, 1, h, m)
+
+    def emitted():
+        try:
+            return {
+                (r["ws"].hour, r["event_type"]): (r["events"], r["value_sum"])
+                for r in spark.read.parquet(out).collect()
+            }
+        except Exception:
+            return {}
+
+    write([(t(10, 0), "a", 1.0), (t(10, 30), "a", 2.0), (t(11, 15), "b", 5.0)])
+    run()  # watermark advances to 9:15 — nothing finalized yet
+    assert emitted() == {}
+
+    write([(t(14, 0), "b", 1.0)])
+    run()  # watermark -> 12:00: the 10:00 and 11:00 windows finalize
+    assert emitted() == {(10, "a"): (2, 3.0), (11, "b"): (1, 5.0)}
+
+    # LATE: 10:20 is behind the persisted 12:00 watermark -> dropped; the
+    # already-emitted 10:00 window must not change or re-emit
+    write([(t(10, 20), "a", 100.0)])
+    run()
+    assert emitted() == {(10, "a"): (2, 3.0), (11, "b"): (1, 5.0)}
+
+
 def test_stream_first_seen_cross_batch_dedup(spark, tmp_path):
     """applyInPandasWithState operator: a key emitted in an earlier
     micro-batch (or earlier run — state restored from checkpoint) is
