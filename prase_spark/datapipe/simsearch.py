@@ -292,7 +292,12 @@ def ivf_topk(
         .filter(F.col("rk") <= n_probe)
         .select("query_id", "cell", "q_vec")
     )
-    scored = assign.join(q_cells, "cell").withColumn("cosine", cosine_expr("q_vec", "v"))
+    # broadcast the probe set: joining the corpus-sized assignment on a
+    # key with only n_cells distinct values via a shuffle join is maximal
+    # skew (every row lands in <= n_cells reducer groups)
+    scored = assign.join(F.broadcast(q_cells), "cell").withColumn(
+        "cosine", cosine_expr("q_vec", "v")
+    )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
