@@ -18,7 +18,16 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prase_spark.datapipe.buckets import DEFAULT_MAX_BUCKET, cap_band_buckets
-from prase_spark.embed import cosine_expr, hyperplane_signatures
+from prase_spark.embed import auto_band_bits, cosine_expr, hyperplane_signatures
+
+
+def _resolve_bits(n_bits: int | None, n_bands: int, corpus: DataFrame) -> int:
+    """n_bits=None -> size band keys to the corpus (auto_band_bits over a
+    count job): a fixed key width is always wrong at SOME corpus size —
+    too narrow re-admits the quadratic join, too wide wastes recall."""
+    if n_bits is not None:
+        return n_bits
+    return auto_band_bits(corpus.count()) * n_bands
 
 
 def cosine_topk(
@@ -51,7 +60,7 @@ def lsh_topk(
     queries: DataFrame,
     dim: int,
     k: int = 10,
-    n_bits: int = 128,
+    n_bits: int | None = 128,
     n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -78,7 +87,11 @@ def lsh_topk(
     per-band match probability rises from p^b to p^b + b·p^(b-1)(1-p);
     at cos 0.9 / 16-bit keys / 8 bands that is ~0.49 -> ~0.94 recall.
     This is how recall is bought back at production key widths without
-    re-admitting the quadratic join."""
+    re-admitting the quadratic join.
+
+    ``n_bits=None`` auto-sizes the band keys to the corpus (one count
+    job; auto_band_bits)."""
+    n_bits = _resolve_bits(n_bits, n_bands, corpus)
     c_sig = cap_band_buckets(
         hyperplane_signatures(
             corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),
@@ -123,7 +136,7 @@ def embedding_neardup(
     corpus: DataFrame,
     dim: int,
     threshold: float = 0.99,
-    n_bits: int = 128,
+    n_bits: int | None = 128,
     n_bands: int = 8,
     seed: int = 42,
     id_col: str = "vec_id",
@@ -142,9 +155,12 @@ def embedding_neardup(
     probability, so recall holds where it matters; see
     hyperplane_signatures), degenerate buckets capped (``max_bucket_size``
     — all-zero vectors share every signature), each intermediate
-    materialized exactly once. ``stats_out`` surfaces bucket telemetry."""
+    materialized exactly once. ``stats_out`` surfaces bucket telemetry.
+    ``n_bits=None`` auto-sizes the band keys to the corpus (one count
+    job)."""
     from prase_spark.matching import connected_components
 
+    n_bits = _resolve_bits(n_bits, n_bands, corpus)
     sig = cap_band_buckets(
         hyperplane_signatures(
             corpus.select(F.col(id_col).alias("ent_id"), F.col(vec_col).alias("embedding")),

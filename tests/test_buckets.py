@@ -127,6 +127,30 @@ def test_pipeline_stats_out_telemetry(spark):
     assert estats["capped_buckets"] == 0 and estats["largest_buckets"][0]["rows"] == 3
 
 
+def test_neardup_auto_band_bits(spark):
+    """n_bits=None sizes band keys to the corpus: exact planted copies
+    still cluster at auto width (identical vectors collide at ANY width)."""
+    from prase_spark.datapipe.simsearch import embedding_neardup, lsh_topk
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(60, 8))
+    rows = [(i, [float(x) for x in mat[i]]) for i in range(60)]
+    rows += [(1000 + i, rows[i][1]) for i in range(10)]  # exact copies
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = embedding_neardup(emb, dim=8, threshold=0.999, n_bits=None).collect()
+    clusters = {}
+    for r in out:
+        clusters.setdefault(r["cluster_id"], set()).add(r["vec_id"])
+    for i in range(10):
+        assert any({i, 1000 + i} <= m for m in clusters.values()), i
+    q = emb.filter("vec_id < 3").select(F.col("vec_id").alias("query_id"), "embedding")
+    got = {r["query_id"]: r["vec_id"] for r in
+           lsh_topk(emb, q, dim=8, k=1, n_bits=None).collect()}
+    assert got == {0: 0, 1: 1, 2: 2}  # self always collides
+
+
 def test_simhash_manku_equals_banded(spark):
     """Manku block-combination tables must emit EXACTLY the banded
     variant's pair set (both blockers are exact for hamming<=k), with the
