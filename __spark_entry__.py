@@ -131,10 +131,16 @@ def _q_kg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_mutual_best_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """J6 analog over events: mutual-best (user, event_type) by value sum."""
+    """J6 analog over events: mutual-best (user, event_type) by value sum.
+
+    ``value`` is centi-unit data stored as double, so the score sums EXACT
+    long centi-units (one /100.0 at the end) instead of rounding a
+    partition-order-dependent double sum — the same cross-engine
+    rounding-tie class the corpus_stats gate hit in round 2, and it also
+    makes the ranking ties deterministic."""
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     score = ev.groupBy("user_id", "event_type").agg(
-        F.round(F.sum("value"), 2).alias("score")
+        (F.sum(F.round(F.col("value") * 100).cast("long")) / F.lit(100.0)).alias("score")
     )
     w_u = Window.partitionBy("user_id").orderBy(F.desc("score"), F.desc("event_type"))
     w_t = Window.partitionBy("event_type").orderBy(F.desc("score"), F.desc("user_id"))
@@ -1272,7 +1278,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "mutual_best_events": """
             WITH score AS (
-                SELECT user_id, event_type, round(sum(value), 2) AS score
+                SELECT user_id, event_type,
+                       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS score
                 FROM events GROUP BY user_id, event_type
             ),
             best_u AS (
