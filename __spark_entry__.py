@@ -587,6 +587,23 @@ def _q_simhash_manku_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash_pairs_manku(corpus, max_hamming=3, hash_fn=poly_hash61)
 
 
+def _q_name_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-KG name blocking (nameblock.name_candidates): left = part
+    names, right = deterministic ' v2' variants; char-3-gram minhash
+    banding (32 hashes / 16 bands, poly hash) + exact jaccard >= 0.6.
+    Output is the pair set only — strings, engine-exact (the threshold is
+    one division of identical integers in both engines)."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.nameblock import name_candidates
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    left = p.select(F.col("p_name").alias("name"))
+    right = p.select(F.concat(F.col("p_name"), F.lit(" v2")).alias("name"))
+    return name_candidates(
+        left, right, threshold=0.6, num_hashes=32, bands=16, hash_fn=poly_hash61
+    ).select("name_l", "name_r")
+
+
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.hashing import poly_hash61
     from prase_spark.datapipe.textstats import add_fingerprint
@@ -731,6 +748,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
+        "name_block_parts": _q_name_block_parts,
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1140,6 +1158,9 @@ def oracle_sql() -> dict[str, str]:
     poly_shingle = POLY_SQL.format(c="shingle")
     mh_params = ",\n                ".join(
         f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(64, 42))
+    )
+    mh_params_32 = ",\n                ".join(
+        f"({h}, {a}, {b})" for h, (a, b) in enumerate(minhash_params(32, 42))
     )
     en = "['" + "','".join(_EN) + "']"
     de = "['" + "','".join(_DE) + "']"
@@ -1610,6 +1631,66 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
         """,
     }
+    out["name_block_parts"] = f"""
+            WITH named_l AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 300),
+            named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
+            sh_l AS (
+                SELECT DISTINCT name AS key, substring(name, i, 3) AS shingle
+                FROM named_l, LATERAL (
+                    SELECT unnest(generate_series(1, greatest(length(name) - 2, 1))) AS i
+                ) g
+            ),
+            sh_r AS (
+                SELECT DISTINCT name AS key, substring(name, i, 3) AS shingle
+                FROM named_r, LATERAL (
+                    SELECT unnest(generate_series(1, greatest(length(name) - 2, 1))) AS i
+                ) g
+            ),
+            params(h, a, b) AS (VALUES
+                {mh_params_32}
+            ),
+            hx_l AS (SELECT key, {poly_shingle} % {_MERSENNE} AS x FROM sh_l),
+            hx_r AS (SELECT key, {poly_shingle} % {_MERSENNE} AS x FROM sh_r),
+            sig_l AS (
+                SELECT key, h,
+                       min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+                FROM hx_l, params GROUP BY key, h
+            ),
+            sig_r AS (
+                SELECT key, h,
+                       min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+                FROM hx_r, params GROUP BY key, h
+            ),
+            banded_l AS (
+                SELECT key, h // 2 AS band,
+                       list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+                FROM sig_l GROUP BY key, h // 2
+            ),
+            banded_r AS (
+                SELECT key, h // 2 AS band,
+                       list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+                FROM sig_r GROUP BY key, h // 2
+            ),
+            cand AS (
+                SELECT DISTINCT l.key AS key_a, r.key AS key_b
+                FROM banded_l l JOIN banded_r r
+                  ON l.band = r.band AND l.band_key = r.band_key
+            ),
+            sizes_l AS (SELECT key, count(*) AS sz FROM sh_l GROUP BY key),
+            sizes_r AS (SELECT key, count(*) AS sz FROM sh_r GROUP BY key),
+            inter AS (
+                SELECT c.key_a, c.key_b, count(*) AS inter
+                FROM cand c
+                JOIN sh_l sa ON sa.key = c.key_a
+                JOIN sh_r sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
+                GROUP BY c.key_a, c.key_b
+            )
+            SELECT key_a AS name_l, key_b AS name_r
+            FROM inter
+            JOIN sizes_l za ON za.key = key_a
+            JOIN sizes_r zb ON zb.key = key_b
+            WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.6
+        """
     # Manku-table simhash is value-identical to the banded variant (both
     # blockers are exact for hamming<=3, verification computes true
     # hamming) — it shares the banded oracle, so the equivalence itself is

@@ -165,6 +165,49 @@ def minhash_signatures(
     )
 
 
+def minhash_band_table(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16, seed: int = 42, hash_fn=None
+) -> DataFrame:
+    """(key, band, band_key) from a (key, shingle) table — the shared
+    banded-signature builder behind minhash_lsh_pairs (self-join dedup)
+    and nameblock.name_candidates (cross-KG join). Signatures are
+    ``num_hashes`` min-aggregates in ONE groupBy(key) (wide format — no
+    parameter-family explode); the band key is the sorted ``h:minhash``
+    concat string (exact, engine-replicable)."""
+    hash_fn = hash_fn or F.xxhash64
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be <= num_hashes ({num_hashes}): each band "
+            "needs at least one signature slot"
+        )
+    params = minhash_params(num_hashes, seed)
+    rows_per_band = num_hashes // bands
+    x = F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE))
+    hx = sh.select("key", x.alias("x"))
+    mins = hx.groupBy("key").agg(
+        *[
+            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).alias(f"m{h}")
+            for h, (a, b) in enumerate(params)
+        ]
+    )
+    # ceil-divide so remainder slots (num_hashes % bands != 0) still form a
+    # final partial band instead of silently dropping out of candidate
+    # generation (matches the long-format banding h // rows_per_band)
+    n_groups = -(-num_hashes // rows_per_band)
+    band_structs = []
+    for b in range(n_groups):
+        slots = range(b * rows_per_band, min((b + 1) * rows_per_band, num_hashes))
+        entries = F.sort_array(
+            F.array(*[F.concat_ws(":", F.lit(str(h)), F.col(f"m{h}")) for h in slots])
+        )
+        band_structs.append(
+            F.struct(F.lit(b).alias("band"), F.concat_ws(",", entries).alias("band_key"))
+        )
+    return mins.select(
+        "key", F.explode(F.array(*band_structs)).alias("s")
+    ).select("key", "s.band", "s.band_key")
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str = "text",
@@ -195,39 +238,8 @@ def minhash_lsh_pairs(
     minhash_signatures (pytest-pinned) but without exploding the parameter
     family, so the shuffle is O(docs × num_hashes columns) instead of
     O(shingles × num_hashes rows)."""
-    hash_fn = hash_fn or F.xxhash64
-    if bands > num_hashes:
-        raise ValueError(
-            f"bands ({bands}) must be <= num_hashes ({num_hashes}): each band "
-            "needs at least one signature slot"
-        )
-    params = minhash_params(num_hashes, seed)
-    rows_per_band = num_hashes // bands
     sh = shingles if shingles is not None else shingle_table(df, text_col, key_col, shingle_n)
-    x = F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE))
-    hx = sh.select("key", x.alias("x"))
-    mins = hx.groupBy("key").agg(
-        *[
-            F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).alias(f"m{h}")
-            for h, (a, b) in enumerate(params)
-        ]
-    )
-    # ceil-divide so remainder slots (num_hashes % bands != 0) still form a
-    # final partial band instead of silently dropping out of candidate
-    # generation (matches the long-format banding h // rows_per_band)
-    n_groups = -(-num_hashes // rows_per_band)
-    band_structs = []
-    for b in range(n_groups):
-        slots = range(b * rows_per_band, min((b + 1) * rows_per_band, num_hashes))
-        entries = F.sort_array(
-            F.array(*[F.concat_ws(":", F.lit(str(h)), F.col(f"m{h}")) for h in slots])
-        )
-        band_structs.append(
-            F.struct(F.lit(b).alias("band"), F.concat_ws(",", entries).alias("band_key"))
-        )
-    banded = mins.select(
-        "key", F.explode(F.array(*band_structs)).alias("s")
-    ).select("key", "s.band", "s.band_key")
+    banded = minhash_band_table(sh, num_hashes, bands, seed, hash_fn)
     banded = cap_band_buckets(banded, max_bucket_size, stats_out=stats_out, label="minhash_lsh")
     a = banded.select(F.col("key").alias("key_a"), "band", "band_key")
     b = banded.select(F.col("key").alias("key_b"), "band", "band_key")

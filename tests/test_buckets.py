@@ -151,6 +151,35 @@ def test_neardup_auto_band_bits(spark):
     assert got == {0: 0, 1: 1, 2: 2}  # self always collides
 
 
+def test_name_candidates_cross_kg(spark):
+    """Name blocking: each left surface form pairs with its perturbed
+    right variant, unrelated names are excluded, the plan is
+    cartesian-free, and the pair set matches a pure-python oracle."""
+    from prase_spark.nameblock import name_candidates
+
+    lefts = ["alpha beta gamma", "delta epsilon zeta", "omega psi chi", "kappa lambda mu"]
+    rights = [x + " v2" for x in lefts] + ["totally different words entirely"]
+    l_df = spark.createDataFrame([(x,) for x in lefts], "name STRING")
+    r_df = spark.createDataFrame([(x,) for x in rights], "name STRING")
+    out = name_candidates(l_df, r_df, threshold=0.6)
+    assert "CartesianProduct" not in out._jdf.queryExecution().executedPlan().toString()
+    got = {(r["name_l"], r["name_r"]) for r in out.collect()}
+
+    def grams(s):
+        return {s[i : i + 3] for i in range(max(len(s) - 2, 1))}
+
+    expect = set()
+    for a in lefts:
+        for b in rights:
+            ga, gb = grams(a), grams(b)
+            if len(ga & gb) / len(ga | gb) >= 0.6:
+                expect.add((a, b))
+    # banding recall on >=0.8-jaccard variants is ~1 at 32 hashes/8 bands
+    assert got == expect and len(got) >= len(lefts)
+    for x in lefts:
+        assert (x, x + " v2") in got
+
+
 def test_simhash_manku_equals_banded(spark):
     """Manku block-combination tables must emit EXACTLY the banded
     variant's pair set (both blockers are exact for hamming<=k), with the
