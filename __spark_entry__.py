@@ -604,6 +604,64 @@ def _q_name_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name_l", "name_r")
 
 
+def _q_name_seed_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-similarity seed bootstrap (seed.name_seed_matches) between two
+    KGs with DISJOINT literal vocabularies, built from part names: KG_L
+    entities <http://a.org/resource/{p_name}>, KG_R entities
+    http://b.org/entity/{p_name} v2. The literal seed is empty by
+    construction (objects/KGs.py:53-58 would find nothing), so every match
+    comes from nameblock LSH + exact char-3-gram jaccard, max-merged per
+    entity. Output is surface-form level (ids resolved back through
+    kg.nodes) so the DuckDB twin needs no dense-id replication: among
+    entities ent_id order == raw-name order (ids.assign_dense_ids sorts on
+    (is_literal, name)), so min-id resolution / id tie-breaks translate to
+    min-raw-name. prob is the raw int/int double division — bit-identical
+    in both engines, no rounding."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.kgbuild import build_kg
+    from prase_spark.seed import name_seed_matches
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    raw_l = p.select(
+        F.concat(F.lit("<http://a.org/resource/"), "p_name", F.lit(">")).alias("subj"),
+        F.lit("http://a.org/ontology/brand").alias("pred"),
+        F.col("p_brand").alias("obj"),
+        F.lit(True).alias("is_attr"),
+    )
+    raw_r = p.select(
+        F.concat(F.lit("http://b.org/entity/"), "p_name", F.lit(" v2")).alias("subj"),
+        F.lit("http://b.org/prop/direct/brand").alias("pred"),
+        F.concat(F.lit("B "), "p_brand").alias("obj"),
+        F.lit(True).alias("is_attr"),
+    )
+    kg_l, kg_r = build_kg(raw_l), build_kg(raw_r)
+    sub, sup = name_seed_matches(
+        kg_l, kg_r, threshold=0.6, num_hashes=32, bands=16, hash_fn=poly_hash61
+    )
+    ents_l = kg_l.nodes.filter(~F.col("is_literal")).select("ent_id", "name")
+    ents_r = kg_r.nodes.filter(~F.col("is_literal")).select("ent_id", "name")
+
+    def named(df: DataFrame, own: DataFrame, cp: DataFrame, side: str) -> DataFrame:
+        return (
+            df.join(own.withColumnRenamed("name", "name_own"), "ent_id")
+            .join(
+                cp.select(
+                    F.col("ent_id").alias("counterpart_id"),
+                    F.col("name").alias("name_cp"),
+                ),
+                "counterpart_id",
+            )
+            .select(
+                F.lit(side).alias("side"),
+                F.col("name_own").alias("ent_name"),
+                F.col("name_cp").alias("counterpart_name"),
+                "prob",
+            )
+        )
+
+    return named(sub, ents_l, ents_r, "sub").unionByName(named(sup, ents_r, ents_l, "sup"))
+
+
 def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.hashing import poly_hash61
     from prase_spark.datapipe.textstats import add_fingerprint
@@ -749,6 +807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
+        "name_seed_parts": _q_name_seed_parts,
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
@@ -1631,9 +1690,13 @@ def oracle_sql() -> dict[str, str]:
             WHERE inter * 1.0 / (sa.sz + sb.sz - inter) >= 0.8
         """,
     }
-    out["name_block_parts"] = f"""
-            WITH named_l AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 300),
-            named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
+    # shared cross-KG name-blocking chain (nameblock.name_candidates as
+    # CTEs): named_l / named_r (normalized surface forms) -> pairs
+    # (name_l, name_r, jaccard). jaccard is CAST-to-DOUBLE int division —
+    # the exact Spark expression (exact_jaccard, datapipe/dedup.py:287) —
+    # so both the threshold comparison and the emitted value are
+    # bit-identical across engines.
+    _name_pairs_chain = f"""
             sh_l AS (
                 SELECT DISTINCT name AS key, substring(name, i, 3) AS shingle
                 FROM named_l, LATERAL (
@@ -1684,12 +1747,62 @@ def oracle_sql() -> dict[str, str]:
                 JOIN sh_l sa ON sa.key = c.key_a
                 JOIN sh_r sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
                 GROUP BY c.key_a, c.key_b
+            ),
+            pairs AS (
+                SELECT key_a AS name_l, key_b AS name_r,
+                       CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) AS jaccard
+                FROM inter
+                JOIN sizes_l za ON za.key = key_a
+                JOIN sizes_r zb ON zb.key = key_b
+                WHERE CAST(inter AS DOUBLE) / (za.sz + zb.sz - inter) >= 0.6
+            )"""
+    out["name_block_parts"] = f"""
+            WITH named_l AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 300),
+            named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
+            {_name_pairs_chain}
+            SELECT name_l, name_r FROM pairs
+        """
+    # seed.name_seed_matches over the same fixture: per-entity best
+    # counterpart (max prob, tie -> min counterpart_id). Among entities
+    # ent_id order == raw-name order, so ORDER BY the RAW counterpart name
+    # reproduces the id tie-break, and the min-id-per-normalized-name
+    # counterpart resolution is the identity here (raw <-> normalized is a
+    # bijection on both sides of this fixture).
+    out["name_seed_parts"] = f"""
+            WITH named_l AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 300),
+            named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
+            {_name_pairs_chain},
+            raw_l AS (
+                SELECT DISTINCT '<http://a.org/resource/' || p_name || '>' AS raw, p_name AS name
+                FROM part WHERE p_partkey < 300
+            ),
+            raw_r AS (
+                SELECT DISTINCT 'http://b.org/entity/' || p_name || ' v2' AS raw, p_name || ' v2' AS name
+                FROM part WHERE p_partkey < 300
+            ),
+            sub AS (
+                SELECT 'sub' AS side, l.raw AS ent_name, r.raw AS counterpart_name,
+                       p.jaccard AS prob,
+                       row_number() OVER (
+                           PARTITION BY l.raw ORDER BY p.jaccard DESC, r.raw ASC
+                       ) AS rn
+                FROM pairs p
+                JOIN raw_l l ON l.name = p.name_l
+                JOIN raw_r r ON r.name = p.name_r
+            ),
+            sup AS (
+                SELECT 'sup' AS side, r.raw AS ent_name, l.raw AS counterpart_name,
+                       p.jaccard AS prob,
+                       row_number() OVER (
+                           PARTITION BY r.raw ORDER BY p.jaccard DESC, l.raw ASC
+                       ) AS rn
+                FROM pairs p
+                JOIN raw_l l ON l.name = p.name_l
+                JOIN raw_r r ON r.name = p.name_r
             )
-            SELECT key_a AS name_l, key_b AS name_r
-            FROM inter
-            JOIN sizes_l za ON za.key = key_a
-            JOIN sizes_r zb ON zb.key = key_b
-            WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.6
+            SELECT side, ent_name, counterpart_name, prob FROM sub WHERE rn = 1
+            UNION ALL
+            SELECT side, ent_name, counterpart_name, prob FROM sup WHERE rn = 1
         """
     # Manku-table simhash is value-identical to the banded variant (both
     # blockers are exact for hamming<=3, verification computes true

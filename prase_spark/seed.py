@@ -162,3 +162,70 @@ def force_merge(prev: DataFrame, update: DataFrame) -> DataFrame:
         F.max_by(F.struct("counterpart_id", "prob", "is_lit"), F.struct("prob", "counterpart_id")).alias("s")
     ).select("ent_id", "s.counterpart_id", "s.prob", "s.is_lit")
     return prev.join(upd.select("ent_id"), "ent_id", "left_anti").unionByName(upd)
+
+
+def name_seed_matches(
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    threshold: float = 0.5,
+    prob_scale: float = 1.0,
+    name_norm=None,
+    **block_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """Entity-NAME blocking seed (beyond-reference): when the two KGs share
+    no literal values (literal_seed_matches comes up empty — common across
+    vocabularies), bootstrap the match state from near-duplicate entity
+    surface forms instead: nameblock.name_candidates over the NORMALIZED
+    local names (char-n-gram minhash LSH between the KGs, exact jaccard
+    verify — never an all-pairs name comparison).
+
+    Output shape mirrors literal_seed_matches — (sub, sup) with columns
+    (ent_id, counterpart_id, prob, is_lit) — but is_lit=False (these are
+    entity hypotheses, not literal anchors) and prob = jaccard *
+    prob_scale, max-merged per entity (best counterpart; ties -> min id).
+    The counterpart side resolves to the MIN ent_id per normalized name
+    (same canonical-representative rule as the literal seed). Feed the
+    result to init_state / prase_feedback_align exactly like seed links.
+    """
+    from prase_spark.nameblock import name_candidates
+    from prase_spark.normalize import normalize_uri
+
+    norm = name_norm or normalize_uri
+    ents_l = kg_l.nodes.filter(~F.col("is_literal")).select(
+        "ent_id", norm(F.col("name")).alias("name")
+    )
+    ents_r = kg_r.nodes.filter(~F.col("is_literal")).select(
+        "ent_id", norm(F.col("name")).alias("name")
+    )
+    pairs = name_candidates(
+        ents_l, ents_r, threshold=threshold, **block_kwargs
+    ).localCheckpoint()  # read by both directions below
+    min_l = ents_l.groupBy("name").agg(F.min("ent_id").alias("cp_id"))
+    min_r = ents_r.groupBy("name").agg(F.min("ent_id").alias("cp_id"))
+
+    def one_side(ents, own_col, cp_col, cp_min):
+        joined = (
+            ents.join(pairs, ents["name"] == pairs[own_col])
+            .join(cp_min, pairs[cp_col] == cp_min["name"])
+            .select(
+                ents["ent_id"].alias("ent_id"),
+                cp_min["cp_id"].alias("counterpart_id"),
+                (F.col("jaccard") * F.lit(prob_scale)).alias("prob"),
+            )
+        )
+        best = joined.groupBy("ent_id").agg(
+            F.max_by(
+                F.struct("counterpart_id", "prob"),
+                F.struct("prob", (-F.col("counterpart_id")).alias("nc")),
+            ).alias("b")
+        )
+        return best.select(
+            "ent_id",
+            F.col("b.counterpart_id").alias("counterpart_id"),
+            F.col("b.prob").alias("prob"),
+            F.lit(False).alias("is_lit"),
+        )
+
+    sub = one_side(ents_l, "name_l", "name_r", min_r)
+    sup = one_side(ents_r, "name_r", "name_l", min_l)
+    return sub, sup

@@ -180,6 +180,50 @@ def test_name_candidates_cross_kg(spark):
         assert (x, x + " v2") in got
 
 
+def test_name_seed_bootstraps_zero_literal_overlap(spark):
+    """name_seed_matches: two KGs with DISJOINT literal vocabularies (the
+    literal seed is empty) still bootstrap alignment from near-duplicate
+    entity surface forms, and the seeded state drives a full PARIS
+    iteration."""
+    from prase_spark.kgbuild import build_kg
+    from prase_spark.paris import init_state, run_iteration
+    from prase_spark.schemas import RAW_TRIPLES
+    from prase_spark.seed import literal_seed_matches, name_seed_matches
+    from prase_spark.config import ParisConfig
+
+    n = 10
+    rows_l, rows_r = [], []
+    for i in range(n):
+        el = f"<http://a.org/resource/Widget_{i}>"
+        er = f"http://b.org/entity/Widget_{i}_v2"
+        rows_l.append((el, "<http://a.org/ontology/next>",
+                       f"<http://a.org/resource/Widget_{(i + 1) % n}>", False))
+        rows_r.append((er, "http://b.org/prop/direct/NEXT",
+                       f"http://b.org/entity/Widget_{(i + 1) % n}_v2", False))
+        rows_l.append((el, "<http://a.org/ontology/color>", f"farbe_links_{i}", True))
+        rows_r.append((er, "http://b.org/prop/direct/COLOR", f"couleur_droite_{i}", True))
+    kg_l = build_kg(spark.createDataFrame(rows_l, RAW_TRIPLES))
+    kg_r = build_kg(spark.createDataFrame(rows_r, RAW_TRIPLES))
+
+    lit_sub, _ = literal_seed_matches(kg_l, kg_r)
+    assert lit_sub.count() == 0  # vocabularies are disjoint
+
+    sub, sup = name_seed_matches(kg_l, kg_r, threshold=0.5)
+    names_l = {r["ent_id"]: r["name"] for r in kg_l.nodes.collect()}
+    names_r = {r["ent_id"]: r["name"] for r in kg_r.nodes.collect()}
+    got = {names_l[r["ent_id"]]: names_r[r["counterpart_id"]] for r in sub.collect()}
+    assert len(got) == n
+    for i in range(n):
+        assert got[f"<http://a.org/resource/Widget_{i}>"] == (
+            f"http://b.org/entity/Widget_{i}_v2"
+        ), i
+    assert sub.filter("is_lit OR prob <= 0 OR prob > 1").count() == 0
+
+    state = init_state(spark, sub, sup)
+    state = run_iteration(kg_l, kg_r, state, ParisConfig())
+    assert state.matches_sub.count() >= n  # the seed survives an iteration
+
+
 def test_simhash_manku_equals_banded(spark):
     """Manku block-combination tables must emit EXACTLY the banded
     variant's pair set (both blockers are exact for hamming<=k), with the
