@@ -26,6 +26,29 @@ class AlignmentRun:
     evals: list = field(default_factory=list)
 
 
+def bootstrap_seed(
+    kg_l: KGFrames,
+    kg_r: KGFrames,
+    seed_mode: str = "literal",
+    name_seed_kwargs: dict | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """Initial match-state seed. ``literal`` is the reference's exact
+    literal-value equality (objects/KGs.py:53-58); ``name`` bootstraps from
+    near-duplicate entity surface forms (seed.name_seed_matches — the
+    beyond-reference fallback for KGs with zero shared literal vocabulary);
+    ``auto`` tries literal first and falls back to name when it is empty
+    (one limit-1 probe job — driver control flow, not a collect)."""
+    if seed_mode not in ("literal", "name", "auto"):
+        raise ValueError(f"seed_mode must be literal|name|auto, got {seed_mode!r}")
+    if seed_mode in ("literal", "auto"):
+        sub, sup = literal_seed_matches(kg_l, kg_r)
+        if seed_mode == "literal" or not sub.isEmpty():
+            return sub, sup
+    from prase_spark.seed import name_seed_matches
+
+    return name_seed_matches(kg_l, kg_r, **(name_seed_kwargs or {}))
+
+
 def align(
     spark: SparkSession,
     kg_l: KGFrames,
@@ -36,6 +59,8 @@ def align(
     embeddings_r: DataFrame | None = None,
     resume_from: str | None = None,
     checkpoint: bool = True,
+    seed_mode: str = "literal",
+    name_seed_kwargs: dict | None = None,
 ) -> AlignmentRun:
     """Full fixpoint (objects/KGs.py:91-102). ``resume_from`` restores the
     latest checkpoint in that directory and continues (S7)."""
@@ -43,7 +68,7 @@ def align(
     if resume_from is not None:
         state = load_state(spark, resume_from)
     else:
-        sub, sup = literal_seed_matches(kg_l, kg_r)
+        sub, sup = bootstrap_seed(kg_l, kg_r, seed_mode, name_seed_kwargs)
         state = init_state(spark, sub, sup)
     run = AlignmentRun(state=state)
     while run.state.iter_num < cfg.iterations:
@@ -75,6 +100,8 @@ def prase_feedback_align(
     checkpoint: bool = False,
     reset_from_embeddings: bool = False,
     reset_use_lsh: bool | None = None,
+    seed_mode: str = "literal",
+    name_seed_kwargs: dict | None = None,
 ) -> AlignmentRun:
     """The PRASE feedback loop (test.py:83-104):
 
@@ -91,7 +118,7 @@ def prase_feedback_align(
 
     cfg = cfg or ParisConfig()
     if prior_state is None:
-        sub, sup = literal_seed_matches(kg_l, kg_r)
+        sub, sup = bootstrap_seed(kg_l, kg_r, seed_mode, name_seed_kwargs)
         state = init_state(spark, sub, sup)
     else:
         # Fresh copy — never mutate the caller's state object — and restart

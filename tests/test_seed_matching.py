@@ -109,3 +109,38 @@ def test_connected_components_nonconvergence_raises(spark):
     # a growing distance per round, so ~log-ish rounds suffice in practice)
     comp = connected_components(chain, max_iter=31)
     assert comp.select("component").distinct().count() == 1
+
+
+def test_align_seed_mode_auto_falls_back_to_names(spark):
+    """pipeline.align(seed_mode='auto'): disjoint literal vocabularies ->
+    the literal seed is empty, the bootstrap falls back to the name seed,
+    and the fixpoint still produces entity matches. seed_mode='literal'
+    (reference behavior) on the same KGs yields none."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.pipeline import align, bootstrap_seed
+
+    n = 8
+    rows_l, rows_r = [], []
+    for i in range(n):
+        el = f"<http://a.org/resource/Gadget_{i}>"
+        er = f"http://b.org/entity/Gadget_{i}_v2"
+        rows_l.append((el, "<http://a.org/ontology/next>",
+                       f"<http://a.org/resource/Gadget_{(i + 1) % n}>", False))
+        rows_r.append((er, "http://b.org/prop/direct/NEXT",
+                       f"http://b.org/entity/Gadget_{(i + 1) % n}_v2", False))
+        rows_l.append((el, "<http://a.org/ontology/tag>", f"links_{i}", True))
+        rows_r.append((er, "http://b.org/prop/direct/TAG", f"droite_{i}", True))
+    kg_l = build_kg(spark.createDataFrame(rows_l, RAW_TRIPLES))
+    kg_r = build_kg(spark.createDataFrame(rows_r, RAW_TRIPLES))
+
+    cfg = ParisConfig(iterations=1)
+    lit_run = align(spark, kg_l, kg_r, cfg, checkpoint=False, seed_mode="literal")
+    assert lit_run.state.matches_sub.filter(~F.col("is_lit")).count() == 0
+
+    auto_run = align(spark, kg_l, kg_r, cfg, checkpoint=False, seed_mode="auto")
+    assert auto_run.state.matches_sub.filter(~F.col("is_lit")).count() >= n
+
+    import pytest
+
+    with pytest.raises(ValueError, match="seed_mode"):
+        bootstrap_seed(kg_l, kg_r, seed_mode="fuzzy")
