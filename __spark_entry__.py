@@ -700,6 +700,31 @@ def _q_lsh_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe variant of lsh_ann_topk: every 1-bit-flip neighbor of
+    each QUERY band key is probed too (simsearch.lsh_topk multi_probe=1 —
+    the recall-recovery path at production key widths). The DuckDB twin
+    fans the query signatures out over the same 13 XOR masks, so the
+    probe expansion itself is value-verified."""
+    from prase_spark.datapipe.simsearch import lsh_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    corpus = emb.unionByName(
+        emb.filter(F.col("vec_id") < 50).select(
+            (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+        )
+    )
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    dim = len(emb.select("embedding").first()["embedding"])
+    return lsh_topk(
+        corpus, queries, dim=dim, k=3, n_bits=96, n_bands=8, multi_probe=1
+    ).select("query_id", "vec_id", "rank")
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering over the embeddings table with
     planted exact copies (vec_id+100000 for vec_id < 50); the DuckDB twin
@@ -811,6 +836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
+        "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
     }
@@ -1068,10 +1094,30 @@ def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
     """
 
 
-def _lsh_ann_sql(dim: int = 64, n_bits: int = 96, n_bands: int = 8, k: int = 3, seed: int = 42) -> str:
+def _lsh_ann_sql(
+    dim: int = 64,
+    n_bits: int = 96,
+    n_bands: int = 8,
+    k: int = 3,
+    seed: int = 42,
+    multi_probe: bool = False,
+) -> str:
     """DuckDB twin of lsh_topk over the planted-copy corpus (hyperplane
-    bank from _hyperplane_bands_sql)."""
+    bank from _hyperplane_bands_sql). ``multi_probe`` fans each query band
+    key out over the identity + all 1-bit XOR masks (lsh_topk
+    multi_probe=1)."""
     structs = _hyperplane_bands_sql(dim, n_bits, n_bands, seed)
+    if multi_probe:
+        mask_list = ", ".join(
+            str(m) for m in [0] + [1 << j for j in range(n_bits // n_bands)]
+        )
+        probe_ctes = f"""
+            masks AS (SELECT unnest([{mask_list}]) AS m),
+            qprobe AS (SELECT query_id, band, xor(band_key, m) AS band_key FROM qb, masks),"""
+        q_src = "qprobe"
+    else:
+        probe_ctes = ""
+        q_src = "qb"
     return f"""
             WITH base AS (
                 SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
@@ -1082,10 +1128,10 @@ def _lsh_ann_sql(dim: int = 64, n_bits: int = 96, n_bands: int = 8, k: int = 3, 
                 {structs}
             ]) AS s FROM base),
             banded AS (SELECT vec_id, s.band AS band, s.bk AS band_key FROM sigrows),
-            qb AS (SELECT vec_id AS query_id, band, band_key FROM banded WHERE vec_id < 5),
+            qb AS (SELECT vec_id AS query_id, band, band_key FROM banded WHERE vec_id < 5),{probe_ctes}
             cand AS (
                 SELECT DISTINCT q.query_id, c.vec_id
-                FROM banded c JOIN qb q ON q.band = c.band AND q.band_key = c.band_key
+                FROM banded c JOIN {q_src} q ON q.band = c.band AND q.band_key = c.band_key
             ),
             scored AS (
                 SELECT cand.query_id, cand.vec_id,
@@ -1650,6 +1696,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
+        "lsh_multiprobe_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3, multi_probe=True),
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
         "paris_iter1_scores": _paris_scores_sql,
