@@ -725,6 +725,30 @@ def _q_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("query_id", "vec_id", "rank")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-3 with an INJECTED coarse quantizer (centroids = the raw
+    embeddings of vec_id 0..15, cell i == vec_id i) so the whole
+    assign -> probe -> rerank chain is engine-replicable: the DuckDB twin
+    derives the identical centroids from the same table rows and mirrors
+    the (sim DESC, cell ASC) tie-breaks. Covers the ivf_topk path the
+    k-means-trained variant (pytest) cannot value-verify."""
+    from prase_spark.datapipe.simsearch import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    cents = [
+        r["embedding"]
+        for r in emb.filter(F.col("vec_id") < 16).orderBy("vec_id").collect()
+    ]
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return ivf_topk(
+        emb, queries, k=3, n_probe=4, centroids=cents
+    ).select("query_id", "vec_id", "rank")
+
+
 def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding-cosine near-dup clustering over the embeddings table with
     planted exact copies (vec_id+100000 for vec_id < 50); the DuckDB twin
@@ -837,6 +861,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paris_align_tpch": _q_paris_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
+        "ivf_topk": _q_ivf_topk,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
     }
@@ -1697,6 +1722,45 @@ def oracle_sql() -> dict[str, str]:
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
         "lsh_multiprobe_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3, multi_probe=True),
+        # ivf_topk with the injected quantizer (centroids = embeddings of
+        # vec_id 0..15; cell i == vec_id i). Tie-breaks mirror the Spark
+        # side: assignment/probe (sim DESC, cell ASC), rerank
+        # (cosine DESC, vec_id ASC).
+        "ivf_topk": """
+            WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+            cents AS (SELECT vec_id AS cell, v AS c_vec FROM base WHERE vec_id < 16),
+            assign AS (
+                SELECT vec_id, cell FROM (
+                    SELECT b.vec_id, c.cell, row_number() OVER (
+                        PARTITION BY b.vec_id
+                        ORDER BY list_cosine_similarity(b.v, c.c_vec) DESC, c.cell ASC
+                    ) AS rn
+                    FROM base b, cents c
+                ) WHERE rn = 1
+            ),
+            qc AS (
+                SELECT query_id, cell FROM (
+                    SELECT q.vec_id AS query_id, c.cell, row_number() OVER (
+                        PARTITION BY q.vec_id
+                        ORDER BY list_cosine_similarity(q.v, c.c_vec) DESC, c.cell ASC
+                    ) AS rk
+                    FROM base q, cents c WHERE q.vec_id < 5
+                ) WHERE rk <= 4
+            ),
+            scored AS (
+                SELECT qc.query_id, a.vec_id,
+                       list_cosine_similarity(bq.v, bc.v) AS cosine
+                FROM qc
+                JOIN assign a ON a.cell = qc.cell
+                JOIN base bq ON bq.vec_id = qc.query_id
+                JOIN base bc ON bc.vec_id = a.vec_id
+            )
+            SELECT query_id, vec_id, rank FROM (
+                SELECT query_id, vec_id, row_number() OVER (
+                    PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC
+                ) AS rank FROM scored
+            ) WHERE rank <= 3
+        """,
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
         "paris_iter1_scores": _paris_scores_sql,

@@ -275,15 +275,22 @@ def ivf_topk(
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
     train_iters: int = 0,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF: coarse-quantize corpus to its nearest centroid cell; probe the
     n_probe nearest cells per query. Centroids come from a deterministic
     seeded sample; ``train_iters`` > 0 refines them with distributed
     Lloyd rounds (train_ivf_centroids — the k-means|| shape: only
     n_cells×dim rows reach the driver per round), tightening cells so the
-    same n_probe covers more of the true neighborhood."""
+    same n_probe covers more of the true neighborhood. ``centroids``
+    injects a precomputed quantizer (cell i = row i) and skips
+    sampling/training — the engine-replicable path the value oracle uses.
+    Cell assignment and probe selection tie-break on the lower cell id, so
+    the result is deterministic across retries and engines."""
     spark = corpus.sparkSession
-    if train_iters > 0:
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    elif train_iters > 0:
         cents = train_ivf_centroids(
             corpus, n_cells, train_iters, seed, sample_cap, id_col, vec_col
         )
@@ -298,13 +305,21 @@ def ivf_topk(
         c.join(F.broadcast(cent_df))
         .withColumn("sim", cosine_expr("v", "c_vec"))
         .groupBy("vec_id")
-        .agg(F.max_by("cell", "sim").alias("cell"), F.first("v").alias("v"))
+        .agg(
+            F.max_by("cell", F.struct("sim", (-F.col("cell")).alias("nc"))).alias("cell"),
+            F.first("v").alias("v"),
+        )
     )
     q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
     q_cells = (
         q.join(F.broadcast(cent_df))
         .withColumn("sim", cosine_expr("q_vec", "c_vec"))
-        .withColumn("rk", F.row_number().over(Window.partitionBy("query_id").orderBy(F.desc("sim"))))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
         .filter(F.col("rk") <= n_probe)
         .select("query_id", "cell", "q_vec")
     )
