@@ -782,6 +782,48 @@ def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
 
 
+def _det_embeddings(kg, dim: int = 4) -> DataFrame:
+    """Deterministic name-derived entity embeddings for the fusion gate:
+    component j = (poly_hash61(name ':' j) % 1000) / 1000, entities kept
+    when poly_hash61(name) % 3 != 0 (~2/3 coverage so the fusion CASE
+    exercises both branches). Pure shared arithmetic — the DuckDB twin
+    rebuilds identical vectors from the same names."""
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    ents = kg.nodes.filter(~F.col("is_literal")).select("ent_id", "name")
+    keep = ents.filter(F.pmod(poly_hash61(F.col("name")), F.lit(3)) != 0)
+    comps = [
+        F.pmod(
+            poly_hash61(F.concat(F.col("name"), F.lit(f":{j}"))), F.lit(1000)
+        ).cast("double")
+        / F.lit(1000.0)
+        for j in range(dim)
+    ]
+    return keep.select("ent_id", F.array(*comps).alias("embedding"))
+
+
+def _q_paris_fusion_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRASE fusion fixpoint, value-verified: 3 PARIS iterations where
+    iteration 3 (init off) fuses 0.8·PARIS-score + 0.2·cosine(embedding)
+    per candidate (entity_candidates, prase_spark/paris.py:209-232;
+    reference fusion_func, test.py:74-76 / objects/KGs.py:82-83).
+    Embeddings are deterministic poly-hash vectors over entity names
+    (~2/3 coverage — candidates without both vectors keep the raw score),
+    so the DuckDB twin replays the identical fusion arithmetic in Spark's
+    fold order and the whole fusion-active loop is hash-checked."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.pipeline import align, alignment_results
+
+    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    cfg = ParisConfig(iterations=3)
+    run = align(
+        spark, kg1, kg2, cfg, checkpoint=False,
+        embeddings_l=_det_embeddings(kg1), embeddings_r=_det_embeddings(kg2),
+    )
+    res = alignment_results(run.state, kg1, kg2, cfg.theta)
+    return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
+
+
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL html->text->triples extraction pipeline (Arrow mapInPandas,
     prase_spark/extract.py) over pages templated deterministically from the
@@ -859,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_seed_parts": _q_name_seed_parts,
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
+        "paris_fusion_tpch": _q_paris_fusion_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ivf_topk": _q_ivf_topk,
@@ -871,7 +914,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # oracle SQL (DuckDB dialect) — semantically identical derivations
 # --------------------------------------------------------------------------
 
-def _paris_iter_ctes(i: int) -> str:
+def _paris_iter_ctes(i: int, fusion: bool = False) -> str:
     """One full PARIS iteration (run_iteration, prase_spark/paris.py:334-374)
     as DuckDB CTE blocks. Inputs: m_sub_{i-1} / m_sup_{i-1} (match states,
     name-level with lit flags), rel_l_{i-1} / rel_r_{i-1} (Jacobi: scoring
@@ -884,6 +927,28 @@ def _paris_iter_ctes(i: int) -> str:
     boot_sub = f"CASE WHEN below THEN 0.1 ELSE p_sub_raw END" if init else "p_sub_raw"
     boot_sup = f"CASE WHEN below THEN 0.1 ELSE p_sup_raw END" if init else "p_sup_raw"
     not_below = "" if init else "WHERE NOT below"
+    # embedding fusion (entity_candidates, paris.py:209-232): only active
+    # when init is off (iteration >= 3) and only when BOTH sides carry an
+    # embedding. The dot/norm sums are written in Spark's exact fold order
+    # (left-assoc, dim 4) so the doubles are bit-identical across engines.
+    if fusion and not init:
+        dot = " + ".join(f"el.x{j}*er.x{j}" for j in range(4))
+        nl = " + ".join(f"el.x{j}*el.x{j}" for j in range(4))
+        nr = " + ".join(f"er.x{j}*er.x{j}" for j in range(4))
+        fused_col = "fused"
+        fused_src = f"""
+                    SELECT s.e, s.t2,
+                           CASE WHEN el.e IS NOT NULL AND er.e IS NOT NULL
+                                THEN CAST(0.8 AS DOUBLE) * s.score
+                                     + CAST(0.2 AS DOUBLE) * ({dot})
+                                       / (sqrt({nl}) * sqrt({nr}))
+                                ELSE s.score END AS fused
+                    FROM scores_{c} s
+                    LEFT JOIN emb_l el ON el.e = s.e
+                    LEFT JOIN emb_r er ON er.e = s.t2"""
+    else:
+        fused_col = "score"
+        fused_src = f"SELECT * FROM scores_{c}"
     return f"""
             cand_base_{c} AS MATERIALIZED (
                 SELECT f.obj AS e, f.pred AS r, m.prob AS p_h,
@@ -937,12 +1002,12 @@ def _paris_iter_ctes(i: int) -> str:
             ),
             cands_{c} AS MATERIALIZED (
                 SELECT e, t2 AS cp, val AS prob FROM (
-                    SELECT e, t2, least(greatest(score, 0.0), 1.0) AS val,
+                    SELECT e, t2, least(greatest({fused_col}, 0.0), 1.0) AS val,
                            row_number() OVER (
                                PARTITION BY e
-                               ORDER BY least(greatest(score, 0.0), 1.0) DESC, t2 DESC
+                               ORDER BY least(greatest({fused_col}, 0.0), 1.0) DESC, t2 DESC
                            ) AS rn
-                    FROM scores_{c}
+                    FROM ({fused_src}) s_fused
                 ) WHERE rn = 1
             ),
             merged_{c} AS MATERIALIZED (
@@ -1013,18 +1078,49 @@ def _paris_iter_ctes(i: int) -> str:
             )"""
 
 
-def _paris_align_sql(iterations: int = 2) -> str:
+def _paris_align_sql(iterations: int = 2, fusion: bool = False) -> str:
     """The flagship align() + alignment_results() as one DuckDB query:
     literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
-    result rows (kind, name_l, name_r, prob)."""
+    result rows (kind, name_l, name_r, prob). ``fusion`` adds the
+    deterministic name-derived embeddings (poly-hash components, ~2/3
+    entity coverage) and fuses 0.8·score + 0.2·cosine on the non-init
+    iterations — the twin of _q_paris_fusion_tpch."""
+    from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL
 
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
-    iter_blocks = ",".join(_paris_iter_ctes(i) for i in range(1, iterations + 1))
+    iter_blocks = ",".join(
+        _paris_iter_ctes(i, fusion=fusion) for i in range(1, iterations + 1)
+    )
+    emb_blocks = ""
+    if fusion:
+        comp = lambda j: (  # noqa: E731
+            f"CAST({POLY_SQL.format(c=f'''e || ':{j}' ''')} % 1000 AS DOUBLE)"
+            " / CAST(1000.0 AS DOUBLE)"
+        )
+        comps = ", ".join(f"{comp(j)} AS x{j}" for j in range(4))
+        keep = f"{POLY_SQL.format(c='e')} % 3 <> 0"
+        emb_blocks = f"""
+            ents_l AS (
+                SELECT DISTINCT trim(subj) AS e FROM kg1_raw
+                UNION
+                SELECT DISTINCT trim(obj) FROM kg1_raw WHERE NOT is_attr
+            ),
+            ents_r AS (
+                SELECT DISTINCT trim(subj) AS e FROM kg2_raw
+                UNION
+                SELECT DISTINCT trim(obj) FROM kg2_raw WHERE NOT is_attr
+            ),
+            emb_l AS MATERIALIZED (
+                SELECT e, {comps} FROM ents_l WHERE {keep}
+            ),
+            emb_r AS MATERIALIZED (
+                SELECT e, {comps} FROM ents_r WHERE {keep}
+            ),"""
     n = iterations
     return f"""
-            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),
+            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),{emb_blocks}
             t1 AS MATERIALIZED ({kg1_inv}), t2 AS MATERIALIZED ({kg2_inv}),
             f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
                    FROM t1 GROUP BY pred),
@@ -1720,6 +1816,7 @@ def oracle_sql() -> dict[str, str]:
             FROM tk
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
+        "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
         "lsh_multiprobe_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3, multi_probe=True),
         # ivf_topk with the injected quantizer (centroids = embeddings of
