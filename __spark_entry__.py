@@ -824,6 +824,39 @@ def _q_paris_fusion_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
 
 
+def _q_feedback_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PRASE feedback entry point value-verified end-to-end
+    (prase_feedback_align, reference test.py:83-104): deterministic
+    customer seed links (every 5th customer, prob 0.3 + (k%7)/10) are
+    force-merged into the literal-seed state (load_ent_links force=True /
+    seed.force_merge), then 3 PARIS iterations run with embedding fusion
+    active on the non-init iteration. The DuckDB twin replays the
+    force-merge (anti-join + union) and the fusion arithmetic."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.pipeline import alignment_results, prase_feedback_align
+
+    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    k = F.col("c_custkey")
+    links = (
+        spark.read.parquet(f"{sf_dir}/customer.parquet")
+        .filter(k % 5 == 0)
+        .select(
+            F.concat(
+                F.lit("<http://a.org/resource/Customer_"), k.cast("string"), F.lit(">")
+            ).alias("name_l"),
+            F.concat(F.lit("http://b.org/entity/QC"), k.cast("string")).alias("name_r"),
+            (F.lit(0.3) + (k % 7).cast("double") / F.lit(10.0)).alias("prob"),
+        )
+    )
+    cfg = ParisConfig(iterations=3)
+    run = prase_feedback_align(
+        spark, kg1, kg2, cfg, seed_links=links,
+        embeddings_l=_det_embeddings(kg1), embeddings_r=_det_embeddings(kg2),
+    )
+    res = alignment_results(run.state, kg1, kg2, cfg.theta)
+    return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
+
+
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL html->text->triples extraction pipeline (Arrow mapInPandas,
     prase_spark/extract.py) over pages templated deterministically from the
@@ -902,6 +935,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": _q_fingerprint_docs,
         "paris_align_tpch": _q_paris_align_tpch,
         "paris_fusion_tpch": _q_paris_fusion_tpch,
+        "feedback_align_tpch": _q_feedback_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1078,13 +1112,18 @@ def _paris_iter_ctes(i: int, fusion: bool = False) -> str:
             )"""
 
 
-def _paris_align_sql(iterations: int = 2, fusion: bool = False) -> str:
+def _paris_align_sql(
+    iterations: int = 2, fusion: bool = False, seed_customers: bool = False
+) -> str:
     """The flagship align() + alignment_results() as one DuckDB query:
     literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
     result rows (kind, name_l, name_r, prob). ``fusion`` adds the
     deterministic name-derived embeddings (poly-hash components, ~2/3
     entity coverage) and fuses 0.8·score + 0.2·cosine on the non-init
-    iterations — the twin of _q_paris_fusion_tpch."""
+    iterations — the twin of _q_paris_fusion_tpch. ``seed_customers``
+    force-merges the deterministic customer seed links into the initial
+    match state (load_ent_links force=True / seed.force_merge) — the twin
+    of _q_feedback_align_tpch."""
     from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL
 
@@ -1118,6 +1157,33 @@ def _paris_align_sql(iterations: int = 2, fusion: bool = False) -> str:
             emb_r AS MATERIALIZED (
                 SELECT e, {comps} FROM ents_r WHERE {keep}
             ),"""
+    if seed_customers:
+        # seed.force_merge: update rows REPLACE prior rows for the same
+        # entity (anti-join + union). The literal base holds only quoted
+        # literal names, so the anti-join is semantically a no-op here but
+        # is kept to mirror the operator.
+        seed_blocks = """
+            seeds AS (
+                SELECT '<http://a.org/resource/Customer_' || c_custkey || '>' AS e,
+                       'http://b.org/entity/QC' || c_custkey AS cp,
+                       CAST(0.3 AS DOUBLE)
+                       + CAST(c_custkey % 7 AS DOUBLE) / CAST(10.0 AS DOUBLE) AS prob
+                FROM customer WHERE c_custkey % 5 = 0
+            ),
+            m_sub_0 AS MATERIALIZED (
+                SELECT * FROM m_sub_base WHERE e NOT IN (SELECT e FROM seeds)
+                UNION ALL
+                SELECT e, FALSE, cp, FALSE, prob FROM seeds
+            ),
+            m_sup_0 AS MATERIALIZED (
+                SELECT * FROM m_sup_base WHERE e NOT IN (SELECT cp FROM seeds)
+                UNION ALL
+                SELECT cp, FALSE, e, FALSE, prob FROM seeds
+            ),"""
+    else:
+        seed_blocks = """
+            m_sub_0 AS MATERIALIZED (SELECT * FROM m_sub_base),
+            m_sup_0 AS MATERIALIZED (SELECT * FROM m_sup_base),"""
     n = iterations
     return f"""
             WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),{emb_blocks}
@@ -1138,16 +1204,16 @@ def _paris_align_sql(iterations: int = 2, fusion: bool = False) -> str:
             ),
             r_min AS (SELECT value, min(name) AS rname FROM r_val GROUP BY value),
             l_min AS (SELECT value, min(name) AS lname FROM l_val GROUP BY value),
-            m_sub_0 AS MATERIALIZED (
+            m_sub_base AS MATERIALIZED (
                 SELECT l.name AS e, TRUE AS e_lit, r_min.rname AS cp,
                        TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
                 FROM l_val l JOIN r_min USING (value)
             ),
-            m_sup_0 AS MATERIALIZED (
+            m_sup_base AS MATERIALIZED (
                 SELECT r.name AS e, TRUE AS e_lit, l_min.lname AS cp,
                        TRUE AS cp_lit, CAST(1.0 AS DOUBLE) AS prob
                 FROM r_val r JOIN l_min USING (value)
-            ),
+            ),{seed_blocks}
             rel_l_0 AS (SELECT '' AS r, '' AS r2, 0.0 AS prob WHERE FALSE),
             rel_r_0 AS (SELECT '' AS rr, '' AS rl, 0.0 AS prob WHERE FALSE),
             {iter_blocks},
@@ -1817,6 +1883,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),
+        "feedback_align_tpch": _paris_align_sql(iterations=3, fusion=True, seed_customers=True),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
         "lsh_multiprobe_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3, multi_probe=True),
         # ivf_topk with the injected quantizer (centroids = embeddings of
