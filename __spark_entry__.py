@@ -857,6 +857,49 @@ def _q_feedback_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
 
 
+def _q_reset_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The J7 embedding-reset feedback path value-verified
+    (prase_feedback_align(reset_from_embeddings=True), reference
+    reset_ent_align_result objects/KGs.py:265-279): entity matches are
+    REPLACED by the dot-product argmax over deterministic customer-subset
+    embeddings (custkey<150 — under the pair budget, exact path forced
+    with reset_use_lsh=False) at prob 0.2, literal seeds preserved, then
+    2 init iterations run. The DuckDB twin replays the cross-join argmax
+    with the same min-counterpart / max-claimant tie rules."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.embed import resolve_embeddings
+    from prase_spark.pipeline import alignment_results, prase_feedback_align
+
+    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    k = F.col("c_custkey")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(k < 150)
+
+    def named_emb(name_col):
+        comps = [
+            F.pmod(
+                poly_hash61(F.concat(F.col("name"), F.lit(f":{j}"))), F.lit(1000)
+            ).cast("double")
+            / F.lit(1000.0)
+            for j in range(4)
+        ]
+        return cust.select(name_col.alias("name")).select(
+            "name", F.array(*comps).alias("embedding")
+        )
+
+    name_l = F.concat(F.lit("<http://a.org/resource/Customer_"), k.cast("string"), F.lit(">"))
+    name_r = F.concat(F.lit("http://b.org/entity/QC"), k.cast("string"))
+    cfg = ParisConfig(iterations=2)
+    run = prase_feedback_align(
+        spark, kg1, kg2, cfg,
+        embeddings_l=resolve_embeddings(named_emb(name_l), kg1.nodes),
+        embeddings_r=resolve_embeddings(named_emb(name_r), kg2.nodes),
+        reset_from_embeddings=True, reset_use_lsh=False,
+    )
+    res = alignment_results(run.state, kg1, kg2, cfg.theta)
+    return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
+
+
 def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REAL html->text->triples extraction pipeline (Arrow mapInPandas,
     prase_spark/extract.py) over pages templated deterministically from the
@@ -936,6 +979,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paris_align_tpch": _q_paris_align_tpch,
         "paris_fusion_tpch": _q_paris_fusion_tpch,
         "feedback_align_tpch": _q_feedback_align_tpch,
+        "reset_align_tpch": _q_reset_align_tpch,
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ivf_topk": _q_ivf_topk,
@@ -1113,7 +1157,10 @@ def _paris_iter_ctes(i: int, fusion: bool = False) -> str:
 
 
 def _paris_align_sql(
-    iterations: int = 2, fusion: bool = False, seed_customers: bool = False
+    iterations: int = 2,
+    fusion: bool = False,
+    seed_customers: bool = False,
+    reset_customers: bool = False,
 ) -> str:
     """The flagship align() + alignment_results() as one DuckDB query:
     literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
@@ -1123,7 +1170,10 @@ def _paris_align_sql(
     iterations — the twin of _q_paris_fusion_tpch. ``seed_customers``
     force-merges the deterministic customer seed links into the initial
     match state (load_ent_links force=True / seed.force_merge) — the twin
-    of _q_feedback_align_tpch."""
+    of _q_feedback_align_tpch. ``reset_customers`` replaces the entity
+    match state with the J7 embedding argmax over the custkey<150 subset
+    (embedding_reset_matches exact path / brute_force_argmax, prob 0.2,
+    literal seed rows preserved) — the twin of _q_reset_align_tpch."""
     from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL
 
@@ -1132,13 +1182,13 @@ def _paris_align_sql(
     iter_blocks = ",".join(
         _paris_iter_ctes(i, fusion=fusion) for i in range(1, iterations + 1)
     )
+    comp = lambda j: (  # noqa: E731
+        f"CAST({POLY_SQL.format(c=f'''e || ':{j}' ''')} % 1000 AS DOUBLE)"
+        " / CAST(1000.0 AS DOUBLE)"
+    )
+    comps = ", ".join(f"{comp(j)} AS x{j}" for j in range(4))
     emb_blocks = ""
     if fusion:
-        comp = lambda j: (  # noqa: E731
-            f"CAST({POLY_SQL.format(c=f'''e || ':{j}' ''')} % 1000 AS DOUBLE)"
-            " / CAST(1000.0 AS DOUBLE)"
-        )
-        comps = ", ".join(f"{comp(j)} AS x{j}" for j in range(4))
         keep = f"{POLY_SQL.format(c='e')} % 3 <> 0"
         emb_blocks = f"""
             ents_l AS (
@@ -1179,6 +1229,47 @@ def _paris_align_sql(
                 SELECT * FROM m_sup_base WHERE e NOT IN (SELECT cp FROM seeds)
                 UNION ALL
                 SELECT cp, FALSE, e, FALSE, prob FROM seeds
+            ),"""
+    elif reset_customers:
+        # prase_feedback_align(reset_from_embeddings=True): entity rows
+        # replaced by the dot-product argmax (ties -> min counterpart name
+        # == min id; sup = max claiming entity per counterpart), prob 0.2;
+        # literal seed rows preserved (objects/KGs.py:266-271).
+        dot = " + ".join(f"l.x{j}*r.x{j}" for j in range(4))
+        seed_blocks = f"""
+            cnames_l AS (
+                SELECT '<http://a.org/resource/Customer_' || c_custkey || '>' AS e
+                FROM customer WHERE c_custkey < 150
+            ),
+            cnames_r AS (
+                SELECT 'http://b.org/entity/QC' || c_custkey AS e
+                FROM customer WHERE c_custkey < 150
+            ),
+            cemb_l AS (SELECT e, {comps} FROM cnames_l),
+            cemb_r AS (SELECT e, {comps} FROM cnames_r),
+            reset_pairs AS (
+                SELECT l.e AS e, r.e AS cp, {dot} AS dot
+                FROM cemb_l l CROSS JOIN cemb_r r
+            ),
+            reset_sub AS (
+                SELECT e, cp FROM (
+                    SELECT e, cp, row_number() OVER (
+                        PARTITION BY e ORDER BY dot DESC, cp ASC
+                    ) AS rn FROM reset_pairs
+                ) WHERE rn = 1
+            ),
+            reset_sup AS (
+                SELECT cp AS e, max(e) AS cp2 FROM reset_sub GROUP BY cp
+            ),
+            m_sub_0 AS MATERIALIZED (
+                SELECT * FROM m_sub_base
+                UNION ALL
+                SELECT e, FALSE, cp, FALSE, CAST(0.2 AS DOUBLE) FROM reset_sub
+            ),
+            m_sup_0 AS MATERIALIZED (
+                SELECT * FROM m_sup_base
+                UNION ALL
+                SELECT e, FALSE, cp2, FALSE, CAST(0.2 AS DOUBLE) FROM reset_sup
             ),"""
     else:
         seed_blocks = """
@@ -1884,6 +1975,7 @@ def oracle_sql() -> dict[str, str]:
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),
         "feedback_align_tpch": _paris_align_sql(iterations=3, fusion=True, seed_customers=True),
+        "reset_align_tpch": _paris_align_sql(iterations=2, reset_customers=True),
         "lsh_ann_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3),
         "lsh_multiprobe_topk": _lsh_ann_sql(dim=64, n_bits=96, n_bands=8, k=3, multi_probe=True),
         # ivf_topk with the injected quantizer (centroids = embeddings of
