@@ -567,6 +567,22 @@ def _q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-aware near-dup representative selection (dedup.keep_best):
+    the minhash clusters' keep flag re-picked by quality_score (ties ->
+    lowest doc_id — exercised by the planted exact copies, whose quality
+    is identical to their originals). What a training-data pipeline runs
+    instead of keep-min-id when a quality model is available."""
+    from prase_spark.datapipe.dedup import keep_best, minhash_dedup
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.datapipe.textstats import quality_score
+
+    corpus = _dup_docs(spark, sf_dir, 80, 40)
+    clusters = minhash_dedup(corpus, threshold=0.8, hash_fn=poly_hash61)
+    scores = corpus.select("doc_id", quality_score("text").alias("quality"))
+    return keep_best(clusters, scores).select("doc_id", "cluster_id", "keep")
+
+
 def _q_simhash_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.dedup import simhash_pairs
     from prase_spark.datapipe.hashing import poly_hash61
@@ -971,6 +987,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paris_iter1_scores": _q_paris_iter1_scores,
         "paris_iter1_argmax": _q_paris_iter1_argmax,
         "minhash_neardup_docs": _q_minhash_neardup_docs,
+        "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -1342,12 +1359,10 @@ def _hyperplane_bands_sql(dim: int, n_bits: int, n_bands: int, seed: int) -> str
     )
 
 
-def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
-    """Recursive-CTE connected components over a ``verified`` pair CTE +
-    keep-min-per-cluster projection over ``corpus`` — the DuckDB twin of
-    matching.connected_components + the dedup keep rule, shared by the
-    minhash and embedding near-dup oracles."""
-    return f"""
+# recursive-CTE connected components over a ``verified`` pair CTE — the
+# DuckDB twin of matching.connected_components; composed with a keep rule
+# by _cc_keep_sql and the keep-best oracle.
+_CC_COMP_SQL = """
             edges_sym AS (
                 SELECT key_a AS a, key_b AS b FROM verified
                 UNION
@@ -1362,7 +1377,15 @@ def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
                 SELECT a AS node, min(b) AS component
                 FROM (SELECT a, b FROM reach UNION SELECT a, a FROM edges_sym)
                 GROUP BY a
-            )
+            ),"""
+
+
+def _cc_keep_sql(corpus_id: str, out_id: str) -> str:
+    """_CC_COMP_SQL + keep-min-per-cluster projection over ``corpus`` —
+    matching.connected_components + the dedup keep rule, shared by the
+    minhash and embedding near-dup oracles."""
+    return f"""
+            {_CC_COMP_SQL.rstrip(",")}
             SELECT {out_id}, cluster_id,
                    {out_id} = min({out_id}) OVER (PARTITION BY cluster_id) AS keep
             FROM (
@@ -1604,6 +1627,77 @@ def oracle_sql() -> dict[str, str]:
                    round(1.0 - product(factor), 6) AS score
             FROM ev WHERE 1.0 - factor > 0.01
             GROUP BY e, t2
+        """
+
+    # shared MinHash near-dup chain (corpus -> shingles -> signatures ->
+    # bands -> candidates -> exact-Jaccard 'verified' pairs) — composed
+    # with a keep-rule tail by minhash_neardup_docs / dedup_keep_best_docs
+    _minhash_cc_chain = f"""
+            WITH RECURSIVE corpus AS ({_CORPUS_80_40}),
+            tk AS (SELECT key, {toks} AS t FROM corpus),
+            sh AS ({_shingle_cte(3)}),
+            hx AS (SELECT key, shingle, {poly_shingle} % {_MERSENNE} AS x FROM sh),
+            params(h, a, b) AS (VALUES
+                {mh_params}
+            ),
+            sig AS (
+                SELECT key, h,
+                       min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+                FROM hx, params GROUP BY key, h
+            ),
+            banded AS (
+                SELECT key, h // 4 AS band,
+                       list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+                FROM sig GROUP BY key, h // 4
+            ),
+            cand AS (
+                SELECT DISTINCT a.key AS key_a, b.key AS key_b
+                FROM banded a JOIN banded b
+                  ON a.band = b.band AND a.band_key = b.band_key AND a.key < b.key
+            ),
+            sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
+            inter AS (
+                SELECT c.key_a, c.key_b, count(*) AS inter
+                FROM cand c
+                JOIN sh sa ON sa.key = c.key_a
+                JOIN sh sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
+                GROUP BY c.key_a, c.key_b
+            ),
+            verified AS (
+                SELECT key_a, key_b
+                FROM inter
+                JOIN sizes za ON za.key = key_a
+                JOIN sizes zb ON zb.key = key_b
+                WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.8
+            ),"""
+    # dedup.keep_best tail: cluster representative = max quality, tie ->
+    # min key (quality_expr is the same per-doc formula the quality_docs
+    # gate hash-verifies)
+    _keep_best_tail = f"""
+            {_CC_COMP_SQL}
+            qual AS (
+                SELECT key, {quality_expr} AS quality FROM (
+                    SELECT key,
+                           length(text) AS n_chars,
+                           length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                           {toks} AS toks
+                    FROM corpus
+                )
+            ),
+            labeled AS (
+                SELECT c.key AS doc_id, coalesce(comp.component, c.key) AS cluster_id
+                FROM corpus c LEFT JOIN comp ON comp.node = c.key
+            ),
+            best AS (
+                SELECT cluster_id, doc_id AS best_key FROM (
+                    SELECT l.cluster_id, l.doc_id, row_number() OVER (
+                        PARTITION BY l.cluster_id ORDER BY q.quality DESC, l.doc_id ASC
+                    ) AS rn
+                    FROM labeled l JOIN qual q ON q.key = l.doc_id
+                ) WHERE rn = 1
+            )
+            SELECT l.doc_id, l.cluster_id, l.doc_id = b.best_key AS keep
+            FROM labeled l JOIN best b USING (cluster_id)
         """
 
     out = {
@@ -1898,45 +1992,10 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rank <= 3
         """,
         "minhash_neardup_docs": f"""
-            WITH RECURSIVE corpus AS ({_CORPUS_80_40}),
-            tk AS (SELECT key, {toks} AS t FROM corpus),
-            sh AS ({_shingle_cte(3)}),
-            hx AS (SELECT key, shingle, {poly_shingle} % {_MERSENNE} AS x FROM sh),
-            params(h, a, b) AS (VALUES
-                {mh_params}
-            ),
-            sig AS (
-                SELECT key, h,
-                       min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
-                FROM hx, params GROUP BY key, h
-            ),
-            banded AS (
-                SELECT key, h // 4 AS band,
-                       list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
-                FROM sig GROUP BY key, h // 4
-            ),
-            cand AS (
-                SELECT DISTINCT a.key AS key_a, b.key AS key_b
-                FROM banded a JOIN banded b
-                  ON a.band = b.band AND a.band_key = b.band_key AND a.key < b.key
-            ),
-            sizes AS (SELECT key, count(*) AS sz FROM sh GROUP BY key),
-            inter AS (
-                SELECT c.key_a, c.key_b, count(*) AS inter
-                FROM cand c
-                JOIN sh sa ON sa.key = c.key_a
-                JOIN sh sb ON sb.key = c.key_b AND sb.shingle = sa.shingle
-                GROUP BY c.key_a, c.key_b
-            ),
-            verified AS (
-                SELECT key_a, key_b
-                FROM inter
-                JOIN sizes za ON za.key = key_a
-                JOIN sizes zb ON zb.key = key_b
-                WHERE inter * 1.0 / (za.sz + zb.sz - inter) >= 0.8
-            ),
+            {_minhash_cc_chain}
             {_cc_keep_sql("key", "doc_id")}
         """,
+        "dedup_keep_best_docs": _minhash_cc_chain + _keep_best_tail,
         "simhash_pairs_docs": f"""
             WITH corpus AS ({_CORPUS_80_40}),
             tk AS (SELECT key, {toks} AS t FROM corpus),

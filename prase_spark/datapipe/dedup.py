@@ -381,6 +381,39 @@ def minhash_dedup(
     )
 
 
+def keep_best(
+    clusters: DataFrame,
+    scores: DataFrame,
+    score_col: str = "quality",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """Re-pick each near-dup cluster's representative by QUALITY instead of
+    min id: keep the highest-``score_col`` member, ties -> lowest key (so
+    exact copies resolve to the earliest document — what a training-data
+    pipeline wants when deduping a crawl against a quality model).
+
+    ``clusters``: (key_col, cluster_id[, keep]) from :func:`minhash_dedup`
+    or simsearch.embedding_neardup; ``scores``: (key_col, score_col).
+    One equi-join + one hash aggregation (max_by over a broadcastable
+    per-cluster best table is NOT used: best is joined back by cluster_id,
+    O(rows) shuffle, no per-cluster collect). ``key_col`` must be numeric
+    (the tie-break negates it)."""
+    joined = clusters.select(key_col, "cluster_id").join(
+        scores.select(key_col, score_col), key_col
+    )
+    best = joined.groupBy("cluster_id").agg(
+        F.max_by(
+            F.col(key_col), F.struct(F.col(score_col), (-F.col(key_col)).alias("nk"))
+        ).alias("best_key")
+    )
+    return (
+        clusters.select(key_col, "cluster_id")
+        .join(best, "cluster_id")
+        .withColumn("keep", F.col(key_col) == F.col("best_key"))
+        .drop("best_key")
+    )
+
+
 def simhash64(col: Column | str, shingle_n: int = 2, hash_fn=None) -> Column:
     """64-bit SimHash over word shingles — pure native bit arithmetic:
     per-shingle hash, sum of per-bit +/-1 votes via explode-free

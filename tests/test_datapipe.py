@@ -91,6 +91,32 @@ def test_minhash_lsh_finds_near_dups(docs):
     assert rows[3][1]                        # unique doc kept
 
 
+def test_keep_best_prefers_quality_then_min_id(spark, docs):
+    """dedup.keep_best re-picks cluster representatives by score: the
+    highest-quality member wins even with a higher id; exact ties (equal
+    scores) fall back to the lowest id; singleton clusters keep their only
+    member."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.dedup import keep_best, minhash_dedup
+
+    clusters = minhash_dedup(docs, threshold=0.8)
+    cluster_of = {r["doc_id"]: r["cluster_id"] for r in clusters.collect()}
+    assert cluster_of[0] == cluster_of[2]  # fixture near-dups
+    # doc 2 (higher id) gets the better score -> it must be kept over doc 0
+    scores = docs.select(
+        "doc_id", (F.col("doc_id") == 2).cast("double").alias("quality")
+    )
+    kept = {r["doc_id"]: r["keep"] for r in keep_best(clusters, scores).collect()}
+    assert kept[2] and not kept[0]
+    assert kept[3]  # singleton keeps itself
+    # all-equal scores degrade to the min-id rule (minhash_dedup's keep)
+    flat = docs.select("doc_id", F.lit(1.0).alias("quality"))
+    kept_flat = {r["doc_id"]: r["keep"] for r in keep_best(clusters, flat).collect()}
+    base = {r["doc_id"]: r["keep"] for r in clusters.collect()}
+    assert kept_flat == base
+
+
 def test_simhash_pairs(docs):
     from prase_spark.datapipe.dedup import simhash_pairs
 
