@@ -275,6 +275,28 @@ def evidence_expansion(
     )
 
 
+def materialize_concurrently(*thunks):
+    """Run independent eager-materialization thunks (localCheckpoint /
+    persist-count) as CONCURRENT Spark jobs from driver threads. Spark's
+    scheduler is thread-safe and interleaves the jobs' stages; with FIFO
+    scheduling idle cores from one job's latency gaps run the other job's
+    tasks. This attacks the serial coordination floor the Amdahl fit in
+    BENCH.md quantifies (~120 s at 37M facts) without changing any plan:
+    each thunk's DAG is exactly what the serial code built.
+
+    ``PRASE_SERIAL_CHECKPOINTS=1`` falls back to sequential execution
+    (A/B lever; also the escape hatch if a cluster's scheduler pools are
+    configured to starve concurrent jobs)."""
+    import os
+    from concurrent.futures import ThreadPoolExecutor
+
+    if len(thunks) == 1 or os.environ.get("PRASE_SERIAL_CHECKPOINTS") == "1":
+        return tuple(t() for t in thunks)
+    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
+        futures = [ex.submit(t) for t in thunks]
+        return tuple(f.result() for f in futures)
+
+
 def half_iteration(
     kg_l: KGFrames,
     kg_r: KGFrames,
@@ -310,7 +332,7 @@ def half_iteration(
     facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
         F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
     )
-    rel_new = rel_align_update(cand_base, facts_r, cfg.const).localCheckpoint()
+    rel_lazy = rel_align_update(cand_base, facts_r, cfg.const)
     cands = None
     if ent_align:
         # The hub-head expansion has exactly ONE consumer (the candidate
@@ -323,10 +345,21 @@ def half_iteration(
         else:
             expanded = cand_base.join(facts_r, "h_cp")
         expanded = expanded.select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
-        cands = entity_candidates(
+        cands_lazy = entity_candidates(
             expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
             embeddings_l, embeddings_r, fusion=fusion,
-        ).localCheckpoint()
+        )
+        # Jacobi makes rel_new and cands mutually independent (rel_new is
+        # only read NEXT iteration), so their materialization jobs overlap:
+        # at sandbox volume each job is dominated by stage-scheduling
+        # latency with idle cores (BENCH.md Amdahl note), and on a cluster
+        # the scheduler interleaves their stages across executors.
+        rel_new, cands = materialize_concurrently(
+            lambda: rel_lazy.localCheckpoint(),
+            lambda: cands_lazy.localCheckpoint(),
+        )
+    else:
+        rel_new = rel_lazy.localCheckpoint()
     cand_base.unpersist()
     return rel_new, cands
 
@@ -356,14 +389,19 @@ def run_iteration(
     # pass and the sub filter don't recompute the claim aggregation.
     new_sup = new_sup.localCheckpoint()
     # R-side rel stats read the post-bipartite sup state, ent_align=False
-    # (objects/KGs.py:107).
-    rel_r_new, _ = half_iteration(
-        kg_r, kg_l, new_sup, state.rel_align_r, state.rel_align_l,
-        cfg, init, ent_align=False,
+    # (objects/KGs.py:107). Both consumers below depend only on the pinned
+    # new_sup, so the R-side pass and the final sub pin are independent
+    # jobs — overlap them (see materialize_concurrently).
+    rel_r_new, new_sub = materialize_concurrently(
+        lambda: half_iteration(
+            kg_r, kg_l, new_sup, state.rel_align_r, state.rel_align_l,
+            cfg, init, ent_align=False,
+        )[0],
+        # pin the last lazy output too: every returned frame is
+        # materialized exactly once, so callers need no second
+        # checkpoint wave
+        lambda: new_sub.localCheckpoint(),
     )
-    # pin the last lazy output too: every returned frame is materialized
-    # exactly once, so callers need no second checkpoint wave
-    new_sub = new_sub.localCheckpoint()
     return AlignState(
         matches_sub=new_sub,
         matches_sup=new_sup,
