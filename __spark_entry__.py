@@ -49,6 +49,27 @@ def _kg(spark: SparkSession, sf_dir: str, kg: int):
     return _KG_CACHE[key]
 
 
+def _kg_pair(spark: SparkSession, sf_dir: str):
+    """Both TPC-H KGs, building any missing ones CONCURRENTLY (the builds
+    are independent and eager — see pipeline.build_kgs_from_raw)."""
+    from prase_spark.kgbuild import build_kg
+    from prase_spark.paris import materialize_concurrently
+    from prase_spark.tpch_kg import tpch_raw_triples
+
+    sc = spark.sparkContext
+    missing = [
+        kg for kg in (1, 2) if (sc.applicationId, sf_dir, kg) not in _KG_CACHE
+    ]
+    if len(missing) == 2:
+        built = materialize_concurrently(
+            lambda: build_kg(tpch_raw_triples(spark, sf_dir, 1)),
+            lambda: build_kg(tpch_raw_triples(spark, sf_dir, 2)),
+        )
+        for kg, frames in zip((1, 2), built):
+            _KG_CACHE[(sc.applicationId, sf_dir, kg)] = frames
+    return _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+
+
 # --------------------------------------------------------------------------
 # queries
 # --------------------------------------------------------------------------
@@ -106,7 +127,7 @@ def _q_literal_seed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J1: literal-value seed join between KG1 and KG2 (min name per value
     each side — the deterministic stand-in for the reference's
     last-write-wins value dict)."""
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     l = kg1.literals().groupBy("value").agg(F.min("name").alias("name_l"))
     r = kg2.literals().groupBy("value").agg(F.min("name").alias("name_r"))
     return l.join(r, "value").select("value", "name_l", "name_r")
@@ -393,7 +414,7 @@ def _q_seed_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
     missing on either side drop out; prob scale applied."""
     from prase_spark.seed import load_seed_links
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey")
     links = c.select(
         F.concat(
@@ -508,7 +529,7 @@ def _q_paris_iter1_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.paris import candidate_scores, evidence_expansion
     from prase_spark.seed import literal_seed_matches
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     sub, _ = literal_seed_matches(kg1, kg2)
     cfg = ParisConfig()
     empty = spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE")
@@ -533,7 +554,7 @@ def _q_paris_iter1_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.paris import candidate_scores, evidence_expansion
     from prase_spark.seed import literal_seed_matches
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     sub, _ = literal_seed_matches(kg1, kg2)
     cfg = ParisConfig()
     empty = spark.createDataFrame([], "pred_id LONG, counterpart_pred_id LONG, prob DOUBLE")
@@ -791,7 +812,7 @@ def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.config import ParisConfig
     from prase_spark.pipeline import align, alignment_results
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     cfg = ParisConfig(iterations=2)
     run = align(spark, kg1, kg2, cfg, checkpoint=False)
     res = alignment_results(run.state, kg1, kg2, cfg.theta)
@@ -830,7 +851,7 @@ def _q_paris_fusion_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.config import ParisConfig
     from prase_spark.pipeline import align, alignment_results
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     cfg = ParisConfig(iterations=3)
     run = align(
         spark, kg1, kg2, cfg, checkpoint=False,
@@ -851,7 +872,7 @@ def _q_feedback_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.config import ParisConfig
     from prase_spark.pipeline import alignment_results, prase_feedback_align
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     k = F.col("c_custkey")
     links = (
         spark.read.parquet(f"{sf_dir}/customer.parquet")
@@ -887,7 +908,7 @@ def _q_reset_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.embed import resolve_embeddings
     from prase_spark.pipeline import alignment_results, prase_feedback_align
 
-    kg1, kg2 = _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
+    kg1, kg2 = _kg_pair(spark, sf_dir)
     k = F.col("c_custkey")
     cust = spark.read.parquet(f"{sf_dir}/customer.parquet").filter(k < 150)
 

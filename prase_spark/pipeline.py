@@ -278,5 +278,15 @@ def partition_metrics(materialized: DataFrame) -> DataFrame:
 def build_kgs_from_raw(
     spark: SparkSession, raw_l: DataFrame, raw_r: DataFrame
 ) -> tuple[KGFrames, KGFrames]:
-    """construct_kgs analog (test.py:58-71)."""
-    return build_kg(raw_l), build_kg(raw_r)
+    """construct_kgs analog (test.py:58-71). The two builds are fully
+    independent, and build_kg is eager in its expensive parts (dense-id
+    localCheckpoints, node/predicate persists), so they run as concurrent
+    driver-thread jobs — one build's coordination gaps execute the
+    other's tasks (paris.materialize_concurrently; same
+    PRASE_SERIAL_CHECKPOINTS=1 fallback)."""
+    from prase_spark.paris import materialize_concurrently
+
+    kg_l, kg_r = materialize_concurrently(
+        lambda: build_kg(raw_l), lambda: build_kg(raw_r)
+    )
+    return kg_l, kg_r
