@@ -23,6 +23,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from prase_spark.concurrency import materialize_concurrently
 from prase_spark.ids import assign_dense_ids
 from prase_spark.normalize import inv_pred_name, normalize_literal, normalize_uri
 
@@ -126,17 +127,6 @@ def build_kg(
         )
         .distinct()
     )
-    nodes = assign_dense_ids(
-        node_names, ["is_literal", "name"], id_col="ent_id", num_partitions=shuffle_partitions
-    )
-    nodes = nodes.withColumn(
-        "value",
-        F.when(F.col("is_literal"), lite_norm(F.col("name"))).otherwise(
-            ent_norm(F.col("name"))
-        ),
-    ).select("ent_id", "name", "value", "is_literal")
-    nodes = nodes.persist()
-
     # --- predicates: dedup by (name, is_attr); relations before attributes.
     # INV names are generated from the (tiny) distinct forward set, not
     # scanned from doubled data.
@@ -150,9 +140,26 @@ def build_kg(
             F.lit(True).alias("is_inv"),
         )
     )
-    predicates = assign_dense_ids(
-        pred_names, ["is_attribute", "name"], id_col="pred_id", num_partitions=shuffle_partitions
+    # The two dict-encodes are independent (both read the pinned `named`)
+    # and each is a serial chain of eager jobs (range-sort, offset
+    # collect, localCheckpoint) — overlap them (concurrency module).
+    nodes, predicates = materialize_concurrently(
+        lambda: assign_dense_ids(
+            node_names, ["is_literal", "name"], id_col="ent_id",
+            num_partitions=shuffle_partitions,
+        ),
+        lambda: assign_dense_ids(
+            pred_names, ["is_attribute", "name"], id_col="pred_id",
+            num_partitions=shuffle_partitions,
+        ),
     )
+    nodes = nodes.withColumn(
+        "value",
+        F.when(F.col("is_literal"), lite_norm(F.col("name"))).otherwise(
+            ent_norm(F.col("name"))
+        ),
+    ).select("ent_id", "name", "value", "is_literal")
+    nodes = nodes.persist()
     predicates = predicates.withColumn("value", pred_norm(F.col("name"))).select(
         "pred_id", "name", "value", "is_attribute", "is_inv"
     )

@@ -275,26 +275,8 @@ def evidence_expansion(
     )
 
 
-def materialize_concurrently(*thunks):
-    """Run independent eager-materialization thunks (localCheckpoint /
-    persist-count) as CONCURRENT Spark jobs from driver threads. Spark's
-    scheduler is thread-safe and interleaves the jobs' stages; with FIFO
-    scheduling idle cores from one job's latency gaps run the other job's
-    tasks. This attacks the serial coordination floor the Amdahl fit in
-    BENCH.md quantifies (~120 s at 37M facts) without changing any plan:
-    each thunk's DAG is exactly what the serial code built.
-
-    ``PRASE_SERIAL_CHECKPOINTS=1`` falls back to sequential execution
-    (A/B lever; also the escape hatch if a cluster's scheduler pools are
-    configured to starve concurrent jobs)."""
-    import os
-    from concurrent.futures import ThreadPoolExecutor
-
-    if len(thunks) == 1 or os.environ.get("PRASE_SERIAL_CHECKPOINTS") == "1":
-        return tuple(t() for t in thunks)
-    with ThreadPoolExecutor(max_workers=len(thunks)) as ex:
-        futures = [ex.submit(t) for t in thunks]
-        return tuple(f.result() for f in futures)
+# re-exported for existing call sites (pipeline.py, __spark_entry__)
+from prase_spark.concurrency import materialize_concurrently  # noqa: E402
 
 
 def half_iteration(
