@@ -588,6 +588,19 @@ def _q_minhash_neardup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-window chunking over documents (chunking.chunk_documents,
+    48-token chunks / 8-token overlap so the sf corpus produces real
+    multi-chunk splits): every token covered, consecutive chunks share
+    the overlap, short/empty docs keep exactly one chunk. The DuckDB twin
+    rebuilds identical rows from the shared tokenizer + 1-based inclusive
+    list slices."""
+    from prase_spark.datapipe.chunking import chunk_documents
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_documents(d, chunk_tokens=48, overlap=8)
+
+
 def _q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup representative selection (dedup.keep_best):
     the minhash clusters' keep flag re-picked by quality_score (ties ->
@@ -1009,6 +1022,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "paris_iter1_argmax": _q_paris_iter1_argmax,
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
+        "chunk_docs": _q_chunk_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2017,6 +2031,29 @@ def oracle_sql() -> dict[str, str]:
             {_cc_keep_sql("key", "doc_id")}
         """,
         "dedup_keep_best_docs": _minhash_cc_chain + _keep_best_tail,
+        # chunking.chunk_documents twin: 48-token chunks, 8 overlap ->
+        # step 40. DuckDB list slices are 1-based INCLUSIVE and clamp,
+        # matching Spark slice(t, s, chunk).
+        "chunk_docs": f"""
+            WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+            meta AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) <= 48 THEN 1
+                            ELSE 1 + (len(t) - 48 + 39) // 40 END AS n_chunks
+                FROM base
+            ),
+            chunks AS (
+                SELECT doc_id, i AS chunk_id,
+                       t[i * 40 + 1 : i * 40 + 48] AS ctoks
+                FROM meta, LATERAL (
+                    SELECT unnest(generate_series(0, n_chunks - 1)) AS i
+                ) g
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(len(ctoks) AS INT) AS n_chunk_tokens,
+                   coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
+            FROM chunks
+        """,
         "simhash_pairs_docs": f"""
             WITH corpus AS ({_CORPUS_80_40}),
             tk AS (SELECT key, {toks} AS t FROM corpus),

@@ -579,3 +579,41 @@ def test_bpe_token_count_and_repetition(spark):
     assert got[1][1] == 0.25 and got[2][1] == 1.0
     stats = corpus_stats(df.filter("doc_id < 3")).collect()
     assert sum(r["docs"] for r in stats) == 3
+
+
+def test_chunk_documents_coverage_and_overlap(spark):
+    """Every token covered in order; consecutive chunks share exactly
+    `overlap` tokens; short and empty docs keep one chunk; bad params
+    raise."""
+    import pytest
+    from prase_spark.datapipe.chunking import chunk_documents
+
+    long_text = " ".join(f"w{i}" for i in range(25))
+    df = spark.createDataFrame(
+        [(0, long_text), (1, "just three tokens"), (2, ""), (3, "   ")],
+        "doc_id LONG, text STRING",
+    )
+    rows = sorted(
+        chunk_documents(df, chunk_tokens=10, overlap=3).collect(),
+        key=lambda r: (r["doc_id"], r["chunk_id"]),
+    )
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    # doc 0: 25 tokens, chunk 10, step 7 -> 1 + ceil(15/7) = 4 chunks
+    chunks0 = [r["chunk_text"].split(" ") for r in by_doc[0]]
+    assert len(chunks0) == 4
+    for i, c in enumerate(chunks0[:-1]):
+        assert len(c) == 10
+        assert c == [f"w{j}" for j in range(i * 7, i * 7 + 10)]
+        assert c[-3:] == chunks0[i + 1][:3]  # exact overlap
+    assert chunks0[-1] == [f"w{j}" for j in range(21, 25)]  # tail covered
+    # short doc: one chunk, all tokens
+    assert [r["chunk_text"] for r in by_doc[1]] == ["just three tokens"]
+    # empty / whitespace docs: exactly one empty chunk each (not dropped)
+    for d in (2, 3):
+        assert len(by_doc[d]) == 1
+        assert by_doc[d][0]["chunk_text"] == ""
+        assert by_doc[d][0]["n_chunk_tokens"] == 0
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_documents(df, chunk_tokens=10, overlap=10)
