@@ -601,6 +601,21 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=48, overlap=8)
 
 
+def _q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample packing (chunking.pack_chunks): the document chunks laid
+    into 512-token context windows by a DISTRIBUTED global prefix sum
+    (two-phase, no single-partition window). The DuckDB twin uses a plain
+    ordered-window cumsum — fine at oracle scale — so the distributed
+    offset arithmetic is value-verified against the textbook definition."""
+    from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    chunks = chunk_documents(d, chunk_tokens=48, overlap=8)
+    return pack_chunks(chunks, capacity=512).select(
+        "doc_id", "chunk_id", "n_chunk_tokens", "pack_id", "pack_pos"
+    )
+
+
 def _q_dedup_keep_best_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Quality-aware near-dup representative selection (dedup.keep_best):
     the minhash clusters' keep flag re-picked by quality_score (ties ->
@@ -1023,6 +1038,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_neardup_docs": _q_minhash_neardup_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "chunk_docs": _q_chunk_docs,
+        "pack_chunks_docs": _q_pack_chunks_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2053,6 +2069,37 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ctoks) AS INT) AS n_chunk_tokens,
                    coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
             FROM chunks
+        """,
+        # pack_chunks twin: textbook single-window cumsum (oracle scale
+        # only — the engine uses the two-phase distributed prefix sum)
+        "pack_chunks_docs": f"""
+            WITH base AS (SELECT doc_id, {toks} AS t FROM documents),
+            meta AS (
+                SELECT doc_id, t,
+                       CASE WHEN len(t) <= 48 THEN 1
+                            ELSE 1 + (len(t) - 48 + 39) // 40 END AS n_chunks
+                FROM base
+            ),
+            chunks AS (
+                SELECT doc_id, i AS chunk_id,
+                       len(t[i * 40 + 1 : i * 40 + 48]) AS n
+                FROM meta, LATERAL (
+                    SELECT unnest(generate_series(0, n_chunks - 1)) AS i
+                ) g
+            ),
+            cum AS (
+                SELECT doc_id, chunk_id, n,
+                       coalesce(sum(n) OVER (
+                           ORDER BY doc_id, chunk_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+                       ), 0) AS before
+                FROM chunks
+            )
+            SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+                   CAST(n AS INT) AS n_chunk_tokens,
+                   CAST(before // 512 AS BIGINT) AS pack_id,
+                   CAST(before % 512 AS BIGINT) AS pack_pos
+            FROM cum
         """,
         "simhash_pairs_docs": f"""
             WITH corpus AS ({_CORPUS_80_40}),

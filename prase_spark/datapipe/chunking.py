@@ -11,7 +11,7 @@ token counts agree with token_count_docs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from prase_spark.datapipe.textstats import tokens
@@ -61,3 +61,74 @@ def chunk_documents(
             F.array_join("c.ctoks", " ").alias("chunk_text"),
         )
     )
+
+
+def pack_chunks(
+    chunks: DataFrame,
+    capacity: int = 2048,
+    key_cols: tuple[str, str] = ("doc_id", "chunk_id"),
+    token_col: str = "n_chunk_tokens",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Deterministic fill-packing of chunks into context windows (sample
+    packing): chunks are laid out in global ``key_cols`` order and chunk c
+    lands in ``pack_id = cum_before(c) // capacity`` where cum_before is
+    the token count preceding c. Packs fill to ~capacity; a chunk that
+    straddles a boundary stays whole (its pack may exceed capacity by
+    less than one chunk — standard fill packing, nothing is split or
+    dropped).
+
+    A naive ``sum() OVER (ORDER BY ...)`` is a single-partition window —
+    a scale-killer — so the global prefix sum uses the same two-phase
+    distributed pattern as ids.assign_dense_ids: range-partition + sort,
+    per-partition token totals (one ≤n_part-row collect), broadcast
+    offsets, partition-local running sum. Deterministic because
+    ``key_cols`` is a unique key. Adds (pack_id, pack_pos): pack_pos is
+    the chunk's token offset inside its pack."""
+    spark = chunks.sparkSession
+    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    n_part = max(1, n_part)
+    order = [F.col(c) for c in key_cols]
+
+    parted = (
+        chunks.repartitionByRange(n_part, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    # pin one partitioning snapshot for the totals read AND the output
+    # (RangePartitioner re-samples on re-evaluation — see ids.py).
+    parted = parted.persist()
+    totals = {
+        r["__pid"]: r["tok"]
+        for r in parted.groupBy("__pid")
+        .agg(F.sum(token_col).alias("tok"))
+        .collect()
+    }
+    offsets, acc = [], 0
+    for pid in range(max(totals, default=-1) + 1):
+        offsets.append((pid, acc))
+        acc += totals.get(pid, 0)
+    if not offsets:
+        return chunks.withColumn("pack_id", F.lit(None).cast("long")).withColumn(
+            "pack_pos", F.lit(None).cast("long")
+        )
+    offset_df = spark.createDataFrame(offsets, schema="__pid INT, __offset LONG")
+
+    w = (
+        Window.partitionBy("__pid")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    local_before = F.coalesce(F.sum(token_col).over(w), F.lit(0))
+    out = (
+        parted.join(F.broadcast(offset_df), "__pid")
+        .withColumn("__before", (local_before + F.col("__offset")).cast("long"))
+        .withColumn("pack_id", F.floor(F.col("__before") / F.lit(capacity)))
+        .withColumn(
+            "pack_pos", F.col("__before") - F.col("pack_id") * F.lit(capacity)
+        )
+        .drop("__pid", "__offset", "__before")
+    )
+    out = out.localCheckpoint()  # ids must never be recomputed (ids.py note)
+    parted.unpersist()
+    return out

@@ -617,3 +617,31 @@ def test_chunk_documents_coverage_and_overlap(spark):
         assert by_doc[d][0]["n_chunk_tokens"] == 0
     with pytest.raises(ValueError, match="overlap"):
         chunk_documents(df, chunk_tokens=10, overlap=10)
+
+
+def test_pack_chunks_matches_global_cumsum(spark):
+    """pack_chunks's two-phase distributed prefix sum must equal the
+    textbook single-window definition exactly, across many partitions,
+    and nothing may be split or dropped."""
+    from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(5 + (i * 7) % 40)))
+            for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    chunks = chunk_documents(df, chunk_tokens=12, overlap=3)
+    packed = pack_chunks(chunks, capacity=50, num_partitions=8).collect()
+    got = {
+        (r["doc_id"], r["chunk_id"]): (r["pack_id"], r["pack_pos"], r["n_chunk_tokens"])
+        for r in packed
+    }
+    # python oracle: global (doc_id, chunk_id) order cumsum
+    ordered = sorted(got)
+    before = 0
+    for key in ordered:
+        pack_id, pack_pos, n = got[key]
+        assert pack_id == before // 50, key
+        assert pack_pos == before - pack_id * 50, key
+        before += n
+    # every chunk present exactly once; total tokens preserved
+    assert len(got) == chunks.count()
+    assert before == sum(n for _, _, n in got.values())
