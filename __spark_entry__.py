@@ -601,6 +601,19 @@ def _q_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return chunk_documents(d, chunk_tokens=48, overlap=8)
 
 
+def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (decontam.decontaminate): the documents
+    table screened against an 'eval benchmark' = the texts of doc_id < 30
+    (so those docs and any true 5-gram collisions flag contaminated,
+    everything else reports 0 hits). Exact string-shingle matching — the
+    DuckDB twin reuses the shared shingle CTE."""
+    from prase_spark.datapipe.decontam import decontaminate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") < 30).select("text")
+    return decontaminate(d, ev, n=5)
+
+
 def _q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing (chunking.pack_chunks): the document chunks laid
     into 512-token context windows by a DISTRIBUTED global prefix sum
@@ -1039,6 +1052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "chunk_docs": _q_chunk_docs,
         "pack_chunks_docs": _q_pack_chunks_docs,
+        "decontaminate_docs": _q_decontaminate_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2069,6 +2083,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ctoks) AS INT) AS n_chunk_tokens,
                    coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
             FROM chunks
+        """,
+        # decontaminate twin: shared shingle CTE both sides, exact string
+        # match, distinct-hit count per train doc
+        "decontaminate_docs": f"""
+            WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+            sh AS ({_shingle_cte(5)}),
+            ev AS (SELECT DISTINCT shingle FROM sh WHERE key < 30),
+            hits AS (
+                SELECT key, count(*) AS n_hits
+                FROM sh JOIN ev USING (shingle) GROUP BY key
+            )
+            SELECT t.key AS doc_id,
+                   CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   coalesce(h.n_hits, 0) >= 1 AS contaminated
+            FROM tk t LEFT JOIN hits h ON h.key = t.key
         """,
         # pack_chunks twin: textbook single-window cumsum (oracle scale
         # only — the engine uses the two-phase distributed prefix sum)

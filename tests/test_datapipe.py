@@ -645,3 +645,37 @@ def test_pack_chunks_matches_global_cumsum(spark):
     # every chunk present exactly once; total tokens preserved
     assert len(got) == chunks.count()
     assert before == sum(n for _, _, n in got.values())
+
+
+def test_decontaminate_flags_eval_overlap(spark):
+    """Planted benchmark overlap: a train doc embedding an eval question's
+    5-gram flags contaminated; clean docs report 0 hits; the hash-join
+    mode agrees with exact string matching; verbatim short questions
+    match via the whole-text fallback."""
+    from prase_spark.datapipe.decontam import decontaminate
+
+    evals = spark.createDataFrame(
+        [("what is the capital city of france exactly",),
+         ("short question",)],
+        "text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "intro text then what is the capital city of france exactly end"),
+            (1, "a completely unrelated document about spark shuffles and joins"),
+            (2, "short question"),  # verbatim copy below shingle width
+        ],
+        "doc_id LONG, text STRING",
+    )
+    got = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, evals, n=5).collect()
+    }
+    assert got[0][1] and got[0][0] >= 3  # several shared 5-grams
+    assert got[1] == (0, False)
+    assert got[2][1]  # whole-text fallback catches the short verbatim copy
+    hashed = {
+        r["doc_id"]: (r["n_hits"], r["contaminated"])
+        for r in decontaminate(train, evals, n=5, hash_fn=F.xxhash64).collect()
+    }
+    assert hashed == got
