@@ -614,6 +614,27 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, ev, n=5)
 
 
+def _q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling (sampling.stratified_sample):
+    the events table mixed by event_type — purchases kept whole, signups
+    at 50%, everything else at 25% — membership decided by
+    poly_hash61(event_id:seed) so the DuckDB twin reproduces the exact
+    row set (no RNG, no partition-order dependence)."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.datapipe.sampling import stratified_sample
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    out = stratified_sample(
+        ev,
+        rates={"purchase": 1.0, "signup": 0.5},
+        stratum_col="event_type",
+        default_rate=0.25,
+        key_col="event_id",
+        hash_fn=poly_hash61,
+    )
+    return out.select("event_id", "event_type", "user_id")
+
+
 def _q_pack_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sample packing (chunking.pack_chunks): the document chunks laid
     into 512-token context windows by a DISTRIBUTED global prefix sum
@@ -1053,6 +1074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pack_chunks_docs": _q_pack_chunks_docs,
         "decontaminate_docs": _q_decontaminate_docs,
+        "stratified_sample_events": _q_stratified_sample_events,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2083,6 +2105,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ctoks) AS INT) AS n_chunk_tokens,
                    coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
             FROM chunks
+        """,
+        # stratified_sample twin: same poly hash of event_id || ':42',
+        # same integer thresholds (1e6 / 5e5 / 2.5e5)
+        "stratified_sample_events": f"""
+            SELECT event_id, event_type, user_id FROM (
+                SELECT event_id, event_type, user_id,
+                       {POLY_SQL.format(c="event_id || ':42'")} % 1000000 AS b,
+                       CASE event_type WHEN 'purchase' THEN 1000000
+                                       WHEN 'signup' THEN 500000
+                                       ELSE 250000 END AS thr
+                FROM events
+            ) WHERE b < thr
         """,
         # decontaminate twin: shared shingle CTE both sides, exact string
         # match, distinct-hit count per train doc

@@ -679,3 +679,36 @@ def test_decontaminate_flags_eval_overlap(spark):
         for r in decontaminate(train, evals, n=5, hash_fn=F.xxhash64).collect()
     }
     assert hashed == got
+
+
+def test_hash_sample_deterministic_and_accurate(spark):
+    """Same keys picked on every evaluation; empirical rate near target;
+    nested samples with different seeds compose multiplicatively;
+    stratified rates apply per stratum; bad rates raise."""
+    from prase_spark.datapipe.sampling import hash_sample, stratified_sample
+
+    df = spark.range(20_000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 3 == 0, "en").otherwise("de").alias("lang"),
+    )
+    s1 = set(r["doc_id"] for r in hash_sample(df, 0.3).collect())
+    s2 = set(r["doc_id"] for r in hash_sample(df, 0.3).collect())
+    assert s1 == s2  # run-to-run deterministic
+    assert abs(len(s1) / 20_000 - 0.3) < 0.02
+    # rate monotonicity: lower rate is a subset of the higher (same seed)
+    s_small = set(r["doc_id"] for r in hash_sample(df, 0.1).collect())
+    assert s_small <= s1
+    # composition across seeds ~= product of rates
+    nested = hash_sample(hash_sample(df, 0.5, seed=1), 0.5, seed=2).count()
+    assert abs(nested / 20_000 - 0.25) < 0.02
+    # stratified: en kept whole, de at 10%
+    out = stratified_sample(df, {"en": 1.0}, "lang", default_rate=0.1)
+    by_lang = {r["lang"]: r["n"] for r in out.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert by_lang["en"] == df.filter("lang = 'en'").count()
+    assert abs(by_lang["de"] / df.filter("lang = 'de'").count() - 0.1) < 0.02
+
+    import pytest
+    from prase_spark.datapipe.sampling import rate_threshold
+
+    with pytest.raises(ValueError, match="rate"):
+        rate_threshold(1.5)
