@@ -712,3 +712,37 @@ def test_hash_sample_deterministic_and_accurate(spark):
 
     with pytest.raises(ValueError, match="rate"):
         rate_threshold(1.5)
+
+
+def test_chunk_documents_randomized_reconstruction(spark):
+    """Randomized sweep (seeded): for arbitrary messy inputs (unicode,
+    punctuation runs, huge whitespace), dropping each chunk's overlap
+    prefix and concatenating must reproduce the document's exact token
+    stream — chunking never loses, duplicates, or reorders tokens."""
+    import random
+
+    from prase_spark.datapipe.chunking import chunk_documents
+
+    rng = random.Random(1234)
+    alphabet = "abcXYZ019 ,.!?\t\né中-_\"'"
+    rows = [
+        (i, "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 400))))
+        for i in range(300)
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    chunk, overlap = 7, 2
+    out = chunk_documents(df, chunk_tokens=chunk, overlap=overlap).collect()
+    by_doc = {}
+    for r in sorted(out, key=lambda r: (r["doc_id"], r["chunk_id"])):
+        by_doc.setdefault(r["doc_id"], []).append(r["chunk_text"])
+    import re as _re
+
+    for doc_id, text in rows:
+        toks = [t for t in _re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+        chunks = by_doc[doc_id]
+        rebuilt = chunks[0].split(" ") if chunks[0] else []
+        for c in chunks[1:]:
+            ct = c.split(" ") if c else []
+            assert ct[:overlap] == rebuilt[-overlap:] if len(rebuilt) >= overlap else True
+            rebuilt.extend(ct[overlap:])
+        assert rebuilt == toks, doc_id
