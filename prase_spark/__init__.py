@@ -17,6 +17,45 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
   -> datapipe/
 """
 
+from prase_spark.checkpoint import load_state, save_state
 from prase_spark.config import ParisConfig, get_spark
+from prase_spark.evaluate import evaluate_alignment
+from prase_spark.extract import extract_text, extract_triples
+from prase_spark.kgbuild import KGFrames, build_kg, kg_info
+from prase_spark.matching import (
+    bipartite_match,
+    canonical_entity_ids,
+    connected_components,
+)
+from prase_spark.pipeline import (
+    align,
+    alignment_results,
+    bootstrap_seed,
+    build_kgs_from_raw,
+    materialize,
+    partition_metrics,
+    prase_feedback_align,
+)
 
-__all__ = ["ParisConfig", "get_spark"]
+__all__ = [
+    "ParisConfig",
+    "get_spark",
+    "KGFrames",
+    "build_kg",
+    "build_kgs_from_raw",
+    "kg_info",
+    "align",
+    "prase_feedback_align",
+    "alignment_results",
+    "bootstrap_seed",
+    "bipartite_match",
+    "canonical_entity_ids",
+    "connected_components",
+    "evaluate_alignment",
+    "extract_text",
+    "extract_triples",
+    "materialize",
+    "partition_metrics",
+    "load_state",
+    "save_state",
+]

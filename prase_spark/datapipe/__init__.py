@@ -1,2 +1,57 @@
 """Large-scale training-data pipeline operations (beyond the reference):
-deduplication, similarity search, text analysis, multimodal plumbing."""
+deduplication, similarity search, text analysis, chunking/packing,
+decontamination, sampling, multimodal plumbing."""
+
+from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+from prase_spark.datapipe.decontam import decontaminate
+from prase_spark.datapipe.dedup import (
+    exact_dedup,
+    keep_best,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_pairs_manku,
+)
+from prase_spark.datapipe.sampling import hash_sample, stratified_sample
+from prase_spark.datapipe.simsearch import (
+    cosine_topk,
+    embedding_neardup,
+    ivf_topk,
+    lsh_topk,
+    train_ivf_centroids,
+)
+from prase_spark.datapipe.textstats import (
+    add_fingerprint,
+    add_quality,
+    corpus_stats,
+    language_id,
+    quality_score,
+    token_count,
+)
+
+__all__ = [
+    "exact_dedup",
+    "minhash_dedup",
+    "minhash_lsh_pairs",
+    "keep_best",
+    "simhash_pairs",
+    "simhash_pairs_manku",
+    "ngram_jaccard_pairs",
+    "cosine_topk",
+    "lsh_topk",
+    "ivf_topk",
+    "train_ivf_centroids",
+    "embedding_neardup",
+    "chunk_documents",
+    "pack_chunks",
+    "decontaminate",
+    "hash_sample",
+    "stratified_sample",
+    "token_count",
+    "quality_score",
+    "add_quality",
+    "add_fingerprint",
+    "language_id",
+    "corpus_stats",
+]
