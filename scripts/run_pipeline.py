@@ -35,6 +35,13 @@ def main() -> None:
     ap.add_argument("--theta", type=float, default=0.1)
     ap.add_argument("--resume", action="store_true", help="resume from latest checkpoint")
     ap.add_argument("--demo-pages", type=int, default=500)
+    ap.add_argument(
+        "--streaming",
+        action="store_true",
+        help="ingest pages via Structured Streaming (availableNow drains "
+        "pending files incrementally — re-running picks up only NEW page "
+        "files) before the alignment runs over the accumulated triples",
+    )
     args = ap.parse_args()
 
     from pyspark.sql import SparkSession
@@ -48,17 +55,44 @@ def main() -> None:
     spark = SparkSession.builder.appName("prase_pipeline").getOrCreate()
     t0 = time.time()
 
-    if args.pages_l:
-        pages_l = spark.read.parquet(args.pages_l)
-        pages_r = spark.read.parquet(args.pages_r) if args.pages_r else pages_l
+    if args.streaming:
+        # Structured Streaming ingest (north_rule streams mode): each page
+        # directory is drained incrementally (availableNow) into a triple
+        # sink next to the checkpoint; re-submissions extract only files
+        # the stream checkpoint has not seen. Alignment then runs over the
+        # ACCUMULATED triples — ingest is incremental, reasoning is batch.
+        from prase_spark.streaming import run_extraction_stream
+
+        if not args.pages_l:
+            from prase_spark.fixtures import pages_fixture
+
+            demo_dir = os.path.join(args.out, "_demo_pages")
+            pages_fixture(spark, n_pages=args.demo_pages, seed=42)[0].write.mode(
+                "append"
+            ).parquet(demo_dir)
+            args.pages_l = args.pages_l or demo_dir
+        sides = {"L": args.pages_l, "R": args.pages_r or args.pages_l}
+        raws = {}
+        for side, path in sides.items():
+            sink = os.path.join(args.out, f"_stream_triples_{side}")
+            ckpt = os.path.join(args.checkpoint_dir, f"_stream_{side}")
+            run_extraction_stream(spark, path, sink, ckpt, available_now=True).awaitTermination()
+            raws[side] = spark.read.parquet(sink).select(
+                "subj", "pred", "obj", "is_attr"
+            )
+        raw_l, raw_r = raws["L"], raws["R"]
     else:
-        from prase_spark.fixtures import pages_fixture
+        if args.pages_l:
+            pages_l = spark.read.parquet(args.pages_l)
+            pages_r = spark.read.parquet(args.pages_r) if args.pages_r else pages_l
+        else:
+            from prase_spark.fixtures import pages_fixture
 
-        pages_l, _ = pages_fixture(spark, n_pages=args.demo_pages, seed=42)
-        pages_r, _ = pages_fixture(spark, n_pages=args.demo_pages, seed=42)
+            pages_l, _ = pages_fixture(spark, n_pages=args.demo_pages, seed=42)
+            pages_r, _ = pages_fixture(spark, n_pages=args.demo_pages, seed=42)
 
-    raw_l = pages_to_raw_triples(pages_l)
-    raw_r = pages_to_raw_triples(pages_r)
+        raw_l = pages_to_raw_triples(pages_l)
+        raw_r = pages_to_raw_triples(pages_r)
     kg_l, kg_r = build_kg(raw_l), build_kg(raw_r)
     print("KG_L:", json.dumps(kg_info(kg_l)))
     print("KG_R:", json.dumps(kg_info(kg_r)))

@@ -77,3 +77,26 @@ def test_spark_submit_py_files_end_to_end(tmp_path):
     metrics = pq.read_table(os.path.join(out_dir, "metrics"))
     assert metrics.num_rows >= 1
     assert {"rows", "subj_canonicalized", "obj_canonicalized"} <= set(metrics.column_names)
+
+
+@pytest.mark.skipif(SPARK_SUBMIT is None, reason="spark-submit not on PATH")
+def test_spark_submit_streaming_incremental_ingest(tmp_path):
+    """--streaming mode: pages are ingested via Structured Streaming
+    (availableNow). Each demo submission APPENDS new page files; the
+    stream checkpoint makes the second run extract only the new files,
+    and alignment sees the accumulated triples — triples_out must grow."""
+    zip_path = os.path.join(REPO, "dist", "prase_spark.zip")
+    if not os.path.exists(zip_path):
+        subprocess.run(["bash", os.path.join(REPO, "scripts", "package.sh")], check=True)
+    script = str(tmp_path / "run_pipeline.py")
+    shutil.copy(os.path.join(REPO, "scripts", "run_pipeline.py"), script)
+    out_dir, ckpt_dir = str(tmp_path / "out"), str(tmp_path / "ckpt")
+
+    args = ["--streaming", "--demo-pages", "120", "--iterations", "1",
+            "--out", out_dir, "--checkpoint-dir", ckpt_dir]
+    first = _submit(script, zip_path, *args)
+    second = _submit(script, zip_path, *args)
+    assert first["triples_out"] > 0
+    # second submission appended 120 more pages; the stream drained ONLY
+    # the new files into the same sink, so the aligned graph grew
+    assert second["triples_out"] > first["triples_out"]
