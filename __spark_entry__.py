@@ -614,6 +614,33 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, ev, n=5)
 
 
+def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host boilerplate removal (boilerplate.remove_boilerplate):
+    documents templated into 5 hosts' pages, each wrapped in a cookie
+    banner + per-host copyright footer — both lines exceed the 50%
+    host-frequency bar and are stripped, the document body survives, line
+    order is preserved. The DuckDB twin uses ordered string_agg over the
+    same line split."""
+    from prase_spark.datapipe.boilerplate import remove_boilerplate
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    host = F.concat(
+        F.lit("host"), (F.col("doc_id") % 5).cast("string"), F.lit(".example.org")
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://"), host, F.lit("/p/"), F.col("doc_id").cast("string")
+        ).alias("url"),
+        F.concat(
+            F.lit("accept cookies please\n"),
+            F.col("text"),
+            F.lit("\ncopyright "),
+            host,
+        ).alias("text"),
+    )
+    return remove_boilerplate(pages, min_pages=4, max_ratio=0.5)
+
+
 def _q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampling.stratified_sample):
     the events table mixed by event_type — purchases kept whole, signups
@@ -1075,6 +1102,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_docs": _q_pack_chunks_docs,
         "decontaminate_docs": _q_decontaminate_docs,
         "stratified_sample_events": _q_stratified_sample_events,
+        "boilerplate_docs": _q_boilerplate_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2105,6 +2133,50 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ctoks) AS INT) AS n_chunk_tokens,
                    coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
             FROM chunks
+        """,
+        # remove_boilerplate twin: same line split / trim / per-host
+        # frequency bar; ordered string_agg rebuilds the page
+        "boilerplate_docs": """
+            WITH pages AS (
+                SELECT 'https://host' || (doc_id % 5) || '.example.org/p/' || doc_id AS url,
+                       'host' || (doc_id % 5) || '.example.org' AS host,
+                       'accept cookies please' || chr(10) || text || chr(10)
+                       || 'copyright host' || (doc_id % 5) || '.example.org' AS text
+                FROM documents
+            ),
+            lines AS (
+                SELECT url, host, i - 1 AS pos, l[i] AS line
+                FROM (SELECT url, host, string_split(text, chr(10)) AS l FROM pages) s,
+                     LATERAL (SELECT unnest(generate_series(1, len(l))) AS i) g
+            ),
+            host_pages AS (SELECT host, count(DISTINCT url) AS hp FROM pages GROUP BY host),
+            freq AS (
+                SELECT l.host, l.tl
+                FROM (
+                    SELECT DISTINCT host, trim(line) AS tl, url
+                    FROM lines WHERE trim(line) <> ''
+                ) l
+                JOIN host_pages h ON h.host = l.host
+                GROUP BY l.host, l.tl, h.hp
+                HAVING h.hp >= 4 AND count(*) > h.hp * 0.5
+            ),
+            kept AS (
+                SELECT li.url, li.pos, li.line
+                FROM lines li
+                LEFT JOIN freq f ON f.host = li.host AND f.tl = trim(li.line)
+                WHERE f.host IS NULL
+            ),
+            rebuilt AS (
+                SELECT url, string_agg(line, chr(10) ORDER BY pos) AS text,
+                       count(*) AS kept
+                FROM kept GROUP BY url
+            ),
+            totals AS (SELECT url, count(*) AS total FROM lines GROUP BY url)
+            SELECT p.url, coalesce(r.text, '') AS text,
+                   CAST(coalesce(t.total, 0) - coalesce(r.kept, 0) AS BIGINT) AS removed_lines
+            FROM pages p
+            LEFT JOIN rebuilt r ON r.url = p.url
+            LEFT JOIN totals t ON t.url = p.url
         """,
         # stratified_sample twin: same poly hash of event_id || ':42',
         # same integer thresholds (1e6 / 5e5 / 2.5e5)

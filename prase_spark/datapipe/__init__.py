@@ -2,6 +2,7 @@
 deduplication, similarity search, text analysis, chunking/packing,
 decontamination, sampling, multimodal plumbing."""
 
+from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
 from prase_spark.datapipe.decontam import decontaminate
 from prase_spark.datapipe.dedup import (
@@ -46,6 +47,8 @@ __all__ = [
     "chunk_documents",
     "pack_chunks",
     "decontaminate",
+    "remove_boilerplate",
+    "host_of",
     "hash_sample",
     "stratified_sample",
     "token_count",

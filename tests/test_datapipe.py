@@ -746,3 +746,35 @@ def test_chunk_documents_randomized_reconstruction(spark):
             assert ct[:overlap] == rebuilt[-overlap:] if len(rebuilt) >= overlap else True
             rebuilt.extend(ct[overlap:])
         assert rebuilt == toks, doc_id
+
+
+def test_remove_boilerplate_per_host(spark):
+    """Lines frequent within a host are stripped; identical lines on a
+    SMALL host (< min_pages) survive; line order is preserved; blank
+    lines are kept and never count as boilerplate evidence."""
+    from prase_spark.datapipe.boilerplate import remove_boilerplate
+
+    rows = []
+    for i in range(6):  # big host: banner + unique body + footer
+        rows.append((
+            f"https://big.example.org/p/{i}",
+            f"COOKIE BANNER\nunique body {i}\n\nsecond line {i}\nFOOTER TEXT",
+        ))
+    for i in range(2):  # small host: same banner, must be left alone
+        rows.append((
+            f"https://tiny.example.org/p/{i}",
+            f"COOKIE BANNER\ntiny body {i}",
+        ))
+    pages = spark.createDataFrame(rows, "url STRING, text STRING")
+    out = {
+        r["url"]: (r["text"], r["removed_lines"])
+        for r in remove_boilerplate(pages, min_pages=4, max_ratio=0.5).collect()
+    }
+    for i in range(6):
+        text, removed = out[f"https://big.example.org/p/{i}"]
+        assert text == f"unique body {i}\n\nsecond line {i}", text  # order + blank kept
+        assert removed == 2
+    for i in range(2):
+        text, removed = out[f"https://tiny.example.org/p/{i}"]
+        assert text == f"COOKIE BANNER\ntiny body {i}"
+        assert removed == 0
