@@ -614,6 +614,37 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, ev, n=5)
 
 
+def _q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL canonicalization + crawl dedup (urlnorm.dedup_by_url): each
+    logical page is captured twice — once messy (uppercase host, :443,
+    tracking params, fragment) and once clean; both canonicalize to the
+    same URL, the earlier capture (messy, lower ts) wins, n_captures = 2.
+    The DuckDB twin derives the EXPECTED canonical form and winner
+    independently from page arithmetic (it never runs the regex chain),
+    so the whole normalizer is value-verified against an independent
+    specification."""
+    from prase_spark.datapipe.urlnorm import dedup_by_url
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    page = (F.col("doc_id") % 250).cast("string")
+    flavor0 = F.concat(
+        F.lit("https://SITE"), (F.col("doc_id") % 250 % 7).cast("string"),
+        F.lit(".Example.org:443/page/"), page,
+        F.lit("?utm_source=feed&x="), page, F.lit("#top"),
+    )
+    flavor1 = F.concat(
+        F.lit("https://site"), (F.col("doc_id") % 250 % 7).cast("string"),
+        F.lit(".example.org/page/"), page, F.lit("?x="), page,
+    )
+    pages = d.select(
+        F.when(F.col("doc_id") < 250, flavor0).otherwise(flavor1).alias("url"),
+        F.col("doc_id").alias("warc_ts_i"),
+    )
+    return dedup_by_url(pages, ts_col="warc_ts_i").select(
+        "canonical_url", "url", "warc_ts_i", "n_captures"
+    )
+
+
 def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-host boilerplate removal (boilerplate.remove_boilerplate):
     documents templated into 5 hosts' pages, each wrapped in a cookie
@@ -1103,6 +1134,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_docs": _q_decontaminate_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
+        "url_dedup_docs": _q_url_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "name_block_parts": _q_name_block_parts,
@@ -2133,6 +2165,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(len(ctoks) AS INT) AS n_chunk_tokens,
                    coalesce(list_aggregate(ctoks, 'string_agg', ' '), '') AS chunk_text
             FROM chunks
+        """,
+        # dedup_by_url twin: INDEPENDENT derivation — the expected
+        # canonical form and winning capture come from page arithmetic,
+        # never from re-running the normalizer's regex chain
+        "url_dedup_docs": """
+            WITH p AS (SELECT DISTINCT doc_id % 250 AS pg FROM documents WHERE doc_id < 500)
+            SELECT 'https://site' || (pg % 7) || '.example.org/page/' || pg
+                   || '?x=' || pg AS canonical_url,
+                   'https://SITE' || (pg % 7) || '.Example.org:443/page/' || pg
+                   || '?utm_source=feed&x=' || pg || '#top' AS url,
+                   CAST(pg AS BIGINT) AS warc_ts_i,
+                   CAST(2 AS BIGINT) AS n_captures
+            FROM p
         """,
         # remove_boilerplate twin: same line split / trim / per-host
         # frequency bar; ordered string_agg rebuilds the page

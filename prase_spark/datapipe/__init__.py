@@ -15,6 +15,7 @@ from prase_spark.datapipe.dedup import (
     simhash_pairs_manku,
 )
 from prase_spark.datapipe.sampling import hash_sample, stratified_sample
+from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
 from prase_spark.datapipe.simsearch import (
     cosine_topk,
     embedding_neardup,
@@ -49,6 +50,8 @@ __all__ = [
     "decontaminate",
     "remove_boilerplate",
     "host_of",
+    "canonical_url",
+    "dedup_by_url",
     "hash_sample",
     "stratified_sample",
     "token_count",

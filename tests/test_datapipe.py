@@ -778,3 +778,39 @@ def test_remove_boilerplate_per_host(spark):
         text, removed = out[f"https://tiny.example.org/p/{i}"]
         assert text == f"COOKIE BANNER\ntiny body {i}"
         assert removed == 0
+
+
+def test_canonical_url_rules(spark):
+    """Each canonicalization rule, and the ones that must NOT fire:
+    non-default ports survive, path case survives, root slash survives,
+    tracking-only queries vanish entirely."""
+    from prase_spark.datapipe.urlnorm import canonical_url
+
+    cases = [
+        ("HTTPS://WWW.Example.org:443/A/B?x=1#frag", "https://www.example.org/A/B?x=1"),
+        ("http://h.org:80/p", "http://h.org/p"),
+        ("http://h.org:8080/p", "http://h.org:8080/p"),          # non-default port kept
+        ("https://h.org/p/?utm_source=a&x=2&fbclid=z", "https://h.org/p?x=2"),
+        ("https://h.org/p?utm_source=only", "https://h.org/p"),  # tracking-only query
+        ("https://h.org/", "https://h.org/"),                    # root slash kept
+        ("https://h.org/a/b/", "https://h.org/a/b"),
+    ]
+    df = spark.createDataFrame([(u,) for u, _ in cases], "url STRING")
+    got = [r["c"] for r in df.select(canonical_url("url").alias("c")).collect()]
+    for (raw, want), c in zip(cases, got):
+        assert c == want, (raw, c, want)
+
+
+def test_dedup_by_url_earliest_wins(spark):
+    from prase_spark.datapipe.urlnorm import dedup_by_url
+
+    rows = [
+        ("https://A.org/x?utm_source=1", 5, "late-messy"),
+        ("https://a.org/x", 3, "early-clean"),
+        ("https://a.org/y", 7, "solo"),
+    ]
+    df = spark.createDataFrame(rows, "url STRING, warc_ts LONG, text STRING")
+    got = {r["canonical_url"]: (r["text"], r["n_captures"])
+           for r in dedup_by_url(df).collect()}
+    assert got["https://a.org/x"] == ("early-clean", 2)
+    assert got["https://a.org/y"] == ("solo", 1)
