@@ -113,6 +113,39 @@ def main():
         timings["paris_large_facts_per_sec"] = round(n_facts * iters / elapsed, 1)
         timings["paris_large_mfacts"] = round(n_facts / 1e6, 2)
 
+    # q8: crawl-curation chain throughput — the round-3 curation suite
+    # end-to-end over a synthesized page corpus: URL canonicalize+dedup ->
+    # per-host boilerplate removal -> quality + token stats -> token-window
+    # chunking. Reported as *_per_sec (excluded from the fixed headline
+    # total, like paris_large).
+    def q_curation():
+        from prase_spark.datapipe.boilerplate import remove_boilerplate
+        from prase_spark.datapipe.chunking import chunk_documents
+        from prase_spark.datapipe.textstats import quality_score, token_count
+        from prase_spark.datapipe.urlnorm import dedup_by_url
+        from prase_spark.fixtures import synthetic_pages_distributed
+
+        n_cur = int(os.environ.get("PRASE_BENCH_CURATION_PAGES", "20000"))
+        pages = synthetic_pages_distributed(spark, n_cur, partitions=cpus * 2)
+        pages = pages.select("url", "warc_ts", "text").persist()
+        pages.count()  # materialize the synthesis outside the timing
+        t0 = time.time()
+        deduped = dedup_by_url(pages).select("url", "text")
+        # pin the cleaned corpus: stats and chunking both read it
+        clean = remove_boilerplate(deduped, min_pages=4, max_ratio=0.5).persist()
+        stats = clean.select(
+            "url",
+            token_count("text").alias("n_tokens"),
+            quality_score("text").alias("quality"),
+        )
+        chunks = chunk_documents(clean, chunk_tokens=512, overlap=64, key_col="url")
+        n_chunks = chunks.count() + stats.count()
+        elapsed = time.time() - t0
+        clean.unpersist()
+        timings["curation_docs_per_sec"] = round(n_cur / elapsed, 1)
+        timings["curation_chunk_rows"] = n_chunks
+        pages.unpersist()
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -120,6 +153,8 @@ def main():
     run("ann_topk", q_ann)
     run("extract", q_extract)
     q_paris_large()
+    spark.catalog.clearCache()
+    q_curation()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)

@@ -38,7 +38,13 @@ def chunk_documents(
             f"need 0 <= overlap ({overlap}) < chunk_tokens ({chunk_tokens})"
         )
     step = chunk_tokens - overlap
-    t = tokens(text_col)
+    # Materialize the token array in a projection BELOW the explode: the
+    # Generate bars projection collapse, so the tokenizer runs ONCE per
+    # document. Capturing tokens(text_col) inline in the transform lambda
+    # re-runs the full regex tokenizer per CHUNK element (interpreted
+    # HOFs do no subexpression elimination — measured 6x slower).
+    toked = df.select(F.col(key_col), tokens(text_col).alias("__toks"))
+    t = F.col("__toks")
     n = F.size(t)
     # ceil((n - chunk)/step) via (n - chunk + step - 1)/step: exact for any
     # doc below ~2^50 tokens (double division of small ints + floor).
@@ -53,7 +59,7 @@ def chunk_documents(
         ),
     )
     return (
-        df.select(F.col(key_col), F.explode(chunks).alias("c"))
+        toked.select(F.col(key_col), F.explode(chunks).alias("c"))
         .select(
             key_col,
             F.col("c.chunk_id").alias("chunk_id"),
