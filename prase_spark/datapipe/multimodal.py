@@ -140,24 +140,97 @@ def probe_image_header(payload: bytes | None) -> tuple[str | None, int | None, i
     return (None, None, None)
 
 
-_PROBE_SCHEMA = "media_id LONG, fmt STRING, width INT, height INT"
+def probe_webp_header(b: bytes) -> tuple[str | None, int | None, int | None]:
+    """WEBP dimensions from the container (RIFF spec + VP8/VP8L/VP8X
+    bitstream headers) — pure byte parsing:
+
+    - VP8X (extended): 24-bit LE canvas width-1 / height-1 at offsets
+      24 / 27,
+    - 'VP8 ' (lossy): 14-bit LE width/height after the 9D 01 2A sync code,
+    - VP8L (lossless): 14-bit fields packed after the 0x2F signature."""
+    if len(b) < 16 or b[:4] != b"RIFF" or b[8:12] != b"WEBP":
+        return (None, None, None)
+    four = b[12:16]
+    if four == b"VP8X" and len(b) >= 30:
+        w = 1 + int.from_bytes(b[24:27], "little")
+        h = 1 + int.from_bytes(b[27:30], "little")
+        return ("webp", w, h)
+    if four == b"VP8 " and len(b) >= 30 and b[23:26] == b"\x9d\x01\x2a":
+        w = int.from_bytes(b[26:28], "little") & 0x3FFF
+        h = int.from_bytes(b[28:30], "little") & 0x3FFF
+        return ("webp", w, h)
+    if four == b"VP8L" and len(b) >= 25 and b[20] == 0x2F:
+        bits = int.from_bytes(b[21:25], "little")
+        return ("webp", 1 + (bits & 0x3FFF), 1 + ((bits >> 14) & 0x3FFF))
+    return ("webp", None, None)
+
+
+def probe_wav_duration_ms(payload: bytes | None) -> int | None:
+    """REAL WAV duration from the RIFF chunk walk: byte rate from the
+    'fmt ' chunk, payload size from the 'data' chunk header —
+    duration_ms = data_bytes * 1000 // byte_rate. No audio decode."""
+    if payload is None:
+        return None
+    b = bytes(payload)
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, byte_rate, data_size = 12, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        if cid == b"fmt " and i + 20 <= len(b):
+            byte_rate = int.from_bytes(b[i + 16 : i + 20], "little")
+        elif cid == b"data":
+            data_size = size
+        i += 8 + size + (size & 1)  # chunks are word-aligned
+    if byte_rate and data_size is not None:
+        return int(data_size * 1000 // byte_rate)
+    return None
+
+
+def probe_container(
+    payload: bytes | None,
+) -> tuple[str | None, int | None, int | None, int | None]:
+    """(fmt, width, height, duration_ms) across every self-describing
+    container the pure-Python prober understands: PNG/JPEG/GIF (via
+    probe_image_header), WEBP (VP8/VP8L/VP8X), BMP, WAV (with REAL
+    duration). Pixel/sample decode remains the declared stub."""
+    if payload is None:
+        return (None, None, None, None)
+    b = bytes(payload)
+    if b[:4] == b"RIFF" and b[8:12] == b"WEBP":
+        fmt, w, h = probe_webp_header(b)
+        return (fmt, w, h, None)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w = int.from_bytes(b[18:22], "little", signed=True)
+        h = int.from_bytes(b[22:26], "little", signed=True)
+        return ("bmp", abs(w), abs(h))[0:3] + (None,)
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("wav", None, None, probe_wav_duration_ms(b))
+    fmt, w, h = probe_image_header(b)
+    return (fmt, w, h, None)
+
+
+_PROBE_SCHEMA = "media_id LONG, fmt STRING, width INT, height INT, duration_ms INT"
 
 
 def probe_media_metadata(media: DataFrame) -> DataFrame:
-    """(media row) -> (media_id, fmt, width, height) with REAL dimensions
-    parsed from the payload's container header (probe_image_header). Arrow-
+    """(media row) -> (media_id, fmt, width, height, duration_ms) with
+    REAL metadata parsed from the payload's container header
+    (probe_container: PNG/JPEG/GIF/WEBP/BMP dims, WAV duration). Arrow-
     batched, row-local, parallelism-invariant — replaces the declared-stub
     metadata for formats whose headers are self-describing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            probed = pdf["payload"].map(probe_image_header)
+            probed = pdf["payload"].map(probe_container)
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "fmt": probed.map(lambda t: t[0]),
                     "width": probed.map(lambda t: t[1]).astype("Int32"),
                     "height": probed.map(lambda t: t[2]).astype("Int32"),
+                    "duration_ms": probed.map(lambda t: t[3]).astype("Int32"),
                 }
             )
 

@@ -814,3 +814,59 @@ def test_dedup_by_url_earliest_wins(spark):
            for r in dedup_by_url(df).collect()}
     assert got["https://a.org/x"] == ("early-clean", 2)
     assert got["https://a.org/y"] == ("solo", 1)
+
+
+def test_probe_webp_bmp_wav_headers(spark):
+    """New real header coverage: WEBP (lossy VP8, lossless VP8L, extended
+    VP8X), BMP (incl. top-down negative height), and WAV with a REAL
+    duration computed from byte rate + data size."""
+    import struct
+
+    from prase_spark.datapipe.multimodal import (
+        MEDIA,
+        probe_container,
+        probe_media_metadata,
+        probe_wav_duration_ms,
+    )
+
+    def mk_vp8(w, h):
+        tag = b"\x00\x00\x00" + b"\x9d\x01\x2a" + struct.pack("<HH", w, h)
+        return b"RIFF" + struct.pack("<I", 4 + 8 + len(tag)) + b"WEBP" \
+               + b"VP8 " + struct.pack("<I", len(tag)) + tag
+
+    def mk_vp8l(w, h):
+        bits = (w - 1) | ((h - 1) << 14)
+        body = b"\x2f" + struct.pack("<I", bits)
+        return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" \
+               + b"VP8L" + struct.pack("<I", len(body)) + body
+
+    def mk_vp8x(w, h):
+        body = b"\x00\x00\x00\x00" \
+               + (w - 1).to_bytes(3, "little") + (h - 1).to_bytes(3, "little")
+        return b"RIFF" + struct.pack("<I", 4 + 8 + len(body)) + b"WEBP" \
+               + b"VP8X" + struct.pack("<I", len(body)) + body
+
+    def mk_bmp(w, h):
+        hdr = b"BM" + b"\x00" * 16 + struct.pack("<ii", w, h)
+        return hdr + b"\x00" * 10
+
+    def mk_wav(byte_rate, data_bytes):
+        fmt = struct.pack("<HHII", 1, 1, byte_rate, byte_rate) + b"\x00\x00"
+        return (b"RIFF" + struct.pack("<I", 36 + data_bytes) + b"WAVE"
+                + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+                + b"data" + struct.pack("<I", data_bytes) + b"\x00" * data_bytes)
+
+    assert probe_container(mk_vp8(320, 240)) == ("webp", 320, 240, None)
+    assert probe_container(mk_vp8l(100, 50)) == ("webp", 100, 50, None)
+    assert probe_container(mk_vp8x(4096, 2160)) == ("webp", 4096, 2160, None)
+    assert probe_container(mk_bmp(64, -32)) == ("bmp", 64, 32, None)  # top-down
+    wav = mk_wav(16000, 48000)  # 3 seconds at 16 kB/s
+    assert probe_wav_duration_ms(wav) == 3000
+    assert probe_container(wav) == ("wav", None, None, 3000)
+    # still real through the Spark plumbing
+    rows = [(0, "image", bytearray(mk_vp8x(4096, 2160)), "image/webp", None, None, None),
+            (1, "audio", bytearray(wav), "audio/wav", None, None, None)]
+    got = {r["media_id"]: (r["fmt"], r["width"], r["height"], r["duration_ms"])
+           for r in probe_media_metadata(spark.createDataFrame(rows, MEDIA)).collect()}
+    assert got[0] == ("webp", 4096, 2160, None)
+    assert got[1] == ("wav", None, None, 3000)
