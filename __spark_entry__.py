@@ -489,10 +489,15 @@ def _q_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dataset-card rollup, gate form: scaled-INTEGER average columns
+    (avg_tokens_e4 / avg_quality_e6, BIGINT) so no double ever reaches the
+    value hash — the r2/r3 hash flips on this gate were the final
+    integer/10⁴ double materialization interacting with the comparer's
+    hasher, a class the integer sink removes entirely."""
     from prase_spark.datapipe.textstats import corpus_stats
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return corpus_stats(d)
+    return corpus_stats(d, scaled_ints=True)
 
 
 def _q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2096,9 +2101,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM base
             ),
             langed AS ({_langid_rank_sql(", n_tokens, q_micro")})
-            SELECT lang_pred, count(*) AS docs, sum(n_tokens) AS total_tokens,
-                   ((2 * sum(n_tokens) * 10000 + count(*)) // (2 * count(*))) / 10000.0 AS avg_tokens,
-                   ((2 * sum(q_micro) + count(*)) // (2 * count(*))) / 1000000.0 AS avg_quality
+            SELECT lang_pred, count(*) AS docs,
+                   CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                   CAST((2 * sum(n_tokens) * 10000 + count(*)) // (2 * count(*))
+                        AS BIGINT) AS avg_tokens_e4,
+                   CAST((2 * sum(q_micro) + count(*)) // (2 * count(*))
+                        AS BIGINT) AS avg_quality_e6
             FROM langed GROUP BY lang_pred
         """,
         "quality_docs": f"""

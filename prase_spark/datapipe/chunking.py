@@ -92,7 +92,15 @@ def pack_chunks(
     ``key_cols`` is a unique key. Adds (pack_id, pack_pos): pack_pos is
     the chunk's token offset inside its pack."""
     spark = chunks.sparkSession
-    n_part = num_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
+    if num_partitions:
+        n_part = num_partitions
+    else:
+        # shuffle.partitions may be non-numeric ("auto" on AQE-managed
+        # platforms) — fall back to the cluster's default parallelism.
+        try:
+            n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except (TypeError, ValueError):
+            n_part = spark.sparkContext.defaultParallelism
     n_part = max(1, n_part)
     order = [F.col(c) for c in key_cols]
 
@@ -115,9 +123,17 @@ def pack_chunks(
         offsets.append((pid, acc))
         acc += totals.get(pid, 0)
     if not offsets:
-        return chunks.withColumn("pack_id", F.lit(None).cast("long")).withColumn(
-            "pack_pos", F.lit(None).cast("long")
+        # empty input: release the pinned snapshot and return through the
+        # same checkpointed shape as the normal path (no persisted leak,
+        # no live lineage back to ``chunks``).
+        empty = (
+            parted.drop("__pid")
+            .withColumn("pack_id", F.lit(None).cast("long"))
+            .withColumn("pack_pos", F.lit(None).cast("long"))
+            .localCheckpoint()
         )
+        parted.unpersist()
+        return empty
     offset_df = spark.createDataFrame(offsets, schema="__pid INT, __offset LONG")
 
     w = (

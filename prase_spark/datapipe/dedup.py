@@ -65,11 +65,22 @@ def exact_dedup(
     )
     # collision detection via min(text)==max(text): plain partial-aggregable
     # order stats (a count(DISTINCT text) would Expand and re-group on the
-    # full text — exactly the shuffle shape this rewrite removes)
+    # full text — exactly the shuffle shape this rewrite removes).
+    # NULL-text handling: min/max skip NULLs, so an all-NULL group compares
+    # NULL==NULL -> NULL and would fall out of BOTH filters; count(text)
+    # disambiguates — all-NULL groups are trivially uniform, and a group
+    # mixing NULL with non-NULL texts (possible only under a hash
+    # collision, since xxhash64 maps NULL to the constant seed hash) goes
+    # through the exact-text regroup, whose groupBy keeps NULL as a group.
     grouped = hashed.groupBy("__h").agg(
         F.min_by(F.struct(key_col, text_col), F.col(key_col)).alias("rep"),
         F.count("*").alias("dup_count"),
-        (F.min(text_col) == F.max(text_col)).alias("__uniform"),
+        F.when(F.count(text_col) == 0, F.lit(True))
+        .when(
+            F.count(text_col) == F.count("*"), F.min(text_col) == F.max(text_col)
+        )
+        .otherwise(F.lit(False))
+        .alias("__uniform"),
     )
     safe = grouped.filter(F.col("__uniform")).select(
         F.col(f"rep.{key_col}").alias(key_col),
@@ -397,13 +408,23 @@ def keep_best(
     One equi-join + one hash aggregation (max_by over a broadcastable
     per-cluster best table is NOT used: best is joined back by cluster_id,
     O(rows) shuffle, no per-cluster collect). ``key_col`` must be numeric
-    (the tie-break negates it)."""
+    (the tie-break negates it).
+
+    ``scores`` need not cover every key: unscored members lose to any
+    scored member, and a cluster with NO scored member falls back to the
+    min-key rule — no cluster ever vanishes from the output (the join to
+    scores is LEFT, so coverage gaps degrade, never drop)."""
     joined = clusters.select(key_col, "cluster_id").join(
-        scores.select(key_col, score_col), key_col
+        scores.select(key_col, score_col), key_col, "left"
     )
     best = joined.groupBy("cluster_id").agg(
         F.max_by(
-            F.col(key_col), F.struct(F.col(score_col), (-F.col(key_col)).alias("nk"))
+            F.col(key_col),
+            F.struct(
+                F.col(score_col).isNotNull().cast("int").alias("scored"),
+                F.coalesce(F.col(score_col).cast("double"), F.lit(0.0)).alias("s"),
+                (-F.col(key_col)).alias("nk"),
+            ),
         ).alias("best_key")
     )
     return (

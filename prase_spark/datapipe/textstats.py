@@ -97,7 +97,9 @@ def quality_micro_parts(col: Column | str) -> tuple[Column, Column]:
     return n_num, d_den
 
 
-def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+def corpus_stats(
+    df: DataFrame, text_col: str = "text", scaled_ints: bool = False
+) -> DataFrame:
     """Dataset-card rollup per predicted language: docs, token totals,
     mean quality — the one-pass corpus summary a training-data pipeline
     reports after filtering. One hash aggregation.
@@ -105,7 +107,14 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
     Both reported averages are EXACT-INTEGER half-up rounded (quality via
     quality_micro, avg_tokens via integral div on the token sum): rounding
     a double average is engine-dependent on decimal ties, which is exactly
-    the cross-engine hash flip a value-verified gate cannot afford."""
+    the cross-engine hash flip a value-verified gate cannot afford.
+
+    ``scaled_ints=True`` goes one step further and emits the averages AS
+    the scaled integers (``avg_tokens_e4``/``avg_quality_e6`` BIGINT,
+    value = avg × 10⁴ / 10⁶) with no final double division at all — the
+    form a value-hashed verification sink should use, since even an exact
+    integer/10⁴ materializes a double whose textual/hashed form is
+    hasher-dependent across engines."""
     c = F.col(text_col)
     n_num, d_den = quality_micro_parts(c)
     agg = (
@@ -123,6 +132,16 @@ def corpus_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
             F.sum("q_micro").alias("q_micro_sum"),
         )
     )
+    if scaled_ints:
+        return agg.select(
+            "lang_pred",
+            "docs",
+            "total_tokens",
+            F.expr("(2 * total_tokens * 10000 + docs) div (2 * docs)").alias(
+                "avg_tokens_e4"
+            ),
+            F.expr("(2 * q_micro_sum + docs) div (2 * docs)").alias("avg_quality_e6"),
+        )
     # round_half_up(total/docs, 4) = (2*total*10^4 + docs) div (2*docs),
     # then ONE exact /10^4 — both engines divide the same integer
     return agg.select(

@@ -46,7 +46,10 @@ def evaluate_alignment(
     )
     pred_hist = [(r["bucket"], r["pred_cnt"]) for r in hist_rows]
     correct_hist = [(r["bucket"], r["correct_cnt"]) for r in hist_rows]
-    total = gold.count()
+    # recall denominator from the SAME deduped frame the numerator joins
+    # against — raw gold.count() over-counts repeated gold rows, deflating
+    # recall/F1 when the gold file contains duplicate pairs.
+    total = g.count()
     out = []
     for t in thresholds:
         predict_num = sum(c for p, c in pred_hist if p >= t)

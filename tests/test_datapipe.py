@@ -870,3 +870,116 @@ def test_probe_webp_bmp_wav_headers(spark):
            for r in probe_media_metadata(spark.createDataFrame(rows, MEDIA)).collect()}
     assert got[0] == ("webp", 4096, 2160, None)
     assert got[1] == ("wav", None, None, 3000)
+
+
+def test_exact_dedup_null_text_groups(spark):
+    """NULL-text rows must not vanish (ADVICE r3): an all-NULL hash group
+    is trivially uniform — one representative row with the min key and the
+    full dup_count — and a COLLIDING group mixing NULL with non-NULL text
+    goes through the exact regroup, which keeps NULL as its own group."""
+    from prase_spark.datapipe.dedup import exact_dedup
+
+    rows = [(1, None), (2, "x"), (3, None), (4, "x"), (5, "y")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r["doc_id"]: (r["text"], r["dup_count"]) for r in exact_dedup(df).collect()}
+    assert got == {1: (None, 2), 2: ("x", 2), 5: ("y", 1)}
+    # forced-collision path: constant hash puts NULLs and non-NULLs in ONE
+    # hash group -> the regroup must still separate them byte-exactly
+    got2 = {
+        r["doc_id"]: (r["text"], r["dup_count"])
+        for r in exact_dedup(df, hash_fn=lambda c: F.lit(7)).collect()
+    }
+    assert got2 == {1: (None, 2), 2: ("x", 2), 5: ("y", 1)}
+
+
+def test_keep_best_uncovered_cluster_falls_back_to_min_key(spark):
+    """A cluster none of whose members appear in ``scores`` must NOT be
+    dropped (ADVICE r3): it falls back to the min-key rule; partially
+    covered clusters pick the best among the scored members."""
+    from prase_spark.datapipe.dedup import keep_best
+
+    clusters = spark.createDataFrame(
+        [(10, 1), (11, 1), (20, 2), (21, 2), (30, 3)],
+        "doc_id LONG, cluster_id LONG",
+    )
+    # cluster 1: only doc 11 scored; cluster 2: unscored; cluster 3: scored
+    scores = spark.createDataFrame(
+        [(11, 0.1), (30, 0.9)], "doc_id LONG, quality DOUBLE"
+    )
+    kept = {r["doc_id"]: r["keep"] for r in keep_best(clusters, scores).collect()}
+    assert len(kept) == 5  # nothing vanished
+    assert kept == {10: False, 11: True, 20: True, 21: False, 30: True}
+
+
+def test_pack_chunks_empty_input_no_persist_leak(spark, monkeypatch):
+    """pack_chunks on an empty frame returns the full schema with null
+    pack columns and UNPERSISTS its pinned snapshot before returning
+    (ADVICE r3: the early return used to skip parted.unpersist()). The
+    localCheckpoint block the normal path also leaves is fine — the
+    contract is that every frame pack_chunks itself persist()ed ends the
+    call released."""
+    from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    # patch the CONCRETE class (pyspark 4: pyspark.sql.classic.... overrides
+    # the pyspark.sql.DataFrame base, so patching the base never fires)
+    cls = type(empty)
+    persisted = []
+    orig = cls.persist
+
+    def spy(self, *a, **k):
+        persisted.append(self)
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(cls, "persist", spy)
+    out = pack_chunks(chunk_documents(empty), capacity=64)
+    assert out.count() == 0
+    assert {"doc_id", "chunk_id", "n_chunk_tokens", "chunk_text", "pack_id",
+            "pack_pos"} <= set(out.columns)
+    assert persisted, "pack_chunks no longer pins its partitioning snapshot?"
+    for df in persisted:
+        lvl = df.storageLevel
+        assert not (lvl.useMemory or lvl.useDisk), (
+            "empty-input early return leaked a persisted frame"
+        )
+
+
+def test_pack_chunks_non_numeric_shuffle_conf(spark, monkeypatch):
+    """'auto' shuffle.partitions (AQE-managed platforms return it from
+    conf.get even though stock Spark rejects setting it) must fall back to
+    defaultParallelism instead of raising (ADVICE r3). Simulated by
+    patching RuntimeConfig.get — stock Spark refuses the set() itself."""
+    from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+
+    df = spark.createDataFrame(
+        [(i, "a b c d e f g h") for i in range(8)], "doc_id LONG, text STRING"
+    )
+    cls = type(spark.conf)
+    orig = cls.get
+
+    def fake_get(self, key, *a, **k):
+        if key == "spark.sql.shuffle.partitions":
+            return "auto"
+        return orig(self, key, *a, **k)
+
+    monkeypatch.setattr(cls, "get", fake_get)
+    packed = pack_chunks(chunk_documents(df, chunk_tokens=4, overlap=0),
+                         capacity=16).collect()
+    assert len(packed) == 16  # 2 chunks per doc, nothing dropped
+
+
+def test_evaluate_alignment_duplicate_gold_rows(spark):
+    """Recall denominator uses the DEDUPED gold set (ADVICE r3): repeated
+    gold rows must not deflate recall/F1."""
+    from prase_spark.evaluate import evaluate_alignment
+
+    matches = spark.createDataFrame(
+        [(1, 101, 0.9, False), (2, 102, 0.9, False)],
+        "ent_id LONG, counterpart_id LONG, prob DOUBLE, is_lit BOOLEAN",
+    )
+    gold = spark.createDataFrame(
+        [(1, 101), (1, 101), (1, 101), (2, 102)], "ent_l LONG, ent_r LONG"
+    )
+    row = [r for r in evaluate_alignment(matches, gold, thresholds=[0.5])][0]
+    assert row["gold"] == 2
+    assert row["recall"] == 1.0 and row["precision"] == 1.0 and row["f1"] == 1.0
