@@ -1100,14 +1100,23 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-
+    """Dict ORDER is deliberate (the driver executes in order under a wall
+    budget — the r3 record stopped after query 50/52):
+    - literal_seed first: it builds BOTH TPC-H KGs concurrently into
+      _KG_CACHE (building KG1 alone first would serialize the pair build);
+    - embedding_neardup / extract_pages (the two queries the r3 record
+      dropped) moved into the cheap middle;
+    - the four expensive fixpoint gates stay near the end, with the three
+      cheap LSH/IVF top-k queries (stable green since r2/r3, defaults
+      unchanged this round) last, so a budget cut costs the least-fresh
+      evidence rather than never-recorded rows."""
     return {
+        "literal_seed": _q_literal_seed,
         "kg1_functionality": _q_kg1_functionality,
         "kg1_dict_encode": _q_kg1_dict_encode,
         "kg1_inv_union": _q_kg1_inv_union,
         "normalize_uri": _q_normalize_uri,
         "normalize_literal": _q_normalize_literal,
-        "literal_seed": _q_literal_seed,
         "top10_attr_functionality": _q_top10_attr_functionality,
         "kg_info": _q_kg_info,
         "mutual_best_events": _q_mutual_best_events,
@@ -1130,6 +1139,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "embedding_neardup": _q_embedding_neardup,
+        "extract_pages": _q_extract_pages,
         "paris_iter1_scores": _q_paris_iter1_scores,
         "paris_iter1_argmax": _q_paris_iter1_argmax,
         "minhash_neardup_docs": _q_minhash_neardup_docs,
@@ -1152,8 +1163,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_ann_topk": _q_lsh_ann_topk,
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ivf_topk": _q_ivf_topk,
-        "embedding_neardup": _q_embedding_neardup,
-        "extract_pages": _q_extract_pages,
     }
 
 

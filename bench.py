@@ -14,10 +14,33 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 
+def _host_probe() -> dict:
+    """Hardware-denominator stamp for the emitted JSON: this VM's raw-CPU
+    8->32-process scaling ceiling (tools/cpu_probe.py measured 3.1x-3.95x
+    on the SAME idle guest across hours — host throttling) plus loadavg.
+    Without these fields a cross-round wall-time comparison is guesswork;
+    runs BEFORE the JVM spins up so the probe measures the host alone.
+    Disable with PRASE_BENCH_NO_PROBE=1 (saves ~8 s)."""
+    if os.environ.get("PRASE_BENCH_NO_PROBE"):
+        return {}
+    sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools"))
+    from cpu_probe import measure
+
+    seconds = float(os.environ.get("PRASE_BENCH_PROBE_SECONDS", "2.0"))
+    ops8 = measure(8, seconds)
+    ops32 = measure(32, seconds)
+    return {
+        "cpu_probe_8_32": round(ops32 / ops8, 2),
+        "cpu_probe_mops_32": round(ops32 / seconds / 1e6, 1),
+        "loadavg": [round(x, 2) for x in os.getloadavg()],
+    }
+
+
 def main():
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    probe = _host_probe()
 
     from prase_spark.config import ParisConfig, get_spark
 
@@ -167,6 +190,7 @@ def main():
                 "queries": timings,
                 "sf": sf,
                 "cpus": cpus,
+                **probe,
             }
         )
     )

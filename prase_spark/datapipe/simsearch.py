@@ -177,6 +177,11 @@ def embedding_neardup(
         .distinct()
         .localCheckpoint()
     )
+    if stats_out is not None:
+        # candidate volume is THE scale health metric of a banded join
+        # (candidates ≪ n² or the banding isn't doing its job); cand is
+        # checkpointed, so this count reads materialized blocks
+        stats_out["candidate_pairs"] = cand.count()
     va = corpus.select(F.col(id_col).alias("key_a"), F.col(vec_col).alias("va"))
     vb = corpus.select(F.col(id_col).alias("key_b"), F.col(vec_col).alias("vb"))
     verified = (

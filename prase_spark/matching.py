@@ -74,29 +74,118 @@ def bipartite_match(
     return new_sub, new_sup
 
 
+def _star_round(edges: DataFrame) -> DataFrame:
+    """One large-star + one small-star step (Kiveris et al., 'Connected
+    Components in MapReduce and Beyond') over undirected edges (a, b).
+
+    large-star: every node connects its STRICTLY LARGER neighbors to the
+    min of its closed neighborhood — long chains halve toward the min.
+    small-star: each edge, oriented large→small, connects the smaller
+    endpoint and the center to the center's min neighbor — flattens the
+    trees large-star built. Both are one groupBy + one join, all keyed on
+    node ids (no growth: output edge count ≤ input edge count after the
+    distinct)."""
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    mins = sym.groupBy("a").agg(F.min("b").alias("mn"))
+    large = (
+        sym.join(mins, "a")
+        .filter(F.col("b") > F.col("a"))
+        .select(
+            F.col("b").alias("a"),
+            F.least(F.col("mn"), F.col("a")).alias("b"),
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    ori = large.select(
+        F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b")
+    )
+    cmin = ori.groupBy("a").agg(F.min("b").alias("m"))
+    withm = ori.join(cmin, "a")
+    small = (
+        withm.select(F.col("b").alias("a"), F.col("m").alias("b"))
+        .unionByName(cmin.select("a", F.col("m").alias("b")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+    )
+    return small
+
+
+def _star_components(sym: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFrame:
+    """Large-star/small-star alternation to a star fixpoint: O(log n)
+    rounds regardless of chain length (vs hash-min's O(diameter)). At the
+    fixpoint every edge is (node, component-min), so labels fall out of
+    the final edge list directly. Convergence is checked EXACTLY
+    (exceptAll both ways is overkill: rounds never invent nodes, and the
+    edge set at fixpoint is canonical, so same-count + empty one-sided
+    difference suffices)."""
+    edges = (
+        sym.select(F.greatest("a", "b").alias("a"), F.least("a", "b").alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint()
+    )
+    for _ in range(max_rounds):
+        new_edges = _star_round(edges).localCheckpoint()
+        same = (
+            new_edges.count() == edges.count()
+            and new_edges.exceptAll(edges).limit(1).count() == 0
+        )
+        edges = new_edges
+        if same:
+            break
+    else:
+        raise RuntimeError(
+            f"star-contraction components did not converge within {max_rounds} "
+            "rounds — pathological id graph (expected O(log n) rounds)"
+        )
+    return nodes.join(
+        edges.select(F.col("a").alias("node"), F.col("b").alias("component")),
+        "node",
+        "left",
+    ).select(
+        "node", F.coalesce("component", F.col("node")).alias("component")
+    )
+
+
 def connected_components(
-    edges: DataFrame, max_iter: int = 25, src: str = "src", dst: str = "dst"
+    edges: DataFrame,
+    max_iter: int = 25,
+    src: str = "src",
+    dst: str = "dst",
+    method: str = "auto",
 ) -> DataFrame:
-    """Hash-min connected components over an undirected edge list.
+    """Connected components over an undirected edge list.
 
     Returns (node, component) where component = min node id reachable.
-    Iterative label propagation with localCheckpoint every round to truncate
-    lineage (mandatory for iterative joins — SURVEY.md §4). Converges in
-    O(diameter) rounds; alignment/dedup clusters are tiny-diameter, so this
-    beats the constant factors of large-star/small-star for our workloads.
+    ``method='auto'`` (default) runs hash-min label propagation — cheapest
+    constant factors for the tiny-diameter clusters dedup/alignment
+    produce — and, if it has not converged after ``max_iter`` rounds
+    (e.g. a crawl-scale redirect/template chain longer than max_iter
+    hops), FALLS BACK to the large-star/small-star alternation, which
+    converges in O(log n) rounds independent of diameter, instead of
+    raising. ``method='star'`` goes straight to the alternation;
+    ``method='hashmin'`` restores the old raise-on-non-convergence
+    behavior. Iterative joins localCheckpoint every round to truncate
+    lineage (mandatory — SURVEY.md §4).
     """
+    if method not in ("auto", "hashmin", "star"):
+        raise ValueError(f"unknown method {method!r}")
+    star_rounds = 60  # O(log n) alternation: 60 covers any feasible n
     sym = (
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
         .persist()
     )
-    labels = (
-        sym.select(F.col("a").alias("node"))
-        .distinct()
-        .withColumn("component", F.col("node"))
-        .localCheckpoint()
-    )
+    nodes = sym.select(F.col("a").alias("node")).distinct()
+    if method == "star":
+        out = _star_components(sym, nodes, star_rounds)
+        sym.unpersist()
+        return out
+    labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     changed = 0
     for _ in range(max_iter):
         nbr_min = (
@@ -125,15 +214,23 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
-    sym.unpersist()
     if changed != 0:
+        if method == "auto":
+            # chains longer than max_iter hops: degrade to the O(log n)
+            # star alternation on the ORIGINAL edges (correct from any
+            # start state; restarting avoids mixing the two labelings)
+            out = _star_components(sym, nodes, star_rounds)
+            sym.unpersist()
+            return out
+        sym.unpersist()
         # returning partially-propagated labels would silently split real
         # clusters — fail loudly instead (hash-min needs O(longest chain)
-        # rounds; raise max_iter, or pre-contract chains, for such graphs)
+        # rounds; raise max_iter, or use method='auto'/'star')
         raise RuntimeError(
             f"connected_components did not converge within max_iter={max_iter}; "
             "the component graph has chains longer than max_iter"
         )
+    sym.unpersist()
     return labels
 
 

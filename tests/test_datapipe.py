@@ -983,3 +983,81 @@ def test_evaluate_alignment_duplicate_gold_rows(spark):
     row = [r for r in evaluate_alignment(matches, gold, thresholds=[0.5])][0]
     assert row["gold"] == 2
     assert row["recall"] == 1.0 and row["precision"] == 1.0 and row["f1"] == 1.0
+
+
+def test_embedding_neardup_auto_bits_recall_and_candidate_bound(spark):
+    """VERDICT r3 #5: at 10^5 vectors with AUTO-sized band keys
+    (log2(n)+2 ≈ 19 bits), embedding_neardup must (a) recover ≥0.9 of
+    planted near-dup pairs and (b) generate candidates ≪ n² — the two
+    sides of the banding trade-off, pinned together so a future band-width
+    change cannot silently buy one by spending the other."""
+    import numpy as np
+    import pandas as pd
+
+    from prase_spark.datapipe.simsearch import embedding_neardup
+
+    n, dim, n_planted = 100_000, 16, 500
+    rng = np.random.default_rng(11)
+    mat = rng.normal(size=(n, dim))
+    # plant near-dups: ids n..n+n_planted-1 are tiny perturbations of
+    # ids 0..n_planted-1 (cosine ≥ ~0.998 at this noise scale)
+    noise = rng.normal(size=(n_planted, dim)) * 0.02
+    planted = mat[:n_planted] + noise * np.linalg.norm(
+        mat[:n_planted], axis=1, keepdims=True
+    ) / np.sqrt(dim)
+    full = np.vstack([mat, planted])
+    pdf = pd.DataFrame(
+        {"vec_id": np.arange(len(full)), "embedding": [r.tolist() for r in full]}
+    )
+    corpus = spark.createDataFrame(pdf)
+    stats = {}
+    out = embedding_neardup(
+        corpus, dim=dim, threshold=0.99, n_bits=None, stats_out=stats
+    )
+    clusters = {
+        r["vec_id"]: r["cluster_id"]
+        for r in out.filter(
+            (F.col("vec_id") < n_planted) | (F.col("vec_id") >= n)
+        ).collect()
+    }
+    hits = sum(1 for i in range(n_planted) if clusters[i] == clusters[n + i])
+    recall = hits / n_planted
+    assert recall >= 0.9, f"recall {recall} at auto bits"
+    # candidate volume: full pairs would be ~5e9; banding must stay ≪ that
+    assert 0 < stats["candidate_pairs"] < 60 * (n + n_planted), stats
+    assert stats["capped_buckets"] == 0
+
+
+def test_stratified_sample_join_path_equals_case_path(spark):
+    """VERDICT r3 #6: above CASE_JOIN_CUTOVER strata stratified_sample
+    switches to a broadcast-joined rate table; both forms must select the
+    IDENTICAL rows (and the big-map plan must contain a broadcast join,
+    not a 150-arm CASE)."""
+    import prase_spark.datapipe.sampling as sampling
+    from prase_spark.datapipe.sampling import stratified_sample
+
+    n_strata = 150
+    rows = [(i, f"src{i % n_strata}") for i in range(4000)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING")
+    rates = {f"src{s}": (s % 10) / 10.0 for s in range(n_strata)}
+
+    big = stratified_sample(df, rates, "source", default_rate=0.5)
+    assert "BroadcastHashJoin" in (
+        big._jdf.queryExecution().executedPlan().toString()
+    )
+    got_join = {r["doc_id"] for r in big.collect()}
+    # force the CASE path on the same map by lifting the cutover
+    old = sampling.CASE_JOIN_CUTOVER
+    sampling.CASE_JOIN_CUTOVER = 10_000
+    try:
+        got_case = {
+            r["doc_id"]
+            for r in stratified_sample(df, rates, "source", default_rate=0.5).collect()
+        }
+    finally:
+        sampling.CASE_JOIN_CUTOVER = old
+    assert got_join == got_case
+    # unlisted strata fall back to default_rate in the join path too
+    rates_partial = {f"src{s}": 0.0 for s in range(n_strata - 10)}
+    kept = stratified_sample(df, rates_partial, "source", default_rate=1.0).collect()
+    assert {r["source"] for r in kept} == {f"src{s}" for s in range(n_strata - 10, n_strata)}

@@ -93,8 +93,8 @@ def test_canonical_entity_ids(spark):
 
 
 def test_connected_components_nonconvergence_raises(spark):
-    """A chain longer than max_iter must fail loudly, never return
-    partially-propagated (wrong) labels."""
+    """method='hashmin' on a chain longer than max_iter must fail loudly,
+    never return partially-propagated (wrong) labels."""
     import pytest
     from pyspark.sql import functions as F
 
@@ -104,11 +104,54 @@ def test_connected_components_nonconvergence_raises(spark):
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(chain, max_iter=3)
+        connected_components(chain, max_iter=3, method="hashmin")
     # and converges fine with enough rounds (hash-min propagates min label
     # a growing distance per round, so ~log-ish rounds suffice in practice)
-    comp = connected_components(chain, max_iter=31)
+    comp = connected_components(chain, max_iter=31, method="hashmin")
     assert comp.select("component").distinct().count() == 1
+
+
+def test_connected_components_long_chain_auto_fallback(spark):
+    """VERDICT r3 #4: a 100-hop chain (crawl-scale redirect/template
+    chains) must DEGRADE to the O(log n) large-star/small-star alternation
+    under method='auto', not die — and produce exact min labels."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.matching import connected_components
+
+    chain = spark.range(101).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(chain, max_iter=4).collect()
+    }
+    assert len(got) == 102 and set(got.values()) == {0}
+
+
+def test_connected_components_star_matches_hashmin(spark):
+    """method='star' must produce the identical labeling as hash-min on a
+    multi-component graph with chains, cycles, and a star."""
+    from prase_spark.matching import connected_components
+
+    edges = [
+        # chain 0..6, cycle 10-11-12-10, star around 20, bridge 6-10
+        *[(i, i + 1) for i in range(6)],
+        (10, 11), (11, 12), (12, 10), (6, 10),
+        (20, 21), (20, 22), (20, 23),
+        (30, 31),
+    ]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    ref = {
+        r["node"]: r["component"]
+        for r in connected_components(df, method="hashmin").collect()
+    }
+    got = {
+        r["node"]: r["component"]
+        for r in connected_components(df, method="star").collect()
+    }
+    assert got == ref
+    assert got[12] == 0 and got[23] == 20 and got[31] == 30
 
 
 def test_align_seed_mode_auto_falls_back_to_names(spark):
