@@ -1938,7 +1938,11 @@ def oracle_sql() -> dict[str, str]:
         "mutual_best_events": """
             WITH score AS (
                 SELECT user_id, event_type,
-                       sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS score
+                       -- CAST the sum itself: DuckDB sum(BIGINT) is HUGEINT,
+                       -- and hugeint->double at the division is a different
+                       -- conversion path than bigint->double (the residual
+                       -- corpus_stats hash-flip class)
+                       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) / 100.0 AS score
                 FROM events GROUP BY user_id, event_type
             ),
             best_u AS (
@@ -1971,7 +1975,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             th AS (SELECT unnest(generate_series(0, 9)) / 10.0 AS threshold),
             agg AS (
-                SELECT threshold, count(*) AS predicted, sum(correct) AS correct
+                -- CAST: keep the downstream // and /1e6 in pure BIGINT
+                -- (sum() would make them HUGEINT — see mutual_best_events)
+                SELECT threshold, count(*) AS predicted,
+                       CAST(sum(correct) AS BIGINT) AS correct
                 FROM marked, th WHERE prob >= threshold GROUP BY threshold
             ),
             tot AS (SELECT count(*) AS total FROM pred)
