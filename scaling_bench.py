@@ -246,6 +246,17 @@ def main():
         run_iters_comparison(repo, args.high, args.kg_ents, args.salt_buckets)
         return
 
+    # hardware-ceiling stamp (same doctrine as bench.py): the raw-CPU
+    # low->high ratio bounds ANY Spark efficiency measured right after it;
+    # a 3.2x window cannot evidence a 0.8 efficiency at 4x cores, and the
+    # stamp makes that visible in the appended record itself
+    sys.path.insert(0, os.path.join(repo, "tools"))
+    from cpu_probe import measure
+
+    probe_lo = measure(args.low, 2.0)
+    probe_hi = measure(args.high, 2.0)
+    probe_ratio = round(probe_hi / probe_lo, 2)
+
     workloads = ["extract", "paris"] if args.workload == "both" else [args.workload]
     for wl in workloads:
         lo = run_level(repo, args.low, args.pages, wl, args.kg_ents)
@@ -265,11 +276,15 @@ def main():
             "high": hi,
             "speedup": round(lo["sec"] / hi["sec"], 3),
             "efficiency_n_to_4n": round(efficiency, 3),
+            f"cpu_probe_{args.low}_{args.high}": probe_ratio,
+            "loadavg": [round(x, 2) for x in os.getloadavg()],
         }
         print(json.dumps(result))
         with open(os.path.join(repo, "BENCH.md"), "a", encoding="utf8") as f:
             f.write(
                 f"\n## Scaling run: {title}\n\n"
+                f"(raw-CPU probe {args.low}->{args.high} = {probe_ratio}x of "
+                f"{ratio:.0f}x ideal, loadavg {result['loadavg'][0]} before the legs)\n\n"
                 f"| cores | sec | {unit} |\n|---|---|---|\n"
                 f"| {lo['cpus']} | {lo['sec']} | {lo[unit]} |\n"
                 f"| {hi['cpus']} | {hi['sec']} | {hi[unit]} |\n\n"
