@@ -113,7 +113,9 @@ def _star_round(edges: DataFrame) -> DataFrame:
     return small
 
 
-def _star_components(sym: DataFrame, nodes: DataFrame, max_rounds: int) -> DataFrame:
+def _star_components(
+    sym: DataFrame, nodes: DataFrame, max_rounds: int, stats_out: dict | None = None
+) -> DataFrame:
     """Large-star/small-star alternation to a star fixpoint: O(log n)
     rounds regardless of chain length (vs hash-min's O(diameter)). At the
     fixpoint every edge is (node, component-min), so labels fall out of
@@ -127,8 +129,10 @@ def _star_components(sym: DataFrame, nodes: DataFrame, max_rounds: int) -> DataF
         .distinct()
         .localCheckpoint()
     )
+    rounds = 0
     for _ in range(max_rounds):
         new_edges = _star_round(edges).localCheckpoint()
+        rounds += 1
         same = (
             new_edges.count() == edges.count()
             and new_edges.exceptAll(edges).limit(1).count() == 0
@@ -141,6 +145,8 @@ def _star_components(sym: DataFrame, nodes: DataFrame, max_rounds: int) -> DataF
             f"star-contraction components did not converge within {max_rounds} "
             "rounds — pathological id graph (expected O(log n) rounds)"
         )
+    if stats_out is not None:
+        stats_out["star_rounds"] = rounds
     return nodes.join(
         edges.select(F.col("a").alias("node"), F.col("b").alias("component")),
         "node",
@@ -156,6 +162,7 @@ def connected_components(
     src: str = "src",
     dst: str = "dst",
     method: str = "auto",
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Connected components over an undirected edge list.
 
@@ -169,7 +176,10 @@ def connected_components(
     raising. ``method='star'`` goes straight to the alternation;
     ``method='hashmin'`` restores the old raise-on-non-convergence
     behavior. Iterative joins localCheckpoint every round to truncate
-    lineage (mandatory — SURVEY.md §4).
+    lineage (mandatory — SURVEY.md §4). ``stats_out`` (dict) receives
+    operator telemetry: ``method`` actually used, ``hashmin_rounds`` /
+    ``star_rounds`` executed — the convergence-behavior numbers an
+    operator watches at crawl scale.
     """
     if method not in ("auto", "hashmin", "star"):
         raise ValueError(f"unknown method {method!r}")
@@ -182,12 +192,16 @@ def connected_components(
     )
     nodes = sym.select(F.col("a").alias("node")).distinct()
     if method == "star":
-        out = _star_components(sym, nodes, star_rounds)
+        if stats_out is not None:
+            stats_out["method"] = "star"
+        out = _star_components(sym, nodes, star_rounds, stats_out)
         sym.unpersist()
         return out
     labels = nodes.withColumn("component", F.col("node")).localCheckpoint()
     changed = 0
+    hashmin_rounds = 0
     for _ in range(max_iter):
+        hashmin_rounds += 1
         nbr_min = (
             sym.join(labels.withColumnRenamed("node", "b"), "b")
             .groupBy("a")
@@ -214,12 +228,17 @@ def connected_components(
         labels = new_labels
         if changed == 0:
             break
+    if stats_out is not None:
+        stats_out["method"] = "hashmin"
+        stats_out["hashmin_rounds"] = hashmin_rounds
     if changed != 0:
         if method == "auto":
             # chains longer than max_iter hops: degrade to the O(log n)
             # star alternation on the ORIGINAL edges (correct from any
             # start state; restarting avoids mixing the two labelings)
-            out = _star_components(sym, nodes, star_rounds)
+            if stats_out is not None:
+                stats_out["method"] = "hashmin->star"
+            out = _star_components(sym, nodes, star_rounds, stats_out)
             sym.unpersist()
             return out
         sym.unpersist()

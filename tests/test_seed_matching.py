@@ -122,11 +122,17 @@ def test_connected_components_long_chain_auto_fallback(spark):
     chain = spark.range(101).select(
         F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
     )
+    stats = {}
     got = {
         r["node"]: r["component"]
-        for r in connected_components(chain, max_iter=4).collect()
+        for r in connected_components(chain, max_iter=4, stats_out=stats).collect()
     }
     assert len(got) == 102 and set(got.values()) == {0}
+    # telemetry: the fallback is visible to the operator, and the star
+    # phase closed a 101-hop diameter in O(log n) rounds
+    assert stats["method"] == "hashmin->star"
+    assert stats["hashmin_rounds"] == 4
+    assert 1 <= stats["star_rounds"] <= 12
 
 
 def test_connected_components_star_matches_hashmin(spark):
