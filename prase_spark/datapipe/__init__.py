@@ -14,6 +14,11 @@ from prase_spark.datapipe.dedup import (
     simhash_pairs,
     simhash_pairs_manku,
 )
+from prase_spark.datapipe.multimodal import (
+    decode_media_features,
+    extract_media_features,
+    probe_media_metadata,
+)
 from prase_spark.datapipe.sampling import hash_sample, stratified_sample
 from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
 from prase_spark.datapipe.simsearch import (
@@ -60,4 +65,7 @@ __all__ = [
     "add_fingerprint",
     "language_id",
     "corpus_stats",
+    "decode_media_features",
+    "extract_media_features",
+    "probe_media_metadata",
 ]

@@ -2,11 +2,19 @@
 
 Images/audio/video ride as ``binary`` columns with a small metadata struct.
 The Spark-side plumbing (schemas, Arrow batch shapes, partition-size
-control) is real and tested; the actual codec decode is STUBBED — the
-image/audio libraries are not in this container — behind
-``decode_stub_features``, a deterministic fake keyed on the payload bytes,
-and ``decode_real`` which raises NotImplementedError with the integration
-point documented.
+control) is real and tested. Decode status by format (round 4):
+
+- **REAL, codec-free**: PNG pixels (stdlib zlib inflate + spec unfilter,
+  8-bit gray/RGB/RGBA non-interlaced), BMP pixels (uncompressed 24/32-bit),
+  WAV PCM samples (8/16-bit, mono-averaged) — plus nearest-neighbor
+  resize, n×n grayscale thumbnail features and RMS-envelope audio
+  features, all pure numpy (``decode_real`` / ``decode_media_features``).
+- **REAL header metadata only**: JPEG/GIF/WEBP dims (probe_*) — pixel
+  decode of entropy-coded formats genuinely needs codec libraries (PIL /
+  torchaudio / pyav), absent in this container; ``decode_real`` raises
+  NotImplementedError for them with the integration point documented, and
+  ``decode_media_features`` falls back to the deterministic stub vector
+  with ``decoded=false``.
 """
 
 from __future__ import annotations
@@ -45,15 +53,208 @@ _FEAT_SCHEMA = "media_id LONG, kind STRING, n_bytes LONG, digest STRING, feature
 
 
 def decode_real(payload: bytes, kind: str):
-    """Integration point for real codecs (PIL / torchaudio / pyav).
+    """REAL decode for the formats that need no codec library —
+    PNG (stdlib zlib inflate + spec unfilter), BMP (raw BI_RGB pixels),
+    WAV (raw PCM samples) — and the documented integration point for the
+    entropy-coded rest (JPEG/GIF/WEBP/video need PIL / torchaudio / pyav,
+    unavailable in this container).
 
-    Not available in this environment — plug in here; the surrounding
-    Spark plumbing (mapInPandas batching, schema, partitioning) is final.
-    """
+    Returns ``("image", HxWx3 uint8 ndarray)`` or
+    ``("audio", (float32 mono samples in [-1,1], sample_rate))``."""
+    b = bytes(payload)
+    if b.startswith(_PNG_SIG):
+        return ("image", decode_png(b))
+    if b[:2] == b"BM":
+        return ("image", decode_bmp(b))
+    if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
+        return ("audio", decode_wav(b))
     raise NotImplementedError(
-        "codec libraries unavailable in this container; "
-        "swap decode_stub_features for a real decoder at deploy time"
+        f"{kind}: entropy-coded formats (JPEG/GIF/WEBP/video) need codec "
+        "libraries unavailable in this container; plug PIL/torchaudio/pyav "
+        "in here — the surrounding Spark plumbing is final"
     )
+
+
+def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+    """PNG spec §9 scanline unfilter (None/Sub/Up/Average/Paeth).
+
+    Sub/Paeth are sequential in x by definition, so each scanline walks
+    bytes in Python — decode is row-local inside mapInPandas, so per-image
+    cost is what it is; thumbnails for feature extraction stay tiny."""
+    stride = width * bpp
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(height):
+        ftype = raw[pos]
+        pos += 1
+        line = np.frombuffer(raw[pos : pos + stride], dtype=np.uint8).astype(np.int32)
+        pos += stride
+        if ftype == 0:
+            cur = line
+        elif ftype == 2:  # Up — fully vectorized
+            cur = (line + prev) & 0xFF
+        elif ftype in (1, 3, 4):
+            cur = np.zeros(stride, dtype=np.int32)
+            for x in range(stride):
+                a = cur[x - bpp] if x >= bpp else 0
+                bb = prev[x]
+                if ftype == 1:
+                    cur[x] = (line[x] + a) & 0xFF
+                elif ftype == 3:
+                    cur[x] = (line[x] + ((a + bb) >> 1)) & 0xFF
+                else:  # Paeth
+                    c = prev[x - bpp] if x >= bpp else 0
+                    p = a + bb - c
+                    pa, pb, pc = abs(p - a), abs(p - bb), abs(p - c)
+                    pred = a if (pa <= pb and pa <= pc) else (bb if pb <= pc else c)
+                    cur[x] = (line[x] + pred) & 0xFF
+        else:
+            raise ValueError(f"PNG: unknown filter type {ftype}")
+        out[y] = cur.astype(np.uint8)
+        prev = cur
+    return out
+
+
+def decode_png(b: bytes) -> np.ndarray:
+    """REAL PNG pixel decode — stdlib zlib + numpy, no codec library:
+    chunk walk -> concatenated IDAT inflate -> per-scanline unfilter ->
+    HxWx3 uint8 (alpha dropped, grayscale broadcast). Supports the
+    dominant web profile: 8-bit depth, color types 0 (gray), 2 (RGB),
+    6 (RGBA), non-interlaced; anything else raises with the reason."""
+    import zlib
+
+    if not b.startswith(_PNG_SIG):
+        raise ValueError("not a PNG")
+    pos, width, height, depth, ctype, interlace = 8, None, None, None, None, None
+    idat = bytearray()
+    while pos + 8 <= len(b):
+        size = int.from_bytes(b[pos : pos + 4], "big")
+        cid = b[pos + 4 : pos + 8]
+        data = b[pos + 8 : pos + 8 + size]
+        if cid == b"IHDR":
+            width = int.from_bytes(data[0:4], "big")
+            height = int.from_bytes(data[4:8], "big")
+            depth, ctype, interlace = data[8], data[9], data[12]
+        elif cid == b"IDAT":
+            idat += data
+        elif cid == b"IEND":
+            break
+        pos += 12 + size  # size + id + crc
+    if width is None:
+        raise ValueError("PNG: no IHDR")
+    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+        raise NotImplementedError(
+            f"PNG profile unsupported without codec libs: depth={depth} "
+            f"color_type={ctype} interlace={interlace} (supported: 8-bit "
+            "gray/RGB/RGBA, non-interlaced)"
+        )
+    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    raw = zlib.decompress(bytes(idat))
+    expect = height * (1 + width * channels)
+    if len(raw) != expect:
+        raise ValueError(f"PNG: inflated size {len(raw)} != expected {expect}")
+    img = _png_unfilter(raw, width, height, channels).reshape(height, width, channels)
+    if channels == 1:
+        return np.repeat(img, 3, axis=2)
+    return img[:, :, :3].copy()
+
+
+def decode_bmp(b: bytes) -> np.ndarray:
+    """REAL BMP pixel decode — pure numpy: BITMAPFILEHEADER offset +
+    BITMAPINFOHEADER geometry, uncompressed (BI_RGB) 24/32-bit rows,
+    4-byte row padding, bottom-up (positive height) or top-down
+    (negative). Returns HxWx3 uint8 RGB (BMP stores BGR)."""
+    if b[:2] != b"BM" or len(b) < 54:
+        raise ValueError("not a BMP")
+    data_off = int.from_bytes(b[10:14], "little")
+    width = int.from_bytes(b[18:22], "little", signed=True)
+    height = int.from_bytes(b[22:26], "little", signed=True)
+    bpp = int.from_bytes(b[28:30], "little")
+    compression = int.from_bytes(b[30:34], "little")
+    if compression != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP profile unsupported without codec libs: bpp={bpp} "
+            f"compression={compression} (supported: uncompressed 24/32-bit)"
+        )
+    top_down = height < 0
+    height = abs(height)
+    nbytes = bpp // 8
+    stride = (width * nbytes + 3) & ~3
+    rows = np.frombuffer(
+        b[data_off : data_off + stride * height], dtype=np.uint8
+    ).reshape(height, stride)[:, : width * nbytes]
+    img = rows.reshape(height, width, nbytes)[:, :, :3][:, :, ::-1]  # BGR->RGB
+    if not top_down:
+        img = img[::-1]
+    return img.copy()
+
+
+def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
+    """REAL WAV PCM decode — numpy frombuffer on the data chunk: 8-bit
+    unsigned / 16-bit signed PCM, multi-channel averaged to mono.
+    Returns (float32 samples in [-1, 1], sample_rate)."""
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV")
+    i, fmt, rate, nch, bits, data = 12, None, None, None, None, None
+    while i + 8 <= len(b):
+        cid = b[i : i + 4]
+        size = int.from_bytes(b[i + 4 : i + 8], "little")
+        body = b[i + 8 : i + 8 + size]
+        if cid == b"fmt " and size >= 16:
+            fmt = int.from_bytes(body[0:2], "little")
+            nch = int.from_bytes(body[2:4], "little")
+            rate = int.from_bytes(body[4:8], "little")
+            bits = int.from_bytes(body[14:16], "little")
+        elif cid == b"data":
+            data = body
+        i += 8 + size + (size & 1)
+    if fmt != 1 or bits not in (8, 16) or not rate or not nch or data is None:
+        raise NotImplementedError(
+            f"WAV profile unsupported without codec libs: fmt={fmt} "
+            f"bits={bits} (supported: PCM 8/16-bit)"
+        )
+    if bits == 16:
+        samples = np.frombuffer(data[: len(data) & ~1], dtype="<i2").astype(np.float32)
+        samples /= 32768.0
+    else:
+        samples = np.frombuffer(data, dtype=np.uint8).astype(np.float32)
+        samples = (samples - 128.0) / 128.0
+    if nch > 1:
+        n = (len(samples) // nch) * nch
+        samples = samples[:n].reshape(-1, nch).mean(axis=1)
+    return samples, rate
+
+
+def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:
+    """Nearest-neighbor resize via pure numpy index maps — the thumbnail
+    step of image feature extraction (deterministic, codec-free)."""
+    h, w = img.shape[:2]
+    ys = np.minimum((np.arange(out_h) * h) // out_h, h - 1)
+    xs = np.minimum((np.arange(out_w) * w) // out_w, w - 1)
+    return img[ys][:, xs]
+
+
+def image_thumb_features(img: np.ndarray, n: int = 8) -> list[float]:
+    """n x n grayscale thumbnail, flattened to n² floats in [0,1] — the
+    deterministic, library-free analog of an embedding-model input crop
+    (and a usable signal for near-dup/similarity over images)."""
+    thumb = resize_nearest(img, n, n).astype(np.float32)
+    gray = thumb[:, :, 0] * 0.299 + thumb[:, :, 1] * 0.587 + thumb[:, :, 2] * 0.114
+    return [float(x) for x in (gray / 255.0).reshape(-1)]
+
+
+def audio_rms_features(samples: np.ndarray, n: int = 64) -> list[float]:
+    """n-window RMS envelope of the mono PCM signal — deterministic,
+    library-free audio features (loudness contour)."""
+    if len(samples) == 0:
+        return [0.0] * n
+    bounds = (np.arange(n + 1) * len(samples)) // n
+    out = []
+    for k in range(n):
+        seg = samples[bounds[k] : max(bounds[k + 1], bounds[k] + 1)]
+        out.append(float(np.sqrt(np.mean(seg * seg))))
+    return out
 
 
 def _stub_features(payload: bytes | None, dim: int = 8) -> list[float]:
@@ -235,6 +436,54 @@ def probe_media_metadata(media: DataFrame) -> DataFrame:
             )
 
     return media.select("media_id", "payload").mapInPandas(run, _PROBE_SCHEMA)
+
+
+_DECODE_SCHEMA = (
+    "media_id LONG, fmt STRING, decoded BOOLEAN, width INT, height INT, "
+    "sample_rate INT, features ARRAY<FLOAT>"
+)
+
+
+def decode_media_features(media: DataFrame, thumb: int = 8, rms_n: int = 64) -> DataFrame:
+    """REAL decode + feature extraction where no codec library is needed
+    (PNG/BMP pixels -> thumb² grayscale features; WAV PCM -> rms_n RMS
+    envelope), deterministic stub features with ``decoded=false`` for the
+    entropy-coded formats. Arrow-batched mapInPandas, row-local, identical
+    output at any parallelism. At 100 TB this is one narrow map stage over
+    the payload column; batch memory is bounded by
+    spark.sql.execution.arrow.maxRecordsPerBatch as with text extraction."""
+
+    def one(payload):
+        if payload is None:
+            return (None, False, None, None, None, [0.0] * (thumb * thumb))
+        b = bytes(payload)
+        fmt = probe_container(b)[0]
+        try:
+            kind, decoded = decode_real(b, fmt or "unknown")
+        except (NotImplementedError, ValueError):
+            return (fmt, False, None, None, None, _stub_features(b, thumb * thumb // 4))
+        if kind == "image":
+            h, w = decoded.shape[:2]
+            return (fmt, True, w, h, None, image_thumb_features(decoded, thumb))
+        samples, rate = decoded
+        return (fmt, True, None, None, rate, audio_rms_features(samples, rms_n))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": rows.map(lambda t: t[0]),
+                    "decoded": rows.map(lambda t: t[1]),
+                    "width": rows.map(lambda t: t[2]).astype("Int32"),
+                    "height": rows.map(lambda t: t[3]).astype("Int32"),
+                    "sample_rate": rows.map(lambda t: t[4]).astype("Int32"),
+                    "features": rows.map(lambda t: t[5]),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, _DECODE_SCHEMA)
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

@@ -1061,3 +1061,178 @@ def test_stratified_sample_join_path_equals_case_path(spark):
     rates_partial = {f"src{s}": 0.0 for s in range(n_strata - 10)}
     kept = stratified_sample(df, rates_partial, "source", default_rate=1.0).collect()
     assert {r["source"] for r in kept} == {f"src{s}" for s in range(n_strata - 10, n_strata)}
+
+
+def _make_png(img, filters, ctype=2):
+    """Minimal PNG encoder (test-only): applies the requested per-row
+    filter types so decode_png must invert every filter the spec defines."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y]
+        a = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = (line - a) % 256
+        elif ft == 2:
+            enc = (line - prev) % 256
+        elif ft == 3:
+            enc = (line - ((a + prev) // 2)) % 256
+        else:  # Paeth
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                aa = line[x - ch] if x >= ch else 0
+                bb = prev[x]
+                cc = prev[x - ch] if x >= ch else 0
+                p = aa + bb - cc
+                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                pred = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def _make_bmp(img, top_down=False):
+    """Minimal 24-bit BI_RGB BMP encoder (test-only) with row padding."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img[:, :, ::-1]  # RGB->BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for y in range(h):
+        body.extend(rows[y].astype(np.uint8).tobytes())
+        body.extend(b"\x00" * (stride - w * 3))
+    hdr_h = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + bytes(body)
+
+
+def _make_wav16(samples_by_channel, rate):
+    """Minimal 16-bit PCM WAV encoder (test-only)."""
+    import struct
+
+    import numpy as np
+
+    nch = len(samples_by_channel)
+    inter = np.stack(samples_by_channel, axis=1).reshape(-1)
+    data = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def test_decode_png_inverts_every_filter():
+    """decode_png must invert all five PNG filter types (None/Sub/Up/
+    Average/Paeth) byte-exactly, plus the RGBA-drop and gray-broadcast
+    channel rules."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import decode_png
+
+    rng = np.random.default_rng(3)
+    img = rng.integers(0, 256, size=(10, 7, 3), dtype=np.uint8)
+    for filters in ([0], [1], [2], [3], [4], [0, 1, 2, 3, 4]):
+        got = decode_png(_make_png(img, filters))
+        assert np.array_equal(got, img), f"filters={filters}"
+    # RGBA: alpha dropped
+    rgba = rng.integers(0, 256, size=(4, 5, 4), dtype=np.uint8)
+    assert np.array_equal(decode_png(_make_png(rgba, [0, 4], ctype=6)), rgba[:, :, :3])
+    # grayscale: broadcast to 3 channels
+    gray = rng.integers(0, 256, size=(6, 3, 1), dtype=np.uint8)
+    got = decode_png(_make_png(gray, [2, 1], ctype=0))
+    assert np.array_equal(got, np.repeat(gray, 3, axis=2))
+
+
+def test_decode_bmp_padding_and_orientation():
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import decode_bmp
+
+    rng = np.random.default_rng(4)
+    img = rng.integers(0, 256, size=(5, 3, 3), dtype=np.uint8)  # stride pad 3->12
+    assert np.array_equal(decode_bmp(_make_bmp(img)), img)
+    assert np.array_equal(decode_bmp(_make_bmp(img, top_down=True)), img)
+
+
+def test_decode_wav_mono_average_and_features():
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import audio_rms_features, decode_wav
+
+    t = np.arange(1600) / 16000.0
+    left = np.sin(2 * np.pi * 440 * t) * 0.5
+    right = np.zeros_like(left)
+    samples, rate = decode_wav(_make_wav16([left, right], 16000))
+    assert rate == 16000 and len(samples) == 1600
+    # stereo averaged to mono: amplitude halves
+    assert abs(float(np.max(samples)) - 0.25) < 0.01
+    rms = audio_rms_features(samples, n=16)
+    assert len(rms) == 16 and all(0.1 < v < 0.3 for v in rms)
+
+
+def test_decode_media_features_real_and_fallback(spark):
+    """decode_media_features: REAL pixel/sample decode for PNG/BMP/WAV
+    (decoded=true, real thumbnail/RMS features), deterministic stub with
+    decoded=false for entropy-coded formats (GIF header-only here)."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import MEDIA, decode_media_features
+
+    rng = np.random.default_rng(6)
+    img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
+    png, bmp = _make_png(img, [0, 1, 2, 3, 4]), _make_bmp(img)
+    wav = _make_wav16([np.sin(np.arange(800) / 5.0) * 0.4], 8000)
+    gif = b"GIF89a" + (100).to_bytes(2, "little") + (50).to_bytes(2, "little") + b"\x00" * 20
+    rows = [
+        (0, "image", bytearray(png), "image/png", None, None, None),
+        (1, "image", bytearray(bmp), "image/bmp", None, None, None),
+        (2, "audio", bytearray(wav), "audio/wav", None, None, None),
+        (3, "image", bytearray(gif), "image/gif", None, None, None),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in decode_media_features(
+            spark.createDataFrame(rows, MEDIA), thumb=4
+        ).collect()
+    }
+    assert got[0]["decoded"] and got[0]["fmt"] == "png"
+    assert got[0]["width"] == 16 and got[0]["height"] == 16
+    assert got[1]["decoded"] and got[1]["fmt"] == "bmp"
+    # PNG and BMP carry the SAME pixels -> identical real features
+    assert got[0]["features"] == got[1]["features"]
+    assert len(got[0]["features"]) == 16 and all(0 <= v <= 1 for v in got[0]["features"])
+    assert got[2]["decoded"] and got[2]["sample_rate"] == 8000
+    assert not got[3]["decoded"] and got[3]["fmt"] == "gif"
+    assert got[3]["features"] and len(got[3]["features"]) == 4
