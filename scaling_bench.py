@@ -256,6 +256,7 @@ def main():
     probe_lo = measure(args.low, 2.0)
     probe_hi = measure(args.high, 2.0)
     probe_ratio = round(probe_hi / probe_lo, 2)
+    probe_loadavg = round(os.getloadavg()[0], 2)
 
     workloads = ["extract", "paris"] if args.workload == "both" else [args.workload]
     for wl in workloads:
@@ -277,14 +278,16 @@ def main():
             "speedup": round(lo["sec"] / hi["sec"], 3),
             "efficiency_n_to_4n": round(efficiency, 3),
             f"cpu_probe_{args.low}_{args.high}": probe_ratio,
-            "loadavg": [round(x, 2) for x in os.getloadavg()],
+            "loadavg_at_probe": probe_loadavg,
+            "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         }
         print(json.dumps(result))
         with open(os.path.join(repo, "BENCH.md"), "a", encoding="utf8") as f:
             f.write(
                 f"\n## Scaling run: {title}\n\n"
                 f"(raw-CPU probe {args.low}->{args.high} = {probe_ratio}x of "
-                f"{ratio:.0f}x ideal, loadavg {result['loadavg'][0]} before the legs)\n\n"
+                f"{ratio:.0f}x ideal at loadavg {probe_loadavg}, measured "
+                f"before the legs)\n\n"
                 f"| cores | sec | {unit} |\n|---|---|---|\n"
                 f"| {lo['cpus']} | {lo['sec']} | {lo[unit]} |\n"
                 f"| {hi['cpus']} | {hi['sec']} | {hi[unit]} |\n\n"
