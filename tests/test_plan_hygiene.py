@@ -48,3 +48,20 @@ def test_no_cartesian_in_alignment_results(spark):
     run = align(spark, kg_l, kg_r, ParisConfig(iterations=1), checkpoint=False)
     res = alignment_results(run.state, kg_l, kg_r, 0.1)
     assert "CartesianProduct" not in _plan(res)
+
+
+def test_star_round_plan_hygiene(spark):
+    """One large-star/small-star round: node-id-keyed aggregations and
+    joins only — no cartesian product, no broadcast of the (at scale,
+    huge) edge table's full side needed for correctness, and the groupBys
+    stay hash aggregates on the id keys."""
+    from prase_spark.matching import _star_round
+
+    edges = spark.range(1000).select(
+        F.col("id").alias("a"), ((F.col("id") * 7 + 1) % 1000).alias("b")
+    )
+    plan = _plan(_star_round(edges))
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+    # every exchange is keyed on a node-id column, never a full-row key
+    assert "hashpartitioning(a" in plan
