@@ -74,7 +74,7 @@ def stratified_sample(
         spark = df.sparkSession
         rate_df = spark.createDataFrame(
             [(str(v), rate_threshold(r)) for v, r in sorted(rates.items())],
-            f"__stratum STRING, __thr INT",
+            "__stratum STRING, __thr INT",
         )
         joined = df.join(
             F.broadcast(rate_df),
