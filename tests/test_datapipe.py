@@ -1064,93 +1064,21 @@ def test_stratified_sample_join_path_equals_case_path(spark):
 
 
 def _make_png(img, filters, ctype=2):
-    """Minimal PNG encoder (test-only): applies the requested per-row
-    filter types so decode_png must invert every filter the spec defines."""
-    import struct
-    import zlib
+    from prase_spark.fixtures import synth_png
 
-    import numpy as np
-
-    h, w = img.shape[:2]
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    flat = img.reshape(h, w * ch).astype(np.int32)
-
-    def chunk(cid, data):
-        return (
-            struct.pack(">I", len(data)) + cid + data
-            + struct.pack(">I", zlib.crc32(cid + data))
-        )
-
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
-    raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        ft = filters[y % len(filters)]
-        line = flat[y]
-        a = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
-        if ft == 0:
-            enc = line
-        elif ft == 1:
-            enc = (line - a) % 256
-        elif ft == 2:
-            enc = (line - prev) % 256
-        elif ft == 3:
-            enc = (line - ((a + prev) // 2)) % 256
-        else:  # Paeth
-            enc = np.zeros(w * ch, dtype=np.int32)
-            for x in range(w * ch):
-                aa = line[x - ch] if x >= ch else 0
-                bb = prev[x]
-                cc = prev[x - ch] if x >= ch else 0
-                p = aa + bb - cc
-                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
-                pred = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
-                enc[x] = (line[x] - pred) % 256
-        raw.append(ft)
-        raw.extend(enc.astype(np.uint8).tobytes())
-        prev = line
-    return (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
-    )
+    return synth_png(img, tuple(filters), ctype)
 
 
 def _make_bmp(img, top_down=False):
-    """Minimal 24-bit BI_RGB BMP encoder (test-only) with row padding."""
-    import struct
+    from prase_spark.fixtures import synth_bmp
 
-    import numpy as np
-
-    h, w = img.shape[:2]
-    stride = (w * 3 + 3) & ~3
-    rows = img[:, :, ::-1]  # RGB->BGR
-    if not top_down:
-        rows = rows[::-1]
-    body = bytearray()
-    for y in range(h):
-        body.extend(rows[y].astype(np.uint8).tobytes())
-        body.extend(b"\x00" * (stride - w * 3))
-    hdr_h = -h if top_down else h
-    info = struct.pack("<IiiHHIIiiII", 40, w, hdr_h, 1, 24, 0, len(body), 0, 0, 0, 0)
-    file_hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 54)
-    return file_hdr + info + bytes(body)
+    return synth_bmp(img, top_down)
 
 
 def _make_wav16(samples_by_channel, rate):
-    """Minimal 16-bit PCM WAV encoder (test-only)."""
-    import struct
+    from prase_spark.fixtures import synth_wav16
 
-    import numpy as np
-
-    nch = len(samples_by_channel)
-    inter = np.stack(samples_by_channel, axis=1).reshape(-1)
-    data = (np.clip(inter, -1, 1) * 32767).astype("<i2").tobytes()
-    fmt = struct.pack("<HHIIHH", 1, nch, rate, rate * 2 * nch, 2 * nch, 16)
-    return (
-        b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data)) + b"WAVE"
-        + b"fmt " + struct.pack("<I", len(fmt)) + fmt
-        + b"data" + struct.pack("<I", len(data)) + data
-    )
+    return synth_wav16(samples_by_channel, rate)
 
 
 def test_decode_png_inverts_every_filter():
@@ -1236,3 +1164,33 @@ def test_decode_media_features_real_and_fallback(spark):
     assert got[2]["decoded"] and got[2]["sample_rate"] == 8000
     assert not got[3]["decoded"] and got[3]["fmt"] == "gif"
     assert got[3]["features"] and len(got[3]["features"]) == 4
+
+
+def test_media_decode_checksums_integer_sinks(spark):
+    """media_decode_checksums: exact-integer n_units/checksum for every
+    codec-free format, NULLs (never silence) for entropy-coded ones."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
+    from prase_spark.fixtures import synth_bmp, synth_png, synth_wav16_raw
+
+    img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
+    ints = np.array([0, 100, -100, 32767, -32768, 7])
+    rows = [
+        (0, "image", bytearray(synth_png(img, (4, 3))), None, None, None, None),
+        (1, "image", bytearray(synth_bmp(img, top_down=True)), None, None, None, None),
+        (2, "audio", bytearray(synth_wav16_raw(ints, 8000)), None, None, None, None),
+        (3, "image", b"GIF89a" + bytes(10), None, None, None, None),
+    ]
+    got = {
+        r["media_id"]: (r["fmt"], r["n_units"], r["checksum"])
+        for r in media_decode_checksums(
+            spark.createDataFrame(rows, MEDIA)
+        ).collect()
+    }
+    pix_sum = int(img.astype(int).sum())
+    assert got[0] == ("png", 20, pix_sum)
+    assert got[1] == ("bmp", 20, pix_sum)
+    # int16 extremes recovered exactly through the /32768 normalization
+    assert got[2] == ("wav", 6, int((ints.astype(np.int64) ** 2).sum()))
+    assert got[3] == ("gif", None, None)
