@@ -1095,18 +1095,21 @@ def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec-free media decode, value-verified: per document, three
+    """REAL codec-free media decode, value-verified: per document, four
     container payloads are synthesized from doc_id arithmetic (PNG with
     all five filter types cycling, BMP alternating bottom-up/top-down,
+    GIF with a REAL LZW compressor and interlace on every third doc,
     16-bit PCM WAV), run through the ACTUAL decoders (zlib inflate +
-    spec unfilter / raw pixel walk / PCM parse — datapipe/multimodal.py),
-    and reduced to exact-integer checksums (Σ decoded RGB bytes /
-    Σ sample², media_decode_checksums). The DuckDB twin re-derives the
-    same integers from the arithmetic alone — it never sees the container
-    bytes — so a single flipped bit anywhere in inflate/unfilter/
-    orientation/PCM handling flips the gate."""
+    spec unfilter / raw pixel walk / LZW + palette / PCM parse —
+    datapipe/multimodal.py), and reduced to POSITION-WEIGHTED exact-
+    integer checksums (media_decode_checksums) so permutation bugs —
+    wrong BMP orientation, mis-ordered interlace passes — flip the value.
+    The DuckDB twin re-derives the same integers from the arithmetic
+    alone — it never sees a container byte — so a single flipped bit
+    anywhere in inflate/unfilter/orientation/LZW/PCM handling flips the
+    gate."""
     from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
-    from prase_spark.fixtures import synth_bmp, synth_png, synth_wav16_raw
+    from prase_spark.fixtures import synth_bmp, synth_gif, synth_png, synth_wav16_raw
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
@@ -1125,12 +1128,18 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 img = ((doc * 13 + y * 7 + x * 3 + c) % 256).astype(np.uint8)
                 n = 64 + doc % 37
                 samples = (doc * 31 + np.arange(n) * 7) % 2001 - 1000
+                i, cc = np.meshgrid(np.arange(8), np.arange(3), indexing="ij")
+                palette = ((doc * 5 + i * 7 + cc * 3) % 256).astype(np.uint8)
+                gidx = ((doc + np.arange(h * w)) % 8).astype(np.uint8).reshape(h, w)
                 out.append((doc * 10 + 0, "image", bytearray(
                     synth_png(img, filters=(0, 1, 2, 3, 4))), None, None, None, None))
                 out.append((doc * 10 + 1, "image", bytearray(
                     synth_bmp(img, top_down=bool(doc % 2))), None, None, None, None))
                 out.append((doc * 10 + 2, "audio", bytearray(
                     synth_wav16_raw(samples, 8000)), None, None, None, None))
+                out.append((doc * 10 + 3, "image", bytearray(
+                    synth_gif(gidx, palette, interlace=doc % 3 == 0)),
+                    None, None, None, None))
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
 
     media = d.mapInPandas(build, MEDIA)
@@ -2432,10 +2441,12 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
         # multimodal decode: the oracle NEVER sees container bytes — it
-        # re-derives the exact-integer checksums from the same doc_id
-        # arithmetic the Spark side encoded into PNG/BMP/WAV payloads, so
-        # agreement proves the full decode chain (inflate + 5-filter
-        # unfilter, BMP orientation/padding, PCM parse) bit-exact.
+        # re-derives the position-weighted exact-integer checksums
+        # (weight 1 + j%10007, each term mod 1e9+7 — media_decode_checksums'
+        # contract) from the same doc_id arithmetic the Spark side encoded
+        # into PNG/BMP/GIF/WAV payloads, so agreement proves the full
+        # decode chain (inflate + 5-filter unfilter, BMP orientation/
+        # padding, LZW + palette + interlace, PCM parse) bit-exact.
         "multimodal_decode": """
             WITH dims AS (
                 SELECT doc_id AS d, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w,
@@ -2448,8 +2459,17 @@ def oracle_sql() -> dict[str, str]:
             ),
             img AS (
                 SELECT d, h * w AS n_units,
-                       sum((d * 13 + (i // (w * 3)) * 7
-                            + ((i % (w * 3)) // 3) * 3 + (i % 3)) % 256) AS cs
+                       sum(((i % 10007 + 1)
+                            * ((d * 13 + (i // (w * 3)) * 7
+                                + ((i % (w * 3)) // 3) * 3 + (i % 3)) % 256))
+                           % 1000000007) AS cs
+                FROM pix GROUP BY d, h, w
+            ),
+            gif AS (
+                SELECT d, h * w AS n_units,
+                       sum(((i % 10007 + 1)
+                            * ((d * 5 + ((d + i // 3) % 8) * 7 + (i % 3) * 3) % 256))
+                           % 1000000007) AS cs
                 FROM pix GROUP BY d, h, w
             ),
             smp AS (
@@ -2457,8 +2477,10 @@ def oracle_sql() -> dict[str, str]:
             ),
             wav AS (
                 SELECT d, n AS n_units,
-                       sum(((d * 31 + k * 7) % 2001 - 1000)
-                           * ((d * 31 + k * 7) % 2001 - 1000)) AS cs
+                       sum(((k % 10007 + 1)
+                            * ((d * 31 + k * 7) % 2001 - 1000)
+                            * ((d * 31 + k * 7) % 2001 - 1000))
+                           % 1000000007) AS cs
                 FROM smp GROUP BY d, n
             )
             SELECT d * 10 + 0 AS media_id, 'png' AS fmt,
@@ -2471,6 +2493,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d * 10 + 2, 'wav', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
             FROM wav
+            UNION ALL
+            SELECT d * 10 + 3, 'gif', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
+            FROM gif
         """,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""

@@ -5,12 +5,13 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partition-size
 control) is real and tested. Decode status by format (round 4):
 
 - **REAL, codec-free**: PNG pixels (stdlib zlib inflate + spec unfilter,
-  8-bit gray/RGB/RGBA non-interlaced), BMP pixels (uncompressed 24/32-bit),
+  8-bit gray/RGB/RGBA non-interlaced), GIF first frame (pure-integer LZW
+  + palette, interlace supported), BMP pixels (uncompressed 24/32-bit),
   WAV PCM samples (8/16-bit, mono-averaged) — plus nearest-neighbor
   resize, n×n grayscale thumbnail features and RMS-envelope audio
   features, all pure numpy (``decode_real`` / ``decode_media_features``).
-- **REAL header metadata only**: JPEG/GIF/WEBP dims (probe_*) — pixel
-  decode of entropy-coded formats genuinely needs codec libraries (PIL /
+- **REAL header metadata only**: JPEG/WEBP dims (probe_*) — pixel decode
+  of DCT/VP8-coded formats genuinely needs codec libraries (PIL /
   torchaudio / pyav), absent in this container; ``decode_real`` raises
   NotImplementedError for them with the integration point documented, and
   ``decode_media_features`` falls back to the deterministic stub vector
@@ -54,10 +55,10 @@ _FEAT_SCHEMA = "media_id LONG, kind STRING, n_bytes LONG, digest STRING, feature
 
 def decode_real(payload: bytes, kind: str):
     """REAL decode for the formats that need no codec library —
-    PNG (stdlib zlib inflate + spec unfilter), BMP (raw BI_RGB pixels),
-    WAV (raw PCM samples) — and the documented integration point for the
-    entropy-coded rest (JPEG/GIF/WEBP/video need PIL / torchaudio / pyav,
-    unavailable in this container).
+    PNG (stdlib zlib inflate + spec unfilter), GIF (pure-integer LZW +
+    palette), BMP (raw BI_RGB pixels), WAV (raw PCM samples) — and the
+    documented integration point for the DCT/VP8-coded rest (JPEG/WEBP/
+    video need PIL / torchaudio / pyav, unavailable in this container).
 
     Returns ``("image", HxWx3 uint8 ndarray)`` or
     ``("audio", (float32 mono samples in [-1,1], sample_rate))``."""
@@ -66,10 +67,12 @@ def decode_real(payload: bytes, kind: str):
         return ("image", decode_png(b))
     if b[:2] == b"BM":
         return ("image", decode_bmp(b))
+    if b[:6] in (b"GIF87a", b"GIF89a"):
+        return ("image", decode_gif(b))
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return ("audio", decode_wav(b))
     raise NotImplementedError(
-        f"{kind}: entropy-coded formats (JPEG/GIF/WEBP/video) need codec "
+        f"{kind}: DCT/VP8-coded formats (JPEG/WEBP/video) need codec "
         "libraries unavailable in this container; plug PIL/torchaudio/pyav "
         "in here — the surrounding Spark plumbing is final"
     )
@@ -188,6 +191,134 @@ def decode_bmp(b: bytes) -> np.ndarray:
     if not top_down:
         img = img[::-1]
     return img.copy()
+
+
+def _lzw_decode(data: bytes, min_code_size: int, n_pixels: int) -> list[int]:
+    """GIF-variant LZW decompress (spec appendix F): variable code width
+    starting min+1, CLEAR resets the dictionary, EOI terminates, width
+    grows when the dictionary reaches 2^width (capped at 12 bits).
+    Pure-integer bit reader — no codec library."""
+    clear, eoi = 1 << min_code_size, (1 << min_code_size) + 1
+    out: list[int] = []
+    # bit reader state
+    bitpos = 0
+    total_bits = len(data) * 8
+
+    def read_code(width):
+        nonlocal bitpos
+        if bitpos + width > total_bits:
+            return None
+        byte_i, bit_i = bitpos >> 3, bitpos & 7
+        val = int.from_bytes(data[byte_i : byte_i + 3], "little")
+        bitpos += width
+        return (val >> bit_i) & ((1 << width) - 1)
+
+    def reset():
+        return (
+            {i: (i,) for i in range(clear)},
+            clear + 2,
+            min_code_size + 1,
+            clear + 2,
+        )
+
+    # width-bump timing follows giflib: a RUNNING counter incremented once
+    # per data code READ (not per table entry added — the decoder builds
+    # its entry one code later than the encoder wrote it, so entry-count
+    # timing would lag the encoder's width switch by one code and shear
+    # the bit stream). Bump when running exceeds 2^width.
+    table, next_code, width, running = reset()
+    prev: tuple[int, ...] | None = None
+    while len(out) < n_pixels:
+        code = read_code(width)
+        if code is None or code == eoi:
+            break
+        if code == clear:
+            table, next_code, width, running = reset()
+            prev = None
+            continue
+        if code in table:
+            entry = table[code]
+        elif code == next_code and prev is not None:
+            entry = prev + (prev[0],)  # the KwK special case
+        else:
+            raise ValueError(f"GIF: bad LZW code {code} (next={next_code})")
+        out.extend(entry)
+        if prev is not None and next_code < 4096:
+            table[next_code] = prev + (entry[0],)
+            next_code += 1
+        running += 1
+        if running > (1 << width) and width < 12:
+            width += 1
+        prev = entry
+    if len(out) < n_pixels:
+        raise ValueError(f"GIF: LZW stream ended at {len(out)}/{n_pixels} pixels")
+    return out[:n_pixels]
+
+
+def decode_gif(b: bytes) -> np.ndarray:
+    """REAL GIF first-frame decode — pure-integer LZW + palette lookup,
+    no codec library: logical screen descriptor, global/local color
+    table, extension-block skip, image descriptor, sub-block
+    concatenation, LZW inflate, optional 4-pass de-interlace. Returns
+    HxWx3 uint8 (frame composited at its own geometry)."""
+    if b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF")
+    pos = 6
+    pos += 4  # canvas w/h (frame uses its own descriptor)
+    packed, _bg, _aspect = b[pos], b[pos + 1], b[pos + 2]
+    pos += 3
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        palette = np.frombuffer(b[pos : pos + 3 * n], dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while pos < len(b):
+        block = b[pos]
+        pos += 1
+        if block == 0x21:  # extension: label + sub-blocks
+            pos += 1
+            while b[pos] != 0:
+                pos += 1 + b[pos]
+            pos += 1
+        elif block == 0x2C:  # image descriptor
+            w = int.from_bytes(b[pos + 4 : pos + 6], "little")
+            h = int.from_bytes(b[pos + 6 : pos + 8], "little")
+            ipacked = b[pos + 8]
+            pos += 9
+            if ipacked & 0x80:  # local color table wins
+                n = 2 << (ipacked & 0x07)
+                palette = np.frombuffer(
+                    b[pos : pos + 3 * n], dtype=np.uint8
+                ).reshape(n, 3)
+                pos += 3 * n
+            if palette is None:
+                raise ValueError("GIF: no color table")
+            min_code = b[pos]
+            pos += 1
+            lzw = bytearray()
+            while b[pos] != 0:
+                size = b[pos]
+                lzw += b[pos + 1 : pos + 1 + size]
+                pos += 1 + size
+            pos += 1
+            idx = np.array(_lzw_decode(bytes(lzw), min_code, w * h), dtype=np.int64)
+            if (idx >= len(palette)).any():
+                raise ValueError("GIF: palette index out of range")
+            img = palette[idx].reshape(h, w, 3)
+            if ipacked & 0x40:  # interlaced: rows arrive in 4 passes
+                order = np.concatenate(
+                    [np.arange(0, h, 8), np.arange(4, h, 8),
+                     np.arange(2, h, 4), np.arange(1, h, 2)]
+                )
+                out = np.empty_like(img)
+                out[order] = img
+                img = out
+            return img.copy()
+        elif block == 0x3B:  # trailer
+            break
+        else:
+            raise ValueError(f"GIF: unknown block 0x{block:02x}")
+    raise ValueError("GIF: no image descriptor found")
 
 
 def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
@@ -491,14 +622,21 @@ _CHECKSUM_SCHEMA = "media_id LONG, fmt STRING, n_units BIGINT, checksum BIGINT"
 
 def media_decode_checksums(media: DataFrame) -> DataFrame:
     """REAL-decode integrity probe with EXACT-INTEGER sinks — the form a
-    value-verified pipeline (or a cross-engine gate) can hash safely:
+    value-verified pipeline (or a cross-engine gate) can hash safely.
+    Checksums are POSITION-WEIGHTED (weight = 1 + j mod 10007) so a
+    permuted-but-complete decode — flipped BMP orientation, mis-ordered
+    GIF interlace passes, swapped channels — flips the value, which a
+    plain sum would not. Each term is reduced mod 1e9+7 BEFORE summing,
+    so the running BIGINT sum cannot overflow either engine up to ~9e9
+    units (overflow would silently wrap in numpy but raise in DuckDB —
+    the two engines must agree on EVERY input size):
 
-    - image (PNG/BMP): ``n_units`` = h·w, ``checksum`` = Σ of all decoded
-      RGB byte values — an exact integer over the decode output;
+    - image (PNG/BMP/GIF): ``n_units`` = h·w, ``checksum`` =
+      Σ ((1 + j%10007)·v_j mod 1e9+7) over row-major flattened RGB bytes;
     - audio (WAV PCM): ``n_units`` = sample count, ``checksum`` =
-      Σ (int16 sample)². decode_wav normalizes by 32768 (a power of two,
-      so s·32768 recovers the original int16 EXACTLY — no float error
-      enters the integer).
+      Σ ((1 + k%10007)·s_k² mod 1e9+7). decode_wav normalizes by 32768
+      (a power of two, so s·32768 recovers the original int16 EXACTLY —
+      no float error enters the integer).
 
     Rows whose format cannot be decoded codec-free come back with NULL
     n_units/checksum (and the probed fmt), so coverage gaps are visible,
@@ -515,10 +653,13 @@ def media_decode_checksums(media: DataFrame) -> DataFrame:
             return (fmt, None, None)
         if kind == "image":
             h, w = decoded.shape[:2]
-            return (fmt, h * w, int(decoded.astype(np.int64).sum()))
+            flat = decoded.astype(np.int64).reshape(-1)
+            weights = np.arange(flat.size, dtype=np.int64) % 10007 + 1
+            return (fmt, h * w, int(((weights * flat) % 1_000_000_007).sum()))
         samples, _rate = decoded
         ints = np.rint(samples * 32768.0).astype(np.int64)
-        return (fmt, len(ints), int((ints * ints).sum()))
+        weights = np.arange(len(ints), dtype=np.int64) % 10007 + 1
+        return (fmt, len(ints), int(((weights * ints * ints) % 1_000_000_007).sum()))
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

@@ -399,3 +399,105 @@ def synth_wav16_raw(int16_samples, rate) -> bytes:
         + b"fmt " + struct.pack("<I", len(fmt)) + fmt
         + b"data" + struct.pack("<I", len(data)) + data
     )
+
+
+def synth_gif(indices, palette, interlace=False, local_table=False) -> bytes:
+    """Encode an HxW uint8 index array + palette (Nx3) as a single-frame
+    GIF with a REAL LZW compressor (dictionary growth, width bumps,
+    4096-entry cap with CLEAR) so decode exercises the full decompressor,
+    not just literal codes. ``interlace`` writes rows in the 4-pass
+    order; ``local_table`` stores the palette on the image descriptor
+    instead of the screen."""
+    import struct
+
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    pal = np.asarray(palette, dtype=np.uint8)
+    n = len(pal)
+    size_field = max(1, (n - 1).bit_length()) - 1  # 2^(field+1) entries
+    table_n = 2 << size_field
+    pal_bytes = bytes(pal.tobytes()) + b"\x00" * (3 * (table_n - n))
+    min_code = max(2, size_field + 1)
+
+    if interlace:
+        order = np.concatenate(
+            [np.arange(0, h, 8), np.arange(4, h, 8),
+             np.arange(2, h, 4), np.arange(1, h, 2)]
+        )
+        stream = idx[order].reshape(-1)
+    else:
+        stream = idx.reshape(-1)
+
+    # LZW encode (GIF variant)
+    clear, eoi = 1 << min_code, (1 << min_code) + 1
+    out_bits = []
+
+    def emit(code, width):
+        out_bits.append((code, width))
+
+    # width-bump convention matches giflib (and _lzw_decode): check AFTER
+    # writing each data code, against the pre-insert next_code — so the
+    # decoder's per-code running counter bumps at the same stream offset.
+    table = {(i,): i for i in range(clear)}
+    next_code, width = clear + 2, min_code + 1
+    emit(clear, width)
+    seq = ()
+    for px in stream.tolist():
+        cand = seq + (px,)
+        if cand in table:
+            seq = cand
+            continue
+        emit(table[seq], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+        if next_code < 4096:
+            table[cand] = next_code
+            next_code += 1
+        else:
+            emit(clear, width)
+            table = {(i,): i for i in range(clear)}
+            next_code, width = clear + 2, min_code + 1
+        seq = (px,)
+    if seq:
+        emit(table[seq], width)
+        if next_code >= (1 << width) and width < 12:
+            width += 1
+    emit(eoi, width)
+
+    # pack bits LSB-first
+    acc = bitlen = 0
+    data = bytearray()
+    for code, wd in out_bits:
+        acc |= code << bitlen
+        bitlen += wd
+        while bitlen >= 8:
+            data.append(acc & 0xFF)
+            acc >>= 8
+            bitlen -= 8
+    if bitlen:
+        data.append(acc & 0xFF)
+
+    # sub-blocks
+    blocks = bytearray()
+    for i in range(0, len(data), 255):
+        chunk = data[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)
+
+    screen_packed = (0x80 | size_field) if not local_table else 0x00
+    img_packed = (0x40 if interlace else 0) | ((0x80 | size_field) if local_table else 0)
+    parts = [
+        b"GIF89a",
+        struct.pack("<HHBBB", w, h, screen_packed, 0, 0),
+        pal_bytes if not local_table else b"",
+        b"\x21\xfe\x05hello\x00",  # comment extension: decoder must skip
+        b"\x2c" + struct.pack("<HHHHB", 0, 0, w, h, img_packed),
+        pal_bytes if local_table else b"",
+        bytes([min_code]),
+        bytes(blocks),
+        b"\x3b",
+    ]
+    return b"".join(parts)

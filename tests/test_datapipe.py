@@ -1133,7 +1133,7 @@ def test_decode_wav_mono_average_and_features():
 def test_decode_media_features_real_and_fallback(spark):
     """decode_media_features: REAL pixel/sample decode for PNG/BMP/WAV
     (decoded=true, real thumbnail/RMS features), deterministic stub with
-    decoded=false for entropy-coded formats (GIF header-only here)."""
+    decoded=false for DCT-coded formats (a minimal JPEG header here)."""
     import numpy as np
 
     from prase_spark.datapipe.multimodal import MEDIA, decode_media_features
@@ -1142,12 +1142,14 @@ def test_decode_media_features_real_and_fallback(spark):
     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     png, bmp = _make_png(img, [0, 1, 2, 3, 4]), _make_bmp(img)
     wav = _make_wav16([np.sin(np.arange(800) / 5.0) * 0.4], 8000)
-    gif = b"GIF89a" + (100).to_bytes(2, "little") + (50).to_bytes(2, "little") + b"\x00" * 20
+    # SOI + SOF0 carrying 50x100 dims: probed fine, decode env-blocked
+    jpg = (b"\xff\xd8\xff\xc0" + (9).to_bytes(2, "big") + b"\x08"
+           + (50).to_bytes(2, "big") + (100).to_bytes(2, "big") + b"\x01" + b"\x00" * 4)
     rows = [
         (0, "image", bytearray(png), "image/png", None, None, None),
         (1, "image", bytearray(bmp), "image/bmp", None, None, None),
         (2, "audio", bytearray(wav), "audio/wav", None, None, None),
-        (3, "image", bytearray(gif), "image/gif", None, None, None),
+        (3, "image", bytearray(jpg), "image/jpeg", None, None, None),
     ]
     got = {
         r["media_id"]: r
@@ -1162,7 +1164,7 @@ def test_decode_media_features_real_and_fallback(spark):
     assert got[0]["features"] == got[1]["features"]
     assert len(got[0]["features"]) == 16 and all(0 <= v <= 1 for v in got[0]["features"])
     assert got[2]["decoded"] and got[2]["sample_rate"] == 8000
-    assert not got[3]["decoded"] and got[3]["fmt"] == "gif"
+    assert not got[3]["decoded"] and got[3]["fmt"] == "jpeg"
     assert got[3]["features"] and len(got[3]["features"]) == 4
 
 
@@ -1180,7 +1182,8 @@ def test_media_decode_checksums_integer_sinks(spark):
         (0, "image", bytearray(synth_png(img, (4, 3))), None, None, None, None),
         (1, "image", bytearray(synth_bmp(img, top_down=True)), None, None, None, None),
         (2, "audio", bytearray(synth_wav16_raw(ints, 8000)), None, None, None, None),
-        (3, "image", b"GIF89a" + bytes(10), None, None, None, None),
+        (3, "image", b"\xff\xd8\xff\xe0" + bytes(10), None, None, None, None),  # JPEG: env-blocked
+        (4, "image", b"GIF89a" + bytes(10), None, None, None, None),    # malformed GIF
     ]
     got = {
         r["media_id"]: (r["fmt"], r["n_units"], r["checksum"])
@@ -1188,9 +1191,64 @@ def test_media_decode_checksums_integer_sinks(spark):
             spark.createDataFrame(rows, MEDIA)
         ).collect()
     }
-    pix_sum = int(img.astype(int).sum())
+
+    def wsum(vals):
+        v = np.asarray(vals, dtype=np.int64).reshape(-1)
+        w = np.arange(v.size, dtype=np.int64) % 10007 + 1
+        return int(((w * v) % 1_000_000_007).sum())
+
+    pix_sum = wsum(img)
     assert got[0] == ("png", 20, pix_sum)
     assert got[1] == ("bmp", 20, pix_sum)
     # int16 extremes recovered exactly through the /32768 normalization
-    assert got[2] == ("wav", 6, int((ints.astype(np.int64) ** 2).sum()))
-    assert got[3] == ("gif", None, None)
+    assert got[2] == ("wav", 6, wsum(ints.astype(np.int64) ** 2))
+    assert got[3] == ("jpeg", None, None)
+    assert got[4] == ("gif", None, None)  # malformed payloads degrade, never crash
+    # position weighting: a flipped image must NOT collide
+    assert pix_sum != wsum(img[::-1])
+
+
+def test_decode_gif_lzw_roundtrip():
+    """decode_gif must invert a REAL LZW encoder (dictionary growth,
+    multiple code-width bumps, giflib bump timing) across palette sizes,
+    interlace, and local-color-table placement — and agree with the
+    palette-applied index array exactly."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import decode_gif
+    from prase_spark.fixtures import synth_gif
+
+    rng = np.random.default_rng(9)
+    for ncol, h, w in ((2, 7, 5), (8, 16, 11), (16, 60, 50), (64, 23, 37)):
+        palette = rng.integers(0, 256, size=(ncol, 3), dtype=np.uint8)
+        idx = rng.integers(0, ncol, size=(h, w), dtype=np.uint8)
+        expect = palette[idx.astype(int)]
+        for kwargs in ({}, {"interlace": True}, {"local_table": True},
+                       {"interlace": True, "local_table": True}):
+            got = decode_gif(synth_gif(idx, palette, **kwargs))
+            assert np.array_equal(got, expect), (ncol, h, w, kwargs)
+    # structured (compressible) content: long runs exercise deep
+    # dictionary chains rather than mostly-literal codes
+    palette = rng.integers(0, 256, size=(4, 3), dtype=np.uint8)
+    idx = np.repeat(np.arange(4, dtype=np.uint8), 500).reshape(20, 100)
+    assert np.array_equal(decode_gif(synth_gif(idx, palette)), palette[idx.astype(int)])
+
+
+def test_decode_gif_through_spark_plumbing(spark):
+    """GIF now rides the decoded=true path of decode_media_features and
+    produces real checksums in media_decode_checksums."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
+    from prase_spark.fixtures import synth_gif
+
+    rng = np.random.default_rng(10)
+    palette = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    idx = rng.integers(0, 8, size=(9, 13), dtype=np.uint8)
+    rows = [(0, "image", bytearray(synth_gif(idx, palette)), "image/gif",
+             None, None, None)]
+    got = media_decode_checksums(spark.createDataFrame(rows, MEDIA)).first()
+    assert got["fmt"] == "gif" and got["n_units"] == 9 * 13
+    flat = palette[idx.astype(int)].astype(np.int64).reshape(-1)
+    w = np.arange(flat.size, dtype=np.int64) % 10007 + 1
+    assert got["checksum"] == int(((w * flat) % 1_000_000_007).sum())
