@@ -591,7 +591,11 @@ def decode_media_features(media: DataFrame, thumb: int = 8, rms_n: int = 64) -> 
         fmt = probe_container(b)[0]
         try:
             kind, decoded = decode_real(b, fmt or "unknown")
-        except (NotImplementedError, ValueError):
+        except Exception:
+            # crawl payloads are hostile: truncated chunk walks raise
+            # IndexError, corrupt IDAT raises zlib.error, bad RIFF sizes
+            # raise struct-level errors — NONE of them may kill the Spark
+            # task. Every decode failure degrades to the fallback row.
             return (fmt, False, None, None, None, _stub_features(b, thumb * thumb // 4))
         if kind == "image":
             h, w = decoded.shape[:2]
@@ -649,7 +653,11 @@ def media_decode_checksums(media: DataFrame) -> DataFrame:
         fmt = probe_container(b)[0]
         try:
             kind, decoded = decode_real(b, fmt or "unknown")
-        except (NotImplementedError, ValueError):
+        except Exception:
+            # crawl payloads are hostile: truncated chunk walks raise
+            # IndexError, corrupt IDAT raises zlib.error, bad RIFF sizes
+            # raise struct-level errors — NONE of them may kill the Spark
+            # task. Every decode failure degrades to the fallback row.
             return (fmt, None, None)
         if kind == "image":
             h, w = decoded.shape[:2]

@@ -1252,3 +1252,44 @@ def test_decode_gif_through_spark_plumbing(spark):
     flat = palette[idx.astype(int)].astype(np.int64).reshape(-1)
     w = np.arange(flat.size, dtype=np.int64) % 10007 + 1
     assert got["checksum"] == int(((w * flat) % 1_000_000_007).sum())
+
+
+def test_decode_operators_survive_hostile_payloads(spark):
+    """Corrupt/truncated/adversarial payloads (the crawl reality) must
+    degrade to fallback rows — never raise out of the Spark task. Covers
+    truncated walks (IndexError class), corrupt deflate (zlib.error),
+    lying chunk sizes, and random garbage under every magic prefix."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import (
+        MEDIA,
+        decode_media_features,
+        media_decode_checksums,
+    )
+    from prase_spark.fixtures import synth_gif, synth_png
+
+    rng = np.random.default_rng(12)
+    img = rng.integers(0, 256, size=(6, 6, 3), dtype=np.uint8)
+    pal = rng.integers(0, 256, size=(8, 3), dtype=np.uint8)
+    good_png = synth_png(img, (0, 1, 2, 3, 4))
+    good_gif = synth_gif(rng.integers(0, 8, size=(6, 6), dtype=np.uint8), pal)
+    hostile = [
+        good_png[: len(good_png) // 2],          # truncated mid-IDAT
+        good_png[:33] + b"\x00" * 40,            # IHDR ok, corrupt deflate
+        good_gif[: len(good_gif) - 10],           # truncated LZW sub-blocks
+        good_gif[:13] + bytes(5),                 # truncated color table
+        b"BM" + bytes(60),                        # zeroed BMP header (bpp=0)
+        b"RIFF\xff\xff\xff\xffWAVE" + bytes(4),  # lying RIFF size
+        b"\x89PNG\r\n\x1a\n",                  # signature only
+        bytes(rng.integers(0, 256, size=200, dtype=np.uint8).tolist()),
+    ]
+    rows = [
+        (i, "image", bytearray(b), None, None, None, None)
+        for i, b in enumerate(hostile)
+    ]
+    df = spark.createDataFrame(rows, MEDIA)
+    feats = decode_media_features(df).collect()
+    sums = media_decode_checksums(df).collect()
+    assert len(feats) == len(sums) == len(hostile)
+    assert not any(r["decoded"] for r in feats)
+    assert all(r["checksum"] is None for r in sums)
