@@ -151,6 +151,53 @@ def _q_kg_info(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame([tuple(int(info[c]) for c in cols)], ", ".join(f"{c} LONG" for c in cols))
 
 
+def _kg1_rel_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Name-level directed relation edges of KG1 (entity -> entity), the
+    input surface for the graph-analytics gates."""
+    from prase_spark.tpch_kg import tpch_raw_triples
+
+    return (
+        tpch_raw_triples(spark, sf_dir, 1)
+        .filter(~F.col("is_attr"))
+        .select(F.trim("subj").alias("src"), F.trim("obj").alias("dst"))
+    )
+
+
+def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: per-entity in/out degree over KG1's relation
+    edges (the skew-measurement surface for salt_buckets sizing)."""
+    from prase_spark.graphstats import degrees
+
+    return degrees(_kg1_rel_edges(spark, sf_dir))
+
+
+def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: 3-iteration exact-integer PageRank over KG1's
+    relation edges — rank_e12 is a scaled BIGINT so the value hash is
+    bit-exact against the DuckDB chained-CTE twin (no double ever
+    reaches the gate sink)."""
+    from prase_spark.graphstats import pagerank
+
+    return pagerank(_kg1_rel_edges(spark, sf_dir), iterations=3)
+
+
+def _q_graph_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule materialize surface: per-bucket lineage/metrics of the
+    hash-partitioned triple store (io.bucket_metrics). The gate uses the
+    SQL-replicable poly hash so bucket assignment AND the XOR row
+    checksum are value-verified; production defaults to xxhash64."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.io import bucket_metrics
+    from prase_spark.tpch_kg import tpch_raw_triples
+
+    t = tpch_raw_triples(spark, sf_dir, 1).select(
+        F.trim("subj").alias("subj"),
+        F.trim("pred").alias("pred"),
+        F.trim("obj").alias("obj"),
+    )
+    return bucket_metrics(t, 16, hash_fn=poly_hash61)
+
+
 def _q_mutual_best_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J6 analog over events: mutual-best (user, event_type) by value sum.
 
@@ -617,6 +664,21 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ev = d.filter(F.col("doc_id") < 30).select("text")
     return decontaminate(d, ev, n=5)
+
+
+def _q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered decontamination (decontam.decontaminate_bloom):
+    same inputs and — by the no-false-negative + exact-verify
+    construction — the same output as decontaminate_docs, so the oracle
+    is the SAME exact-semantics SQL; what this gate value-proves is that
+    the scale path (k broadcast word-mask joins + shuffle verify, for
+    eval sets too big to broadcast) loses nothing. m_bits is kept small
+    (2^16) so the Bloom false-positive sliver is actually exercised."""
+    from prase_spark.datapipe.decontam import decontaminate_bloom
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = d.filter(F.col("doc_id") < 30).select("text")
+    return decontaminate_bloom(d, ev, n=5, m_bits=1 << 16)
 
 
 def _q_url_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1191,6 +1253,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_stats": _q_corpus_stats,
         "ann_topk": _q_ann_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
+        "graph_partition_metrics": _q_graph_partition_metrics,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
         "multimodal_decode": _q_multimodal_decode,
@@ -1201,6 +1266,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_docs": _q_chunk_docs,
         "pack_chunks_docs": _q_pack_chunks_docs,
         "decontaminate_docs": _q_decontaminate_docs,
+        "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -1762,13 +1828,38 @@ def _shingle_cte(n: int) -> str:
 """
 
 
+def _pagerank_ctes(iterations: int, scale: int, damping_e2: int) -> str:
+    """Chained-CTE DuckDB twin of graphstats.pagerank's recurrence.
+    Expects CTEs ``nodes(node)`` and ``ed(src, dst, out_deg)`` in scope.
+    All arithmetic is BIGINT with `//` truncating division — identical to
+    Spark's `DIV` on non-negative longs — so the values are bit-exact."""
+    base = ((100 - damping_e2) * scale) // 100
+    d = int(damping_e2)
+    ctes = [f"r0 AS (SELECT node, CAST({scale} AS BIGINT) AS rank_e12 FROM nodes)"]
+    for i in range(1, iterations + 1):
+        mass = "CAST(coalesce(m.in_mass, 0) AS BIGINT)"
+        ctes.append(
+            f"m{i} AS (SELECT ed.dst AS node, "
+            f"CAST(sum(r.rank_e12 // ed.out_deg) AS BIGINT) AS in_mass "
+            f"FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST({base} AS BIGINT) + "
+            f"({mass} // 100) * {d} + (({mass} % 100) * {d}) // 100 AS rank_e12 "
+            f"FROM nodes n LEFT JOIN m{i} m USING (node))"
+        )
+    return ",\n            ".join(ctes)
+
+
 def oracle_sql() -> dict[str, str]:
     from prase_spark.datapipe.dedup import _MERSENNE, minhash_params
     from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL, NORM_URI_SQL
 
     from prase_spark.datapipe.textstats import BPE_RE
+    from prase_spark.graphstats import PAGERANK_SCALE
 
+    pr_ctes = _pagerank_ctes(3, PAGERANK_SCALE, 85)
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
@@ -1987,6 +2078,39 @@ def oracle_sql() -> dict[str, str]:
                    (SELECT count(DISTINCT obj) FROM t WHERE is_attr) AS literals,
                    (SELECT count(*) FROM t WHERE NOT is_attr) AS relation_tuples,
                    (SELECT count(DISTINCT pred) FROM t WHERE NOT is_attr) AS relations
+        """,
+        "kg_degrees": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS src, trim(obj) AS dst
+                  FROM kg1_raw WHERE NOT is_attr),
+            ends AS (SELECT src AS node, 1 AS o FROM e
+                     UNION ALL SELECT dst, 0 FROM e)
+            SELECT node, CAST(sum(o) AS BIGINT) AS out_deg,
+                   CAST(sum(1 - o) AS BIGINT) AS in_deg
+            FROM ends GROUP BY node
+        """,
+        "kg_pagerank": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS src, trim(obj) AS dst
+                  FROM kg1_raw WHERE NOT is_attr),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, od.out_deg FROM e JOIN od USING (src)),
+            {pr_ctes}
+            SELECT node, rank_e12 FROM r3
+        """,
+        "graph_partition_metrics": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            t AS (SELECT trim(subj) AS subj, trim(pred) AS pred,
+                         trim(obj) AS obj FROM kg1_raw),
+            h AS (SELECT CAST({POLY_SQL.format(c='subj')} % 16 AS INT) AS bucket,
+                         subj,
+                         {POLY_SQL.format(c="subj || chr(1) || pred || chr(1) || obj")} AS rh
+                  FROM t)
+            SELECT bucket, count(*) AS n_rows,
+                   count(DISTINCT subj) AS n_subjects,
+                   bit_xor(rh) AS checksum
+            FROM h GROUP BY bucket
         """,
         "mutual_best_events": """
             WITH score AS (
@@ -2654,4 +2778,8 @@ def oracle_sql() -> dict[str, str]:
     # hamming) — it shares the banded oracle, so the equivalence itself is
     # hash-verified by the driver.
     out["simhash_manku_docs"] = out["simhash_pairs_docs"]
+    # decontaminate_bloom is output-identical to the exact path (Bloom
+    # prefilter has no false negatives; survivors are exact-verified), so
+    # the same oracle hash-checks the accelerated plan end-to-end.
+    out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
     return out

@@ -21,6 +21,8 @@ from prase_spark.checkpoint import load_state, save_state
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import extract_text, extract_triples
+from prase_spark.graphstats import degrees, pagerank
+from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.matching import (
     bipartite_match,
@@ -58,4 +60,7 @@ __all__ = [
     "partition_metrics",
     "load_state",
     "save_state",
+    "degrees",
+    "pagerank",
+    "bucket_metrics",
 ]

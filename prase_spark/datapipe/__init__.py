@@ -4,7 +4,7 @@ decontamination, sampling, multimodal plumbing."""
 
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
-from prase_spark.datapipe.decontam import decontaminate
+from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
 from prase_spark.datapipe.dedup import (
     exact_dedup,
     keep_best,
@@ -53,6 +53,7 @@ __all__ = [
     "chunk_documents",
     "pack_chunks",
     "decontaminate",
+    "decontaminate_bloom",
     "remove_boilerplate",
     "host_of",
     "canonical_url",

@@ -1,0 +1,153 @@
+"""Graph analytics over the constructed KG: entity degrees and a
+PageRank-style centrality for ranking canonical entities.
+
+The reference stops at alignment (objects/KGs.py:373-438 emits links and
+triples; it never ranks them). At 100-TB construction scale the graph
+itself becomes the product, and the first questions a consumer asks are
+structural: which canonical entities are hubs, which are orphans, how
+skewed is the degree distribution (that skew is also exactly what the
+salted PARIS joins and AQE skew handling must absorb — ``degrees`` is
+the measurement tool for picking ``ParisConfig.salt_buckets``).
+
+Scale shape:
+- :func:`degrees` is one union + one groupBy over the edge list — a
+  single shuffle with map-side partial aggregation, no joins.
+- :func:`pagerank` keeps ranks as scaled BIGINTs (``rank_e12``) and
+  splits a node's rank across its out-edges with integer floor division,
+  so every aggregation is an associative integer sum: results are
+  bit-identical regardless of partition count, executor count, or engine
+  (the correctness gate hashes Spark against a DuckDB twin — impossible
+  with float ranks, whose sum order is partition-dependent). Each
+  iteration is one join on ``src`` (rank is node-keyed, edges are
+  pre-joined with out-degrees once and pinned) plus one shuffle on
+  ``dst``; lineage is truncated with ``localCheckpoint`` every
+  ``checkpoint_every`` iterations so a 50-iteration run plans as 50
+  shallow jobs, not one exponentially nested plan (same doctrine as the
+  PARIS fixpoint, paris.py).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: default fixed-point scale: ranks are stored as rank * 10^12. The
+#: damping step computes (damping_e2 * s) // 100 via the overflow-free
+#: decomposition (s // 100) * d + ((s % 100) * d) // 100, which is exact
+#: (s = 100q + r gives both forms == d*q + (d*r)//100), so the largest
+#: intermediate is ~0.85 * (total in-rank of the biggest hub). With the
+#: default scale a hub may absorb up to n * 10^12 rank; keep
+#: n * scale < 2^63 (n beyond ~4.6e6 nodes: pass scale=10**9, which
+#: still carries 9 exact decimal digits of rank mass per node).
+PAGERANK_SCALE = 10**12
+
+
+def degrees(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """Per-node (node, out_deg, in_deg) over a directed edge list.
+
+    Multi-edges count once each (parallel edges are real signal in a
+    triple store — one per asserting triple). Single shuffle: the edge
+    list is exploded into (node, is_out) rows and summed.
+    """
+    ends = edges.select(
+        F.explode(
+            F.array(
+                F.struct(F.col(src).alias("node"), F.lit(1).alias("o")),
+                F.struct(F.col(dst).alias("node"), F.lit(0).alias("o")),
+            )
+        ).alias("e")
+    ).select("e.*")
+    return ends.groupBy("node").agg(
+        F.sum("o").cast("long").alias("out_deg"),
+        F.sum(1 - F.col("o")).cast("long").alias("in_deg"),
+    )
+
+
+def _damp_sql(s: str, damping_e2: int) -> str:
+    """SQL for exact (damping_e2 * s) // 100 without overflowing the
+    product: (s DIV 100) * d + ((s % 100) * d) DIV 100 == (s * d) DIV 100
+    (write s = 100q + r; both forms equal d*q + (d*r) DIV 100). Spark's
+    ``DIV`` and DuckDB's ``//`` truncate identically on non-negative
+    longs, so the same formula is the oracle twin."""
+    d = int(damping_e2)
+    return f"(({s}) DIV 100) * {d} + ((({s}) % 100) * {d}) DIV 100"
+
+
+def pagerank(
+    edges: DataFrame,
+    iterations: int = 3,
+    damping_e2: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Fixed-iteration PageRank returning (node, rank_e12) with ranks as
+    scaled integers (``rank * scale``), deterministic to the bit.
+
+    Semantics (the documented deterministic variant):
+    - every node starts at ``scale`` (i.e. rank 1.0);
+    - each iteration a node keeps ``(100 - damping_e2)%`` of the unit
+      base and receives ``damping_e2%`` of the floor-divided shares of
+      its in-neighbors' current ranks;
+    - dangling-node mass (nodes with no out-edges) is dropped, not
+      redistributed — redistribution needs a global scalar per iteration
+      (an extra job) and changes no ordering at the head of the ranking,
+      which is what KG triage consumes. Floor division leaks < 1 unit of
+      scaled mass per (node, out-edge): with scale 10^12 the relative
+      error is ~1e-12 per hop, far below any ranking decision, and —
+      unlike float summation — identical on every run and engine.
+
+    ``damping_e2`` is the damping factor in percent (85 = the classic
+    0.85). Iterations are fixed rather than convergence-tested so the
+    job graph is static and the result is gate-hashable; at crawl scale
+    run ~20-30 iterations (rank mass stabilizes geometrically in
+    ``damping``).
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    base = ((100 - damping_e2) * scale) // 100
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    # pre-join the share denominator once; every iteration reuses this
+    # pinned, already-partitioned frame (the join inside the loop is then
+    # rank ⋈ edges on src only)
+    ed = e.join(out_deg, "src").persist()
+    ed.count()
+
+    rank = nodes.select("node", F.lit(scale).cast("long").alias("rank_e12"))
+    for i in range(iterations):
+        contrib = (
+            ed.join(rank, ed["src"] == rank["node"])
+            # DIV: Spark's exact integer division — `/` on longs computes
+            # in double and rounds past 2^53, which would break the
+            # bit-determinism contract
+            .selectExpr("dst AS node", "rank_e12 DIV out_deg AS share")
+            .groupBy("node")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        rank = (
+            nodes.join(contrib, "node", "left")
+            .selectExpr(
+                "node",
+                "coalesce(in_mass, CAST(0 AS LONG)) AS in_mass",
+            )
+            .selectExpr(
+                "node",
+                f"CAST({base} AS LONG) + "
+                f"{_damp_sql('in_mass', damping_e2)} AS rank_e12",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            rank = rank.localCheckpoint()
+
+    return rank

@@ -12,7 +12,8 @@ pass table identifiers instead of paths.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def iceberg_available(spark: SparkSession) -> bool:
@@ -39,6 +40,7 @@ def write_table(
     location: str,
     mode: str = "overwrite",
     fmt: str | None = None,
+    partition_by: tuple[str, ...] | None = None,
 ) -> str:
     """Write ``df`` to ``location`` and return the format used.
 
@@ -59,6 +61,10 @@ def write_table(
                 "spark.sql.catalog.<name> (see prase_spark/io.py docstring)"
             )
         writer = df.writeTo(location).using("iceberg")
+        if partition_by and mode == "overwrite":
+            # append inherits the existing table's partition spec; only
+            # create/replace may (re)declare it
+            writer = writer.partitionedBy(*[F.col(c) for c in partition_by])
         if mode == "overwrite":
             writer.createOrReplace()
         elif mode == "append":
@@ -71,7 +77,10 @@ def write_table(
                 "use 'overwrite' or 'append'"
             )
     else:
-        df.write.mode(mode).parquet(location)
+        w = df.write.mode(mode)
+        if partition_by:
+            w = w.partitionBy(*partition_by)
+        w.parquet(location)
     return fmt
 
 
@@ -82,3 +91,48 @@ def read_table(spark: SparkSession, location: str, fmt: str | None = None) -> Da
     if fmt == "iceberg":
         return spark.read.format("iceberg").load(location)
     return spark.read.parquet(location)
+
+
+def bucket_column(
+    key: Column | str, n_buckets: int, hash_fn=F.xxhash64
+) -> Column:
+    """Deterministic content-keyed bucket id in [0, n_buckets): the
+    explicit hash-partitioning key for the materialized triple store.
+
+    Unlike ``spark_partition_id()``, this is a pure function of the ROW —
+    the same triple lands in the same bucket on a laptop and on a
+    1000-executor cluster, so per-bucket lineage/metrics stay comparable
+    across runs, cluster sizes, and engine versions (and become
+    value-hashable by the correctness gate). ``hash_fn`` defaults to the
+    JVM-native xxhash64; the gate passes the SQL-replicable poly hash."""
+    if n_buckets <= 0:
+        raise ValueError(f"n_buckets must be positive, got {n_buckets}")
+    c = F.col(key) if isinstance(key, str) else key
+    return F.pmod(hash_fn(c), F.lit(n_buckets)).cast("int")
+
+
+def bucket_metrics(
+    df: DataFrame,
+    n_buckets: int,
+    subj_col: str = "subj",
+    row_cols: tuple[str, ...] = ("subj", "pred", "obj"),
+    hash_fn=F.xxhash64,
+) -> DataFrame:
+    """Per-bucket lineage/metrics for a hash-partitioned triple store:
+    (bucket, n_rows, n_subjects, checksum).
+
+    ``checksum`` is the bit-XOR of a row content hash — order-independent
+    and exact (no float accumulation), so two materializations of the
+    same logical table compare equal regardless of task scheduling, and a
+    single-row difference flips it. One shuffle (groupBy bucket) with
+    map-side partial aggregation; the row hash is computed stream-side."""
+    row_hash = hash_fn(F.concat_ws("\x01", *row_cols))
+    return (
+        df.withColumn("bucket", bucket_column(subj_col, n_buckets, hash_fn))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.countDistinct(subj_col).alias("n_subjects"),
+            F.bit_xor(row_hash).alias("checksum"),
+        )
+    )

@@ -211,12 +211,22 @@ def materialize(
     side: str = "L",
     out_path: str | None = None,
     fmt: str | None = None,
+    n_buckets: int | None = None,
 ) -> DataFrame:
     """Materialize one KG's name-level triples with canonical entity ids and
     per-partition lineage/metrics columns (north_rule). Canonical id falls
     back to the entity's own id when it joined no cluster. ``fmt`` routes
     the sink through io.write_table (Iceberg when the session has an
-    Iceberg catalog, parquet otherwise)."""
+    Iceberg catalog, parquet otherwise).
+
+    ``n_buckets`` adds the deterministic content-keyed ``bucket`` column
+    (io.bucket_column: pmod(xxhash64(subj), n)) and, when writing, makes
+    it the table's partition key — the explicit hash-partitioning of the
+    triple store the north_rule asks for. Unlike ``partition_id`` (the
+    physical writing partition, which varies with parallelism), ``bucket``
+    is a pure function of the row: per-bucket lineage stays comparable
+    across runs and cluster sizes, and co-locates subj-keyed downstream
+    joins when both sides are bucketed the same way."""
     can = canonical.filter(F.col("side") == side).select("ent_id", "canonical_id")
     ids = kg.nodes.join(can, "ent_id", "left").select(
         "name",
@@ -257,18 +267,32 @@ def materialize(
             F.concat(F.lit("prase_spark:"), F.lit(side), F.lit(":p"), F.col("partition_id")),
         )
     )
+    if n_buckets:
+        from prase_spark.io import bucket_column
+
+        out = out.withColumn("bucket", bucket_column("subj", n_buckets))
     if out_path:
         from prase_spark.io import read_table, write_table
 
-        used = write_table(out, out_path, mode="overwrite", fmt=fmt)
+        used = write_table(
+            out,
+            out_path,
+            mode="overwrite",
+            fmt=fmt,
+            partition_by=("bucket",) if n_buckets else None,
+        )
         return read_table(out.sparkSession, out_path, fmt=used)
     return out
 
 
 def partition_metrics(materialized: DataFrame) -> DataFrame:
     """Per-partition lineage/metrics table (north_rule): row counts and
-    canonicalization coverage per output partition."""
-    return materialized.groupBy("partition_id").agg(
+    canonicalization coverage per output partition. Keys on the
+    deterministic content bucket when :func:`materialize` was given
+    ``n_buckets`` (stable across cluster sizes), else on the physical
+    writing partition id."""
+    key = "bucket" if "bucket" in materialized.columns else "partition_id"
+    return materialized.groupBy(F.col(key).alias("partition_id")).agg(
         F.count("*").alias("rows"),
         F.sum(F.col("canonical_subj").isNotNull().cast("long")).alias("subj_canonicalized"),
         F.sum(F.col("canonical_obj").isNotNull().cast("long")).alias("obj_canonicalized"),

@@ -1293,3 +1293,44 @@ def test_decode_operators_survive_hostile_payloads(spark):
     assert len(feats) == len(sums) == len(hostile)
     assert not any(r["decoded"] for r in feats)
     assert all(r["checksum"] is None for r in sums)
+
+
+def test_decontaminate_bloom_equals_exact(spark):
+    """The Bloom-prefiltered path must be OUTPUT-IDENTICAL to the exact
+    broadcast path (no false negatives by construction; false positives
+    removed by the exact verify join) — including at an absurdly small
+    m_bits where nearly every Bloom probe passes."""
+    from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
+
+    evals = spark.createDataFrame(
+        [("what is the capital city of france exactly",), ("short question",)],
+        "text STRING",
+    )
+    train = spark.createDataFrame(
+        [
+            (0, "intro text then what is the capital city of france exactly end"),
+            (1, "a completely unrelated document about spark shuffles and joins"),
+            (2, "short question"),
+            (3, "another clean doc with plenty of words that overlap nothing"),
+        ],
+        "doc_id LONG, text STRING",
+    )
+    exact = {tuple(r) for r in decontaminate(train, evals, n=5).collect()}
+    for m_bits in (1 << 20, 64):  # realistic and degenerate-saturated
+        bloom = {
+            tuple(r)
+            for r in decontaminate_bloom(train, evals, n=5, m_bits=m_bits).collect()
+        }
+        assert bloom == exact, m_bits
+
+
+def test_bloom_bits_table_shape_and_validation(spark):
+    from prase_spark.datapipe.decontam import bloom_bits_table
+    import pytest as _pytest
+
+    sh = spark.createDataFrame([("a b c",), ("d e f",)], "shingle STRING")
+    bits = bloom_bits_table(sh, 1 << 12, k=3).collect()
+    assert 0 < len(bits) <= (1 << 12) // 64
+    assert all(0 <= r["word"] < (1 << 12) // 64 for r in bits)
+    with _pytest.raises(ValueError):
+        bloom_bits_table(sh, 100)  # not a multiple of 64

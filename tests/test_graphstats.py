@@ -1,0 +1,129 @@
+"""graphstats: degrees + exact-integer PageRank.
+
+The load-bearing claim is bit-determinism: the scaled-BIGINT arithmetic
+must make the Spark result equal a pure-Python integer simulation of the
+same recurrence EXACTLY (no tolerance), and stay identical under any
+repartitioning — that is what lets the driver gate value-hash it against
+a DuckDB twin."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyspark.sql.functions as F
+import pytest
+
+from prase_spark.graphstats import PAGERANK_SCALE, degrees, pagerank
+
+
+def _py_pagerank(edges, iterations, damping_e2=85, scale=PAGERANK_SCALE):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    out = Counter(a for a, _ in edges)
+    rank = {n: scale for n in nodes}
+    base = ((100 - damping_e2) * scale) // 100
+    for _ in range(iterations):
+        mass = dict.fromkeys(nodes, 0)
+        for a, b in edges:
+            mass[b] += rank[a] // out[a]
+        rank = {
+            n: base + (mass[n] // 100) * damping_e2 + ((mass[n] % 100) * damping_e2) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(
+        [(a, b) for a, b in edges], "src STRING, dst STRING"
+    )
+
+
+def _seeded_graph(n_nodes=40, n_edges=160, seed=7):
+    # deterministic LCG so the fixture is stable without random module state
+    x = seed
+    edges = []
+    for _ in range(n_edges):
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        a = x % n_nodes
+        x = (x * 1103515245 + 12345) % (1 << 31)
+        b = x % n_nodes
+        if a != b:
+            edges.append((f"n{a}", f"n{b}"))
+    return edges
+
+
+def test_degrees_counts_multi_edges(spark):
+    edges = [("a", "b"), ("a", "b"), ("b", "c"), ("c", "a")]
+    got = {
+        r["node"]: (r["out_deg"], r["in_deg"])
+        for r in degrees(_edge_df(spark, edges)).collect()
+    }
+    assert got == {"a": (2, 1), "b": (1, 2), "c": (1, 1)}
+
+
+def test_pagerank_matches_pure_python_exactly(spark):
+    edges = _seeded_graph()
+    expect = _py_pagerank(edges, iterations=4)
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(_edge_df(spark, edges), iterations=4).collect()
+    }
+    assert got == expect  # exact integer equality, no tolerance
+
+
+def test_pagerank_dangling_and_source_nodes(spark):
+    # chain a -> b -> c: c is dangling (no out-edges), a has no in-edges
+    edges = [("a", "b"), ("b", "c")]
+    expect = _py_pagerank(edges, iterations=3)
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(_edge_df(spark, edges), iterations=3).collect()
+    }
+    assert got == expect
+    # a receives only the base share each iteration
+    scale = PAGERANK_SCALE
+    assert got["a"] == ((100 - 85) * scale) // 100
+
+
+def test_pagerank_partitioning_invariant(spark):
+    edges = _seeded_graph(seed=11)
+    df = _edge_df(spark, edges)
+    r1 = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(df.repartition(1), iterations=3).collect()
+    }
+    r13 = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(df.repartition(13, "dst"), iterations=3).collect()
+    }
+    assert r1 == r13
+
+
+def test_pagerank_zero_iterations_is_uniform(spark):
+    df = _edge_df(spark, [("a", "b")])
+    got = {r["node"]: r["rank_e12"] for r in pagerank(df, iterations=0).collect()}
+    assert got == {"a": PAGERANK_SCALE, "b": PAGERANK_SCALE}
+
+
+def test_pagerank_rejects_negative_iterations(spark):
+    with pytest.raises(ValueError):
+        pagerank(_edge_df(spark, [("a", "b")]), iterations=-1)
+
+
+def test_pagerank_checkpoint_path_equals_unchunked(spark):
+    # checkpoint_every=1 truncates lineage every round; values unchanged
+    edges = _seeded_graph(seed=3)
+    df = _edge_df(spark, edges)
+    a = {
+        r["node"]: r["rank_e12"]
+        for r in pagerank(df, iterations=3, checkpoint_every=1).collect()
+    }
+    assert a == _py_pagerank(edges, iterations=3)
+
+
+def test_pagerank_hub_ranks_highest(spark):
+    # star: everything points at h
+    edges = [(f"s{i}", "h") for i in range(20)]
+    rows = pagerank(_edge_df(spark, edges), iterations=2).collect()
+    top = max(rows, key=lambda r: r["rank_e12"])
+    assert top["node"] == "h"
