@@ -169,6 +169,23 @@ def main():
         timings["curation_chunk_rows"] = n_chunks
         pages.unpersist()
 
+    # extra metric (round 4): PageRank kernel throughput on a synthetic
+    # 500k-node graph — scaled-BIGINT arithmetic, 3 iterations
+    def q_graph():
+        from prase_spark.graphstats import pagerank
+
+        n_edges = int(os.environ.get("PRASE_BENCH_GRAPH_EDGES", "2000000"))
+        edges = spark.range(n_edges, numPartitions=cpus * 2).selectExpr(
+            "id % 500000 AS src", "pmod(xxhash64(id), 500000) AS dst"
+        ).persist()
+        edges.count()  # materialize synthesis outside the timing
+        t0 = time.time()
+        n_nodes = pagerank(edges, iterations=3).count()
+        elapsed = time.time() - t0
+        timings["pagerank_edges_per_sec"] = round(n_edges * 3 / elapsed, 1)
+        timings["pagerank_nodes"] = n_nodes
+        edges.unpersist()
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -178,6 +195,8 @@ def main():
     q_paris_large()
     spark.catalog.clearCache()
     q_curation()
+    spark.catalog.clearCache()
+    q_graph()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
