@@ -666,6 +666,26 @@ def _q_decontaminate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return decontaminate(d, ev, n=5)
 
 
+def _q_term_df_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus document frequency (textindex.document_frequency) over the
+    documents table — per-doc distinct below the explode."""
+    from prase_spark.datapipe.textindex import document_frequency
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return document_frequency(d)
+
+
+def _q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index (textindex.inverted_index) with df band [3, 450]:
+    postings emitted as the canonical sorted comma-joined key string, so
+    the whole term→postings map is value-hashed against DuckDB's
+    string_agg twin."""
+    from prase_spark.datapipe.textindex import inverted_index
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return inverted_index(d, min_df=3, max_df=450)
+
+
 def _q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (decontam.decontaminate_bloom):
     same inputs and — by the no-false-negative + exact-verify
@@ -1267,6 +1287,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pack_chunks_docs": _q_pack_chunks_docs,
         "decontaminate_docs": _q_decontaminate_docs,
         "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
+        "term_df_docs": _q_term_df_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -2782,4 +2804,19 @@ def oracle_sql() -> dict[str, str]:
     # prefilter has no false negatives; survivors are exact-verified), so
     # the same oracle hash-checks the accelerated plan end-to-end.
     out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
+    out["term_df_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        pairs AS (SELECT key, unnest(list_distinct(t)) AS term FROM tk)
+        SELECT term, CAST(count(*) AS BIGINT) AS df FROM pairs GROUP BY term
+    """
+    out["inverted_index_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        pairs AS (SELECT key, unnest(list_distinct(t)) AS term FROM tk),
+        dfreq AS (SELECT term, count(*) AS df FROM pairs GROUP BY term),
+        keep AS (SELECT term, df FROM dfreq WHERE df BETWEEN 3 AND 450)
+        SELECT p.term, CAST(k.df AS BIGINT) AS df,
+               string_agg(CAST(p.key AS VARCHAR), ',' ORDER BY p.key) AS postings
+        FROM pairs p JOIN keep k USING (term)
+        GROUP BY p.term, k.df
+    """
     return out

@@ -5,6 +5,7 @@ decontamination, sampling, multimodal plumbing."""
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
+from prase_spark.datapipe.textindex import document_frequency, inverted_index, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (
     exact_dedup,
     keep_best,
@@ -54,6 +55,10 @@ __all__ = [
     "pack_chunks",
     "decontaminate",
     "decontaminate_bloom",
+    "document_frequency",
+    "inverted_index",
+    "term_counts",
+    "tfidf_terms",
     "remove_boilerplate",
     "host_of",
     "canonical_url",
