@@ -686,6 +686,32 @@ def _q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=3, max_df=450)
 
 
+def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental near-dup (incremental.incremental_minhash): corpus =
+    docs 0-79 distilled to a wide MinHash signature store; the 'new
+    batch' = verbatim re-crawls of docs 0-39 (re-keyed +100000, must flag
+    est_pct=100 with the min-key corpus counterpart) + docs 80-99
+    re-keyed +200000 (absent from the corpus — flag only if the banded
+    estimate genuinely reaches 50%). Poly hash end-to-end so signatures,
+    banding, candidate set, estimate, and argmax are all value-verified."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.datapipe.incremental import incremental_minhash, minhash_store
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = d.filter(F.col("doc_id") < 80).select("doc_id", "text")
+    new = (
+        d.filter(F.col("doc_id") < 40)
+        .select((F.col("doc_id") + 100000).alias("doc_id"), "text")
+        .unionByName(
+            d.filter((F.col("doc_id") >= 80) & (F.col("doc_id") < 100)).select(
+                (F.col("doc_id") + 200000).alias("doc_id"), "text"
+            )
+        )
+    )
+    store = minhash_store(corpus, hash_fn=poly_hash61)
+    return incremental_minhash(new, store, threshold_pct=50, hash_fn=poly_hash61)
+
+
 def _q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (decontam.decontaminate_bloom):
     same inputs and — by the no-false-negative + exact-verify
@@ -1289,6 +1315,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
         "term_df_docs": _q_term_df_docs,
         "inverted_index_docs": _q_inverted_index_docs,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -2804,6 +2831,56 @@ def oracle_sql() -> dict[str, str]:
     # prefilter has no false negatives; survivors are exact-verified), so
     # the same oracle hash-checks the accelerated plan end-to-end.
     out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
+    out["incremental_dedup_docs"] = f"""
+        WITH corpus AS (SELECT doc_id AS key, text FROM documents WHERE doc_id < 80),
+        newb AS (
+            SELECT doc_id + 100000 AS key, text FROM documents WHERE doc_id < 40
+            UNION ALL
+            SELECT doc_id + 200000, text FROM documents
+            WHERE doc_id >= 80 AND doc_id < 100
+        ),
+        alld AS (SELECT * FROM corpus UNION ALL SELECT * FROM newb),
+        tk AS (SELECT key, {toks} AS t FROM alld),
+        sh AS ({_shingle_cte(3)}),
+        hx AS (SELECT key, shingle, {poly_shingle} % {_MERSENNE} AS x FROM sh),
+        params(h, a, b) AS (VALUES
+            {mh_params}
+        ),
+        sig AS (
+            SELECT key, h,
+                   min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+            FROM hx, params GROUP BY key, h
+        ),
+        banded AS (
+            SELECT key, h // 4 AS band,
+                   list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+            FROM sig GROUP BY key, h // 4
+        ),
+        cand AS (
+            SELECT DISTINCT n.key AS new_key, c.key AS corpus_key
+            FROM banded n JOIN banded c
+              ON n.band = c.band AND n.band_key = c.band_key
+            WHERE n.key >= 100000 AND c.key < 100000
+        ),
+        est AS (
+            SELECT cd.new_key, cd.corpus_key,
+                   CAST(100 * sum(CASE WHEN sn.minhash = sc.minhash THEN 1 ELSE 0 END) AS BIGINT) // 64 AS est_pct
+            FROM cand cd
+            JOIN sig sn ON sn.key = cd.new_key
+            JOIN sig sc ON sc.key = cd.corpus_key AND sc.h = sn.h
+            GROUP BY cd.new_key, cd.corpus_key
+        ),
+        best AS (
+            SELECT new_key, corpus_key, est_pct,
+                   row_number() OVER (PARTITION BY new_key
+                                      ORDER BY est_pct DESC, corpus_key ASC) AS rn
+            FROM est WHERE est_pct >= 50
+        )
+        SELECT n.key, b.corpus_key AS dup_of,
+               CAST(coalesce(b.est_pct, 0) AS BIGINT) AS est_pct
+        FROM newb n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON b.new_key = n.key
+    """
     out["term_df_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
         pairs AS (SELECT key, unnest(list_distinct(t)) AS term FROM tk)

@@ -5,6 +5,7 @@ decontamination, sampling, multimodal plumbing."""
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
+from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (
     exact_dedup,
@@ -56,6 +57,10 @@ __all__ = [
     "decontaminate",
     "decontaminate_bloom",
     "document_frequency",
+    "hash_store",
+    "incremental_exact",
+    "incremental_minhash",
+    "minhash_store",
     "inverted_index",
     "term_counts",
     "tfidf_terms",

@@ -176,31 +176,38 @@ def minhash_signatures(
     )
 
 
-def minhash_band_table(
-    sh: DataFrame, num_hashes: int = 64, bands: int = 16, seed: int = 42, hash_fn=None
+def minhash_wide_signatures(
+    sh: DataFrame, num_hashes: int = 64, seed: int = 42, hash_fn=None
 ) -> DataFrame:
-    """(key, band, band_key) from a (key, shingle) table — the shared
-    banded-signature builder behind minhash_lsh_pairs (self-join dedup)
-    and nameblock.name_candidates (cross-KG join). Signatures are
-    ``num_hashes`` min-aggregates in ONE groupBy(key) (wide format — no
-    parameter-family explode); the band key is the sorted ``h:minhash``
-    concat string (exact, engine-replicable)."""
+    """(key, m0..m{num_hashes-1}) wide signature rows from a (key,
+    shingle) table: ``num_hashes`` min-aggregates in ONE groupBy(key) —
+    no parameter-family explode, so the shuffle is O(docs × columns).
+    This is also the durable **signature store** format for incremental
+    dedup (datapipe.incremental): one row per corpus document, banding
+    derivable by projection (no re-tokenization of the corpus)."""
     hash_fn = hash_fn or F.xxhash64
-    if bands > num_hashes:
-        raise ValueError(
-            f"bands ({bands}) must be <= num_hashes ({num_hashes}): each band "
-            "needs at least one signature slot"
-        )
     params = minhash_params(num_hashes, seed)
-    rows_per_band = num_hashes // bands
     x = F.pmod(hash_fn(F.col("shingle")), F.lit(_MERSENNE))
     hx = sh.select("key", x.alias("x"))
-    mins = hx.groupBy("key").agg(
+    return hx.groupBy("key").agg(
         *[
             F.min((F.lit(a) * F.col("x") + F.lit(b)) % _MERSENNE).alias(f"m{h}")
             for h, (a, b) in enumerate(params)
         ]
     )
+
+
+def band_keys_of_wide(
+    mins: DataFrame, num_hashes: int = 64, bands: int = 16
+) -> DataFrame:
+    """(key, band, band_key) from wide signature rows. The band key is
+    the sorted ``h:minhash`` concat string (exact, engine-replicable)."""
+    if bands > num_hashes:
+        raise ValueError(
+            f"bands ({bands}) must be <= num_hashes ({num_hashes}): each band "
+            "needs at least one signature slot"
+        )
+    rows_per_band = num_hashes // bands
     # ceil-divide so remainder slots (num_hashes % bands != 0) still form a
     # final partial band instead of silently dropping out of candidate
     # generation (matches the long-format banding h // rows_per_band)
@@ -217,6 +224,18 @@ def minhash_band_table(
     return mins.select(
         "key", F.explode(F.array(*band_structs)).alias("s")
     ).select("key", "s.band", "s.band_key")
+
+
+def minhash_band_table(
+    sh: DataFrame, num_hashes: int = 64, bands: int = 16, seed: int = 42, hash_fn=None
+) -> DataFrame:
+    """(key, band, band_key) from a (key, shingle) table — the shared
+    banded-signature builder behind minhash_lsh_pairs (self-join dedup)
+    and nameblock.name_candidates (cross-KG join). Composition of
+    :func:`minhash_wide_signatures` + :func:`band_keys_of_wide`."""
+    return band_keys_of_wide(
+        minhash_wide_signatures(sh, num_hashes, seed, hash_fn), num_hashes, bands
+    )
 
 
 def minhash_lsh_pairs(
