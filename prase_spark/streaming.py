@@ -99,6 +99,95 @@ def stream_first_seen(df: DataFrame, key_col: str = "url") -> DataFrame:
     )
 
 
+def run_incremental_dedup_stream(
+    spark: SparkSession,
+    docs_path: str,
+    out_path: str,
+    store_path: str,
+    checkpoint_path: str,
+    threshold: float = 0.8,
+    available_now: bool = True,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    seed: int = 42,
+    hash_fn=None,
+):
+    """Continuous near-dup-aware corpus ingest: the streaming twin of
+    datapipe.incremental for a crawl that never stops.
+
+    Per micro-batch (foreachBatch):
+    1. the batch self-deduplicates (dedup.minhash_dedup — full
+       exact-Jaccard verify + connected components WITHIN the batch);
+    2. surviving representatives probe the PERSISTED corpus signature
+       store (incremental.incremental_minhash — the corpus text is never
+       re-read, the store never shuffles; batch bands broadcast);
+    3. admitted docs land under ``out_path/batch=<id>`` and their wide
+       signatures under ``store_path/batch=<id>`` — a replayed batch
+       after failure OVERWRITES its own directories instead of appending
+       duplicates, so the sink is idempotent on top of the stream
+       checkpoint's exactly-once file progress.
+
+    Threshold semantics: in-batch clusters use exact Jaccard >=
+    ``threshold``; cross-batch probing uses the signature ESTIMATE >=
+    round(threshold*100)% — the store carries only signatures by design
+    (that is what keeps it ~0.5 KB/doc at petabyte corpus scale), and at
+    64 hashes the estimator's σ is ~0.06; a borderline miss is re-caught
+    by the next offline compaction pass."""
+    from prase_spark.datapipe.dedup import minhash_dedup
+    from prase_spark.datapipe.incremental import incremental_minhash, minhash_store
+
+    threshold_pct = int(round(threshold * 100))
+    schema = spark.read.parquet(docs_path).schema
+
+    def process(batch_df: DataFrame, batch_id: int):
+        batch_df = batch_df.persist()
+        try:
+            sess = batch_df.sparkSession
+            clusters = minhash_dedup(
+                batch_df, threshold, text_col, key_col,
+                num_hashes, bands, shingle_n, seed, hash_fn,
+            )
+            reps = batch_df.join(
+                clusters.filter(F.col("keep")).select(key_col), key_col
+            )
+            try:
+                store = sess.read.parquet(store_path)
+            except Exception:
+                store = None  # first batch: no store yet
+            if store is not None:
+                flags = incremental_minhash(
+                    reps, store, text_col, key_col, num_hashes, bands,
+                    seed, shingle_n, threshold_pct, hash_fn,
+                )
+                novel_keys = flags.filter(F.col("dup_of").isNull()).select(
+                    F.col("key").alias(key_col)
+                )
+                novel = reps.join(novel_keys, key_col)
+            else:
+                novel = reps
+            novel = novel.persist()
+            novel.write.mode("overwrite").parquet(f"{out_path}/batch={batch_id}")
+            minhash_store(
+                novel, text_col, key_col, num_hashes, seed, shingle_n, hash_fn
+            ).write.mode("overwrite").parquet(f"{store_path}/batch={batch_id}")
+            novel.unpersist()
+        finally:
+            batch_df.unpersist()
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(docs_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Windowed aggregation pattern over an event stream (late data handled
     by watermark) — the standard stateful-op shape for pipeline metrics."""

@@ -129,3 +129,48 @@ def test_stream_first_seen_cross_batch_dedup(spark, tmp_path):
     pages1.limit(7).write.mode("append").parquet(src)
     run()
     assert spark.read.parquet(out).count() == 20
+
+
+def test_incremental_dedup_stream_two_waves(spark, tmp_path):
+    """Wave 1: two in-batch near-dups -> one representative admitted and
+    its signature stored. Wave 2: a verbatim re-crawl of wave 1's text is
+    rejected against the STORE; a novel doc is admitted. Replaying the
+    drained stream changes nothing (idempotent)."""
+    from prase_spark.streaming import run_incremental_dedup_stream
+
+    long_a = (
+        "spark shuffles partition data across executors during wide "
+        "transformations while the scheduler assigns tasks to cores and the "
+        "memory manager spills sorted runs to local disk under pressure"
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = spark.createDataFrame(
+        [(10, long_a), (11, long_a.replace("cores", "slots"))],  # near-dups
+        "doc_id LONG, text STRING",
+    )
+    wave1.write.parquet(src)
+    q = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
+    q.awaitTermination(180)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {10}  # min-key representative of the in-batch pair
+    assert spark.read.parquet(store).count() == 1  # one signature row
+
+    wave2 = spark.createDataFrame(
+        [(20, long_a), (21, "a completely novel document about inverted indexes")],
+        "doc_id LONG, text STRING",
+    )
+    wave2.write.mode("append").parquet(src)
+    q2 = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
+    q2.awaitTermination(180)
+    admitted = {r["doc_id"] for r in spark.read.parquet(out).collect()}
+    assert admitted == {10, 21}  # 20 rejected against the store
+    assert spark.read.parquet(store).count() == 2
+
+    # drained replay: no new batches, nothing changes
+    q3 = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
+    q3.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {10, 21}

@@ -95,6 +95,36 @@ def main():
     )
     verified.explain("formatted")
 
+    # round-4 operators: pagerank (integer kernel — expect one shuffle on
+    # src-join + one on dst-agg per iteration, no doubles in the agg),
+    # incremental dedup (expect BroadcastHashJoin on the batch band table
+    # — the store side must NOT shuffle), inverted index (df-band
+    # semi-join BEFORE collect_list), bucket metrics (single hash agg)
+    from prase_spark.graphstats import pagerank
+    from prase_spark.io import bucket_metrics
+
+    edges = spark.range(1000).selectExpr("id % 97 AS src", "(id * 7) % 97 AS dst")
+    print("=" * 70, "\nPAGERANK 1-ITERATION PLAN\n", "=" * 70)
+    pagerank(edges, iterations=1).explain("formatted")
+
+    from prase_spark.datapipe.incremental import incremental_minhash, minhash_store
+
+    corpus = docs.filter("doc_id < 80")
+    batch = docs.filter("doc_id >= 80 AND doc_id < 100")
+    print("=" * 70, "\nINCREMENTAL MINHASH PROBE PLAN\n", "=" * 70)
+    incremental_minhash(batch, minhash_store(corpus)).explain("formatted")
+
+    from prase_spark.datapipe.textindex import inverted_index
+
+    print("=" * 70, "\nINVERTED INDEX PLAN\n", "=" * 70)
+    inverted_index(docs, min_df=3, max_df=200).explain("formatted")
+
+    print("=" * 70, "\nBUCKET METRICS PLAN\n", "=" * 70)
+    bucket_metrics(
+        docs.selectExpr("cast(doc_id as string) AS subj", "'p' AS pred", "text AS obj"),
+        16,
+    ).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
