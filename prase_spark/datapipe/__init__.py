@@ -24,10 +24,14 @@ from prase_spark.datapipe.multimodal import (
 from prase_spark.datapipe.sampling import hash_sample, stratified_sample
 from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
 from prase_spark.datapipe.simsearch import (
+    build_ivf_index,
     cosine_topk,
     embedding_neardup,
     ivf_topk,
+    load_ivf_index,
     lsh_topk,
+    save_ivf_index,
+    search_ivf_index,
     train_ivf_centroids,
 )
 from prase_spark.datapipe.textstats import (
@@ -50,6 +54,10 @@ __all__ = [
     "cosine_topk",
     "lsh_topk",
     "ivf_topk",
+    "build_ivf_index",
+    "save_ivf_index",
+    "load_ivf_index",
+    "search_ivf_index",
     "train_ivf_centroids",
     "embedding_neardup",
     "chunk_documents",

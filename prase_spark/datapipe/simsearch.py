@@ -268,6 +268,112 @@ def train_ivf_centroids(
     return cents
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    sample_cap: int = 4096,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_iters: int = 0,
+    centroids: np.ndarray | None = None,
+) -> tuple[np.ndarray, DataFrame]:
+    """Build the IVF index ONCE: (centroids, assignments) where
+    assignments is (vec_id, cell, v). The production shape is build →
+    :func:`save_ivf_index` (cell-partitioned parquet) → many
+    :func:`search_ivf_index` calls over the persisted table with
+    partition pruning; :func:`ivf_topk` composes build+search inline for
+    one-shot use. Centroid source precedence: injected ``centroids`` >
+    ``train_iters`` Lloyd rounds > deterministic seeded sample."""
+    if centroids is not None:
+        cents = np.asarray(centroids, dtype=np.float64)
+    elif train_iters > 0:
+        cents = train_ivf_centroids(
+            corpus, n_cells, train_iters, seed, sample_cap, id_col, vec_col
+        )
+    else:
+        sample = corpus.select(vec_col).limit(sample_cap).collect()
+        mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
+        cents = _seeded_centroids(mat, n_cells, seed)
+    cent_df = _centroid_df(corpus.sparkSession, cents)
+    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
+    assign = (
+        c.join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_expr("v", "c_vec"))
+        .groupBy("vec_id")
+        .agg(
+            F.max_by("cell", F.struct("sim", (-F.col("cell")).alias("nc"))).alias("cell"),
+            F.first("v").alias("v"),
+        )
+    )
+    return cents, assign
+
+
+def save_ivf_index(path: str, cents: np.ndarray, assign: DataFrame) -> None:
+    """Persist the index: centroids as one small parquet, assignments
+    partitioned BY CELL — a probe that touches n_probe cells then reads
+    only those directories (static partition pruning via
+    search_ivf_index's cell filter)."""
+    spark = assign.sparkSession
+    _centroid_df(spark, cents).write.mode("overwrite").parquet(f"{path}/centroids")
+    assign.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/assignments")
+
+
+def load_ivf_index(spark, path: str) -> tuple[np.ndarray, DataFrame]:
+    rows = spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    cents = np.asarray([r["c_vec"] for r in rows], dtype=np.float64)
+    return cents, spark.read.parquet(f"{path}/assignments")
+
+
+def search_ivf_index(
+    cents: np.ndarray,
+    assign: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Probe a built (or loaded) IVF index: n_probe nearest cells per
+    query, exact cosine re-rank inside them. The probed cell ids (a
+    driver-bounded set, <= n_cells values) become a static ``cell IN
+    (...)`` filter on the assignments scan, so a persisted index reads
+    only the probed partition directories."""
+    spark = assign.sparkSession
+    cent_df = _centroid_df(spark, cents)
+    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q_cells = (
+        q.join(F.broadcast(cent_df))
+        .withColumn("sim", cosine_expr("q_vec", "c_vec"))
+        .withColumn(
+            "rk",
+            F.row_number().over(
+                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
+            ),
+        )
+        .filter(F.col("rk") <= n_probe)
+        .select("query_id", "cell", "q_vec")
+        .persist()
+    )
+    # static pruning: the probed cell set is driver-bounded (<= n_cells
+    # values); turning it into a literal IN filter lets a cell-partitioned
+    # persisted index skip unprobed partition directories entirely
+    probed = [r["cell"] for r in q_cells.select("cell").distinct().collect()]
+    pruned = assign.filter(F.col("cell").isin(probed))
+    # broadcast the probe set: joining the corpus-sized assignment on a
+    # key with only n_cells distinct values via a shuffle join is maximal
+    # skew (every row lands in <= n_cells reducer groups)
+    scored = pruned.join(F.broadcast(q_cells), "cell").withColumn(
+        "cosine", cosine_expr("q_vec", "v")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -282,61 +388,15 @@ def ivf_topk(
     train_iters: int = 0,
     centroids: np.ndarray | None = None,
 ) -> DataFrame:
-    """IVF: coarse-quantize corpus to its nearest centroid cell; probe the
-    n_probe nearest cells per query. Centroids come from a deterministic
-    seeded sample; ``train_iters`` > 0 refines them with distributed
-    Lloyd rounds (train_ivf_centroids — the k-means|| shape: only
-    n_cells×dim rows reach the driver per round), tightening cells so the
-    same n_probe covers more of the true neighborhood. ``centroids``
-    injects a precomputed quantizer (cell i = row i) and skips
-    sampling/training — the engine-replicable path the value oracle uses.
-    Cell assignment and probe selection tie-break on the lower cell id, so
-    the result is deterministic across retries and engines."""
-    spark = corpus.sparkSession
-    if centroids is not None:
-        cents = np.asarray(centroids, dtype=np.float64)
-    elif train_iters > 0:
-        cents = train_ivf_centroids(
-            corpus, n_cells, train_iters, seed, sample_cap, id_col, vec_col
-        )
-    else:
-        sample = corpus.select(vec_col).limit(sample_cap).collect()
-        mat = np.asarray([r[vec_col] for r in sample], dtype=np.float64)
-        cents = _seeded_centroids(mat, n_cells, seed)
-    cent_df = _centroid_df(spark, cents)
-
-    c = corpus.select(F.col(id_col).alias("vec_id"), F.col(vec_col).alias("v"))
-    assign = (
-        c.join(F.broadcast(cent_df))
-        .withColumn("sim", cosine_expr("v", "c_vec"))
-        .groupBy("vec_id")
-        .agg(
-            F.max_by("cell", F.struct("sim", (-F.col("cell")).alias("nc"))).alias("cell"),
-            F.first("v").alias("v"),
-        )
+    """IVF one-shot: coarse-quantize corpus to its nearest centroid cell;
+    probe the n_probe nearest cells per query. Composition of
+    :func:`build_ivf_index` + :func:`search_ivf_index` — see those for
+    the persisted-index lifecycle. Cell assignment and probe selection
+    tie-break on the lower cell id, so the result is deterministic across
+    retries and engines (the value oracle injects ``centroids``)."""
+    cents, assign = build_ivf_index(
+        corpus, n_cells, seed, sample_cap, id_col, vec_col, train_iters, centroids
     )
-    q = queries.select(F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
-    q_cells = (
-        q.join(F.broadcast(cent_df))
-        .withColumn("sim", cosine_expr("q_vec", "c_vec"))
-        .withColumn(
-            "rk",
-            F.row_number().over(
-                Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("cell"))
-            ),
-        )
-        .filter(F.col("rk") <= n_probe)
-        .select("query_id", "cell", "q_vec")
-    )
-    # broadcast the probe set: joining the corpus-sized assignment on a
-    # key with only n_cells distinct values via a shuffle join is maximal
-    # skew (every row lands in <= n_cells reducer groups)
-    scored = assign.join(F.broadcast(q_cells), "cell").withColumn(
-        "cosine", cosine_expr("q_vec", "v")
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
-    return (
-        scored.withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= k)
-        .select("query_id", "vec_id", "cosine", "rank")
+    return search_ivf_index(
+        cents, assign, queries, k, n_probe, vec_col, query_id_col
     )

@@ -1334,3 +1334,48 @@ def test_bloom_bits_table_shape_and_validation(spark):
     assert all(0 <= r["word"] < (1 << 12) // 64 for r in bits)
     with _pytest.raises(ValueError):
         bloom_bits_table(sh, 100)  # not a multiple of 64
+
+
+def test_ivf_index_save_load_roundtrip_equals_inline(spark, tmp_path):
+    """build -> save (cell-partitioned) -> load -> search must equal the
+    inline ivf_topk on the same injected quantizer, and the persisted
+    layout must expose cell= partition directories for pruning."""
+    import numpy as np
+
+    from prase_spark.datapipe.simsearch import (
+        build_ivf_index,
+        ivf_topk,
+        load_ivf_index,
+        save_ivf_index,
+        search_ivf_index,
+    )
+
+    rng = np.random.RandomState(7)
+    corpus = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(200)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    queries = spark.createDataFrame(
+        [(i, rng.randn(8).tolist()) for i in range(5)],
+        "query_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    cents = rng.randn(8, 8)
+
+    inline = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in ivf_topk(corpus, queries, k=5, n_cells=8, centroids=cents).collect()
+    }
+
+    c0, assign = build_ivf_index(corpus, n_cells=8, centroids=cents)
+    path = str(tmp_path / "ivf")
+    save_ivf_index(path, c0, assign)
+    assert any(
+        p.name.startswith("cell=") for p in (tmp_path / "ivf" / "assignments").iterdir()
+    )
+    c1, loaded = load_ivf_index(spark, path)
+    assert np.allclose(c0, c1)
+    via_store = {
+        (r["query_id"], r["rank"]): r["vec_id"]
+        for r in search_ivf_index(c1, loaded, queries, k=5).collect()
+    }
+    assert via_store == inline
