@@ -686,6 +686,16 @@ def _q_inverted_index_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return inverted_index(d, min_df=3, max_df=450)
 
 
+def _q_corpus_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass dataset-card profile (profile.corpus_profile) — gate runs
+    the EXACT variant (HLL/t-digest internals differ between engines;
+    exact values don't); the x2-scaled median keeps the sink integer."""
+    from prase_spark.datapipe.profile import corpus_profile
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return corpus_profile(d, approx=False)
+
+
 def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup (incremental.incremental_minhash): corpus =
     docs 0-79 distilled to a wide MinHash signature store; the 'new
@@ -1316,6 +1326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_docs": _q_term_df_docs,
         "inverted_index_docs": _q_inverted_index_docs,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "corpus_profile_docs": _q_corpus_profile_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -2880,6 +2891,17 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(b.est_pct, 0) AS BIGINT) AS est_pct
         FROM newb n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
           ON b.new_key = n.key
+    """
+    out["corpus_profile_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        doc AS (SELECT key, len(t) AS n FROM tk),
+        term AS (SELECT DISTINCT unnest(t) AS term FROM tk)
+        SELECT (SELECT count(*) FROM doc) AS n_docs,
+               (SELECT CAST(sum(n) AS BIGINT) FROM doc) AS n_tokens,
+               (SELECT count(*) FROM term) AS distinct_terms,
+               (SELECT CAST(min(n) AS BIGINT) FROM doc) AS min_tokens,
+               (SELECT CAST(max(n) AS BIGINT) FROM doc) AS max_tokens,
+               (SELECT CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) FROM doc) AS median_tokens_x2
     """
     out["term_df_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),

@@ -76,3 +76,35 @@ def test_tfidf_matches_python_and_is_deterministic(corpus):
     assert {(r["key"], r["term"]) for r in rows} == {
         (r["key"], r["term"]) for r in again
     }
+
+
+def test_corpus_profile_exact_and_approx(spark):
+    from prase_spark.datapipe.profile import corpus_profile
+
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c d e"), (3, ""), (4, "a a a a a a a")],
+        "doc_id LONG, text STRING",
+    )
+    exact = corpus_profile(docs, approx=False).first()
+    # token counts sorted: 0,3,5,7 -> sum 15, interpolated median (3+5)/2 = 4
+    assert exact["n_docs"] == 4
+    assert exact["n_tokens"] == 15
+    assert exact["distinct_terms"] == 5  # a b c d e
+    assert exact["min_tokens"] == 0 and exact["max_tokens"] == 7
+    assert exact["median_tokens_x2"] == 8
+    approx = corpus_profile(docs, approx=True).first()
+    assert approx["n_docs"] == 4 and approx["n_tokens"] == 15
+    # sketches on tiny input are exact-ish; allow generous slack
+    assert abs(approx["distinct_terms"] - 5) <= 1
+    assert 0 < approx["median_tokens_x2"] <= 14
+
+
+def test_corpus_profile_single_aggregation_plan(spark):
+    """The profile must be ONE aggregation over one exploded scan — no
+    self-joins or repeated scans of the corpus (approx path)."""
+    from prase_spark.datapipe.profile import corpus_profile
+
+    docs = spark.createDataFrame([(1, "x y")], "doc_id LONG, text STRING")
+    plan = corpus_profile(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Generate") == 1  # one explode
+    assert "Join" not in plan
