@@ -795,6 +795,38 @@ def _q_boilerplate_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return remove_boilerplate(pages, min_pages=4, max_ratio=0.5)
 
 
+def _q_paradedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide paragraph dedup (paradedup.dedup_paragraphs): documents
+    templated into 1-3 paragraphs — a newsletter blurb on every third doc,
+    the unique body, a per-bucket syndicated wire paragraph on even docs.
+    min_dup_docs=3 + keep_first=True: both injected paragraphs exceed the
+    bar and are stripped everywhere except their min-key owner doc; every
+    body survives. The DuckDB twin replays the same template, split,
+    frequency rule and ordered rebuild on raw strings."""
+    from prase_spark.datapipe.paradedup import dedup_paragraphs
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    syn = d.select(
+        "doc_id",
+        F.concat_ws(
+            "\n\n",
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.lit("subscribe to our newsletter today"),
+            ),
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 2 == 0,
+                F.concat(
+                    F.lit("syndicated wire story "),
+                    (F.col("doc_id") % 10).cast("string"),
+                ),
+            ),
+        ).alias("text"),
+    )
+    return dedup_paragraphs(syn, min_dup_docs=3, keep_first=True)
+
+
 def _q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampling.stratified_sample):
     the events table mixed by event_type — purchases kept whole, signups
@@ -1329,6 +1361,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile_docs": _q_corpus_profile_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
+        "paradedup_docs": _q_paradedup_docs,
         "url_dedup_docs": _q_url_dedup_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
@@ -2483,6 +2516,51 @@ def oracle_sql() -> dict[str, str]:
             FROM pages p
             LEFT JOIN rebuilt r ON r.url = p.url
             LEFT JOIN totals t ON t.url = p.url
+        """,
+        # paradedup twin: same doc templating, paragraph split on a blank
+        # line, corpus-global distinct-doc frequency with min-key owner,
+        # ordered rebuild — raw strings where Spark compares xxhash64
+        "paradedup_docs": """
+            WITH syn AS (
+                SELECT doc_id,
+                       concat_ws(chr(10) || chr(10),
+                           CASE WHEN doc_id % 3 = 0
+                                THEN 'subscribe to our newsletter today' END,
+                           text,
+                           CASE WHEN doc_id % 2 = 0
+                                THEN 'syndicated wire story '
+                                     || CAST(doc_id % 10 AS VARCHAR) END
+                       ) AS text
+                FROM documents
+            ),
+            paras AS (
+                SELECT doc_id, i - 1 AS pos, p[i] AS para
+                FROM (SELECT doc_id,
+                             string_split(text, chr(10) || chr(10)) AS p
+                      FROM syn) s,
+                     LATERAL (SELECT unnest(generate_series(1, len(p))) AS i) g
+            ),
+            dup AS (
+                SELECT trim(para) AS tp, min(doc_id) AS owner
+                FROM paras WHERE trim(para) <> ''
+                GROUP BY trim(para)
+                HAVING count(DISTINCT doc_id) >= 3
+            ),
+            flagged AS (
+                SELECT p.doc_id, p.pos, p.para,
+                       (d.tp IS NOT NULL AND p.doc_id <> d.owner) AS dr
+                FROM paras p LEFT JOIN dup d ON d.tp = trim(p.para)
+            ),
+            rebuilt AS (
+                SELECT doc_id,
+                       coalesce(string_agg(para, chr(10) || chr(10)
+                                           ORDER BY pos)
+                                FILTER (WHERE NOT dr), '') AS text,
+                       CAST(sum(CASE WHEN dr THEN 1 ELSE 0 END) AS BIGINT)
+                           AS removed_paras
+                FROM flagged GROUP BY doc_id
+            )
+            SELECT doc_id, text, removed_paras FROM rebuilt
         """,
         # stratified_sample twin: same poly hash of event_id || ':42',
         # same integer thresholds (1e6 / 5e5 / 2.5e5)
