@@ -696,6 +696,17 @@ def _q_corpus_profile_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return corpus_profile(d, approx=False)
 
 
+def _q_collocations_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining (colloc.collocations): top-50 adjacent token
+    pairs by integer lift_e6 = (n_ab*N*10^6) div (n_a*n_b) with
+    min_count=5 — exact integer arithmetic end-to-end (DECIMAL(38,0)
+    numerator / HUGEINT in the DuckDB twin), total-order cut."""
+    from prase_spark.datapipe.colloc import collocations
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return collocations(d, top_k=50, min_count=5)
+
+
 def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental near-dup (incremental.incremental_minhash): corpus =
     docs 0-79 distilled to a wide MinHash signature store; the 'new
@@ -1358,6 +1369,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "term_df_docs": _q_term_df_docs,
         "inverted_index_docs": _q_inverted_index_docs,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "collocations_docs": _q_collocations_docs,
         "corpus_profile_docs": _q_corpus_profile_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "boilerplate_docs": _q_boilerplate_docs,
@@ -2980,6 +2992,32 @@ def oracle_sql() -> dict[str, str]:
                (SELECT CAST(min(n) AS BIGINT) FROM doc) AS min_tokens,
                (SELECT CAST(max(n) AS BIGINT) FROM doc) AS max_tokens,
                (SELECT CAST(quantile_cont(n, 0.5) * 2 AS BIGINT) FROM doc) AS median_tokens_x2
+    """
+    out["collocations_docs"] = f"""
+        WITH tk AS (SELECT {toks} AS t FROM documents),
+        uni AS (
+            SELECT w, count(*) AS n
+            FROM (SELECT unnest(t) AS w FROM tk) GROUP BY w
+        ),
+        tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM uni),
+        big AS (
+            SELECT w1, w2, count(*) AS n_ab
+            FROM (
+                SELECT t[i] AS w1, t[i + 1] AS w2
+                FROM tk,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+            )
+            GROUP BY w1, w2
+            HAVING count(*) >= 5
+        )
+        SELECT w1, w2, CAST(n_ab AS BIGINT) AS n_ab,
+               CAST(CAST(n_ab AS HUGEINT) * nn * 1000000
+                    // (CAST(u1.n AS HUGEINT) * u2.n) AS BIGINT) AS lift_e6
+        FROM big
+        JOIN uni u1 ON u1.w = big.w1
+        JOIN uni u2 ON u2.w = big.w2, tot
+        ORDER BY lift_e6 DESC, w1, w2
+        LIMIT 50
     """
     out["term_df_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
