@@ -181,6 +181,26 @@ def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pagerank(_kg1_rel_edges(spark, sf_dir), iterations=3)
 
 
+def _q_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: per-node triangle counts (graphstats.node_triangles,
+    degree-oriented wedge closure) over a deterministic pseudorandom
+    graph templated from events — src = event_id % 97,
+    dst = (event_id DIV 97) % 97 — dst varies independently of src's
+    residue class, so the graph is a dense random bipartite-ish mix with
+    abundant triangles (a pure f(event_id) % 97 template would collapse
+    to a functional permutation graph with none). The DuckDB twin replays
+    orientation, wedge join and canonical-edge closure on the same
+    arithmetic."""
+    from prase_spark.graphstats import node_triangles
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 97).alias("src"),
+        F.expr("(event_id DIV 97) % 97").alias("dst"),
+    )
+    return node_triangles(edges)
+
+
 def _q_graph_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule materialize surface: per-bucket lineage/metrics of the
     hash-partitioned triple store (io.bucket_metrics). The gate uses the
@@ -1354,6 +1374,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "node_triangles": _q_node_triangles,
         "graph_partition_metrics": _q_graph_partition_metrics,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
@@ -2203,6 +2224,46 @@ def oracle_sql() -> dict[str, str]:
             ed AS (SELECT e.src, e.dst, od.out_deg FROM e JOIN od USING (src)),
             {pr_ctes}
             SELECT node, rank_e12 FROM r3
+        """,
+        # node_triangles twin: same edge template, canonical undirected
+        # simplification, degree orientation (ties by node id via a < b),
+        # out-wedge join, closure against the canonical edge set, corners
+        # credited once per triangle
+        "node_triangles": """
+            WITH raw AS (
+                SELECT event_id % 97 AS a, (event_id // 97) % 97 AS b
+                FROM events
+            ),
+            und AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT node, count(*) AS d
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node
+            ),
+            ori AS (
+                SELECT CASE WHEN da.d <= db.d THEN u.a ELSE u.b END AS u,
+                       CASE WHEN da.d <= db.d THEN u.b ELSE u.a END AS v
+                FROM und u
+                JOIN deg da ON da.node = u.a
+                JOIN deg db ON db.node = u.b
+            ),
+            tri AS (
+                SELECT e1.u AS u, e1.v AS x, e2.v AS y
+                FROM ori e1
+                JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN und c ON c.a = e1.v AND c.b = e2.v
+            ),
+            corners AS (
+                SELECT u AS node FROM tri
+                UNION ALL SELECT x FROM tri
+                UNION ALL SELECT y FROM tri
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS triangles
+            FROM corners GROUP BY node
         """,
         "graph_partition_metrics": f"""
             WITH kg1_raw AS ({KG1_SQL}),

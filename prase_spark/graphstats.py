@@ -151,3 +151,75 @@ def pagerank(
             rank = rank.localCheckpoint()
 
     return rank
+
+
+def _triangles(edges: DataFrame, src: str, dst: str):
+    """(tri, und): one row per distinct triangle (u = lowest corner in
+    degree order, v < w by node) over the undirected simplification, and
+    the canonical simple edge list it was derived from.
+
+    The compact-forward / degree-orientation algorithm: orient each
+    undirected edge from its lower-(degree, node) endpoint to the higher
+    one, enumerate out-wedges (u→v, u→w), and close them against the
+    canonical edge set. Orientation bounds every node's out-degree by
+    O(sqrt(m)) on any graph, so the wedge join — the only superlinear
+    step — generates O(m^1.5) candidates worst-case instead of the
+    O(m·max_deg) a naive neighbor join pays on a hub (a crawl host with
+    10^7 links would otherwise explode). Every step is an equi-join on
+    node or canonical-pair keys: AQE skew handling applies, nothing
+    depends on partitioning, and each triangle is emitted exactly once
+    (unique lowest corner; v < w canonicalizes the rest)."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    # und already has a < b, so <= breaks degree ties by node order
+    ori = (
+        und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("db")), "b")
+        .select(
+            F.when(F.col("da") <= F.col("db"), F.col("a"))
+            .otherwise(F.col("b"))
+            .alias("u"),
+            F.when(F.col("da") <= F.col("db"), F.col("b"))
+            .otherwise(F.col("a"))
+            .alias("v"),
+        )
+    )
+    e1 = ori.select("u", F.col("v").alias("x"))
+    e2 = ori.select("u", F.col("v").alias("y"))
+    wedges = e1.join(e2, "u").filter(F.col("x") < F.col("y"))
+    tri = wedges.join(
+        und, (wedges["x"] == und["a"]) & (wedges["y"] == und["b"])
+    ).select("u", F.col("x").alias("v"), F.col("y").alias("w"))
+    return tri, und
+
+
+def triangle_count(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """One row (n_triangles BIGINT): distinct triangles in the undirected
+    simplification (self-loops and parallel/reverse duplicates ignored)."""
+    tri, _ = _triangles(edges, src, dst)
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def node_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> DataFrame:
+    """(node, triangles) for every node on at least one triangle — the
+    local-clustering numerator (pair with :func:`degrees` for the
+    coefficient). Each triangle credits all three corners once; the
+    per-node sum over the graph is 3x :func:`triangle_count`."""
+    tri, _ = _triangles(edges, src, dst)
+    corners = (
+        tri.select(F.col("u").alias("node"))
+        .unionAll(tri.select("v"))
+        .unionAll(tri.select("w"))
+    )
+    return corners.groupBy("node").agg(
+        F.count("*").cast("long").alias("triangles")
+    )

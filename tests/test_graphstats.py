@@ -127,3 +127,65 @@ def test_pagerank_hub_ranks_highest(spark):
     rows = pagerank(_edge_df(spark, edges), iterations=2).collect()
     top = max(rows, key=lambda r: r["rank_e12"])
     assert top["node"] == "h"
+
+
+# ---------------------------------------------------------------- triangles
+
+
+def _brute_triangles(pairs):
+    """Python oracle: distinct triangles of the undirected simplification."""
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    tris = set()
+    for a, b in und:
+        for c in adj[a] & adj[b]:
+            tris.add(tuple(sorted((a, b, c))))
+    return tris
+
+
+def test_triangles_k4_and_noise(spark):
+    from prase_spark.graphstats import node_triangles, triangle_count
+
+    # K4 on 0-3 (4 triangles, every node on 3) + a path + junk edges:
+    # self-loop, a parallel duplicate, and a reverse duplicate
+    pairs = (
+        [(a, b) for a in range(4) for b in range(4) if a < b]
+        + [(10, 11), (11, 12)]
+        + [(5, 5), (0, 1), (1, 0)]
+    )
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    assert triangle_count(e).first()["n_triangles"] == 4
+    got = {r["node"]: r["triangles"] for r in node_triangles(e).collect()}
+    assert got == {0: 3, 1: 3, 2: 3, 3: 3}
+
+
+def test_triangles_match_python_oracle_and_partitioning(spark):
+    from prase_spark.graphstats import node_triangles, triangle_count
+
+    # deterministic pseudorandom multigraph on 30 nodes
+    pairs = [((i * 7 + 3) % 30, (i * i + 5 * i) % 30) for i in range(300)]
+    tris = _brute_triangles(pairs)
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    assert triangle_count(e).first()["n_triangles"] == len(tris)
+    want = Counter()
+    for t in tris:
+        want.update(t)
+    got = {r["node"]: r["triangles"] for r in node_triangles(e).collect()}
+    assert got == dict(want)
+    again = {
+        r["node"]: r["triangles"]
+        for r in node_triangles(e.repartition(13)).collect()
+    }
+    assert again == got
+
+
+def test_triangles_empty_and_triangle_free(spark):
+    from prase_spark.graphstats import triangle_count
+
+    path = spark.createDataFrame([(1, 2), (2, 3), (3, 4)], "src LONG, dst LONG")
+    assert triangle_count(path).first()["n_triangles"] == 0
+    empty = path.filter("src < 0")
+    assert triangle_count(empty).first()["n_triangles"] == 0
