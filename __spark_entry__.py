@@ -858,6 +858,18 @@ def _q_paradedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup_paragraphs(syn, min_dup_docs=3, keep_first=True)
 
 
+def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap sessionization (sessionize.sessionize): events split into
+    per-user sessions at a 2h inactivity gap; every sink column is
+    integral (epoch-microsecond bounds, counts) so the hash is engine-
+    exact. The DuckDB twin is the same lag -> flag -> running-sum window
+    chain with ties broken by event_id in both engines."""
+    from prase_spark.datapipe.sessionize import sessionize
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return sessionize(ev, gap_seconds=7200)
+
+
 def _q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampling.stratified_sample):
     the events table mixed by event_type — purchases kept whole, signups
@@ -1393,6 +1405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "collocations_docs": _q_collocations_docs,
         "corpus_profile_docs": _q_corpus_profile_docs,
         "stratified_sample_events": _q_stratified_sample_events,
+        "sessionize_events": _q_sessionize_events,
         "boilerplate_docs": _q_boilerplate_docs,
         "paradedup_docs": _q_paradedup_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -2634,6 +2647,33 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged GROUP BY doc_id
             )
             SELECT doc_id, text, removed_paras FROM rebuilt
+        """,
+        # sessionize twin: lag -> new-session flag -> running sum -> rollup,
+        # all integer (epoch micros), ties broken by event_id both sides
+        "sessionize_events": """
+            WITH ev AS (
+                SELECT user_id, epoch_us(ts) AS us, event_id FROM events
+            ),
+            fl AS (
+                SELECT user_id, us, event_id,
+                       CASE WHEN us - lag(us) OVER (
+                                PARTITION BY user_id ORDER BY us, event_id
+                            ) > 7200000000 THEN 1 ELSE 0 END AS nw
+                FROM ev
+            ),
+            nb AS (
+                SELECT user_id, us,
+                       sum(nw) OVER (
+                           PARTITION BY user_id ORDER BY us, event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+                       ) + 1 AS session_seq
+                FROM fl
+            )
+            SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   min(us) AS start_us, max(us) AS end_us,
+                   max(us) - min(us) AS duration_us
+            FROM nb GROUP BY user_id, session_seq
         """,
         # stratified_sample twin: same poly hash of event_id || ':42',
         # same integer thresholds (1e6 / 5e5 / 2.5e5)
