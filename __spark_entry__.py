@@ -870,6 +870,36 @@ def _q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sessionize(ev, gap_seconds=7200)
 
 
+def _q_asof_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time join (asof.asof_join): every event matched to its
+    user's most recent purchase at-or-before it — the union-merge window
+    formulation (one shuffle, no range-join candidate blowup). Ties at
+    one (user, ts) instant dedupe to the max purchase_id in both engines;
+    the DuckDB twin is the native ASOF LEFT JOIN. Sink is integral:
+    purchase_id + age in microseconds."""
+    from prase_spark.asof import asof_join
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", F.col("event_id").alias("purchase_id")
+    )
+    out = asof_join(
+        ev.select("event_id", "user_id", "ts"),
+        purchases,
+        on="ts",
+        by="user_id",
+        right_cols=["ts", "purchase_id"],
+        tiebreak_col="purchase_id",
+    )
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    return out.select(
+        "event_id",
+        "user_id",
+        "purchase_id",
+        (us("ts") - us("ts_r")).alias("age_us"),
+    )
+
+
 def _q_stratified_sample_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic per-stratum sampling (sampling.stratified_sample):
     the events table mixed by event_type — purchases kept whole, signups
@@ -1406,6 +1436,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_profile_docs": _q_corpus_profile_docs,
         "stratified_sample_events": _q_stratified_sample_events,
         "sessionize_events": _q_sessionize_events,
+        "asof_last_purchase": _q_asof_last_purchase,
         "boilerplate_docs": _q_boilerplate_docs,
         "paradedup_docs": _q_paradedup_docs,
         "url_dedup_docs": _q_url_dedup_docs,
@@ -2647,6 +2678,21 @@ def oracle_sql() -> dict[str, str]:
                 FROM flagged GROUP BY doc_id
             )
             SELECT doc_id, text, removed_paras FROM rebuilt
+        """,
+        # asof twin: DuckDB's NATIVE ASOF LEFT JOIN against the same
+        # max-deduped purchase snapshots — an independent implementation
+        # of the same point-in-time semantics, not a replay of ours
+        "asof_last_purchase": """
+            WITH p AS (
+                SELECT user_id, ts, max(event_id) AS purchase_id
+                FROM events WHERE event_type = 'purchase'
+                GROUP BY user_id, ts
+            )
+            SELECT l.event_id, l.user_id, p.purchase_id,
+                   CASE WHEN p.purchase_id IS NULL THEN NULL
+                        ELSE epoch_us(l.ts) - epoch_us(p.ts) END AS age_us
+            FROM events l ASOF LEFT JOIN p
+              ON l.user_id = p.user_id AND l.ts >= p.ts
         """,
         # sessionize twin: lag -> new-session flag -> running sum -> rollup,
         # all integer (epoch micros), ties broken by event_id both sides
