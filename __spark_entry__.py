@@ -201,6 +201,30 @@ def _q_node_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     return node_triangles(edges)
 
 
+def _q_link_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction (graphstats.link_candidates): non-edge pairs of
+    the events-templated graph sharing >= 5 neighbors, Jaccard overlap in
+    exact integer micro-units. The DuckDB twin replays wedge counting,
+    the non-edge anti-join and the integer division.
+
+    The node count scales with the data (m = max(97, n/20)) so the graph
+    stays SPARSE at every sf — at a fixed modulus the sf0.01 graph is
+    near-complete and has zero non-edges to predict. dst mixes the DIV-m
+    quotient so it is not a pure function of src's residue class (which
+    would collapse the template to a permutation graph)."""
+    from prase_spark.graphstats import link_candidates
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = max(97, ev.count() // 20)
+    edges = ev.select(
+        (F.col("event_id") % m).alias("src"),
+        F.expr(
+            f"(101 * (event_id DIV {m}) + 7 * (event_id % {m}) + 13) % {m}"
+        ).alias("dst"),
+    )
+    return link_candidates(edges, min_common=5)
+
+
 def _q_graph_partition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule materialize surface: per-bucket lineage/metrics of the
     hash-partitioned triple store (io.bucket_metrics). The gate uses the
@@ -1417,6 +1441,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "node_triangles": _q_node_triangles,
+        "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
         "embedding_neardup": _q_embedding_neardup,
         "extract_pages": _q_extract_pages,
@@ -2308,6 +2333,50 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(count(*) AS BIGINT) AS triangles
             FROM corners GROUP BY node
+        """,
+        # link_candidates twin: same template/canonicalization as the
+        # node_triangles twin, wedge counting through shared middles,
+        # anti-join against the edge set, integer-micro Jaccard
+        "link_candidates": """
+            WITH mm AS (
+                SELECT greatest(97, count(*) // 20) AS m FROM events
+            ),
+            raw AS (
+                SELECT event_id % m AS a,
+                       (101 * (event_id // m) + 7 * (event_id % m) + 13) % m AS b
+                FROM events, mm
+            ),
+            und AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT node, count(*) AS d
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node
+            ),
+            adj AS (
+                SELECT a AS m, b AS n FROM und
+                UNION ALL SELECT b AS m, a AS n FROM und
+            ),
+            pairs AS (
+                SELECT e1.n AS x, e2.n AS y, count(*) AS common
+                FROM adj e1 JOIN adj e2 ON e1.m = e2.m AND e1.n < e2.n
+                GROUP BY e1.n, e2.n
+                HAVING count(*) >= 5
+            ),
+            non_edges AS (
+                SELECT p.* FROM pairs p
+                LEFT JOIN und u ON u.a = p.x AND u.b = p.y
+                WHERE u.a IS NULL
+            )
+            SELECT n.x AS a, n.y AS b, CAST(n.common AS BIGINT) AS common,
+                   CAST(n.common * CAST(1000000 AS BIGINT)
+                        // (dx.d + dy.d - n.common) AS BIGINT) AS jaccard_e6
+            FROM non_edges n
+            JOIN deg dx ON dx.node = n.x
+            JOIN deg dy ON dy.node = n.y
         """,
         "graph_partition_metrics": f"""
             WITH kg1_raw AS ({KG1_SQL}),

@@ -153,6 +153,24 @@ def pagerank(
     return rank
 
 
+def _simple_undirected(edges: DataFrame, src: str, dst: str):
+    """(und, deg): the canonical undirected simple edge list (a < b,
+    self-loops and parallel/reverse duplicates collapsed) and per-node
+    simple degree."""
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.filter(F.col("a") != F.col("b"))
+        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.explode(F.array("a", "b")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").alias("d"))
+    )
+    return und, deg
+
+
 def _triangles(edges: DataFrame, src: str, dst: str):
     """(tri, und): one row per distinct triangle (u = lowest corner in
     degree order, v < w by node) over the undirected simplification, and
@@ -169,17 +187,7 @@ def _triangles(edges: DataFrame, src: str, dst: str):
     node or canonical-pair keys: AQE skew handling applies, nothing
     depends on partitioning, and each triangle is emitted exactly once
     (unique lowest corner; v < w canonicalizes the rest)."""
-    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
-    und = (
-        e.filter(F.col("a") != F.col("b"))
-        .select(F.least("a", "b").alias("a"), F.greatest("a", "b").alias("b"))
-        .distinct()
-    )
-    deg = (
-        und.select(F.explode(F.array("a", "b")).alias("node"))
-        .groupBy("node")
-        .agg(F.count("*").alias("d"))
-    )
+    und, deg = _simple_undirected(edges, src, dst)
     # und already has a < b, so <= breaks degree ties by node order
     ori = (
         und.join(deg.select(F.col("node").alias("a"), F.col("d").alias("da")), "a")
@@ -222,4 +230,64 @@ def node_triangles(edges: DataFrame, src: str = "src", dst: str = "dst") -> Data
     )
     return corners.groupBy("node").agg(
         F.count("*").cast("long").alias("triangles")
+    )
+
+
+def link_candidates(
+    edges: DataFrame,
+    min_common: int = 2,
+    max_middle_deg: int = 10_000,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Link prediction by neighborhood overlap: (a, b, common,
+    jaccard_e6) for every NON-edge pair sharing >= ``min_common``
+    neighbors, with the Jaccard overlap |N(a) ∩ N(b)| / |N(a) ∪ N(b)| in
+    exact integer micro-units (common * 10^6 div (d_a + d_b - common) —
+    no double at the sink). In KG terms: entity pairs the graph topology
+    says are probably the same or related, a structural complement to
+    the literal/embedding blockers feeding PARIS seeds.
+
+    Scale shape: candidate pairs are generated only through shared
+    middles (one self-join of the adjacency list on the middle node), so
+    the cost is sum over middles of d^2 — which is exactly why
+    ``max_middle_deg`` exists: a crawl-scale hub (a "United States"
+    entity with 10^7 neighbors) would alone contribute 10^14 wedge pairs,
+    and dropping middles above the cap is the same hot-key doctrine as
+    ``max_shingle_df`` in the n-gram deduper (stop-middles carry little
+    signal per pair precisely because they are common). The per-pair
+    count aggregation and the anti-join against existing edges are plain
+    shuffles on pair keys; nothing depends on partitioning."""
+    und, deg = _simple_undirected(edges, src, dst)
+    adj = und.select(F.col("a").alias("m"), F.col("b").alias("n")).unionAll(
+        und.select(F.col("b").alias("m"), F.col("a").alias("n"))
+    )
+    ok_mid = deg.filter(F.col("d") <= max_middle_deg).select(
+        F.col("node").alias("m")
+    )
+    adj = adj.join(ok_mid, "m")
+    e1 = adj.select("m", F.col("n").alias("x"))
+    e2 = adj.select("m", F.col("n").alias("y"))
+    pairs = (
+        e1.join(e2, "m")
+        .filter(F.col("x") < F.col("y"))
+        .groupBy("x", "y")
+        .agg(F.count("*").alias("common"))
+        .filter(F.col("common") >= min_common)
+    )
+    non_edges = pairs.join(
+        und, (pairs["x"] == und["a"]) & (pairs["y"] == und["b"]), "left_anti"
+    )
+    return (
+        non_edges.join(deg.select(F.col("node").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("node").alias("y"), F.col("d").alias("dy")), "y")
+        .select(
+            F.col("x").alias("a"),
+            F.col("y").alias("b"),
+            F.col("common").cast("long").alias("common"),
+            F.expr(
+                "CAST(common * CAST(1000000 AS BIGINT)"
+                " DIV (dx + dy - common) AS BIGINT)"
+            ).alias("jaccard_e6"),
+        )
     )

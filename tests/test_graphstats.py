@@ -189,3 +189,53 @@ def test_triangles_empty_and_triangle_free(spark):
     assert triangle_count(path).first()["n_triangles"] == 0
     empty = path.filter("src < 0")
     assert triangle_count(empty).first()["n_triangles"] == 0
+
+
+# ---------------------------------------------------------- link prediction
+
+
+def test_link_candidates_path_and_star(spark):
+    from prase_spark.graphstats import link_candidates
+
+    path = spark.createDataFrame([(1, 2), (2, 3)], "src LONG, dst LONG")
+    rows = link_candidates(path, min_common=1).collect()
+    assert [(r["a"], r["b"], r["common"], r["jaccard_e6"]) for r in rows] == [
+        (1, 3, 1, 1_000_000)
+    ]
+    # hub middle above the cap generates nothing
+    star = spark.createDataFrame([(0, i) for i in range(1, 6)], "src LONG, dst LONG")
+    assert link_candidates(star, min_common=1, max_middle_deg=4).collect() == []
+    got = {
+        (r["a"], r["b"])
+        for r in link_candidates(star, min_common=1).collect()
+    }
+    assert got == {(i, j) for i in range(1, 6) for j in range(i + 1, 6)}
+
+
+def test_link_candidates_python_oracle(spark):
+    from prase_spark.graphstats import link_candidates
+
+    pairs = [((i * 7 + 3) % 30, (i * i + 5 * i) % 30) for i in range(300)]
+    und = {tuple(sorted(p)) for p in pairs if p[0] != p[1]}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, a in enumerate(nodes):
+        for b in nodes[i + 1 :]:
+            if (a, b) in und:
+                continue
+            c = len(adj[a] & adj[b])
+            if c >= 3:
+                want[(a, b)] = (
+                    c,
+                    c * 1_000_000 // (len(adj[a]) + len(adj[b]) - c),
+                )
+    e = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    got = {
+        (r["a"], r["b"]): (r["common"], r["jaccard_e6"])
+        for r in link_candidates(e, min_common=3).collect()
+    }
+    assert got == want
