@@ -17,11 +17,18 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
   -> datapipe/
 """
 
+from prase_spark.asof import asof_join
 from prase_spark.checkpoint import load_state, save_state
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import extract_text, extract_triples
-from prase_spark.graphstats import degrees, pagerank
+from prase_spark.graphstats import (
+    degrees,
+    link_candidates,
+    node_triangles,
+    pagerank,
+    triangle_count,
+)
 from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.matching import (
@@ -62,5 +69,9 @@ __all__ = [
     "save_state",
     "degrees",
     "pagerank",
+    "triangle_count",
+    "node_triangles",
+    "link_candidates",
+    "asof_join",
     "bucket_metrics",
 ]

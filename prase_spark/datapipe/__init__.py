@@ -4,6 +4,10 @@ decontamination, sampling, multimodal plumbing."""
 
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+from prase_spark.datapipe.colloc import collocations
+from prase_spark.datapipe.paradedup import dedup_paragraphs
+from prase_spark.datapipe.profile import corpus_profile
+from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
 from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, term_counts, tfidf_terms
@@ -87,4 +91,8 @@ __all__ = [
     "decode_media_features",
     "extract_media_features",
     "probe_media_metadata",
+    "collocations",
+    "dedup_paragraphs",
+    "corpus_profile",
+    "sessionize",
 ]

@@ -8,6 +8,7 @@ Usage: python tools/check_oracles.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import sys
+import time
 from collections import Counter
 
 import duckdb
@@ -43,14 +44,16 @@ def main():
 
     qs, oracles = entry_mod.queries(), entry_mod.oracle_sql()
     failures = 0
+    t_start = time.monotonic()
     for name, fn in qs.items():
         if only and name not in only:
             continue
         sql = oracles.get(name)
+        t_q = time.monotonic()
         if sql is None:
             try:
                 n = fn(spark, sf_dir).count()
-                print(f"{name:28s} ROWS-ONLY rows={n}")
+                print(f"{name:28s} ROWS-ONLY rows={n} t={time.monotonic() - t_q:.1f}s")
             except Exception as ex:
                 failures += 1
                 print(f"{name:28s} ERROR (rows-only): {str(ex).splitlines()[0][:200]}")
@@ -71,7 +74,8 @@ def main():
                 failures += 1
             print(
                 f"{name:28s} {status} spark_rows={len(s_rows)} duck_rows={len(d_rows)} "
-                f"schema={'ok' if ok_schema else (s_cols, d_cols)}"
+                f"schema={'ok' if ok_schema else (s_cols, d_cols)} "
+                f"t={time.monotonic() - t_q:.1f}s"
             )
             if not ok_vals and ok_schema:
                 extra = list((sc - dc).items())[:3]
@@ -81,7 +85,8 @@ def main():
         except Exception as ex:
             failures += 1
             print(f"{name:28s} ERROR: {str(ex).splitlines()[0][:300]}")
-    print(f"\n{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
+    print(f"\ntotal_gate_wall={time.monotonic() - t_start:.1f}s")
+    print(f"{'ALL OK' if failures == 0 else f'{failures} FAILURES'}")
     sys.exit(1 if failures else 0)
 
 
