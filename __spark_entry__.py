@@ -1079,6 +1079,108 @@ def _q_fingerprint_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return add_fingerprint(d, hash_fn=poly_hash61).select("doc_id", "fingerprint")
 
 
+def _q_pii_redact_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII detect + redact + dox-page kill rule (pii.redact_corpus): PII
+    is PLANTED arithmetically (an email on even doc_ids, an IP on
+    multiples of 3, a phone on multiples of 5 — the base corpus contains
+    no digit/@/+ characters, asserted at both sf dirs), so the DuckDB
+    twin derives counts AND the full redacted string by construction and
+    never runs a regex — the whole Java-regex chain is value-verified
+    against an independent specification. max_hits=2 exercises the kill
+    rule: doc_ids divisible by 30 carry 3 hits and must vanish."""
+    from prase_spark.datapipe.pii import redact_corpus
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 400")
+    i = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit(" mail user"), i.cast("string"), F.lit("@crawl.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit(" from 10."), (i % 200).cast("string"), F.lit(".3.7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 5 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((i % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((i % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    return redact_corpus(planted, max_hits=2).select(
+        "doc_id", "n_email", "n_ipv4", "n_phone", "text_redacted"
+    )
+
+
+def _q_host_reputation_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host-level reputation rollup + block flag (hoststats.host_stats /
+    flag_hosts): docs templated onto 20 hosts; per-host duplicate rates
+    are arithmetic (host h gets a canned duplicate body whenever
+    doc_id%7 > h, so hosts 0-6 have descending dup rates and hosts 7-19
+    none). Exact-integer averages (quality_micro discipline), so the
+    value hash never sees a double. Spark counts uniques via xxhash64,
+    the oracle via DISTINCT text — equal absent 64-bit collisions."""
+    from prase_spark.datapipe.hoststats import flag_hosts, host_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    i = F.col("doc_id")
+    pages = d.select(
+        F.concat(F.lit("h"), (i % 20).cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        F.when(i % 7 > i % 20, F.lit("duplicate page body")).otherwise(
+            F.col("text")
+        ).alias("text"),
+    )
+    return flag_hosts(
+        host_stats(pages), min_avg_quality_e6=330_000, max_dup_pct_e4=2_000
+    )
+
+
+def _q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UT1-style registrable-domain blocklist filter
+    (hoststats.filter_by_domain_blocklist): URLs synthesized over three
+    host shapes (www.siteK.co.uk — a two-level public suffix, eTLD+1 is
+    siteK.co.uk; cdn.siteK.example.com — eTLD+1 collapses to example.com,
+    so ONE blocklist row kills every cdn page; siteK.org bare). The
+    DuckDB twin derives each page's registrable domain from doc_id
+    arithmetic — the Spark-side host parse + suffix rule is verified
+    against an independent spec."""
+    from prase_spark.datapipe.hoststats import filter_by_domain_blocklist
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    i = F.col("doc_id")
+    k = (i % 10).cast("string")
+    url = (
+        F.when(
+            i % 3 == 0,
+            F.concat(F.lit("https://www.Site"), k, F.lit(".co.uk/p/"), i.cast("string")),
+        )
+        .when(
+            i % 3 == 1,
+            F.concat(
+                F.lit("https://cdn.site"), k, F.lit(".example.com/p/"), i.cast("string")
+            ),
+        )
+        .otherwise(
+            F.concat(F.lit("https://site"), k, F.lit(".org/p/"), i.cast("string"))
+        )
+    )
+    pages = d.select("doc_id", url.alias("url"))
+    blocked = spark.createDataFrame(
+        [("site2.co.uk",), ("site5.org",), ("example.com",)], ["domain"]
+    )
+    return filter_by_domain_blocklist(pages, blocked)
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -1399,33 +1501,87 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate (the driver executes in order under a wall
-    budget — the r3 record stopped after query 50/52):
-    - literal_seed first: it builds BOTH TPC-H KGs concurrently into
-      _KG_CACHE (building KG1 alone first would serialize the pair build);
-    - embedding_neardup / extract_pages (the two queries the r3 record
-      dropped) moved into the cheap middle;
-    - the four expensive fixpoint gates stay near the end, with the three
-      cheap LSH/IVF top-k queries (stable green since r2/r3, defaults
-      unchanged this round) last, so a budget cut costs the least-fresh
-      evidence rather than never-recorded rows."""
+    """Dict ORDER is deliberate. The r3 driver record stopped at exactly
+    query 50 of 52 — consistent with BOTH a wall budget and a 50-query
+    record cap, so the order is chosen to be robust under either:
+    positions 1-50 hold every gate whose evidence is FRESH this round
+    (new operators, queries whose defaults or code changed, the two
+    never-driver-recorded queries, the previously hash-red corpus_stats,
+    and the four headline fixpoints), while positions 51+ hold only
+    gates that are stable hash-green since r2/r3 with unchanged defaults
+    — a tail cut costs re-confirmation of old evidence, never a
+    first-ever record. literal_seed stays first: it builds BOTH TPC-H
+    KGs concurrently into _KG_CACHE (building KG1 alone first would
+    serialize the pair build); the fixpoints follow immediately so the
+    most expensive, highest-value gates run while the budget is fresh.
+    The full 70-gate local run (tools/check_oracles.py, this round) is
+    recorded in BENCH.md as backup evidence for anything the driver
+    cuts."""
     return {
+        # --- fresh evidence first (new / changed / never-recorded) ---
         "literal_seed": _q_literal_seed,
+        "paris_align_tpch": _q_paris_align_tpch,
+        "paris_fusion_tpch": _q_paris_fusion_tpch,
+        "feedback_align_tpch": _q_feedback_align_tpch,
+        "reset_align_tpch": _q_reset_align_tpch,
+        "paris_iter1_scores": _q_paris_iter1_scores,
+        "paris_iter1_argmax": _q_paris_iter1_argmax,
+        "corpus_stats": _q_corpus_stats,
+        "embedding_neardup": _q_embedding_neardup,
+        "extract_pages": _q_extract_pages,
+        "multimodal_decode": _q_multimodal_decode,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
+        "node_triangles": _q_node_triangles,
+        "link_candidates": _q_link_candidates,
+        "graph_partition_metrics": _q_graph_partition_metrics,
+        "sessionize_events": _q_sessionize_events,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "collocations_docs": _q_collocations_docs,
+        "corpus_profile_docs": _q_corpus_profile_docs,
+        "paradedup_docs": _q_paradedup_docs,
+        "term_df_docs": _q_term_df_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
+        "host_reputation_docs": _q_host_reputation_docs,
+        "domain_blocklist_docs": _q_domain_blocklist_docs,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_keep_best_docs": _q_dedup_keep_best_docs,
+        "eval_prf_sweep": _q_eval_prf_sweep,
+        "chunk_docs": _q_chunk_docs,
+        "pack_chunks_docs": _q_pack_chunks_docs,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "ivf_topk": _q_ivf_topk,
+        "minhash_neardup_docs": _q_minhash_neardup_docs,
+        # --- important stable gates (r2/r3 hash-green, unchanged) ---
         "kg1_functionality": _q_kg1_functionality,
         "kg1_dict_encode": _q_kg1_dict_encode,
         "kg1_inv_union": _q_kg1_inv_union,
+        "kg_info": _q_kg_info,
         "normalize_uri": _q_normalize_uri,
         "normalize_literal": _q_normalize_literal,
-        "top10_attr_functionality": _q_top10_attr_functionality,
-        "kg_info": _q_kg_info,
         "mutual_best_events": _q_mutual_best_events,
-        "eval_prf_sweep": _q_eval_prf_sweep,
-        "anti_join_customers": _q_anti_join_customers,
-        "seed_load_filter": _q_seed_load_filter,
-        "dedup_exact_docs": _q_dedup_exact_docs,
+        "ann_topk": _q_ann_topk,
+        "lsh_ann_topk": _q_lsh_ann_topk,
+        "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
+        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
+        "name_block_parts": _q_name_block_parts,
+        "name_seed_parts": _q_name_seed_parts,
+        "decontaminate_docs": _q_decontaminate_docs,
+        # --- position 51+: stable hash-green since r2/r3, defaults
+        # unchanged — least costly to lose to a budget/record cap ---
+        "simhash_pairs_docs": _q_simhash_pairs_docs,
+        "simhash_manku_docs": _q_simhash_manku_docs,
+        "boilerplate_docs": _q_boilerplate_docs,
+        "url_dedup_docs": _q_url_dedup_docs,
+        "fingerprint_docs": _q_fingerprint_docs,
         "token_count_docs": _q_token_count_docs,
+        "token_count_bpe_docs": _q_token_count_bpe_docs,
         "quality_docs": _q_quality_docs,
         "langid_docs": _q_langid_docs,
+        "repetition_docs": _q_repetition_docs,
         "tsv_scan_triples": _q_tsv_scan_triples,
         "tsv_router_http": _q_tsv_router_http,
         "pages_jsonl_scan": _q_pages_jsonl_scan,
@@ -1433,50 +1589,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "gold_links_load": _q_gold_links_load,
         "seed_resolution": _q_seed_resolution,
         "embed_blend": _q_embed_blend,
-        "token_count_bpe_docs": _q_token_count_bpe_docs,
-        "repetition_docs": _q_repetition_docs,
-        "corpus_stats": _q_corpus_stats,
-        "ann_topk": _q_ann_topk,
-        "ngram_jaccard_docs": _q_ngram_jaccard_docs,
-        "kg_degrees": _q_kg_degrees,
-        "kg_pagerank": _q_kg_pagerank,
-        "node_triangles": _q_node_triangles,
-        "link_candidates": _q_link_candidates,
-        "graph_partition_metrics": _q_graph_partition_metrics,
-        "embedding_neardup": _q_embedding_neardup,
-        "extract_pages": _q_extract_pages,
-        "multimodal_decode": _q_multimodal_decode,
-        "paris_iter1_scores": _q_paris_iter1_scores,
-        "paris_iter1_argmax": _q_paris_iter1_argmax,
-        "minhash_neardup_docs": _q_minhash_neardup_docs,
-        "dedup_keep_best_docs": _q_dedup_keep_best_docs,
-        "chunk_docs": _q_chunk_docs,
-        "pack_chunks_docs": _q_pack_chunks_docs,
-        "decontaminate_docs": _q_decontaminate_docs,
-        "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
-        "term_df_docs": _q_term_df_docs,
-        "inverted_index_docs": _q_inverted_index_docs,
-        "incremental_dedup_docs": _q_incremental_dedup_docs,
-        "collocations_docs": _q_collocations_docs,
-        "corpus_profile_docs": _q_corpus_profile_docs,
-        "stratified_sample_events": _q_stratified_sample_events,
-        "sessionize_events": _q_sessionize_events,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "boilerplate_docs": _q_boilerplate_docs,
-        "paradedup_docs": _q_paradedup_docs,
-        "url_dedup_docs": _q_url_dedup_docs,
-        "simhash_pairs_docs": _q_simhash_pairs_docs,
-        "simhash_manku_docs": _q_simhash_manku_docs,
-        "name_block_parts": _q_name_block_parts,
-        "name_seed_parts": _q_name_seed_parts,
-        "fingerprint_docs": _q_fingerprint_docs,
-        "paris_align_tpch": _q_paris_align_tpch,
-        "paris_fusion_tpch": _q_paris_fusion_tpch,
-        "feedback_align_tpch": _q_feedback_align_tpch,
-        "reset_align_tpch": _q_reset_align_tpch,
-        "lsh_ann_topk": _q_lsh_ann_topk,
-        "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
-        "ivf_topk": _q_ivf_topk,
+        "seed_load_filter": _q_seed_load_filter,
+        "anti_join_customers": _q_anti_join_customers,
+        "top10_attr_functionality": _q_top10_attr_functionality,
     }
 
 
@@ -2882,6 +2997,89 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    {POLY_SQL.format(c="coalesce(list_aggregate(t, 'string_agg', ' '), '')")} AS fingerprint
             FROM tk
+        """,
+        "pii_redact_docs": """
+            -- expected counts AND redacted text derived BY CONSTRUCTION
+            -- from the planting arithmetic (base corpus has no digit/@/+
+            -- chars) — no regex runs in the oracle
+            WITH planted AS (
+                SELECT doc_id,
+                       CAST(doc_id % 2 = 0 AS INT) AS n_email,
+                       CAST(doc_id % 3 = 0 AS INT) AS n_ipv4,
+                       CAST(doc_id % 5 = 0 AS INT) AS n_phone,
+                       text
+                       || CASE WHEN doc_id % 2 = 0 THEN ' mail <EMAIL>' ELSE '' END
+                       || CASE WHEN doc_id % 3 = 0 THEN ' from <IP>' ELSE '' END
+                       || CASE WHEN doc_id % 5 = 0 THEN ' call <PHONE>' ELSE '' END
+                           AS text_redacted
+                FROM documents WHERE doc_id < 400
+            )
+            SELECT doc_id, n_email, n_ipv4, n_phone, text_redacted
+            FROM planted
+            WHERE n_email + n_ipv4 + n_phone <= 2
+        """,
+        "host_reputation_docs": f"""
+            WITH pages AS (
+                SELECT 'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+                       CASE WHEN doc_id % 7 > doc_id % 20
+                            THEN 'duplicate page body' ELSE text END AS text
+                FROM documents WHERE doc_id < 500
+            ),
+            base AS (
+                SELECT host, text, greatest(length(text), 1) AS ncp,
+                       length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS alpha,
+                       {toks} AS toks
+                FROM pages
+            ),
+            per_doc AS (
+                SELECT host, text, len(toks) AS n_tokens,
+                       (2 * (1000000 * (least(len(toks), 50) * 3 * ncp
+                                        + alpha * 150
+                                        + least(len(list_distinct(list_intersect(toks, {en}))), 3) * 50 * ncp))
+                          + 450 * ncp) // (2 * 450 * ncp) AS q_micro
+                FROM base
+            ),
+            agg AS (
+                SELECT host, count(*) AS n_docs,
+                       CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+                       sum(q_micro) AS q_sum,
+                       count(DISTINCT text) AS n_unique
+                FROM per_doc GROUP BY host
+            ),
+            stats AS (
+                SELECT host, n_docs, total_tokens,
+                       CAST((2 * q_sum + n_docs) // (2 * n_docs) AS BIGINT)
+                           AS avg_quality_e6,
+                       n_unique,
+                       CAST((2 * (n_docs - n_unique) * 10000 + n_docs)
+                            // (2 * n_docs) AS BIGINT) AS dup_pct_e4
+                FROM agg
+            )
+            SELECT host, n_docs, total_tokens, avg_quality_e6, n_unique,
+                   dup_pct_e4,
+                   (avg_quality_e6 < 330000) OR (dup_pct_e4 > 2000) AS blocked
+            FROM stats
+        """,
+        "domain_blocklist_docs": """
+            -- each page's registrable domain derived from doc_id
+            -- arithmetic (independent of the Spark host parse + naive
+            -- eTLD+1 rule under test)
+            SELECT doc_id,
+                   CASE WHEN doc_id % 3 = 0
+                        THEN 'https://www.Site' || CAST(doc_id % 10 AS VARCHAR)
+                             || '.co.uk/p/' || CAST(doc_id AS VARCHAR)
+                        WHEN doc_id % 3 = 1
+                        THEN 'https://cdn.site' || CAST(doc_id % 10 AS VARCHAR)
+                             || '.example.com/p/' || CAST(doc_id AS VARCHAR)
+                        ELSE 'https://site' || CAST(doc_id % 10 AS VARCHAR)
+                             || '.org/p/' || CAST(doc_id AS VARCHAR) END AS url
+            FROM documents
+            WHERE doc_id < 500
+              AND CASE WHEN doc_id % 3 = 0
+                       THEN 'site' || CAST(doc_id % 10 AS VARCHAR) || '.co.uk'
+                       WHEN doc_id % 3 = 1 THEN 'example.com'
+                       ELSE 'site' || CAST(doc_id % 10 AS VARCHAR) || '.org' END
+                  NOT IN ('site2.co.uk', 'site5.org', 'example.com')
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
         "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),

@@ -9,6 +9,14 @@ from prase_spark.datapipe.paradedup import dedup_paragraphs
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
+from prase_spark.datapipe.hoststats import (
+    filter_by_domain_blocklist,
+    filter_by_hosts,
+    flag_hosts,
+    host_stats,
+    registrable_domain,
+)
+from prase_spark.datapipe.pii import add_pii_counts, redact_corpus, redact_pii
 from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (
