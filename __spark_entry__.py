@@ -1181,6 +1181,18 @@ def _q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_by_domain_blocklist(pages, blocked)
 
 
+def _q_rare_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rare-n-gram novelty ratio (textindex.rare_term_ratio): share of
+    each doc's distinct bigrams seen in <=2 documents corpus-wide — the
+    gibberish/template drop rule. The synthetic word-soup corpus gives a
+    full spread of bigram df values, so n_rare varies per doc and the
+    exact-integer rare_pct_e4 is value-hashed end to end."""
+    from prase_spark.datapipe.textindex import rare_term_ratio
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return rare_term_ratio(d, n=2, max_df=2)
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -1547,6 +1559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_redact_docs": _q_pii_redact_docs,
         "host_reputation_docs": _q_host_reputation_docs,
         "domain_blocklist_docs": _q_domain_blocklist_docs,
+        "rare_ngram_docs": _q_rare_ngram_docs,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "eval_prf_sweep": _q_eval_prf_sweep,
@@ -3447,5 +3460,35 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(p.key AS VARCHAR), ',' ORDER BY p.key) AS postings
         FROM pairs p JOIN keep k USING (term)
         GROUP BY p.term, k.df
+    """
+    out["rare_ngram_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        grams AS (
+            SELECT key,
+                   CASE WHEN len(t) >= 2
+                        THEN list_distinct(list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1]))
+                        ELSE [] END AS gs
+            FROM tk
+        ),
+        per_doc AS (SELECT key, CAST(len(gs) AS BIGINT) AS n_distinct FROM grams),
+        pairs AS (SELECT key, unnest(gs) AS gram FROM grams),
+        rare AS (
+            SELECT gram FROM (
+                SELECT gram, count(*) AS df FROM pairs GROUP BY gram
+            ) WHERE df <= 2
+        ),
+        nr AS (
+            SELECT key, count(*) AS n_rare
+            FROM pairs JOIN rare USING (gram) GROUP BY key
+        )
+        SELECT p.key, p.n_distinct,
+               CAST(coalesce(nr.n_rare, 0) AS BIGINT) AS n_rare,
+               CAST(CASE WHEN p.n_distinct > 0
+                    THEN (2 * coalesce(nr.n_rare, 0) * 10000 + p.n_distinct)
+                         // (2 * p.n_distinct)
+                    ELSE 0 END AS BIGINT) AS rare_pct_e4
+        FROM per_doc p LEFT JOIN nr USING (key)
     """
     return out

@@ -118,3 +118,79 @@ def tfidf_terms(
         .filter(F.col("__rn") <= k)
         .drop("__rn")
     )
+
+
+def rare_term_ratio(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    n: int = 2,
+    max_df: int = 2,
+) -> DataFrame:
+    """(key, n_distinct, n_rare, rare_pct_e4): novelty / gibberish score —
+    the share of a document's DISTINCT word ``n``-grams seen in at most
+    ``max_df`` documents corpus-wide. Machine-generated or mangled text
+    is dominated by n-grams nobody else writes; template text by n-grams
+    everybody writes — both tails are curation drop rules.
+
+    ``rare_pct_e4`` is exact-integer half-up (ratio x 1e4), 0 for docs
+    with no n-gram (shorter than ``n`` tokens), per the repo's
+    cross-engine discipline.
+
+    Scale shape: the per-doc DISTINCT runs below the explode (an n-gram
+    repeated in one doc ships once); df is one groupBy(gram) with
+    map-side partials; the rare keep-set then semi-joins the same pair
+    stream — head grams ('of the') survive that shuffle but carry no
+    aggregation state, so AQE skew-split can cut them, the same
+    discipline as inverted_index's max_df band. The pair stream is
+    referenced twice and left LAZY — at production scale persist it (or
+    cut it with a stop-gram df band first) rather than recompute the
+    tokenizer."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    base = docs.select(F.col(key_col).alias("key"), tokens(text_col).alias("__t"))
+    if n == 1:
+        grams = F.col("__t")
+    else:
+        # guard: sequence(1, 0) would DESCEND in Spark, so empty out
+        # short docs explicitly
+        grams = F.when(
+            F.size("__t") >= n,
+            F.expr(
+                f"transform(sequence(1, size(__t) - {n - 1}),"
+                f" i -> array_join(slice(__t, i, {n}), ' '))"
+            ),
+        ).otherwise(F.array().cast("array<string>"))
+    per_doc = base.select(
+        "key", F.array_distinct(grams).alias("__gs")
+    ).select("key", "__gs", F.size("__gs").cast("long").alias("n_distinct"))
+    pairs = per_doc.select("key", F.explode("__gs").alias("gram"))
+    rare = (
+        pairs.groupBy("gram")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= max_df)
+        .select("gram")
+    )
+    n_rare = (
+        pairs.join(rare, "gram", "left_semi")
+        .groupBy("key")
+        .agg(F.count("*").alias("n_rare"))
+    )
+    return (
+        per_doc.select("key", "n_distinct")
+        .join(n_rare, "key", "left")
+        .select(
+            "key",
+            "n_distinct",
+            F.coalesce(F.col("n_rare"), F.lit(0)).cast("long").alias("n_rare"),
+        )
+        .withColumn(
+            "rare_pct_e4",
+            F.when(
+                F.col("n_distinct") > 0,
+                F.expr("(2 * n_rare * 10000 + n_distinct) div (2 * n_distinct)"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+    )

@@ -108,3 +108,44 @@ def test_corpus_profile_single_aggregation_plan(spark):
     plan = corpus_profile(docs, approx=True)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Generate") == 1  # one explode
     assert "Join" not in plan
+
+
+def test_rare_term_ratio_matches_python(corpus):
+    from collections import Counter
+
+    from prase_spark.datapipe.textindex import rare_term_ratio
+
+    texts = {1: "the cat sat on the mat", 2: "the dog sat", 3: "cat cat cat",
+             4: "entirely different words here"}
+    grams = {
+        k: sorted({" ".join(p) for p in zip(t.split(), t.split()[1:])})
+        for k, t in texts.items()
+    }
+    df = Counter(g for gs in grams.values() for g in gs)
+    for max_df in (1, 2):
+        got = {
+            r.key: (r.n_distinct, r.n_rare, r.rare_pct_e4)
+            for r in rare_term_ratio(corpus, n=2, max_df=max_df).collect()
+        }
+        for k, gs in grams.items():
+            nd = len(gs)
+            nr = sum(1 for g in gs if df[g] <= max_df)
+            exp_pct = (2 * nr * 10000 + nd) // (2 * nd) if nd else 0
+            assert got[k] == (nd, nr, exp_pct), (k, max_df)
+
+
+def test_rare_term_ratio_short_and_unigram(spark):
+    from prase_spark.datapipe.textindex import rare_term_ratio
+
+    d = spark.createDataFrame(
+        [(1, "one"), (2, ""), (3, "one two")], "doc_id LONG, text STRING"
+    )
+    got = {r.key: (r.n_distinct, r.n_rare, r.rare_pct_e4)
+           for r in rare_term_ratio(d, n=2, max_df=5).collect()}
+    # docs shorter than n have no n-grams and a 0 ratio, not a crash
+    assert got[1] == (0, 0, 0) and got[2] == (0, 0, 0)
+    assert got[3] == (1, 1, 10000)
+    uni = {r.key: (r.n_distinct, r.n_rare)
+           for r in rare_term_ratio(d, n=1, max_df=1).collect()}
+    # unigrams: 'one' appears in 2 docs (df=2 > 1), 'two' in 1
+    assert uni[1] == (1, 0) and uni[3] == (2, 1)
