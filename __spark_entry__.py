@@ -1181,6 +1181,34 @@ def _q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_by_domain_blocklist(pages, blocked)
 
 
+def _q_gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style within-doc repetition signals
+    (textstats.intra_doc_repetition): duplicate-line share, modal-bigram
+    dominance, duplicate-trigram share — all exact-integer e4 ratios.
+    Line structure is planted (even docs get a twice-repeated cookie
+    banner -> nonzero dup_line share; odd docs a unique footer -> 0);
+    the word-soup corpus gives a full spread of bigram/trigram
+    repetition. The DuckDB twin recomputes all three signals from its
+    own list ops (per-doc unnest + GROUP BY for the modal count) rather
+    than replaying Spark's sorted-run fold."""
+    from prase_spark.datapipe.textstats import intra_doc_repetition
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 2 == 0, F.lit("\ncookie banner\ncookie banner")
+            ).otherwise(
+                F.concat(F.lit("\nunique footer "), i.cast("string"))
+            ),
+        ).alias("text"),
+    )
+    return intra_doc_repetition(pages)
+
+
 def _q_rare_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Rare-n-gram novelty ratio (textindex.rare_term_ratio): share of
     each doc's distinct bigrams seen in <=2 documents corpus-wide — the
@@ -1560,6 +1588,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation_docs": _q_host_reputation_docs,
         "domain_blocklist_docs": _q_domain_blocklist_docs,
         "rare_ngram_docs": _q_rare_ngram_docs,
+        "gopher_repetition_docs": _q_gopher_repetition_docs,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "eval_prf_sweep": _q_eval_prf_sweep,
@@ -3460,6 +3489,56 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(p.key AS VARCHAR), ',' ORDER BY p.key) AS postings
         FROM pairs p JOIN keep k USING (term)
         GROUP BY p.term, k.df
+    """
+    out["gopher_repetition_docs"] = f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   text || CASE WHEN doc_id % 2 = 0
+                                THEN chr(10) || 'cookie banner'
+                                     || chr(10) || 'cookie banner'
+                                ELSE chr(10) || 'unique footer '
+                                     || CAST(doc_id AS VARCHAR) END AS text
+            FROM documents
+        ),
+        tk AS (
+            SELECT doc_id, {toks} AS t,
+                   list_filter(string_split(text, chr(10)),
+                               x -> length(x) > 0) AS lines
+            FROM pages
+        ),
+        gr AS (
+            SELECT doc_id, lines,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(generate_series(1, len(t) - 1),
+                                            i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END AS bg,
+                   CASE WHEN len(t) >= 3
+                        THEN list_transform(generate_series(1, len(t) - 2),
+                             i -> t[i] || ' ' || t[i + 1] || ' ' || t[i + 2])
+                        ELSE [] END AS tg
+            FROM tk
+        ),
+        modal AS (
+            SELECT doc_id, max(cnt) AS maxrun FROM (
+                SELECT doc_id, bigram, count(*) AS cnt
+                FROM (SELECT doc_id, unnest(bg) AS bigram FROM gr)
+                GROUP BY doc_id, bigram
+            ) GROUP BY doc_id
+        )
+        SELECT g.doc_id AS key,
+               CAST(CASE WHEN len(lines) > 0
+                    THEN (2 * (len(lines) - len(list_distinct(lines))) * 10000
+                          + len(lines)) // (2 * len(lines))
+                    ELSE 0 END AS BIGINT) AS dup_line_pct_e4,
+               CAST(CASE WHEN len(bg) > 0
+                    THEN (2 * coalesce(m.maxrun, 0) * 10000 + len(bg))
+                         // (2 * len(bg))
+                    ELSE 0 END AS BIGINT) AS top_bigram_share_e4,
+               CAST(CASE WHEN len(tg) > 0
+                    THEN (2 * (len(tg) - len(list_distinct(tg))) * 10000
+                          + len(tg)) // (2 * len(tg))
+                    ELSE 0 END AS BIGINT) AS dup_trigram_share_e4
+        FROM gr g LEFT JOIN modal m USING (doc_id)
     """
     out["rare_ngram_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),

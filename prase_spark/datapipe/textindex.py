@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from prase_spark.datapipe.textstats import tokens
+from prase_spark.datapipe.textstats import tokens, word_ngrams
 
 
 def term_counts(
@@ -149,18 +149,7 @@ def rare_term_ratio(
     if n < 1:
         raise ValueError(f"n must be >= 1, got {n}")
     base = docs.select(F.col(key_col).alias("key"), tokens(text_col).alias("__t"))
-    if n == 1:
-        grams = F.col("__t")
-    else:
-        # guard: sequence(1, 0) would DESCEND in Spark, so empty out
-        # short docs explicitly
-        grams = F.when(
-            F.size("__t") >= n,
-            F.expr(
-                f"transform(sequence(1, size(__t) - {n - 1}),"
-                f" i -> array_join(slice(__t, i, {n}), ' '))"
-            ),
-        ).otherwise(F.array().cast("array<string>"))
+    grams = word_ngrams(F.col("__t"), n)
     per_doc = base.select(
         "key", F.array_distinct(grams).alias("__gs")
     ).select("key", "__gs", F.size("__gs").cast("long").alias("n_distinct"))

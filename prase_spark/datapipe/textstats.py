@@ -28,6 +28,23 @@ def tokens(col: Column | str) -> Column:
     return F.filter(F.split(cleaned, r"\s+"), lambda t: F.length(t) > 0)
 
 
+def word_ngrams(toks: Column, n: int) -> Column:
+    """Word ``n``-grams (space-joined) from a token-array column; empty
+    array for docs shorter than ``n`` (guarded explicitly — Spark's
+    ``sequence(1, 0)`` would DESCEND, not empty out)."""
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if n == 1:
+        return toks
+    return F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+            lambda i: F.array_join(F.slice(toks, i, n), " "),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def token_count(col: Column | str) -> Column:
     """Count of whitespace/punct-delimited alnum tokens.
 
@@ -207,3 +224,76 @@ def fingerprint64(col: Column | str, hash_fn=None) -> Column:
 
 def add_fingerprint(df: DataFrame, text_col: str = "text", hash_fn=None) -> DataFrame:
     return df.withColumn("fingerprint", fingerprint64(text_col, hash_fn))
+
+
+def intra_doc_repetition(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals (Rae et al. 2021,
+    §A1.1 repetition filters), as exact-integer e4 ratios:
+
+    - ``dup_line_pct_e4``: share of newline-delimited lines that are
+      duplicates of an earlier line (1 - distinct/total).
+    - ``top_bigram_share_e4``: share of the doc's bigram slots taken by
+      its single most frequent bigram (modal-bigram dominance).
+    - ``dup_trigram_share_e4``: share of trigram slots whose trigram
+      occurs more than once (1 - distinct/total).
+
+    All three are the standard spam/boilerplate kill signals; thresholds
+    live with the caller (Gopher drops at dup_line>0.30, top-2gram>0.20,
+    dup-3gram-ish>0.18 — token-slot shares here rather than character
+    coverage, which needs span-union arithmetic for no extra signal).
+
+    Scale shape: ONE narrow map stage — every signal is computed inside
+    the row with array HOFs (the modal-bigram count is a single
+    fold over the SORTED bigram array tracking the longest equal run),
+    no explode, no shuffle, no UDF. Ratios are half-up scaled BIGINTs
+    (cross-engine hash discipline), 0 where the denominator is 0.
+    """
+    c = F.col(text_col)
+    toks = tokens(c)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+    # longest equal-run in the sorted bigram array == modal bigram count
+    maxrun = F.expr(
+        "aggregate(array_sort(__bg),"
+        " named_struct('prev', '', 'run', 0L, 'best', 0L),"
+        " (a, x) -> named_struct('prev', x,"
+        "   'run', CASE WHEN x = a.prev THEN a.run + 1 ELSE 1L END,"
+        "   'best', greatest(a.best,"
+        "     CASE WHEN x = a.prev THEN a.run + 1 ELSE 1L END)),"
+        " a -> a.best)"
+    )
+
+    out = df.select(
+        F.col(key_col).alias("key"),
+        F.size(lines).cast("long").alias("__nl"),
+        F.size(F.array_distinct(lines)).cast("long").alias("__ndl"),
+        word_ngrams(toks, 2).alias("__bg"),
+        word_ngrams(toks, 3).alias("__tg"),
+    ).select(
+        "key",
+        "__nl",
+        "__ndl",
+        maxrun.alias("__maxrun"),
+        F.size("__bg").cast("long").alias("__nb"),
+        F.size(F.array_distinct("__tg")).cast("long").alias("__ndt"),
+        F.size("__tg").cast("long").alias("__nt"),
+    )
+    return out.select(
+        "key",
+        F.expr(
+            "CASE WHEN __nl > 0 THEN"
+            " (2 * (__nl - __ndl) * 10000 + __nl) div (2 * __nl)"
+            " ELSE 0L END"
+        ).alias("dup_line_pct_e4"),
+        F.expr(
+            "CASE WHEN __nb > 0 THEN"
+            " (2 * __maxrun * 10000 + __nb) div (2 * __nb)"
+            " ELSE 0L END"
+        ).alias("top_bigram_share_e4"),
+        F.expr(
+            "CASE WHEN __nt > 0 THEN"
+            " (2 * (__nt - __ndt) * 10000 + __nt) div (2 * __nt)"
+            " ELSE 0L END"
+        ).alias("dup_trigram_share_e4"),
+    )

@@ -1379,3 +1379,52 @@ def test_ivf_index_save_load_roundtrip_equals_inline(spark, tmp_path):
         for r in search_ivf_index(c1, loaded, queries, k=5).collect()
     }
     assert via_store == inline
+
+
+def test_intra_doc_repetition_python_oracle(spark):
+    from collections import Counter
+
+    from prase_spark.datapipe.textstats import intra_doc_repetition
+
+    texts = {
+        1: "a b a b a b c\nfooter\nfooter\nbody line",
+        2: "x x x x x",
+        3: "all distinct words here now",
+        4: "",
+        5: "one",
+        6: "Tab\tand punct, stay; lines\n\nempty kept out",
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    got = {r.key: (r.dup_line_pct_e4, r.top_bigram_share_e4,
+                   r.dup_trigram_share_e4)
+           for r in intra_doc_repetition(d).collect()}
+
+    def toks(t):
+        import re
+        return [w for w in re.sub(r"[^a-z0-9\s]", " ", t.lower()).split() if w]
+
+    def pct(num, den):
+        return (2 * num * 10000 + den) // (2 * den) if den else 0
+
+    for k, t in texts.items():
+        lines = [x for x in t.split("\n") if x]
+        ws = toks(t)
+        bg = [" ".join(p) for p in zip(ws, ws[1:])]
+        tg = [" ".join(p) for p in zip(ws, ws[1:], ws[2:])]
+        maxrun = max(Counter(bg).values()) if bg else 0
+        exp = (
+            pct(len(lines) - len(set(lines)), len(lines)),
+            pct(maxrun, len(bg)),
+            pct(len(tg) - len(set(tg)), len(tg)),
+        )
+        assert got[k] == exp, (k, got[k], exp)
+
+
+def test_intra_doc_repetition_single_map_stage(spark):
+    from prase_spark.datapipe.textstats import intra_doc_repetition
+
+    d = spark.createDataFrame([(1, "a b c")], "doc_id LONG, text STRING")
+    plan = (
+        intra_doc_repetition(d)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row compute, no shuffle
