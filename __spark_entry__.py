@@ -1181,6 +1181,81 @@ def _q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_by_domain_blocklist(pages, blocked)
 
 
+def _q_curation_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END curation chain — the composition gate: PII kill+redact
+    -> host blocklist -> exact dedup -> quality floor, four operators
+    from three modules chained on real column contracts. Planting: every
+    10th doc is one of 3 shared 'duplicate page body k' texts (cross-host
+    dup groups); all other docs carry arithmetic PII (email on even, IP
+    on %3, phone on %7 — all three, i.e. a dox-page kill, on %42 docs
+    that survive the dup rule); hosts h0/h1 are blocklisted. The DuckDB
+    twin replays the whole chain as stacked CTEs with the redacted text
+    built BY CONSTRUCTION, the dedup as min-key QUALIFY, and the quality
+    floor in micro-integer arithmetic — every intermediate contract
+    (which rows die at which stage, who represents each dup group) is
+    value-verified, not just each operator alone."""
+    from prase_spark.datapipe.dedup import exact_dedup
+    from prase_spark.datapipe.hoststats import filter_by_hosts
+    from prase_spark.datapipe.pii import PII_PATTERNS, redact_corpus
+    from prase_spark.datapipe.textstats import quality_micro_parts, token_count
+
+    assert set(PII_PATTERNS) == {"email", "ipv4", "phone"}
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    i = F.col("doc_id")
+    planted = F.when(
+        i % 10 == 0,
+        F.concat(F.lit("duplicate page body "), (i % 3).cast("string")),
+    ).otherwise(
+        F.concat(
+            F.col("text"),
+            F.when(
+                i % 2 == 0,
+                F.concat(F.lit(" mail user"), i.cast("string"), F.lit("@crawl.example.com")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 3 == 0,
+                F.concat(F.lit(" from 10."), (i % 200).cast("string"), F.lit(".3.7")),
+            ).otherwise(F.lit("")),
+            F.when(
+                i % 7 == 0,
+                F.concat(
+                    F.lit(" call +1-555-"),
+                    F.lpad((i % 1000).cast("string"), 3, "0"),
+                    F.lit("-"),
+                    F.lpad((i % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        )
+    )
+    pages = d.select(
+        "doc_id",
+        F.concat(F.lit("h"), (i % 20).cast("string"), F.lit(".example.org")).alias(
+            "host"
+        ),
+        planted.alias("text"),
+    )
+    s1 = redact_corpus(pages, max_hits=2)  # dox-page kill
+    blocked = spark.createDataFrame(
+        [("h0.example.org",), ("h1.example.org",)], ["host"]
+    )
+    s2 = filter_by_hosts(s1, blocked)
+    s3 = exact_dedup(
+        s2.select("doc_id", F.col("text_redacted").alias("text"))
+    ).join(s2.select("doc_id", "host"), "doc_id")
+    n_num, d_den = quality_micro_parts(F.col("text"))
+    s4 = s3.select(
+        "doc_id",
+        "host",
+        "dup_count",
+        token_count(F.col("text")).alias("n_tokens"),
+        n_num.alias("__qn"),
+        d_den.alias("__qd"),
+    ).withColumn("q_micro", F.expr("(2 * __qn + __qd) div (2 * __qd)"))
+    return s4.filter(F.col("q_micro") >= 340_000).select(
+        "doc_id", "host", "dup_count", "n_tokens", "q_micro"
+    )
+
+
 def _q_gopher_repetition_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style within-doc repetition signals
     (textstats.intra_doc_repetition): duplicate-line share, modal-bigram
@@ -1589,6 +1664,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_docs": _q_domain_blocklist_docs,
         "rare_ngram_docs": _q_rare_ngram_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
+        "curation_chain_docs": _q_curation_chain_docs,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "eval_prf_sweep": _q_eval_prf_sweep,
@@ -3489,6 +3565,52 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(p.key AS VARCHAR), ',' ORDER BY p.key) AS postings
         FROM pairs p JOIN keep k USING (term)
         GROUP BY p.term, k.df
+    """
+    toks_red = _TOKS_SQL.format(c="red")
+    out["curation_chain_docs"] = f"""
+        -- the full chain replayed as stacked CTEs; redacted text built
+        -- BY CONSTRUCTION (no regex), dedup as min-key QUALIFY window,
+        -- quality floor in micro-integer arithmetic
+        WITH planted AS (
+            SELECT doc_id,
+                   'h' || CAST(doc_id % 20 AS VARCHAR) || '.example.org' AS host,
+                   CASE WHEN doc_id % 10 = 0
+                        THEN 'duplicate page body ' || CAST(doc_id % 3 AS VARCHAR)
+                        ELSE text
+                          || CASE WHEN doc_id % 2 = 0 THEN ' mail <EMAIL>' ELSE '' END
+                          || CASE WHEN doc_id % 3 = 0 THEN ' from <IP>' ELSE '' END
+                          || CASE WHEN doc_id % 7 = 0 THEN ' call <PHONE>' ELSE '' END
+                   END AS red,
+                   CASE WHEN doc_id % 10 = 0 THEN 0
+                        ELSE CAST(doc_id % 2 = 0 AS INT)
+                             + CAST(doc_id % 3 = 0 AS INT)
+                             + CAST(doc_id % 7 = 0 AS INT) END AS n_pii
+            FROM documents WHERE doc_id < 500
+        ),
+        s1 AS (SELECT * FROM planted WHERE n_pii <= 2),
+        s2 AS (SELECT * FROM s1
+               WHERE host NOT IN ('h0.example.org', 'h1.example.org')),
+        s3 AS (
+            SELECT doc_id, host, red,
+                   count(*) OVER (PARTITION BY red) AS dup_count,
+                   row_number() OVER (PARTITION BY red ORDER BY doc_id) AS rn
+            FROM s2
+        ),
+        reps AS (SELECT doc_id, host, red, dup_count FROM s3 WHERE rn = 1),
+        q AS (
+            SELECT doc_id, host, CAST(dup_count AS BIGINT) AS dup_count,
+                   len({toks_red}) AS n_tokens,
+                   (2 * (1000000 * (least(len({toks_red}), 50) * 3
+                                      * greatest(length(red), 1)
+                        + length(regexp_replace(lower(red), '[^a-z]', '', 'g')) * 150
+                        + least(len(list_distinct(list_intersect({toks_red}, {en}))), 3)
+                          * 50 * greatest(length(red), 1)))
+                      + 450 * greatest(length(red), 1))
+                   // (2 * 450 * greatest(length(red), 1)) AS q_micro
+            FROM reps
+        )
+        SELECT doc_id, host, dup_count, n_tokens, CAST(q_micro AS BIGINT) AS q_micro
+        FROM q WHERE q_micro >= 340000
     """
     out["gopher_repetition_docs"] = f"""
         WITH pages AS (
