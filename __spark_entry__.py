@@ -1181,6 +1181,36 @@ def _q_domain_blocklist_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return filter_by_domain_blocklist(pages, blocked)
 
 
+def _q_language_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style line-level language composition
+    (textstats.language_mix): marker-pure de/fr/es lines are planted on
+    doc_id moduli so every doc is a different language mixture; the twin
+    recomputes per-LINE langid with the shared tie rule (hits DESC, lang
+    DESC — the langid_docs rule) and the majority with the fold's tie
+    rule (count DESC, lang ASC), value-verifying both tie orders and the
+    exact-integer majority share."""
+    from prase_spark.datapipe.textstats import language_mix
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    pages = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(i % 2 == 0, F.lit("\nder hund ist nicht das ein")).otherwise(
+                F.lit("")
+            ),
+            F.when(i % 3 == 0, F.lit("\nle chat est dans les des")).otherwise(
+                F.lit("")
+            ),
+            F.when(i % 5 == 0, F.lit("\nel perro es de los que")).otherwise(
+                F.lit("")
+            ),
+        ).alias("text"),
+    )
+    return language_mix(pages)
+
+
 def _q_curation_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """END-TO-END curation chain — the composition gate: PII kill+redact
     -> host blocklist -> exact dedup -> quality floor, four operators
@@ -1665,6 +1695,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_ngram_docs": _q_rare_ngram_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
+        "language_mix_docs": _q_language_mix_docs,
         "dedup_exact_docs": _q_dedup_exact_docs,
         "dedup_keep_best_docs": _q_dedup_keep_best_docs,
         "eval_prf_sweep": _q_eval_prf_sweep,
@@ -3565,6 +3596,75 @@ def oracle_sql() -> dict[str, str]:
                string_agg(CAST(p.key AS VARCHAR), ',' ORDER BY p.key) AS postings
         FROM pairs p JOIN keep k USING (term)
         GROUP BY p.term, k.df
+    """
+    toks_line = _TOKS_SQL.format(c="line")
+    out["language_mix_docs"] = f"""
+        WITH pages AS (
+            SELECT doc_id,
+                   text
+                   || CASE WHEN doc_id % 2 = 0
+                           THEN chr(10) || 'der hund ist nicht das ein'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0
+                           THEN chr(10) || 'le chat est dans les des'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 5 = 0
+                           THEN chr(10) || 'el perro es de los que'
+                           ELSE '' END AS text
+            FROM documents
+        ),
+        lns AS (
+            SELECT doc_id,
+                   unnest(list_filter(string_split(text, chr(10)),
+                                      x -> length(x) > 0)) AS line
+            FROM pages
+        ),
+        hits AS (
+            SELECT doc_id,
+                   len(list_distinct(list_intersect({toks_line}, {en}))) AS h_en,
+                   len(list_distinct(list_intersect({toks_line}, {de}))) AS h_de,
+                   len(list_distinct(list_intersect({toks_line}, {fr}))) AS h_fr,
+                   len(list_distinct(list_intersect({toks_line}, {es}))) AS h_es
+            FROM lns
+        ),
+        lang_line AS (
+            -- per-line tie rule: hits DESC, lang DESC (shared with
+            -- langid_docs) -> check fr, es, en, de in that order
+            SELECT doc_id,
+                   CASE WHEN greatest(h_en, h_de, h_fr, h_es) = 0 THEN 'und'
+                        WHEN h_fr = greatest(h_en, h_de, h_fr, h_es) THEN 'fr'
+                        WHEN h_es = greatest(h_en, h_de, h_fr, h_es) THEN 'es'
+                        WHEN h_en = greatest(h_en, h_de, h_fr, h_es) THEN 'en'
+                        ELSE 'de' END AS lang
+            FROM hits
+        ),
+        cnts AS (
+            SELECT doc_id, lang, count(*) AS cnt
+            FROM lang_line GROUP BY doc_id, lang
+        ),
+        tot AS (
+            SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_lines,
+                   CAST(count(*) AS BIGINT) AS n_langs
+            FROM cnts GROUP BY doc_id
+        ),
+        major AS (
+            -- majority tie rule: count DESC, lang ASC (sorted-run fold)
+            SELECT doc_id, lang AS major_lang, cnt FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY cnt DESC, lang ASC
+                ) AS rn FROM cnts
+            ) WHERE rn = 1
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(t.n_lines, 0) AS BIGINT) AS n_lines,
+               CAST(coalesce(t.n_langs, 0) AS BIGINT) AS n_langs,
+               coalesce(m.major_lang, 'und') AS major_lang,
+               CAST(CASE WHEN coalesce(t.n_lines, 0) > 0
+                    THEN (2 * m.cnt * 10000 + t.n_lines) // (2 * t.n_lines)
+                    ELSE 0 END AS BIGINT) AS major_pct_e4
+        FROM documents d
+        LEFT JOIN tot t ON t.doc_id = d.doc_id
+        LEFT JOIN major m ON m.doc_id = d.doc_id
     """
     toks_red = _TOKS_SQL.format(c="red")
     out["curation_chain_docs"] = f"""

@@ -17,7 +17,7 @@ from prase_spark.datapipe.hoststats import (
     registrable_domain,
 )
 from prase_spark.datapipe.pii import add_pii_counts, redact_corpus, redact_pii
-from prase_spark.datapipe.textstats import intra_doc_repetition, word_ngrams
+from prase_spark.datapipe.textstats import intra_doc_repetition, language_mix, word_ngrams
 from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, rare_term_ratio, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (

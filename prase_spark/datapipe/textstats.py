@@ -297,3 +297,62 @@ def intra_doc_repetition(
             " ELSE 0L END"
         ).alias("dup_trigram_share_e4"),
     )
+
+
+def language_mix(
+    df: DataFrame, text_col: str = "text", key_col: str = "doc_id"
+) -> DataFrame:
+    """CCNet-style line-level language composition: per document, the
+    number of non-empty lines, how many distinct languages the per-LINE
+    langid sees, the majority line language, and its share — multilingual
+    or template-straddled pages (nav chrome in English, body in German)
+    score low majority share and get routed or dropped.
+
+    ``major_lang`` ties break toward the lexicographically SMALLEST
+    language code (fold over the sorted lang array with a strict '>'),
+    deterministically; empty docs report (0, 0, 'und', 0).
+
+    Scale shape: like intra_doc_repetition this is ONE shuffle-free map
+    stage — per-line langid runs inside ``transform`` over the split
+    lines, and the majority is the longest equal run in the SORTED lang
+    array (array HOF fold), so no explode and no per-doc groupBy."""
+    c = F.col(text_col)
+    lines = F.filter(F.split(c, "\n"), lambda x: F.length(x) > 0)
+    langs = F.array_sort(F.transform(lines, lambda ln: language_id(ln)))
+    init = F.struct(
+        F.lit("").alias("prev"),
+        F.lit(0).cast("long").alias("run"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit("und").alias("best_lang"),
+    )
+
+    def merge(a, x):
+        run2 = F.when(x == a["prev"], a["run"] + 1).otherwise(
+            F.lit(1).cast("long")
+        )
+        better = run2 > a["best"]
+        return F.struct(
+            x.alias("prev"),
+            run2.alias("run"),
+            F.when(better, run2).otherwise(a["best"]).alias("best"),
+            F.when(better, x).otherwise(a["best_lang"]).alias("best_lang"),
+        )
+
+    modal = F.aggregate(langs, init, merge)
+    return df.select(
+        F.col(key_col).alias("key"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(F.array_distinct(langs)).cast("long").alias("n_langs"),
+        modal["best_lang"].alias("major_lang"),
+        modal["best"].alias("__best"),
+    ).select(
+        "key",
+        "n_lines",
+        "n_langs",
+        "major_lang",
+        F.expr(
+            "CASE WHEN n_lines > 0 THEN"
+            " (2 * __best * 10000 + n_lines) div (2 * n_lines)"
+            " ELSE 0L END"
+        ).alias("major_pct_e4"),
+    )

@@ -1428,3 +1428,33 @@ def test_intra_doc_repetition_single_map_stage(spark):
         intra_doc_repetition(d)._jdf.queryExecution().executedPlan().toString()
     )
     assert "Exchange" not in plan  # pure per-row compute, no shuffle
+
+
+def test_language_mix_python_oracle(spark):
+    from collections import Counter
+
+    from prase_spark.datapipe.textstats import language_mix
+
+    texts = {
+        1: "the cat is on the mat\nder hund ist nicht das\nthe dog is in the fog",
+        2: "le chat est dans la maison\nle chien est dans le jardin",
+        3: "xyzzy qwerty\nasdf ghjk",
+        4: "",
+        5: "el perro es de los que\nder und die das ist\nle la les et des est\nthe and of to in is",
+    }
+    d = spark.createDataFrame(list(texts.items()), "doc_id LONG, text STRING")
+    got = {r.key: tuple(r)[1:] for r in language_mix(d).collect()}
+    assert got[1] == (3, 2, "en", 6667)
+    assert got[2] == (2, 1, "fr", 10000)
+    assert got[3] == (2, 1, "und", 10000)
+    assert got[4] == (0, 0, "und", 0)
+    # 4-way tie -> lexicographically smallest language wins
+    assert got[5] == (4, 4, "de", 2500)
+
+
+def test_language_mix_shuffle_free(spark):
+    from prase_spark.datapipe.textstats import language_mix
+
+    d = spark.createDataFrame([(1, "a\nb")], "doc_id LONG, text STRING")
+    plan = language_mix(d)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
