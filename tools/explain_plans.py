@@ -125,6 +125,37 @@ def main():
         16,
     ).explain("formatted")
 
+    # round-4 curation wave: pii / gopher / langmix must be ZERO-exchange
+    # map stages; host_stats one distinct-agg (2 exchanges, no Expand);
+    # rare_term_ratio 2 exchanges (gram-df, key-agg) with the rare
+    # keep-set joinable broadcast/SMJ by AQE; the host/domain filters
+    # must be BroadcastHashJoin LeftAnti (corpus side never shuffles)
+    from prase_spark.datapipe.hoststats import filter_by_hosts, host_stats
+    from prase_spark.datapipe.pii import redact_corpus
+    from prase_spark.datapipe.textindex import rare_term_ratio
+    from prase_spark.datapipe.textstats import intra_doc_repetition, language_mix
+
+    print("=" * 70, "\nPII REDACT PLAN (expect zero exchanges)\n", "=" * 70)
+    redact_corpus(docs).explain("formatted")
+
+    hosts = docs.selectExpr("concat('h', doc_id % 20) AS host", "text")
+    print("=" * 70, "\nHOST STATS PLAN (one distinct-agg)\n", "=" * 70)
+    host_stats(hosts).explain("formatted")
+
+    print("=" * 70, "\nHOST FILTER PLAN (broadcast LeftAnti)\n", "=" * 70)
+    filter_by_hosts(
+        hosts, spark.createDataFrame([("h0",)], ["host"])
+    ).explain("formatted")
+
+    print("=" * 70, "\nRARE NGRAM PLAN (2 exchanges)\n", "=" * 70)
+    rare_term_ratio(docs).explain("formatted")
+
+    print("=" * 70, "\nGOPHER REPETITION PLAN (zero exchanges)\n", "=" * 70)
+    intra_doc_repetition(docs).explain("formatted")
+
+    print("=" * 70, "\nLANGUAGE MIX PLAN (zero exchanges)\n", "=" * 70)
+    language_mix(docs).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
