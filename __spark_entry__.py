@@ -1659,9 +1659,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     KGs concurrently into _KG_CACHE (building KG1 alone first would
     serialize the pair build); the fixpoints follow immediately so the
     most expensive, highest-value gates run while the budget is fresh.
-    The full 70-gate local run (tools/check_oracles.py, this round) is
+    The full all-gate local run (tools/check_oracles.py, this round) is
     recorded in BENCH.md as backup evidence for anything the driver
-    cuts."""
+    cuts; the five gates added after the reorder (rare_ngram,
+    gopher_repetition, curation_chain, language_mix + exports) sit in
+    the fresh-evidence block too."""
     return {
         # --- fresh evidence first (new / changed / never-recorded) ---
         "literal_seed": _q_literal_seed,
