@@ -14,8 +14,9 @@ for i in $(seq 1 "$MAX_PROBES"); do
 import sys
 sys.path.insert(0, "tools")
 from cpu_probe import measure
-r = measure()
-print(r["ratios"]["8->32"])
+ops8 = measure(8, 2.0)
+ops32 = measure(32, 2.0)
+print(round(ops32 / ops8, 2))
 EOF
 )
   load=$(cut -d' ' -f1-3 /proc/loadavg)
