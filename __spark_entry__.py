@@ -1326,6 +1326,22 @@ def _q_rare_ngram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rare_term_ratio(d, n=2, max_df=2)
 
 
+def _q_lm_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM quality scoring (datapipe.lmscore): vocabulary = top-50
+    corpus unigrams, then per-doc token/OOV/corpus-frequency statistics —
+    the CCNet-style LM curation signal's exact-integer surface (the
+    double-typed cross_entropy ranks identically to avg_freq_e4's inverse
+    on a unigram model and is pytest-oracled instead, per the repo's
+    cross-engine discipline on transcendentals)."""
+    from prase_spark.datapipe.lmscore import lm_score, unigram_vocab
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_vocab(d, top_v=50)
+    return lm_score(d, vocab).select(
+        "key", "n_tokens", "oov_cnt", "freq_sum", "avg_freq_e4"
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -1695,6 +1711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "host_reputation_docs": _q_host_reputation_docs,
         "domain_blocklist_docs": _q_domain_blocklist_docs,
         "rare_ngram_docs": _q_rare_ngram_docs,
+        "lm_freq_docs": _q_lm_freq_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3763,6 +3780,31 @@ def oracle_sql() -> dict[str, str]:
                           + len(tg)) // (2 * len(tg))
                     ELSE 0 END AS BIGINT) AS dup_trigram_share_e4
         FROM gr g LEFT JOIN modal m USING (doc_id)
+    """
+    out["lm_freq_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        tok AS (SELECT key, unnest(t) AS term FROM tk),
+        vocab AS (
+            SELECT term, count(*) AS cnt FROM tok GROUP BY term
+            ORDER BY cnt DESC, term ASC LIMIT 50
+        ),
+        per AS (
+            SELECT tok.key,
+                   count(*) AS n_tokens,
+                   sum(CASE WHEN v.cnt IS NULL THEN 1 ELSE 0 END) AS oov_cnt,
+                   sum(coalesce(v.cnt, 0)) AS freq_sum
+            FROM tok LEFT JOIN vocab v USING (term)
+            GROUP BY tok.key
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_tokens, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(p.oov_cnt, 0) AS BIGINT) AS oov_cnt,
+               CAST(coalesce(p.freq_sum, 0) AS BIGINT) AS freq_sum,
+               CAST(CASE WHEN coalesce(p.n_tokens, 0) > 0
+                    THEN (2 * p.freq_sum * 10000 + p.n_tokens)
+                         // (2 * p.n_tokens)
+                    ELSE 0 END AS BIGINT) AS avg_freq_e4
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.key
     """
     out["rare_ngram_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),

@@ -1,0 +1,126 @@
+"""Unigram language-model quality scoring — the CCNet-style "perplexity
+against a reference corpus" curation signal, re-expressed as two native
+DataFrame passes (no Python in the hot path).
+
+CCNet/Gopher-class pipelines rank documents by how probable a trusted
+LM finds their text; gibberish, mangled encodings, and keyword-stuffed
+spam all score badly. The full n-gram KenLM is out of scope for a
+container with no model artifacts, but the unigram version is the same
+pipeline shape and already separates word-soup from prose: train a
+unigram distribution on a reference corpus (or the corpus itself), then
+score each document's per-token cross-entropy under add-alpha smoothing.
+
+Scale shape (the part that must survive 10^12 docs):
+- :func:`unigram_vocab` is explode -> groupBy(term) with map-side
+  partial counts — ONE shuffle bounded by distinct-token cardinality,
+  then a top-V truncation (row_number over a single global ordering of
+  at most |vocab| rows, NOT the corpus).
+- :func:`lm_score` broadcasts the top-V vocab (V * ~24 bytes — 100k
+  terms is ~2.4 MB, far under any broadcast threshold) and runs
+  explode -> BroadcastHashJoin -> groupBy(key). All tokens of a doc
+  stay in their partition through the join (explode and a broadcast
+  join never repartition), so the partial aggregate collapses to ~one
+  row per doc BEFORE the exchange: the only shuffle carries |docs|
+  rows, not |tokens|.
+- The double-typed ``cross_entropy`` is for ranking/thresholding;
+  per the repo's cross-engine discipline the gate hashes the exact
+  integer surfaces (``n_tokens``, ``oov_cnt``, ``freq_sum``,
+  ``avg_freq_e4``) and pytest value-checks the entropy against a pure
+  Python oracle (transcendental log2 is not cross-engine bit-stable).
+
+No reference analog (the reference consumes pre-built triples; see
+SURVEY.md §2 'beyond-reference curation suite').
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.textstats import tokens
+
+__all__ = ["unigram_vocab", "lm_score"]
+
+
+def unigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_v: int = 100_000,
+) -> DataFrame:
+    """(term, cnt): corpus unigram counts, truncated to the ``top_v``
+    most frequent terms (ties broken lexically so the vocabulary is
+    deterministic). One shuffle, map-side combinable; the top-V cut
+    happens on the already-aggregated term table."""
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("cnt"))
+    )
+    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
+    # per-partition top-V + driver merge of V-row heaps, NOT a global
+    # single-partition sort (a row_number window here would be one).
+    return counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_v)
+
+
+def lm_score(
+    docs: DataFrame,
+    vocab: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 1.0,
+) -> DataFrame:
+    """Per-document unigram-LM statistics against a ``(term, cnt)``
+    vocabulary (normally :func:`unigram_vocab` output, possibly trained
+    on a DIFFERENT, trusted corpus — the CCNet setup).
+
+    Returns one row per input document:
+
+    - ``n_tokens`` — token count (0-token docs are kept, all-zero row);
+    - ``oov_cnt`` — tokens absent from the vocabulary;
+    - ``freq_sum`` — sum of the corpus counts of the doc's tokens
+      (BIGINT-exact; OOV contributes 0);
+    - ``avg_freq_e4`` — mean corpus frequency of the doc's tokens,
+      exact-integer half-up x 1e4 (the gate-hashable rank signal:
+      word soup scores low, stopword-heavy template text high);
+    - ``cross_entropy`` — -(1/n) * sum log2 p(tok), add-``alpha``
+      smoothing over V+1 outcomes (every OOV token maps to one UNK
+      bucket): p(tok) = (cnt + alpha) / (total + alpha * (V + 1)).
+      Double-typed, ranking use only.
+
+    The vocab side is broadcast explicitly — the corpus side never
+    shuffles before its per-doc partial aggregate (see module note)."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    totals = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"),
+        F.count("*").alias("v"),
+    ).collect()[0]
+    total, v_size = int(totals["t"]), int(totals["v"])
+    denom = float(total) + alpha * (v_size + 1)
+
+    pairs = docs.select(
+        F.col(key_col).alias("key"), F.explode(tokens(text_col)).alias("term")
+    ).join(F.broadcast(vocab), "term", "left")
+    logp = F.log2((F.coalesce(F.col("cnt"), F.lit(0)) + F.lit(alpha)) / F.lit(denom))
+    scored = pairs.groupBy("key").agg(
+        F.count("*").alias("n_tokens"),
+        F.sum(F.col("cnt").isNull().cast("long")).alias("oov_cnt"),
+        F.sum(F.coalesce(F.col("cnt"), F.lit(0))).alias("freq_sum"),
+        (-F.sum(logp) / F.count("*")).alias("cross_entropy"),
+    )
+    return docs.select(F.col(key_col).alias("key")).join(
+        scored, "key", "left"
+    ).select(
+        "key",
+        F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+        F.coalesce("oov_cnt", F.lit(0)).cast("long").alias("oov_cnt"),
+        F.coalesce("freq_sum", F.lit(0)).cast("long").alias("freq_sum"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.expr("(2 * freq_sum * 10000 + n_tokens) div (2 * n_tokens)"),
+        ).otherwise(F.lit(0)).cast("long").alias("avg_freq_e4"),
+        F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+    )

@@ -1,0 +1,102 @@
+"""Unigram-LM quality scoring (datapipe.lmscore): values against a pure
+Python oracle, zero-token/OOV edges, vocab determinism, and the plan
+shape that makes it crawl-scale (broadcast vocab, no corpus shuffle
+before the per-doc aggregate)."""
+
+import math
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.lmscore import lm_score, unigram_vocab
+
+DOCS = [
+    (1, "the cat sat on the mat"),
+    (2, "the dog ate the bone"),
+    (3, "zzqx qqzv xvzq"),          # word soup: every token rare/OOV
+    (4, ""),                          # zero tokens
+    (5, "the the the the"),           # stopword template
+    (6, None),                        # NULL text
+]
+
+
+def _toks(text):
+    if text is None:
+        return []
+    return [t for t in re.sub(r"[^a-z0-9\s]", " ", text.lower()).split() if t]
+
+
+def _oracle(docs, top_v, alpha):
+    counts = {}
+    for _, text in docs:
+        for t in _toks(text):
+            counts[t] = counts.get(t, 0) + 1
+    vocab = dict(
+        sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v]
+    )
+    total, v = sum(vocab.values()), len(vocab)
+    denom = total + alpha * (v + 1)
+    rows = {}
+    for key, text in docs:
+        toks = _toks(text)
+        n = len(toks)
+        oov = sum(1 for t in toks if t not in vocab)
+        fs = sum(vocab.get(t, 0) for t in toks)
+        ce = (
+            -sum(math.log2((vocab.get(t, 0) + alpha) / denom) for t in toks) / n
+            if n
+            else 0.0
+        )
+        avg = (2 * fs * 10000 + n) // (2 * n) if n else 0
+        rows[key] = (n, oov, fs, avg, ce)
+    return vocab, rows
+
+
+def test_lm_score_values_match_python_oracle(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = unigram_vocab(docs, top_v=5)
+    got_vocab = {r["term"]: r["cnt"] for r in vocab.collect()}
+    exp_vocab, exp_rows = _oracle(DOCS, top_v=5, alpha=1.0)
+    assert got_vocab == exp_vocab
+
+    out = {r["key"]: r for r in lm_score(docs, vocab).collect()}
+    assert set(out) == {k for k, _ in DOCS}  # every doc kept, incl. 0-token
+    for key, (n, oov, fs, avg, ce) in exp_rows.items():
+        r = out[key]
+        assert (r["n_tokens"], r["oov_cnt"], r["freq_sum"], r["avg_freq_e4"]) == (
+            n, oov, fs, avg,
+        ), key
+        assert r["cross_entropy"] == pytest.approx(ce, rel=1e-12), key
+    # the ranking the operator exists for: word soup scores strictly
+    # worse (higher entropy) than prose, template text strictly better
+    assert out[3]["cross_entropy"] > out[1]["cross_entropy"] > out[5]["cross_entropy"]
+
+
+def test_cross_corpus_vocab(spark):
+    """CCNet setup: vocabulary trained on a trusted corpus, scored corpus
+    disjoint — OOV accounting and smoothing still exact."""
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma alpha")], "doc_id long, text string"
+    )
+    score = spark.createDataFrame(
+        [(9, "alpha delta")], "doc_id long, text string"
+    )
+    vocab = unigram_vocab(train, top_v=10)
+    r = lm_score(score, vocab, alpha=0.5).collect()[0]
+    assert (r["n_tokens"], r["oov_cnt"], r["freq_sum"]) == (2, 1, 2)
+    # p(alpha)=(2+.5)/(4+.5*4), p(delta)=(0+.5)/(4+.5*4)
+    exp = -(math.log2(2.5 / 6.0) + math.log2(0.5 / 6.0)) / 2
+    assert r["cross_entropy"] == pytest.approx(exp, rel=1e-12)
+
+
+def test_plan_broadcast_vocab_no_window(spark):
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = unigram_vocab(docs, top_v=5)
+    vplan = vocab._jdf.queryExecution().executedPlan().toString()
+    # top-V must be the distributed top-k, never a 1-partition sort
+    assert "TakeOrderedAndProject" in vplan
+    assert "Window" not in vplan
+    plan = lm_score(docs, vocab)._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan
