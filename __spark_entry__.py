@@ -1342,6 +1342,18 @@ def _q_lm_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-sampling mixture weights (datapipe.sampling
+    .temperature_weights, tau=0.5): per-source keep-rates proportional to
+    sqrt(source size), sized by n_chars, targeting half the corpus — the
+    multilingual/multi-source balancing rule. All-integer sink (weights
+    floor(sqrt), rates e6 half-up over DECIMAL(38,0)/HUGEINT)."""
+    from prase_spark.datapipe.sampling import temperature_weights
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return temperature_weights(d, "source", size_col="n_chars", target_frac=0.5)
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -1712,6 +1724,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "domain_blocklist_docs": _q_domain_blocklist_docs,
         "rare_ngram_docs": _q_rare_ngram_docs,
         "lm_freq_docs": _q_lm_freq_docs,
+        "temperature_mix_docs": _q_temperature_mix_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3780,6 +3793,25 @@ def oracle_sql() -> dict[str, str]:
                           + len(tg)) // (2 * len(tg))
                     ELSE 0 END AS BIGINT) AS dup_trigram_share_e4
         FROM gr g LEFT JOIN modal m USING (doc_id)
+    """
+    out["temperature_mix_docs"] = """
+        WITH per AS (
+            SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS n_size
+            FROM documents GROUP BY source
+        ),
+        w AS (
+            SELECT stratum, n_size,
+                   CAST(floor(sqrt(n_size)) AS BIGINT) AS weight
+            FROM per
+        ),
+        tot AS (SELECT sum(weight) AS s, sum(n_size) AS n FROM w)
+        SELECT stratum, n_size, weight,
+               CAST(least(CAST(1000000 AS HUGEINT),
+                    (2 * CAST(500000 AS HUGEINT) * tot.n * w.weight
+                       + CAST(tot.s AS HUGEINT) * w.n_size)
+                    // (2 * CAST(tot.s AS HUGEINT) * w.n_size))
+                    AS BIGINT) AS keep_e6
+        FROM w, tot
     """
     out["lm_freq_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),

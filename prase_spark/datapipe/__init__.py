@@ -35,7 +35,12 @@ from prase_spark.datapipe.multimodal import (
     extract_media_features,
     probe_media_metadata,
 )
-from prase_spark.datapipe.sampling import hash_sample, stratified_sample
+from prase_spark.datapipe.sampling import (
+    hash_sample,
+    stratified_sample,
+    temperature_sample,
+    temperature_weights,
+)
 from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
 from prase_spark.datapipe.simsearch import (
     build_ivf_index,
@@ -60,6 +65,8 @@ from prase_spark.datapipe.textstats import (
 __all__ = [
     "lm_score",
     "unigram_vocab",
+    "temperature_sample",
+    "temperature_weights",
     "exact_dedup",
     "minhash_dedup",
     "minhash_lsh_pairs",

@@ -90,3 +90,94 @@ def stratified_sample(
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(rate_threshold(rate))).otherwise(thr)
     return df.filter(_bucket(F.col(key_col), seed, hash_fn) < thr)
+
+
+def temperature_weights(
+    docs: DataFrame,
+    stratum_col: str,
+    size_col: str | None = None,
+    target_frac: float = 0.5,
+) -> DataFrame:
+    """(stratum, n_size, weight, keep_e6): temperature-sampling keep-rates
+    for multilingual / multi-source data balancing (the mBERT/XLM-R
+    mixing rule at temperature tau = 0.5): a source of size n_s is
+    sampled with probability proportional to n_s^0.5, so head sources
+    (English, boilerplate-heavy crawls) are downweighted and tail
+    sources kept nearly whole, while the overall kept volume targets
+    ``target_frac`` of the corpus.
+
+    keep_e6 is the per-row keep-rate x 1e6, exact-integer half-up:
+
+        keep_e6 = min(1e6, (f_e6 * N * w_s) / (S * n_s))   [half-up]
+
+    with w_s = floor(sqrt(n_s)), S = sum w_s, N = sum n_s, f_e6 =
+    round(target_frac * 1e6). Every product is carried as DECIMAL(38,0)
+    (HUGEINT in a DuckDB twin) — f_e6*N*w_s reaches ~1e24 at 10^12 rows,
+    past BIGINT. sqrt is IEEE-754 correctly rounded in both the JVM and
+    DuckDB, so floor(sqrt(n)) is cross-engine bit-stable, unlike pow(n,
+    tau) for general tau — which is why the exact surface pins tau=0.5;
+    arbitrary-tau ranking belongs in double-land with a pytest oracle.
+
+    Scale shape: one groupBy(stratum) with map-side partial sums (the
+    only pass over the corpus), then all arithmetic on the |strata|-row
+    table; the two corpus totals ride the same small table (window-free:
+    a 1-row cross-joined aggregate).
+
+    ``size_col`` sizes strata by a per-row count column (e.g. n_tokens)
+    instead of row count."""
+    if not 0.0 < target_frac <= 1.0:
+        raise ValueError(f"target_frac must be in (0, 1], got {target_frac}")
+    f_e6 = rate_threshold(target_frac)
+    size = F.sum(size_col) if size_col else F.count("*")
+    per = docs.groupBy(F.col(stratum_col).alias("stratum")).agg(
+        size.cast("long").alias("n_size")
+    )
+    w = per.select(
+        "stratum",
+        "n_size",
+        F.floor(F.sqrt(F.col("n_size"))).cast("long").alias("weight"),
+    )
+    tot = w.agg(
+        F.sum("weight").alias("__S"), F.sum("n_size").alias("__N")
+    )
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            "stratum",
+            "n_size",
+            "weight",
+            F.expr(
+                f"CAST(least(CAST(1000000 AS DECIMAL(38,0)),"
+                f" (2 * CAST({f_e6} AS DECIMAL(38,0)) * __N * weight"
+                "   + CAST(__S AS DECIMAL(38,0)) * n_size)"
+                "  div (2 * CAST(__S AS DECIMAL(38,0)) * n_size)) AS BIGINT)"
+            ).alias("keep_e6"),
+        )
+    )
+
+
+def temperature_sample(
+    docs: DataFrame,
+    stratum_col: str,
+    size_col: str | None = None,
+    target_frac: float = 0.5,
+    seed: int = 42,
+    key_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Apply :func:`temperature_weights` as a deterministic stratified
+    sample: one corpus pass to size the strata, a driver-side collect of
+    the |strata|-row rate table (bounded by source count — dozens to a
+    few thousand, never corpus-sized), then the same hash-membership
+    filter as :func:`stratified_sample` (which itself switches to a
+    broadcast rate join above CASE_JOIN_CUTOVER strata)."""
+    rates = {
+        row["stratum"]: row["keep_e6"] / float(_DENOM)
+        for row in temperature_weights(
+            docs, stratum_col, size_col, target_frac
+        ).collect()
+    }
+    return stratified_sample(
+        docs, rates, stratum_col, default_rate=0.0, seed=seed,
+        key_col=key_col, hash_fn=hash_fn,
+    )
