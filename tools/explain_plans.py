@@ -156,6 +156,27 @@ def main():
     print("=" * 70, "\nLANGUAGE MIX PLAN (zero exchanges)\n", "=" * 70)
     language_mix(docs).explain("formatted")
 
+    # round-4 fifth-session ops: lm vocab must be TakeOrderedAndProject
+    # (distributed top-V, no Window/global sort); lm scoring a
+    # BroadcastHashJoin on the vocab with the per-doc HashAggregate's
+    # partial below the only exchange; temperature weights one
+    # corpus-side exchange (the stratum agg) + broadcast totals
+    from prase_spark.datapipe.lmscore import lm_score, unigram_vocab
+    from prase_spark.datapipe.sampling import temperature_weights
+
+    print("=" * 70, "\nLM VOCAB PLAN (TakeOrderedAndProject)\n", "=" * 70)
+    vocab = unigram_vocab(docs, top_v=50)
+    vocab.explain("formatted")
+
+    print("=" * 70, "\nLM SCORE PLAN (broadcast vocab)\n", "=" * 70)
+    lm_score(docs, vocab).explain("formatted")
+
+    print("=" * 70, "\nTEMPERATURE WEIGHTS PLAN (one corpus exchange)\n", "=" * 70)
+    temperature_weights(
+        docs.selectExpr("doc_id", "concat('s', doc_id % 5) AS source", "text"),
+        "source",
+    ).explain("formatted")
+
 
 if __name__ == "__main__":
     main()
