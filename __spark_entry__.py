@@ -1342,6 +1342,26 @@ def _q_lm_freq_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stupid-backoff bigram LM (datapipe.lmscore.lm_score_bigram,
+    Brants et al. 2007 shape): count-truncated bigram model (top-100)
+    over a top-50 unigram vocab; the gate hashes the exact integer
+    surface (n_bigrams / seen_cnt / bigram_freq_sum — the seen/backoff
+    split and the model-mass sum), cross_entropy is pytest-oracled."""
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab,
+        lm_score_bigram,
+        unigram_vocab,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_vocab(d, top_v=50)
+    bigs = bigram_vocab(d, top_b=100)
+    return lm_score_bigram(d, vocab, bigs).select(
+        "key", "n_bigrams", "seen_cnt", "bigram_freq_sum"
+    )
+
+
 def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampling mixture weights (datapipe.sampling
     .temperature_weights, tau=0.5): per-source keep-rates proportional to
@@ -1725,6 +1745,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rare_ngram_docs": _q_rare_ngram_docs,
         "lm_freq_docs": _q_lm_freq_docs,
         "temperature_mix_docs": _q_temperature_mix_docs,
+        "lm_bigram_docs": _q_lm_bigram_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3793,6 +3814,45 @@ def oracle_sql() -> dict[str, str]:
                           + len(tg)) // (2 * len(tg))
                     ELSE 0 END AS BIGINT) AS dup_trigram_share_e4
         FROM gr g LEFT JOIN modal m USING (doc_id)
+    """
+    out["lm_bigram_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        bgl AS (
+            SELECT key,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END AS gs
+            FROM tk
+        ),
+        pairs AS (SELECT key, unnest(gs) AS bigram FROM bgl),
+        tok AS (SELECT key, unnest(t) AS term FROM tk),
+        vocab AS (
+            SELECT term, count(*) AS cnt FROM tok GROUP BY term
+            ORDER BY cnt DESC, term ASC LIMIT 50
+        ),
+        bigs AS (
+            SELECT bigram, count(*) AS cnt FROM pairs GROUP BY bigram
+            ORDER BY cnt DESC, bigram ASC LIMIT 100
+        ),
+        per AS (
+            SELECT p.key,
+                   count(*) AS n_bigrams,
+                   sum(CASE WHEN b.cnt IS NOT NULL AND v.cnt IS NOT NULL
+                            THEN 1 ELSE 0 END) AS seen_cnt,
+                   sum(CASE WHEN b.cnt IS NOT NULL AND v.cnt IS NOT NULL
+                            THEN b.cnt ELSE 0 END) AS bigram_freq_sum
+            FROM pairs p
+            LEFT JOIN bigs b USING (bigram)
+            LEFT JOIN vocab v ON split_part(p.bigram, ' ', 1) = v.term
+            GROUP BY p.key
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(p.seen_cnt, 0) AS BIGINT) AS seen_cnt,
+               CAST(coalesce(p.bigram_freq_sum, 0) AS BIGINT) AS bigram_freq_sum
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.key
     """
     out["temperature_mix_docs"] = """
         WITH per AS (

@@ -39,7 +39,7 @@ from pyspark.sql import functions as F
 
 from prase_spark.datapipe.textstats import tokens
 
-__all__ = ["unigram_vocab", "lm_score"]
+__all__ = ["unigram_vocab", "lm_score", "bigram_vocab", "lm_score_bigram"]
 
 
 def unigram_vocab(
@@ -122,5 +122,123 @@ def lm_score(
             F.col("n_tokens") > 0,
             F.expr("(2 * freq_sum * 10000 + n_tokens) div (2 * n_tokens)"),
         ).otherwise(F.lit(0)).cast("long").alias("avg_freq_e4"),
+        F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+    )
+
+
+def bigram_vocab(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_b: int = 1_000_000,
+) -> DataFrame:
+    """(bigram, cnt): corpus bigram counts ('w1 w2', space-joined),
+    truncated to the ``top_b`` most frequent (ties lexical). Same
+    distributed top-k shape as :func:`unigram_vocab` — one groupBy
+    shuffle bounded by distinct-bigram cardinality, TakeOrderedAndProject
+    truncation. The Brants et al. 'stupid backoff' observation is that a
+    count-truncated model loses almost nothing at web scale: the head
+    bigrams carry the probability mass and everything below the cut
+    backs off to unigrams anyway."""
+    if top_b < 1:
+        raise ValueError(f"top_b must be >= 1, got {top_b}")
+    from prase_spark.datapipe.textstats import word_ngrams
+
+    counts = (
+        docs.select(F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return counts.orderBy(F.col("cnt").desc(), F.col("bigram").asc()).limit(top_b)
+
+
+def lm_score_bigram(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Per-document stupid-backoff bigram LM statistics (Brants et al.
+    2007's distributed web-scale LM, re-expressed as broadcast joins):
+    each in-document bigram (w1, w2) scores
+
+        S(w2 | w1) = cnt(w1 w2) / cnt(w1)          if the bigram is known
+                   = backoff * p_add_alpha(w2)     otherwise
+
+    where p_add_alpha is the smoothed unigram probability from
+    :func:`lm_score`'s model. Returns per doc:
+
+    - ``n_bigrams`` — bigram count (len-1 docs and shorter: 0, kept);
+    - ``seen_cnt`` — bigrams found in the ``bigrams`` table (BIGINT);
+    - ``bigram_freq_sum`` — sum of cnt(w1 w2) over seen bigrams (BIGINT;
+      with ``seen_cnt`` this is the gate-hashable integer surface);
+    - ``cross_entropy`` — -(1/n) * sum log2 S, double, ranking only.
+
+    Scale shape: BOTH model tables broadcast (the point of count
+    truncation — top-1M bigrams is tens of MB); the corpus side explodes
+    bigrams, takes two BroadcastHashJoins, and partially aggregates to
+    one row per doc before its only exchange, exactly like
+    :func:`lm_score`. Nothing corpus-sized ever shuffles on a token or
+    bigram key."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if not 0.0 < backoff <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    from prase_spark.datapipe.textstats import word_ngrams
+
+    totals = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    denom = float(int(totals["t"])) + alpha * (int(totals["v"]) + 1)
+
+    pairs = docs.select(
+        F.col(key_col).alias("key"),
+        F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"),
+    ).select(
+        "key",
+        "bigram",
+        F.split(F.col("bigram"), " ").getItem(0).alias("__w1"),
+        F.split(F.col("bigram"), " ").getItem(1).alias("__w2"),
+    )
+    joined = (
+        pairs.join(F.broadcast(bigrams), "bigram", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("__w1"), F.col("cnt").alias("__c1"))),
+            "__w1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("term").alias("__w2"), F.col("cnt").alias("__c2"))),
+            "__w2",
+            "left",
+        )
+    )
+    # known bigram: cnt/c1 (c1 >= cnt > 0 by construction when both come
+    # from the same corpus; a foreign bigram table with a missing w1
+    # unigram falls back too, rather than dividing by null)
+    seen = F.col("cnt").isNotNull() & F.col("__c1").isNotNull()
+    score = F.when(seen, F.col("cnt") / F.col("__c1")).otherwise(
+        F.lit(backoff)
+        * (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(alpha))
+        / F.lit(denom)
+    )
+    scored = joined.groupBy("key").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(seen.cast("long")).alias("seen_cnt"),
+        F.sum(F.when(seen, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "bigram_freq_sum"
+        ),
+        (-F.sum(F.log2(score)) / F.count("*")).alias("cross_entropy"),
+    )
+    return docs.select(F.col(key_col).alias("key")).join(
+        scored, "key", "left"
+    ).select(
+        "key",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("seen_cnt", F.lit(0)).cast("long").alias("seen_cnt"),
+        F.coalesce("bigram_freq_sum", F.lit(0)).cast("long").alias("bigram_freq_sum"),
         F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
     )

@@ -100,3 +100,72 @@ def test_plan_broadcast_vocab_no_window(spark):
     plan = lm_score(docs, vocab)._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan or "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def _bigrams(toks):
+    return [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+
+
+def _oracle_bigram(docs, top_v, top_b, alpha, backoff):
+    uni, bi = {}, {}
+    for _, text in docs:
+        ts = _toks(text)
+        for t in ts:
+            uni[t] = uni.get(t, 0) + 1
+        for g in _bigrams(ts):
+            bi[g] = bi.get(g, 0) + 1
+    vocab = dict(sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:top_v])
+    bigs = dict(sorted(bi.items(), key=lambda kv: (-kv[1], kv[0]))[:top_b])
+    denom = sum(vocab.values()) + alpha * (len(vocab) + 1)
+    rows = {}
+    for key, text in docs:
+        ts = _toks(text)
+        gs = _bigrams(ts)
+        n, seen, fs, ce_sum = len(gs), 0, 0, 0.0
+        for g in gs:
+            w1, w2 = g.split(" ")
+            if g in bigs and w1 in vocab:
+                seen += 1
+                fs += bigs[g]
+                s = bigs[g] / vocab[w1]
+            else:
+                s = backoff * (vocab.get(w2, 0) + alpha) / denom
+            ce_sum += math.log2(s)
+        rows[key] = (n, seen, fs, -ce_sum / n if n else 0.0)
+    return rows
+
+
+def test_bigram_stupid_backoff_matches_oracle(spark):
+    from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = unigram_vocab(docs, top_v=8)
+    # small top_b so some real bigrams fall off the model and back off
+    bigs = bigram_vocab(docs, top_b=4)
+    out = {r["key"]: r for r in lm_score_bigram(docs, vocab, bigs).collect()}
+    exp = _oracle_bigram(DOCS, top_v=8, top_b=4, alpha=1.0, backoff=0.4)
+    assert set(out) == set(exp)
+    backed_off = 0
+    for key, (n, seen, fs, ce) in exp.items():
+        r = out[key]
+        assert (r["n_bigrams"], r["seen_cnt"], r["bigram_freq_sum"]) == (n, seen, fs), key
+        assert r["cross_entropy"] == pytest.approx(ce, rel=1e-12), key
+        backed_off += n - seen
+    assert backed_off > 0  # the truncation really exercised the backoff path
+    # word soup still ranks worse than prose under the bigram model
+    assert out[3]["cross_entropy"] > out[1]["cross_entropy"]
+
+
+def test_bigram_plan_all_broadcast(spark):
+    from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = unigram_vocab(docs, top_v=8)
+    bigs = bigram_vocab(docs, top_b=4)
+    plan = (
+        lm_score_bigram(docs, vocab, bigs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    # three model joins, every one a broadcast
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
