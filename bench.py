@@ -169,6 +169,31 @@ def main():
         timings["curation_chunk_rows"] = n_chunks
         pages.unpersist()
 
+    # extra metric (round 4): two-pass bigram-LM scoring throughput —
+    # model build (unigram + bigram top-k) plus stupid-backoff scoring
+    # over the same synthesized page corpus shape as q_curation
+    def q_lmscore():
+        from prase_spark.datapipe.lmscore import (
+            bigram_vocab,
+            lm_score_bigram,
+            unigram_vocab,
+        )
+        from prase_spark.fixtures import synthetic_pages_distributed
+
+        n_lm = int(os.environ.get("PRASE_BENCH_LM_PAGES", "20000"))
+        pages = synthetic_pages_distributed(spark, n_lm, partitions=cpus * 2)
+        docs = pages.selectExpr("url AS doc_id", "text").persist()
+        docs.count()  # materialize synthesis outside the timing
+        t0 = time.time()
+        vocab = unigram_vocab(docs, top_v=50_000).persist()
+        bigs = bigram_vocab(docs, top_b=200_000).persist()
+        n_scored = lm_score_bigram(docs, vocab, bigs, key_col="doc_id").count()
+        elapsed = time.time() - t0
+        timings["lm_docs_per_sec"] = round(n_scored / elapsed, 1)
+        vocab.unpersist()
+        bigs.unpersist()
+        docs.unpersist()
+
     # extra metric (round 4): PageRank kernel throughput on a synthetic
     # 500k-node graph — scaled-BIGINT arithmetic, 3 iterations
     def q_graph():
@@ -195,6 +220,8 @@ def main():
     q_paris_large()
     spark.catalog.clearCache()
     q_curation()
+    spark.catalog.clearCache()
+    q_lmscore()
     spark.catalog.clearCache()
     q_graph()
     spark.catalog.clearCache()
