@@ -70,6 +70,17 @@ def stratified_sample(
     broadcast-joined rate table above ``CASE_JOIN_CUTOVER`` strata, where
     a chained CASE would blow up expression depth/codegen (VERDICT r3
     #3). Both forms produce identical rows."""
+    # a None key rates the NULL stratum (plain == would never match it,
+    # silently demoting NULL-stratum rows to default_rate; sorted() on a
+    # mixed None/str key set would raise) — split it out and apply it as
+    # the fallback for unmatched rows in both paths
+    rates = dict(rates)
+    null_thr = F.lit(
+        rate_threshold(rates.pop(None)) if None in rates else rate_threshold(default_rate)
+    )
+    fallback = F.when(F.col(stratum_col).isNull(), null_thr).otherwise(
+        F.lit(rate_threshold(default_rate))
+    )
     if len(rates) > CASE_JOIN_CUTOVER:
         spark = df.sparkSession
         rate_df = spark.createDataFrame(
@@ -81,12 +92,12 @@ def stratified_sample(
             F.col(stratum_col).cast("string") == F.col("__stratum"),
             "left",
         )
-        thr = F.coalesce(F.col("__thr"), F.lit(rate_threshold(default_rate)))
+        thr = F.coalesce(F.col("__thr"), fallback)
         return (
             joined.filter(_bucket(F.col(key_col), seed, hash_fn) < thr)
             .drop("__stratum", "__thr")
         )
-    thr: Column = F.lit(rate_threshold(default_rate))
+    thr: Column = fallback
     for value, rate in sorted(rates.items()):
         thr = F.when(F.col(stratum_col) == value, F.lit(rate_threshold(rate))).otherwise(thr)
     return df.filter(_bucket(F.col(key_col), seed, hash_fn) < thr)

@@ -81,3 +81,32 @@ def test_sample_composes_with_stratified_membership(spark):
     # determinism: a second run keeps identical rows
     again = {r["doc_id"] for r in temperature_sample(docs, "src", target_frac=0.5, seed=7).collect()}
     assert again == {r["doc_id"] for r in kept.collect()}
+
+
+def test_null_stratum_rated_and_sampled(spark):
+    from prase_spark.datapipe.sampling import stratified_sample
+
+    docs = spark.createDataFrame(
+        [(i, "en") for i in range(100)] + [(i, None) for i in range(100, 160)],
+        "doc_id long, src string",
+    )
+    # weights allocate mass to the NULL source...
+    w = {r["stratum"]: r["keep_e6"] for r in
+         temperature_weights(docs, "src", target_frac=0.5).collect()}
+    assert None in w and w[None] > 0
+    # ...and sampling honors it: the NULL stratum keeps rows at its own
+    # rate instead of silently falling to default_rate=0
+    kept = temperature_sample(docs, "src", target_frac=0.5, seed=7)
+    null_kept = {r["doc_id"] for r in kept.filter(F.col("src").isNull()).collect()}
+    expect = {
+        r["doc_id"]
+        for r in hash_sample(
+            docs.filter(F.col("src").isNull()), w[None] / 1e6, seed=7
+        ).collect()
+    }
+    assert null_kept == expect and null_kept
+    # an explicit None key in plain stratified_sample behaves the same way
+    direct = stratified_sample(
+        docs, {None: w[None] / 1e6, "en": 0.0}, "src", default_rate=0.0, seed=7
+    )
+    assert {r["doc_id"] for r in direct.collect()} == expect
