@@ -144,8 +144,14 @@ def bigram_vocab(
         raise ValueError(f"top_b must be >= 1, got {top_b}")
     from prase_spark.datapipe.textstats import word_ngrams
 
+    # token array MATERIALIZED in its own projection before the n-gram
+    # transform: word_ngrams slices the array per element, and an inline
+    # tokens() there re-runs the regex tokenizer per slice — O(tokens^2)
+    # regex work per doc (measured 190x on 800-token pages; the same HOF
+    # trap chunking and rare_term_ratio already guard against)
     counts = (
-        docs.select(F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"))
+        docs.select(tokens(text_col).alias("__t"))
+        .select(F.explode(word_ngrams(F.col("__t"), 2)).alias("bigram"))
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
@@ -194,9 +200,12 @@ def lm_score_bigram(
     ).collect()[0]
     denom = float(int(totals["t"])) + alpha * (int(totals["v"]) + 1)
 
+    # tokens materialized below the n-gram transform (see bigram_vocab)
     pairs = docs.select(
-        F.col(key_col).alias("key"),
-        F.explode(word_ngrams(tokens(text_col), 2)).alias("bigram"),
+        F.col(key_col).alias("key"), tokens(text_col).alias("__t")
+    ).select(
+        "key",
+        F.explode(word_ngrams(F.col("__t"), 2)).alias("bigram"),
     ).select(
         "key",
         "bigram",
