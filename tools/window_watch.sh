@@ -21,7 +21,11 @@ EOF
 )
   load=$(cut -d' ' -f1-3 /proc/loadavg)
   echo "$(date -u +%H:%M:%S) probe#$i 8->32=$ratio loadavg=$load" >> "$OUT"
-  ok=$(python3 -c "print(1 if float('$ratio') >= float('$THRESH') else 0)")
+  # the probe alone is not enough: under concurrent load it measures
+  # RELATIVE throughput on a busy box (it read 3.81x mid-bench once) —
+  # require a near-idle 1-min loadavg as well before firing
+  load1=$(cut -d' ' -f1 /proc/loadavg)
+  ok=$(python3 -c "print(1 if float('$ratio') >= float('$THRESH') and float('$load1') < 1.5 else 0)")
   if [ "$ok" = "1" ]; then
     echo "window open ($ratio) — running scaling bench" >> "$OUT"
     python3 scaling_bench.py --pages 1000000 --low 8 --high 32 \
