@@ -181,9 +181,48 @@ spark.stop()
 """
 
 
+LM_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = get_spark("scaling_lm", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram, unigram_vocab
+from prase_spark.fixtures import synthetic_pages_distributed
+
+parts_mult = int(os.environ.get("PRASE_SCALE_PARTS_MULT", "2"))
+pages = synthetic_pages_distributed(spark, n_pages, partitions=cpus * parts_mult)
+docs = pages.selectExpr("url AS doc_id", "text").persist()
+docs.count()
+
+# warm up the whole chain once (worker spawn, codegen, heap growth)
+_v = unigram_vocab(docs, top_v=50_000).persist(); _v.count()
+_b = bigram_vocab(docs, top_b=200_000).persist(); _b.count()
+lm_score_bigram(docs, _v, _b, key_col="doc_id").count()
+_v.unpersist(); _b.unpersist()
+
+# timed: model build (unigram + bigram top-k) + stupid-backoff scoring
+t0 = time.time()
+v = unigram_vocab(docs, top_v=50_000).persist(); v.count()
+b = bigram_vocab(docs, top_b=200_000).persist(); b.count()
+n = lm_score_bigram(docs, v, b, key_col="doc_id").count()
+elapsed = time.time() - t0
+print(json.dumps({{"cpus": cpus, "pages": n_pages, "scored": n,
+                   "sec": round(elapsed, 3),
+                   "docs_per_sec": round(n_pages / elapsed, 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
     if workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
+    elif workload == "lm":
+        script, arg2 = LM_WORKLOAD.format(repo=repo), str(pages)
     elif workload == "paris-kernel":
         script, arg2 = KERNEL_WORKLOAD.format(repo=repo), str(kg_ents)
     elif workload == "paris-iters":
@@ -234,7 +273,7 @@ def main():
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
         "--workload",
-        choices=["extract", "paris", "paris-kernel", "paris-iters", "both"],
+        choices=["extract", "lm", "paris", "paris-kernel", "paris-iters", "both"],
         default="extract",
     )
     ap.add_argument("--kg-ents", type=int, default=400000)
@@ -264,9 +303,11 @@ def main():
         hi = run_level(repo, args.high, args.pages, wl, args.kg_ents)
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
-        unit = "docs_per_sec" if wl == "extract" else "facts_per_sec"
+        unit = "docs_per_sec" if wl in ("extract", "lm") else "facts_per_sec"
         if wl == "extract":
             title = f"extraction+stats (pages={args.pages})"
+        elif wl == "lm":
+            title = f"bigram-LM model build + scoring (pages={args.pages})"
         elif wl == "paris-kernel":
             title = f"PARIS candidate-scoring kernel (synthetic 2x{args.kg_ents}-entity KGs)"
         else:
