@@ -173,6 +173,8 @@ def main():
     # model build (unigram + bigram top-k) plus stupid-backoff scoring
     # over the same synthesized page corpus shape as q_curation
     def q_lmscore():
+        from pyspark.sql import functions as F
+
         from prase_spark.datapipe.lmscore import (
             bigram_vocab,
             lm_score_bigram,
@@ -187,7 +189,15 @@ def main():
         t0 = time.time()
         vocab = unigram_vocab(docs, top_v=50_000).persist()
         bigs = bigram_vocab(docs, top_b=200_000).persist()
-        n_scored = lm_score_bigram(docs, vocab, bigs, key_col="doc_id").count()
+        # force the scoring columns, not count(): a bare count() over the
+        # scored left join is join-ELIMINATED by Catalyst (right side is
+        # unique on key and no scored column is referenced), so it would
+        # time the vocab builds only and never run the scorer
+        scored = lm_score_bigram(docs, vocab, bigs, key_col="doc_id")
+        row = scored.agg(
+            F.count("*").alias("n"), F.sum("n_bigrams").alias("nb")
+        ).collect()[0]
+        n_scored = int(row["n"])
         elapsed = time.time() - t0
         timings["lm_docs_per_sec"] = round(n_scored / elapsed, 1)
         vocab.unpersist()

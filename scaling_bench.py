@@ -199,17 +199,26 @@ pages = synthetic_pages_distributed(spark, n_pages, partitions=cpus * parts_mult
 docs = pages.selectExpr("url AS doc_id", "text").persist()
 docs.count()
 
+from pyspark.sql import functions as F
+
+def force_score(sc):
+    # agg over the SCORED columns: a bare count() over the scored left
+    # join is join-eliminated by Catalyst (unique right key, no scored
+    # column referenced) and would never run the scorer
+    r = sc.agg(F.count("*").alias("n"), F.sum("n_bigrams").alias("nb")).collect()[0]
+    return int(r["n"])
+
 # warm up the whole chain once (worker spawn, codegen, heap growth)
 _v = unigram_vocab(docs, top_v=50_000).persist(); _v.count()
 _b = bigram_vocab(docs, top_b=200_000).persist(); _b.count()
-lm_score_bigram(docs, _v, _b, key_col="doc_id").count()
+force_score(lm_score_bigram(docs, _v, _b, key_col="doc_id"))
 _v.unpersist(); _b.unpersist()
 
 # timed: model build (unigram + bigram top-k) + stupid-backoff scoring
 t0 = time.time()
 v = unigram_vocab(docs, top_v=50_000).persist(); v.count()
 b = bigram_vocab(docs, top_b=200_000).persist(); b.count()
-n = lm_score_bigram(docs, v, b, key_col="doc_id").count()
+n = force_score(lm_score_bigram(docs, v, b, key_col="doc_id"))
 elapsed = time.time() - t0
 print(json.dumps({{"cpus": cpus, "pages": n_pages, "scored": n,
                    "sec": round(elapsed, 3),
