@@ -42,6 +42,48 @@ from prase_spark.datapipe.textstats import tokens
 __all__ = ["unigram_vocab", "lm_score", "bigram_vocab", "lm_score_bigram"]
 
 
+def _top_k_by_count(counts: DataFrame, k: int, key_col: str) -> DataFrame:
+    """Top-``k`` rows by (cnt DESC, key ASC) — same rows as
+    ``orderBy(...).limit(k)``, but scale-safe.
+
+    A bare orderBy().limit(k) compiles to TakeOrderedAndProject: every
+    partition keeps a k-row heap and the DRIVER merges P x k rows — at
+    web scale (10^9 distinct bigrams, large k, hundreds of partitions)
+    that single-threaded merge is the job's serial fraction, and it
+    GROWS with cluster size. Here a count-threshold prefilter shrinks
+    the input to ~k rows first: pick an approximate (1 - k/n) quantile
+    of cnt, keep cnt >= t (PROVABLY a superset of the true top-k for
+    any t <= the k-th largest cnt; verified and lowered until the
+    superset holds), then run the same deterministic orderBy+limit on
+    the ~k survivors. Ties at the boundary resolve identically because
+    the final ordering is unchanged. Costs two cheap extra jobs on the
+    aggregated table; the driver merge drops from P x k to ~k rows.
+
+    The aggregated ``counts`` is pinned for the helper's multiple jobs
+    (each would otherwise re-run the corpus explode+groupBy) and the
+    k-row result is materialized eagerly so the pin can be released
+    before returning — vocab tables are model artifacts the callers
+    persist/broadcast anyway."""
+    counts = counts.persist()
+    try:
+        n = counts.count()
+        if n > k:
+            q = max(0.0, 1.0 - (1.25 * k) / n)
+            t = counts.stat.approxQuantile("cnt", [q], 0.01)[0]
+            t = max(int(t), 1)
+            pre = counts.filter(F.col("cnt") >= F.lit(t))
+            while t > 1 and pre.count() < k:
+                t = max(t // 2, 1)
+                pre = counts.filter(F.col("cnt") >= F.lit(t))
+        else:
+            pre = counts
+        res = pre.orderBy(F.col("cnt").desc(), F.col(key_col).asc()).limit(k).persist()
+        res.count()
+        return res
+    finally:
+        counts.unpersist()
+
+
 def unigram_vocab(
     docs: DataFrame,
     text_col: str = "text",
@@ -59,10 +101,7 @@ def unigram_vocab(
         .groupBy("term")
         .agg(F.count("*").alias("cnt"))
     )
-    # orderBy().limit() compiles to TakeOrderedAndProject — a distributed
-    # per-partition top-V + driver merge of V-row heaps, NOT a global
-    # single-partition sort (a row_number window here would be one).
-    return counts.orderBy(F.col("cnt").desc(), F.col("term").asc()).limit(top_v)
+    return _top_k_by_count(counts, top_v, "term")
 
 
 def lm_score(
@@ -155,7 +194,7 @@ def bigram_vocab(
         .groupBy("bigram")
         .agg(F.count("*").alias("cnt"))
     )
-    return counts.orderBy(F.col("cnt").desc(), F.col("bigram").asc()).limit(top_b)
+    return _top_k_by_count(counts, top_b, "bigram")
 
 
 def lm_score_bigram(

@@ -169,3 +169,28 @@ def test_bigram_plan_all_broadcast(spark):
     # three model joins, every one a broadcast
     assert plan.count("BroadcastHashJoin") >= 3
     assert "CartesianProduct" not in plan
+
+
+def test_top_k_prefilter_matches_plain_take_ordered(spark):
+    """_top_k_by_count must select EXACTLY the rows a plain
+    orderBy(cnt desc, key asc).limit(k) would — including boundary ties
+    resolved lexically — for k cutting inside a tie layer, k beyond the
+    table, and k = 1."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.lmscore import _top_k_by_count
+
+    # tie-heavy synthetic counts: many keys share each cnt value
+    rows = [(f"t{i:04d}", 1 + (i % 7)) for i in range(500)]
+    counts = spark.createDataFrame(rows, "term string, cnt long").repartition(8)
+    for k in (1, 40, 137, 499, 500, 900):
+        got = sorted(
+            (r["term"], r["cnt"]) for r in _top_k_by_count(counts, k, "term").collect()
+        )
+        exp = sorted(
+            (r["term"], r["cnt"])
+            for r in counts.orderBy(F.col("cnt").desc(), F.col("term").asc())
+            .limit(k)
+            .collect()
+        )
+        assert got == exp, f"k={k}"
