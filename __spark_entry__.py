@@ -1362,6 +1362,25 @@ def _q_lm_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR importance weights (datapipe.dsir, Xie et al. 2023): hashed
+    unigram+bigram bucket models (m=97, poly_hash61 so DuckDB replicates
+    the bucketing) fit on target = English docs vs raw = whole corpus;
+    the gate hashes the exact-integer surface (n_grams and the two
+    model-mass dot products that determine the weight up to smoothing) —
+    log_w is transcendental and pytest-oracled per the repo discipline."""
+    from prase_spark.datapipe.dsir import bucket_model, dsir_weights
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = d.filter(F.col("lang") == "en")
+    tm = bucket_model(tgt, n_buckets=97, hash_fn=poly_hash61)
+    rm = bucket_model(d, n_buckets=97, hash_fn=poly_hash61)
+    return dsir_weights(d, tm, rm, n_buckets=97, hash_fn=poly_hash61).select(
+        "key", "n_grams", "tgt_freq_sum", "raw_freq_sum"
+    )
+
+
 def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampling mixture weights (datapipe.sampling
     .temperature_weights, tau=0.5): per-source keep-rates proportional to
@@ -1746,6 +1765,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_freq_docs": _q_lm_freq_docs,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "lm_bigram_docs": _q_lm_bigram_docs,
+        "dsir_weights_docs": _q_dsir_weights_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3852,6 +3872,45 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
                CAST(coalesce(p.seen_cnt, 0) AS BIGINT) AS seen_cnt,
                CAST(coalesce(p.bigram_freq_sum, 0) AS BIGINT) AS bigram_freq_sum
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    poly_gram = POLY_SQL.format(c="gram")
+    out["dsir_weights_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, lang, {toks} AS t FROM documents),
+        gl AS (
+            SELECT key, lang,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(
+                                     generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END) AS gs
+            FROM tk
+        ),
+        grams AS (
+            SELECT key, lang, ({poly_gram}) % 97 AS bucket
+            FROM (SELECT key, lang, unnest(gs) AS gram FROM gl)
+        ),
+        tm AS (
+            SELECT bucket, count(*) AS tcnt FROM grams
+            WHERE lang = 'en' GROUP BY bucket
+        ),
+        rm AS (SELECT bucket, count(*) AS rcnt FROM grams GROUP BY bucket),
+        per AS (
+            SELECT g.key,
+                   count(*) AS n_grams,
+                   sum(coalesce(tm.tcnt, 0)) AS tgt_freq_sum,
+                   sum(coalesce(rm.rcnt, 0)) AS raw_freq_sum
+            FROM grams g
+            LEFT JOIN tm USING (bucket)
+            LEFT JOIN rm USING (bucket)
+            GROUP BY g.key
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.tgt_freq_sum, 0) AS BIGINT) AS tgt_freq_sum,
+               CAST(coalesce(p.raw_freq_sum, 0) AS BIGINT) AS raw_freq_sum
         FROM documents d LEFT JOIN per p ON d.doc_id = p.key
     """
     out["temperature_mix_docs"] = """

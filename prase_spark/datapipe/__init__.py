@@ -42,6 +42,7 @@ from prase_spark.datapipe.sampling import (
     temperature_weights,
 )
 from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
+from prase_spark.datapipe.dsir import bucket_model, dsir_sample, dsir_weights, hashed_grams
 from prase_spark.datapipe.simsearch import (
     build_ivf_index,
     cosine_topk,
@@ -63,6 +64,10 @@ from prase_spark.datapipe.textstats import (
 )
 
 __all__ = [
+    "hashed_grams",
+    "bucket_model",
+    "dsir_weights",
+    "dsir_sample",
     "lm_score",
     "unigram_vocab",
     "bigram_vocab",
