@@ -1362,6 +1362,31 @@ def _q_lm_bigram_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_lm_bigram_hashed_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed-gram-key bigram LM fast path (lm_score_bigram_hashed):
+    model tables keyed on xxhash64 longs — the production 100-TB path
+    (8-byte shuffle rows, integer broadcast probes; see DEPLOY.md).
+    Gated with UNTRUNCATED models (top_k >= distinct grams): the hashed
+    and string twins then select identical model sets regardless of
+    tie-break key, so the string-path DuckDB oracle applies verbatim
+    and the hash machinery (token hashing, bigram key derivation, three
+    long-keyed joins, per-gram model counts in bigram_freq_sum) is
+    value-checked end to end. Truncated-model equivalence is pytest-
+    pinned on a distinct-count fixture (test_lmscore.py)."""
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab_hashed,
+        lm_score_bigram_hashed,
+        unigram_vocab_hashed,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = unigram_vocab_hashed(d, top_v=10_000_000)
+    bigs = bigram_vocab_hashed(d, top_b=10_000_000)
+    return lm_score_bigram_hashed(d, vocab, bigs).select(
+        "key", "n_bigrams", "seen_cnt", "bigram_freq_sum"
+    )
+
+
 def _q_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR importance weights (datapipe.dsir, Xie et al. 2023): hashed
     unigram+bigram bucket models (m=97, poly_hash61 so DuckDB replicates
@@ -1765,6 +1790,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_freq_docs": _q_lm_freq_docs,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "lm_bigram_docs": _q_lm_bigram_docs,
+        "lm_bigram_hashed_docs": _q_lm_bigram_hashed_docs,
         "dsir_weights_docs": _q_dsir_weights_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
@@ -3856,6 +3882,41 @@ def oracle_sql() -> dict[str, str]:
             SELECT bigram, count(*) AS cnt FROM pairs GROUP BY bigram
             ORDER BY cnt DESC, bigram ASC LIMIT 100
         ),
+        per AS (
+            SELECT p.key,
+                   count(*) AS n_bigrams,
+                   sum(CASE WHEN b.cnt IS NOT NULL AND v.cnt IS NOT NULL
+                            THEN 1 ELSE 0 END) AS seen_cnt,
+                   sum(CASE WHEN b.cnt IS NOT NULL AND v.cnt IS NOT NULL
+                            THEN b.cnt ELSE 0 END) AS bigram_freq_sum
+            FROM pairs p
+            LEFT JOIN bigs b USING (bigram)
+            LEFT JOIN vocab v ON split_part(p.bigram, ' ', 1) = v.term
+            GROUP BY p.key
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_bigrams, 0) AS BIGINT) AS n_bigrams,
+               CAST(coalesce(p.seen_cnt, 0) AS BIGINT) AS seen_cnt,
+               CAST(coalesce(p.bigram_freq_sum, 0) AS BIGINT) AS bigram_freq_sum
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    # hashed fast-path gate: UNTRUNCATED models, so the string-semantics
+    # oracle (no top-k, no tie-break) matches the hashed twin exactly
+    out["lm_bigram_hashed_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        bgl AS (
+            SELECT key,
+                   CASE WHEN len(t) >= 2
+                        THEN list_transform(
+                                 generate_series(1, len(t) - 1),
+                                 i -> t[i] || ' ' || t[i + 1])
+                        ELSE [] END AS gs
+            FROM tk
+        ),
+        pairs AS (SELECT key, unnest(gs) AS bigram FROM bgl),
+        tok AS (SELECT key, unnest(t) AS term FROM tk),
+        vocab AS (SELECT term, count(*) AS cnt FROM tok GROUP BY term),
+        bigs AS (SELECT bigram, count(*) AS cnt FROM pairs GROUP BY bigram),
         per AS (
             SELECT p.key,
                    count(*) AS n_bigrams,

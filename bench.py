@@ -202,6 +202,26 @@ def main():
         timings["lm_docs_per_sec"] = round(n_scored / elapsed, 1)
         vocab.unpersist()
         bigs.unpersist()
+
+        # hashed-gram-key fast path over the same docs: model tables keyed
+        # on xxhash64 longs (8-byte shuffle rows, integer broadcast probes)
+        from prase_spark.datapipe.lmscore import (
+            bigram_vocab_hashed,
+            lm_score_bigram_hashed,
+            unigram_vocab_hashed,
+        )
+
+        t0 = time.time()
+        vocab_h = unigram_vocab_hashed(docs, top_v=50_000).persist()
+        bigs_h = bigram_vocab_hashed(docs, top_b=200_000).persist()
+        scored_h = lm_score_bigram_hashed(docs, vocab_h, bigs_h, key_col="doc_id")
+        row = scored_h.agg(
+            F.count("*").alias("n"), F.sum("n_bigrams").alias("nb")
+        ).collect()[0]
+        elapsed = time.time() - t0
+        timings["lm_hashed_docs_per_sec"] = round(int(row["n"]) / elapsed, 1)
+        vocab_h.unpersist()
+        bigs_h.unpersist()
         docs.unpersist()
 
     # extra metric (round 4): PageRank kernel throughput on a synthetic

@@ -19,7 +19,15 @@ from prase_spark.datapipe.hoststats import (
 from prase_spark.datapipe.pii import add_pii_counts, redact_corpus, redact_pii
 from prase_spark.datapipe.textstats import intra_doc_repetition, language_mix, word_ngrams
 from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
-from prase_spark.datapipe.lmscore import bigram_vocab, lm_score, lm_score_bigram, unigram_vocab
+from prase_spark.datapipe.lmscore import (
+    bigram_vocab,
+    bigram_vocab_hashed,
+    lm_score,
+    lm_score_bigram,
+    lm_score_bigram_hashed,
+    unigram_vocab,
+    unigram_vocab_hashed,
+)
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, rare_term_ratio, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (
     exact_dedup,
@@ -72,6 +80,9 @@ __all__ = [
     "unigram_vocab",
     "bigram_vocab",
     "lm_score_bigram",
+    "unigram_vocab_hashed",
+    "bigram_vocab_hashed",
+    "lm_score_bigram_hashed",
     "temperature_sample",
     "temperature_weights",
     "exact_dedup",

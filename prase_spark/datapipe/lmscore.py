@@ -39,7 +39,15 @@ from pyspark.sql import functions as F
 
 from prase_spark.datapipe.textstats import tokens
 
-__all__ = ["unigram_vocab", "lm_score", "bigram_vocab", "lm_score_bigram"]
+__all__ = [
+    "unigram_vocab",
+    "lm_score",
+    "bigram_vocab",
+    "lm_score_bigram",
+    "unigram_vocab_hashed",
+    "bigram_vocab_hashed",
+    "lm_score_bigram_hashed",
+]
 
 
 def _top_k_by_count(counts: DataFrame, k: int, key_col: str) -> DataFrame:
@@ -195,6 +203,175 @@ def bigram_vocab(
         .agg(F.count("*").alias("cnt"))
     )
     return _top_k_by_count(counts, top_b, "bigram")
+
+
+def _token_hashes(toks) -> F.Column:
+    """array<long>: xxhash64 of each token — each token hashed ONCE, so a
+    bigram key can be derived from two longs instead of re-hashing (or
+    worse, concatenating) the strings per adjacent pair."""
+    return F.transform(toks, lambda w: F.xxhash64(w))
+
+
+def _bigram_hash_keys(hashes) -> F.Column:
+    """array<long> of bigram keys from a token-HASH array: key(i) =
+    xxhash64(h[i], h[i+1]). Same two-slice zip_with shape as
+    :func:`word_ngrams` n=2 (empty for docs shorter than 2), but the
+    zipped payloads are 8-byte longs and the output allocates no
+    strings."""
+    m = F.greatest(F.size(hashes) - 1, F.lit(0))
+    return F.zip_with(
+        F.slice(hashes, 1, m),
+        F.slice(hashes, 2, m),
+        lambda cur, nxt: F.xxhash64(cur, nxt),
+    )
+
+
+def unigram_vocab_hashed(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_v: int = 100_000,
+) -> DataFrame:
+    """(tkey BIGINT, cnt): hashed twin of :func:`unigram_vocab` —
+    ``tkey = xxhash64(term)``, counts identical modulo hash collisions.
+
+    This is the web-scale model-build path (Talbot & Osborne 2007-style
+    randomized LM storage; Brants et al. 2007 §4 distributes on hashed
+    grams): the groupBy shuffle carries 8-byte longs instead of terms,
+    and downstream scoring probes broadcast maps with integer equality.
+    Collision risk is the documented trade: for V distinct terms the
+    chance of ANY xxhash64 collision is ~V^2/2^65 (10^9 terms -> ~2.7%
+    chance of ONE merged pair corpus-wide), which perturbs a ranking
+    signal by at most one term's mass — acceptable for curation scoring,
+    not for exact-count reporting (use the string twin there).
+
+    Ties at the top-``top_v`` boundary break on tkey ASC (deterministic,
+    but a DIFFERENT tie order than the string twin's lexical break —
+    equal-count boundary terms may differ between the two models)."""
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    counts = (
+        docs.select(F.explode(tokens(text_col)).alias("term"))
+        .select(F.xxhash64("term").alias("tkey"))
+        .groupBy("tkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _top_k_by_count(counts, top_v, "tkey")
+
+
+def bigram_vocab_hashed(
+    docs: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    top_b: int = 1_000_000,
+) -> DataFrame:
+    """(bkey BIGINT, cnt): hashed twin of :func:`bigram_vocab` with
+    ``bkey = xxhash64(xxhash64(w1), xxhash64(w2))`` — no 'w1 w2' concat
+    string is ever built, and the distinct-bigram shuffle (the measured
+    bottleneck of the LM scaling read: bigram strings average ~15-25
+    bytes + offsets vs a fixed 8-byte long) carries fixed-width integer
+    rows. Same collision/tie caveats as :func:`unigram_vocab_hashed`."""
+    if top_b < 1:
+        raise ValueError(f"top_b must be >= 1, got {top_b}")
+    counts = (
+        docs.select(tokens(text_col).alias("__t"))
+        .select(F.explode(_bigram_hash_keys(_token_hashes(F.col("__t")))).alias("bkey"))
+        .groupBy("bkey")
+        .agg(F.count("*").alias("cnt"))
+    )
+    return _top_k_by_count(counts, top_b, "bkey")
+
+
+def lm_score_bigram_hashed(
+    docs: DataFrame,
+    vocab: DataFrame,
+    bigrams: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    alpha: float = 1.0,
+    backoff: float = 0.4,
+) -> DataFrame:
+    """Hashed twin of :func:`lm_score_bigram`: same stupid-backoff math,
+    same output schema, but ``vocab`` is a (tkey, cnt) table from
+    :func:`unigram_vocab_hashed` and ``bigrams`` a (bkey, cnt) table from
+    :func:`bigram_vocab_hashed`. The document side hashes each token once
+    (`_token_hashes`), derives bigram keys from the hash array, and takes
+    the three BroadcastHashJoins on LONG keys — integer probe + no
+    string allocation per gram, which is where the string path's 32-core
+    leg lost its scaling (measured: the per-gram concat + string
+    hashing/equality dominates the scoring stage's CPU).
+
+    Value contract vs the string twin: identical integer surfaces
+    (n_bigrams / seen_cnt / bigram_freq_sum) and cross_entropy equal up
+    to float-sum ordering, PROVIDED no xxhash64 collision among the
+    corpus's distinct terms/bigrams and no count-tie at either top-k
+    boundary (tie-break keys differ); pytest pins this on a fixture."""
+    if alpha <= 0:
+        raise ValueError(f"alpha must be > 0, got {alpha}")
+    if not 0.0 < backoff <= 1.0:
+        raise ValueError(f"backoff must be in (0, 1], got {backoff}")
+    totals = vocab.agg(
+        F.coalesce(F.sum("cnt"), F.lit(0)).alias("t"), F.count("*").alias("v")
+    ).collect()[0]
+    denom = float(int(totals["t"])) + alpha * (int(totals["v"]) + 1)
+
+    hs = _token_hashes(F.col("__t"))
+    m = F.greatest(F.size(F.col("__h")) - 1, F.lit(0))
+    pairs = (
+        docs.select(F.col(key_col).alias("key"), tokens(text_col).alias("__t"))
+        .select("key", hs.alias("__h"))
+        .select(
+            "key",
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("__h"), 1, m),
+                    F.slice(F.col("__h"), 2, m),
+                    lambda cur, nxt: F.struct(
+                        F.xxhash64(cur, nxt).alias("bkey"),
+                        cur.alias("k1"),
+                        nxt.alias("k2"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("key", "g.bkey", "g.k1", "g.k2")
+    )
+    joined = (
+        pairs.join(F.broadcast(bigrams), "bkey", "left")
+        .join(
+            F.broadcast(vocab.select(F.col("tkey").alias("k1"), F.col("cnt").alias("__c1"))),
+            "k1",
+            "left",
+        )
+        .join(
+            F.broadcast(vocab.select(F.col("tkey").alias("k2"), F.col("cnt").alias("__c2"))),
+            "k2",
+            "left",
+        )
+    )
+    seen = F.col("cnt").isNotNull() & F.col("__c1").isNotNull()
+    score = F.when(seen, F.col("cnt") / F.col("__c1")).otherwise(
+        F.lit(backoff)
+        * (F.coalesce(F.col("__c2"), F.lit(0)) + F.lit(alpha))
+        / F.lit(denom)
+    )
+    scored = joined.groupBy("key").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum(seen.cast("long")).alias("seen_cnt"),
+        F.sum(F.when(seen, F.col("cnt")).otherwise(F.lit(0))).alias(
+            "bigram_freq_sum"
+        ),
+        (-F.sum(F.log2(score)) / F.count("*")).alias("cross_entropy"),
+    )
+    return docs.select(F.col(key_col).alias("key")).join(
+        scored, "key", "left"
+    ).select(
+        "key",
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("seen_cnt", F.lit(0)).cast("long").alias("seen_cnt"),
+        F.coalesce("bigram_freq_sum", F.lit(0)).cast("long").alias("bigram_freq_sum"),
+        F.coalesce("cross_entropy", F.lit(0.0)).alias("cross_entropy"),
+    )
 
 
 def lm_score_bigram(

@@ -188,10 +188,20 @@ from prase_spark.config import get_spark
 
 cpus = int(sys.argv[1])
 n_pages = int(sys.argv[2])
-spark = get_spark("scaling_lm", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+shuffle_mult = int(os.environ.get("PRASE_SCALE_SHUFFLE_MULT", "1"))
+spark = get_spark("scaling_lm", master=f"local[{{cpus}}]",
+                  shuffle_partitions=max(cpus, 8) * shuffle_mult)
 spark.sparkContext.setLogLevel("ERROR")
 
-from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram, unigram_vocab
+hashed = os.environ.get("PRASE_LM_HASHED", "0") == "1"
+if hashed:
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab_hashed as bigram_vocab,
+        lm_score_bigram_hashed as lm_score_bigram,
+        unigram_vocab_hashed as unigram_vocab,
+    )
+else:
+    from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram, unigram_vocab
 from prase_spark.fixtures import synthetic_pages_distributed
 
 parts_mult = int(os.environ.get("PRASE_SCALE_PARTS_MULT", "2"))
@@ -221,6 +231,7 @@ b = bigram_vocab(docs, top_b=200_000).persist(); b.count()
 n = force_score(lm_score_bigram(docs, v, b, key_col="doc_id"))
 elapsed = time.time() - t0
 print(json.dumps({{"cpus": cpus, "pages": n_pages, "scored": n,
+                   "hashed_keys": hashed,
                    "sec": round(elapsed, 3),
                    "docs_per_sec": round(n_pages / elapsed, 1)}}))
 spark.stop()
@@ -316,7 +327,12 @@ def main():
         if wl == "extract":
             title = f"extraction+stats (pages={args.pages})"
         elif wl == "lm":
-            title = f"bigram-LM model build + scoring (pages={args.pages})"
+            keys = (
+                "hashed gram keys"
+                if os.environ.get("PRASE_LM_HASHED", "0") == "1"
+                else "string gram keys"
+            )
+            title = f"bigram-LM model build + scoring ({keys}, pages={args.pages})"
         elif wl == "paris-kernel":
             title = f"PARIS candidate-scoring kernel (synthetic 2x{args.kg_ents}-entity KGs)"
         else:

@@ -194,3 +194,91 @@ def test_top_k_prefilter_matches_plain_take_ordered(spark):
             .collect()
         )
         assert got == exp, f"k={k}"
+
+
+# --- hashed fast-path twins -------------------------------------------------
+
+
+def _hashed_score_rows(spark, docs, top_v, top_b):
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab_hashed,
+        lm_score_bigram_hashed,
+        unigram_vocab_hashed,
+    )
+
+    v = unigram_vocab_hashed(docs, top_v=top_v)
+    b = bigram_vocab_hashed(docs, top_b=top_b)
+    return {r["key"]: r for r in lm_score_bigram_hashed(docs, v, b).collect()}
+
+
+def test_hashed_twin_full_vocab_matches_string_path(spark):
+    """With untruncated models (top_k >= distinct grams, so tie-break
+    order is irrelevant) the hashed path must reproduce the string path
+    exactly on the integer surfaces and up to float-sum ordering on the
+    entropy."""
+    from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    vocab = unigram_vocab(docs, top_v=10_000)
+    bigs = bigram_vocab(docs, top_b=10_000)
+    exp = {r["key"]: r for r in lm_score_bigram(docs, vocab, bigs).collect()}
+    got = _hashed_score_rows(spark, docs, top_v=10_000, top_b=10_000)
+    assert set(got) == set(exp)
+    for key in exp:
+        e, g = exp[key], got[key]
+        assert (g["n_bigrams"], g["seen_cnt"], g["bigram_freq_sum"]) == (
+            e["n_bigrams"],
+            e["seen_cnt"],
+            e["bigram_freq_sum"],
+        ), key
+        assert g["cross_entropy"] == pytest.approx(e["cross_entropy"], rel=1e-12), key
+
+
+def test_hashed_twin_truncated_distinct_counts(spark):
+    """Truncation active, every gram count DISTINCT (so both tie-break
+    rules select the identical top-k set): hashed == string with real
+    backoff traffic."""
+    from prase_spark.datapipe.lmscore import bigram_vocab, lm_score_bigram
+
+    # doc i repeats the bigram "w{i} x{i}" (i+1) times -> bigram counts
+    # 1..8 all distinct; unigram counts 1..8 + x-counts also distinct per w
+    rows = [(i, " ".join(f"w{i} x{i}" for _ in range(i + 1))) for i in range(8)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    vocab_s = unigram_vocab(docs, top_v=9)
+    bigs_s = bigram_vocab(docs, top_b=5)  # cuts inside distinct-count layer
+    exp = {r["key"]: r for r in lm_score_bigram(docs, vocab_s, bigs_s).collect()}
+    got = _hashed_score_rows(spark, docs, top_v=9, top_b=5)
+    backed_off = 0
+    for key in exp:
+        e, g = exp[key], got[key]
+        assert (g["n_bigrams"], g["seen_cnt"], g["bigram_freq_sum"]) == (
+            e["n_bigrams"],
+            e["seen_cnt"],
+            e["bigram_freq_sum"],
+        ), key
+        backed_off += e["n_bigrams"] - e["seen_cnt"]
+    assert backed_off > 0  # the cut really forced the backoff path
+
+
+def test_hashed_plan_integer_keys_all_broadcast(spark):
+    """The point of the fast path: the model-build shuffle partitions on
+    the LONG gram key (no string gram column survives below the
+    exchange) and scoring takes three BroadcastHashJoins."""
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab_hashed,
+        lm_score_bigram_hashed,
+        unigram_vocab_hashed,
+    )
+
+    docs = spark.createDataFrame(DOCS, "doc_id long, text string")
+    b = bigram_vocab_hashed(docs, top_b=10_000)
+    build_plan = b._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(bkey" in build_plan
+    assert "bigram" not in build_plan  # no string gram reaches the exchange
+    v = unigram_vocab_hashed(docs, top_v=10_000)
+    score_plan = (
+        lm_score_bigram_hashed(docs, v, b)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert score_plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in score_plan
