@@ -1406,6 +1406,28 @@ def _q_dsir_weights_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_classifier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter (datapipe.classify): training-free
+    naive-Bayes-style integer weights (rate-ratio of target = English
+    docs vs raw = whole corpus over m=97 poly_hash61 gram buckets), then
+    the broadcast linear scorer — the GPT-3/LLaMA 'quality classifier'
+    curation stage. Everything in the decision path is integer-exact
+    (w_e6 / logit_e6 / keep_flag BIGINT), so the gate value-hashes the
+    whole model AND the scores end to end; the trained-weights variant
+    (distributed-GD logistic regression) is pytest-verified on a planted
+    fixture (test_classify.py)."""
+    from prase_spark.datapipe.classify import classifier_score, nb_log_odds_weights
+    from prase_spark.datapipe.dsir import bucket_model
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tgt = d.filter(F.col("lang") == "en")
+    tm = bucket_model(tgt, n_buckets=97, hash_fn=poly_hash61)
+    rm = bucket_model(d, n_buckets=97, hash_fn=poly_hash61)
+    w = nb_log_odds_weights(tm, rm)
+    return classifier_score(d, w, n_buckets=97, hash_fn=poly_hash61)
+
+
 def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampling mixture weights (datapipe.sampling
     .temperature_weights, tau=0.5): per-source keep-rates proportional to
@@ -1792,6 +1814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_docs": _q_lm_bigram_docs,
         "lm_bigram_hashed_docs": _q_lm_bigram_hashed_docs,
         "dsir_weights_docs": _q_dsir_weights_docs,
+        "classifier_quality_docs": _q_classifier_quality_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3972,6 +3995,52 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
                CAST(coalesce(p.tgt_freq_sum, 0) AS BIGINT) AS tgt_freq_sum,
                CAST(coalesce(p.raw_freq_sum, 0) AS BIGINT) AS raw_freq_sum
+        FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    out["classifier_quality_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, lang, {toks} AS t FROM documents),
+        gl AS (
+            SELECT key, lang,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(
+                                     generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END) AS gs
+            FROM tk
+        ),
+        grams AS (
+            SELECT key, lang, ({poly_gram}) % 97 AS bucket
+            FROM (SELECT key, lang, unnest(gs) AS gram FROM gl)
+        ),
+        tm AS (
+            SELECT bucket, count(*) AS tcnt FROM grams
+            WHERE lang = 'en' GROUP BY bucket
+        ),
+        rm AS (SELECT bucket, count(*) AS rcnt FROM grams GROUP BY bucket),
+        tot AS (
+            SELECT (SELECT count(*) FROM grams WHERE lang = 'en') AS tmass,
+                   (SELECT count(*) FROM grams) AS rmass
+        ),
+        w AS (
+            SELECT r.bucket,
+                   CAST((CAST(1000000 AS HUGEINT) * coalesce(t.tcnt, 0)
+                         * tot.rmass)
+                        // (CAST(greatest(r.rcnt, 1) AS HUGEINT) * tot.tmass)
+                        - 1000000 AS BIGINT) AS w_e6
+            FROM rm r LEFT JOIN tm t USING (bucket) CROSS JOIN tot
+        ),
+        per AS (
+            SELECT g.key, count(*) AS n_grams, sum(w.w_e6) AS logit
+            FROM grams g JOIN w USING (bucket)
+            GROUP BY g.key
+        )
+        SELECT d.doc_id AS key,
+               CAST(coalesce(p.n_grams, 0) AS BIGINT) AS n_grams,
+               CAST(coalesce(p.logit, 0) AS BIGINT) AS logit_e6,
+               CAST(CASE WHEN coalesce(p.logit, 0) > 0 THEN 1 ELSE 0 END
+                    AS BIGINT) AS keep_flag
         FROM documents d LEFT JOIN per p ON d.doc_id = p.key
     """
     out["temperature_mix_docs"] = """

@@ -50,6 +50,12 @@ from prase_spark.datapipe.sampling import (
     temperature_weights,
 )
 from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
+from prase_spark.datapipe.classify import (
+    LogisticModel,
+    classifier_score,
+    nb_log_odds_weights,
+    train_logistic_weights,
+)
 from prase_spark.datapipe.dsir import bucket_model, dsir_sample, dsir_weights, hashed_grams
 from prase_spark.datapipe.simsearch import (
     build_ivf_index,
@@ -76,6 +82,10 @@ __all__ = [
     "bucket_model",
     "dsir_weights",
     "dsir_sample",
+    "classifier_score",
+    "nb_log_odds_weights",
+    "train_logistic_weights",
+    "LogisticModel",
     "lm_score",
     "unigram_vocab",
     "bigram_vocab",
