@@ -57,12 +57,17 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
-        .config("spark.driver.memory", os.environ.get("PRASE_DRIVER_MEM", "8g"))
+        .config("spark.driver.memory", os.environ.get("PRASE_DRIVER_MEM", "12g"))
         # pre-size the heap: lazy heap expansion causes a one-time multi-
-        # second GC churn on the first heavy query (observed 28s -> 3s)
+        # second GC churn on the first heavy query (observed 28s -> 3s).
+        # JDK17 unified logging writes warning-level GC messages (e.g.
+        # GCLocker allocation retries) to STDOUT by default — reroute to
+        # stderr so stdout stays parseable (bench.py's one-JSON-line
+        # contract; any driver that captures stdout).
         .config(
             "spark.driver.extraJavaOptions",
-            f"-Xms{os.environ.get('PRASE_DRIVER_XMS', '4g')}",
+            f"-Xms{os.environ.get('PRASE_DRIVER_XMS', '6g')} "
+            "-Xlog:all=warning:stderr:uptime,level,tags",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
