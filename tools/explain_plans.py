@@ -177,6 +177,38 @@ def main():
         "source",
     ).explain("formatted")
 
+    # round-4 sixth-session ops: hashed-LM model build must partition on
+    # the LONG gram key (no string gram below the exchange); hashed
+    # scoring 3 BroadcastHashJoins on longs; dsir weights 2 broadcast
+    # joins + one-row-per-doc exchange; classifier score 1 broadcast
+    # join + one-row-per-doc exchange (the weight table <= n_buckets)
+    from prase_spark.datapipe.classify import classifier_score, nb_log_odds_weights
+    from prase_spark.datapipe.dsir import bucket_model, dsir_weights
+    from prase_spark.datapipe.lmscore import (
+        bigram_vocab_hashed,
+        lm_score_bigram_hashed,
+        unigram_vocab_hashed,
+    )
+
+    print("=" * 70, "\nHASHED BIGRAM VOCAB PLAN (long-key exchange)\n", "=" * 70)
+    bigs_h = bigram_vocab_hashed(docs, top_b=100)
+    bigs_h.explain("formatted")
+
+    print("=" * 70, "\nHASHED LM SCORE PLAN (3 long-key broadcasts)\n", "=" * 70)
+    lm_score_bigram_hashed(
+        docs, unigram_vocab_hashed(docs, top_v=50), bigs_h
+    ).explain("formatted")
+
+    tm = bucket_model(docs.filter("doc_id % 2 = 0"), n_buckets=97)
+    rm = bucket_model(docs, n_buckets=97)
+    print("=" * 70, "\nDSIR WEIGHTS PLAN (2 broadcasts, 1 doc exchange)\n", "=" * 70)
+    dsir_weights(docs, tm, rm, n_buckets=97).explain("formatted")
+
+    print("=" * 70, "\nCLASSIFIER SCORE PLAN (1 broadcast, 1 doc exchange)\n", "=" * 70)
+    classifier_score(docs, nb_log_odds_weights(tm, rm), n_buckets=97).explain(
+        "formatted"
+    )
+
 
 if __name__ == "__main__":
     main()
