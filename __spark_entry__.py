@@ -1428,6 +1428,20 @@ def _q_classifier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(d, w, n_buckets=97, hash_fn=poly_hash61)
 
 
+def _q_substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact duplicated-substring detection (datapipe.substrdedup, Lee
+    et al. 2022): k=8 token-window fingerprints, global first-occurrence
+    ownership, per-doc duplicated-token/span report. The DuckDB twin
+    recomputes duplication over the RAW k-gram strings (no hash replay),
+    so the gate proves the fingerprint chain's SEMANTICS — any
+    fingerprint collision or ownership drift would hash-mismatch. All
+    sinks BIGINT."""
+    from prase_spark.datapipe.substrdedup import substring_dup_stats
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return substring_dup_stats(d, k=8)
+
+
 def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Temperature-sampling mixture weights (datapipe.sampling
     .temperature_weights, tau=0.5): per-source keep-rates proportional to
@@ -1815,6 +1829,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lm_bigram_hashed_docs": _q_lm_bigram_hashed_docs,
         "dsir_weights_docs": _q_dsir_weights_docs,
         "classifier_quality_docs": _q_classifier_quality_docs,
+        "substring_dup_docs": _q_substring_dup_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3957,6 +3972,62 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(p.seen_cnt, 0) AS BIGINT) AS seen_cnt,
                CAST(coalesce(p.bigram_freq_sum, 0) AS BIGINT) AS bigram_freq_sum
         FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    # substring dedup: the twin re-derives duplication from RAW k-gram
+    # strings (window rank over (key,pos) = the min-struct ownership) —
+    # no hash chain in the oracle, so the gate checks semantics
+    out["substring_dup_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, {toks} AS t FROM documents),
+        kg AS (
+            SELECT key, len(t) AS n,
+                   CASE WHEN len(t) >= 8
+                        THEN list_transform(
+                                 generate_series(1, len(t) - 7),
+                                 i -> array_to_string(t[i:i+7], ' '))
+                        ELSE [] END AS gs
+            FROM tk
+        ),
+        occ AS (
+            SELECT key, u['pos'] AS pos, u['g'] AS g
+            FROM (SELECT key,
+                         unnest(list_transform(
+                             generate_series(1, len(gs)),
+                             i -> {{'pos': i - 1, 'g': gs[i]}})) AS u
+                  FROM kg)
+        ),
+        ranked AS (
+            SELECT key, pos,
+                   count(*) OVER (PARTITION BY g) AS cnt,
+                   row_number() OVER (PARTITION BY g ORDER BY key, pos) AS rn
+            FROM occ
+        ),
+        dup AS (SELECT key, pos FROM ranked WHERE cnt >= 2 AND rn > 1),
+        dk AS (SELECT key, count(*) AS dup_kgram_cnt FROM dup GROUP BY key),
+        cov AS (
+            SELECT DISTINCT key, pos + j.generate_series AS p
+            FROM dup CROSS JOIN generate_series(0, 7) AS j
+        ),
+        sp AS (
+            SELECT key, count(*) AS dup_token_cnt,
+                   sum(CASE WHEN lag_p IS NULL OR lag_p < p - 1
+                            THEN 1 ELSE 0 END) AS dup_span_cnt
+            FROM (SELECT key, p,
+                         lag(p) OVER (PARTITION BY key ORDER BY p) AS lag_p
+                  FROM cov)
+            GROUP BY key
+        )
+        SELECT k2.key AS key,
+               CAST(coalesce(k2.n, 0) AS BIGINT) AS n_tokens,
+               CAST(coalesce(dk.dup_kgram_cnt, 0) AS BIGINT) AS dup_kgram_cnt,
+               CAST(coalesce(sp.dup_token_cnt, 0) AS BIGINT) AS dup_token_cnt,
+               CAST(coalesce(sp.dup_span_cnt, 0) AS BIGINT) AS dup_span_cnt,
+               CAST(CASE WHEN coalesce(k2.n, 0) > 0
+                    THEN (2 * coalesce(sp.dup_token_cnt, 0) * 10000 + k2.n)
+                         // (2 * k2.n)
+                    ELSE 0 END AS BIGINT) AS dup_pct_e4
+        FROM kg k2
+        LEFT JOIN dk USING (key)
+        LEFT JOIN sp USING (key)
     """
     poly_gram = POLY_SQL.format(c="gram")
     out["dsir_weights_docs"] = f"""

@@ -57,6 +57,7 @@ from prase_spark.datapipe.classify import (
     train_logistic_weights,
 )
 from prase_spark.datapipe.dsir import bucket_model, dsir_sample, dsir_weights, hashed_grams
+from prase_spark.datapipe.substrdedup import kgram_fingerprints, substring_dup_stats
 from prase_spark.datapipe.simsearch import (
     build_ivf_index,
     cosine_topk,
@@ -82,6 +83,8 @@ __all__ = [
     "bucket_model",
     "dsir_weights",
     "dsir_sample",
+    "kgram_fingerprints",
+    "substring_dup_stats",
     "classifier_score",
     "nb_log_odds_weights",
     "train_logistic_weights",

@@ -1,0 +1,195 @@
+"""Exact duplicated-substring detection — the Lee et al. 2022
+("Deduplicating Training Data Makes Language Models Better") signal:
+find every token span that occurs more than once ACROSS the corpus (or
+within a doc), exactly, and report per-document duplicated-substring
+mass so the curation layer can drop or down-weight substring-level
+near-copies that paragraph/minhash dedup misses (licence boilerplate,
+quoted reuse, templated spans shorter than a paragraph).
+
+Method (suffix arrays re-expressed for a shuffle engine): a span of
+``>= k`` tokens is duplicated iff one of its k-token windows is
+duplicated, so k-gram window fingerprints give EXACT >=k-token-span
+detection — no banding, no probability:
+
+1. per doc, hash each token once, then fingerprint every k-token window
+   with a polynomial fold over the token hashes (both arrays built in a
+   MAP projection, below any explode — the interpreted-Generate trap
+   ``textstats.tokens`` documents);
+2. one positioned explode -> ONE corpus-sized groupBy on the 8-byte
+   window fingerprint: occurrence count + global first occurrence
+   (min (key, pos) struct — the paradedup ownership rule, so exactly
+   one copy of every duplicated span is canonical);
+3. every non-canonical occurrence of a fingerprint with count >= 2 is a
+   duplicated window; its k covered token positions are exploded and
+   de-duplicated per doc (union of overlapping windows WITHOUT interval
+   arithmetic: count distinct covered positions, count span starts as
+   covered positions whose predecessor is not covered);
+4. per-doc report: ``n_tokens`` / ``dup_kgram_cnt`` / ``dup_token_cnt``
+   / ``dup_span_cnt`` / ``dup_pct_e4`` (exact-integer half-up), zeros
+   for docs shorter than k.
+
+Scale shape at 10^12 docs: the only corpus-sized shuffles carry
+(fingerprint, key, pos) longs — never text; the fingerprint groupBy is
+map-side combinable; covered-position dedup shuffles on the doc key
+(bounded per doc by token count). Per-token CPU is O(k) fold work in
+whole-stage codegen (k=16 default: ~16 multiply-adds per token).
+
+The report DELIBERATELY stops at flags/stats rather than cutting the
+spans from ``text``: the repo's extraction invariant is byte-identical
+text per url, and a token-level rebuild cannot restore original
+whitespace/punctuation. Callers drop or down-weight by ``dup_pct_e4``
+(Lee et al. cut; RefinedWeb-style pipelines typically filter — same
+corpus effect, invariant preserved).
+
+Collision note: fingerprints are 61-bit polynomial values (the repo's
+SQL-replicable :mod:`~prase_spark.datapipe.hashing` family) or xxhash64
+chains; a collision can only ADD a false duplicated window
+(~n^2/2^62 for n distinct windows) — acceptable for a down-weighting
+signal, and the same budget every hash-dedup path here documents.
+
+No reference analog (extends SURVEY.md §2.8's dedup family).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.hashing import POLY_INIT, POLY_MULT, POLY_P, poly_hash61
+from prase_spark.datapipe.textstats import tokens
+
+__all__ = ["kgram_fingerprints", "substring_dup_stats"]
+
+
+def _fold_hashes(hs_slice: Column) -> Column:
+    """Polynomial fold of an array<long> of token hashes into one long:
+    ``h = fold((acc * MULT + tok_hash) mod P, init)`` — the same
+    arithmetic family as :func:`~prase_spark.datapipe.hashing
+    .poly_hash61`, so DuckDB replays it with ``list_reduce`` and the
+    gate can value-verify every fingerprint. decimal(38,0) keeps ANSI
+    mode overflow-free (acc < 2^61, x MULT < 10^25)."""
+    return F.aggregate(
+        hs_slice,
+        F.lit(POLY_INIT).cast("decimal(38,0)"),
+        lambda acc, h: ((acc * F.lit(POLY_MULT) + h) % F.lit(POLY_P)).cast(
+            "decimal(38,0)"
+        ),
+    ).cast("long")
+
+
+def kgram_fingerprints(
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """(key, pos, fp): one row per k-token window, ``pos`` the 0-based
+    token index of the window start, ``fp`` the polynomial fold of the
+    window's per-token hashes. Docs shorter than ``k`` produce no rows.
+    Token hashes and the fingerprint array are both materialized in map
+    projections; only the final positioned explode generates rows."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    hash_fn = hash_fn or F.xxhash64
+    hashed = docs.select(
+        F.col(key_col).alias("key"), tokens(text_col).alias("__t")
+    ).select(
+        "key", F.transform(F.col("__t"), lambda w: hash_fn(w)).alias("__h")
+    )
+    fps = hashed.select(
+        "key",
+        F.when(
+            F.size("__h") >= k,
+            F.transform(
+                F.sequence(F.lit(1), F.size("__h") - (k - 1)),
+                lambda i: _fold_hashes(F.slice(F.col("__h"), i, k)),
+            ),
+        )
+        .otherwise(F.array().cast("array<long>"))
+        .alias("__fp"),
+    )
+    return fps.select("key", F.posexplode("__fp").alias("pos", "fp"))
+
+
+def substring_dup_stats(
+    docs: DataFrame,
+    k: int = 16,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    hash_fn=None,
+) -> DataFrame:
+    """Per-document duplicated-substring report (see module doc):
+
+    - ``n_tokens`` — token count;
+    - ``dup_kgram_cnt`` — non-canonical occurrences of corpus-duplicated
+      k-token windows in this doc;
+    - ``dup_token_cnt`` — tokens covered by at least one such window
+      (union of overlapping windows, exact);
+    - ``dup_span_cnt`` — maximal contiguous duplicated spans;
+    - ``dup_pct_e4`` — ``dup_token_cnt / n_tokens`` exact-integer
+      half-up x 1e4 (the drop/down-weight signal).
+
+    Every row of ``docs`` is preserved (zeros for short/empty/NULL-text
+    docs). The globally FIRST occurrence of each duplicated window
+    (min key, then min pos) stays canonical and is not counted — a
+    corpus with every doc unique reports all-zero."""
+    fps = kgram_fingerprints(docs, k, text_col, key_col, hash_fn)
+    grouped = fps.groupBy("fp").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct("key", "pos")).alias("__owner"),
+    )
+    dup_occ = (
+        fps.join(grouped, "fp")
+        .filter(
+            (F.col("__cnt") >= 2)
+            & ~(
+                (F.col("key") == F.col("__owner.key"))
+                & (F.col("pos") == F.col("__owner.pos"))
+            )
+        )
+        .select("key", "pos")
+    )
+    per_doc_kgrams = dup_occ.groupBy("key").agg(
+        F.count("*").alias("dup_kgram_cnt")
+    )
+    covered = (
+        dup_occ.select(
+            "key", F.explode(F.sequence(F.col("pos"), F.col("pos") + (k - 1))).alias("p")
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("key").orderBy("p")
+    spans = covered.withColumn(
+        "__start", (F.coalesce(F.lag("p").over(w), F.lit(-2)) < F.col("p") - 1).cast("long")
+    ).groupBy("key").agg(
+        F.count("*").alias("dup_token_cnt"),
+        F.sum("__start").alias("dup_span_cnt"),
+    )
+    # NULL text -> NULL token array -> size() is NULL (not -1) on this
+    # codebase's configs; coalesce keeps the all-zero row contract
+    n_tok = docs.select(
+        F.col(key_col).alias("key"),
+        F.coalesce(F.size(tokens(text_col)), F.lit(0)).alias("n_tokens"),
+    )
+    return (
+        n_tok.join(per_doc_kgrams, "key", "left")
+        .join(spans, "key", "left")
+        .select(
+            "key",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("dup_kgram_cnt", F.lit(0)).cast("long").alias("dup_kgram_cnt"),
+            F.coalesce("dup_token_cnt", F.lit(0)).cast("long").alias("dup_token_cnt"),
+            F.coalesce("dup_span_cnt", F.lit(0)).cast("long").alias("dup_span_cnt"),
+            F.when(
+                F.col("n_tokens") > 0,
+                F.expr(
+                    "(2 * coalesce(dup_token_cnt, 0) * 10000 + n_tokens) "
+                    "div (2 * n_tokens)"
+                ),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("dup_pct_e4"),
+        )
+    )

@@ -1,0 +1,126 @@
+"""Exact duplicated-substring detection (datapipe.substrdedup): values
+against a pure-Python suffix-style oracle, ownership semantics, edge
+docs, and repartitioning invariance."""
+
+import re
+
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.substrdedup import kgram_fingerprints, substring_dup_stats
+
+K = 4
+
+DOCS = [
+    # docs 1 and 2 share the 6-token span "the quick brown fox jumps high"
+    (1, "the quick brown fox jumps high over the lazy dog tonight"),
+    (2, "intro words then the quick brown fox jumps high and more text"),
+    # doc 3 repeats a 4-token span WITHIN itself (self-duplication)
+    (3, "alpha beta gamma delta filler alpha beta gamma delta"),
+    (4, "completely unique sentence with no duplicated windows at all"),
+    (5, "shorty"),  # < k tokens
+    (6, ""),
+    (7, None),
+]
+
+
+def _toks(text):
+    if text is None:
+        return []
+    return [t for t in re.sub(r"[^a-z0-9]+", " ", text.lower()).split() if t]
+
+
+def _oracle(docs, k):
+    """Exact duplicated-window detection over RAW k-gram tuples (no
+    hashing): occurrence count + global (key, pos) first-occurrence
+    ownership, covered-position union, span count."""
+    occ = {}
+    toks = {key: _toks(t) for key, t in docs}
+    for key, ts in toks.items():
+        for i in range(len(ts) - k + 1):
+            occ.setdefault(tuple(ts[i : i + k]), []).append((key, i))
+    dup_by_doc = {}
+    for g, places in occ.items():
+        if len(places) < 2:
+            continue
+        owner = min(places)
+        for p in places:
+            if p != owner:
+                dup_by_doc.setdefault(p[0], []).append(p[1])
+    out = {}
+    for key, _ in docs:
+        n = len(toks[key])
+        poss = sorted(dup_by_doc.get(key, []))
+        covered = sorted({p for i in poss for p in range(i, i + k)})
+        spans = sum(
+            1
+            for j, p in enumerate(covered)
+            if j == 0 or covered[j - 1] < p - 1
+        )
+        dc = len(covered)
+        pct = (2 * dc * 10000 + n) // (2 * n) if n else 0
+        out[key] = (n, len(poss), dc, spans, pct)
+    return out
+
+
+def test_values_match_python_oracle(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    got = {r["key"]: r for r in substring_dup_stats(d, k=K).collect()}
+    exp = _oracle(DOCS, K)
+    assert set(got) == set(exp)  # every doc restored, incl. short/empty/NULL
+    for key, (n, dk, dc, ds, pct) in exp.items():
+        r = got[key]
+        assert (
+            r["n_tokens"],
+            r["dup_kgram_cnt"],
+            r["dup_token_cnt"],
+            r["dup_span_cnt"],
+            r["dup_pct_e4"],
+        ) == (n, dk, dc, ds, pct), key
+    # the fixture really exercises all three classes
+    assert got[2]["dup_span_cnt"] >= 1  # cross-doc copy detected
+    assert got[3]["dup_span_cnt"] >= 1  # within-doc repeat detected
+    assert got[4]["dup_token_cnt"] == 0  # unique doc untouched
+    assert got[1]["dup_token_cnt"] == 0  # global first occurrence canonical
+
+
+def test_poly_hash_twin_matches_xxhash(spark):
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = {r["key"]: tuple(r) for r in substring_dup_stats(d, k=K).collect()}
+    b = {
+        r["key"]: tuple(r)
+        for r in substring_dup_stats(d, k=K, hash_fn=poly_hash61).collect()
+    }
+    assert a == b
+
+
+def test_fingerprints_positioned_and_short_docs_empty(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    fps = kgram_fingerprints(d, k=K).collect()
+    n1 = len(_toks(DOCS[0][1]))
+    assert sum(1 for r in fps if r["key"] == 1) == n1 - K + 1
+    assert all(r["key"] not in (5, 6, 7) for r in fps)
+    # identical windows fingerprint identically across docs
+    by_pos = {(r["key"], r["pos"]): r["fp"] for r in fps}
+    assert by_pos[(1, 0)] == by_pos[(2, 3)]  # "the quick brown fox" both docs
+
+
+def test_repartition_invariance(spark):
+    d = spark.createDataFrame(DOCS, "doc_id long, text string")
+    a = sorted(tuple(r) for r in substring_dup_stats(d, k=K).collect())
+    b = sorted(
+        tuple(r)
+        for r in substring_dup_stats(d.repartition(7), k=K).collect()
+    )
+    assert a == b
+
+
+def test_all_dup_doc_reports_full_coverage(spark):
+    rows = [(1, "one two three four five six"), (2, "one two three four five six")]
+    d = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["key"]: r for r in substring_dup_stats(d, k=3).collect()}
+    # doc 1 is canonical (all zero); doc 2 fully covered, one span, 100%
+    assert got[1]["dup_token_cnt"] == 0
+    assert (got[2]["dup_token_cnt"], got[2]["dup_span_cnt"]) == (6, 1)
+    assert got[2]["dup_pct_e4"] == 10000
