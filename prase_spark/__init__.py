@@ -45,6 +45,12 @@ from prase_spark.pipeline import (
     partition_metrics,
     prase_feedback_align,
 )
+from prase_spark.transe import (
+    TransEModel,
+    init_entity_embeddings,
+    train_transe,
+    transe_scores,
+)
 
 __all__ = [
     "ParisConfig",
@@ -73,5 +79,9 @@ __all__ = [
     "node_triangles",
     "link_candidates",
     "asof_join",
+    "TransEModel",
+    "init_entity_embeddings",
+    "train_transe",
+    "transe_scores",
     "bucket_metrics",
 ]

@@ -1,0 +1,251 @@
+"""Distributed TransE embedding training (Bordes et al. 2013) — the
+"semantic embedding module" half of PRASE's loop, trained IN Spark
+instead of imported from an external toolkit.
+
+The reference consumes pre-trained OpenEA vectors
+(objects/KG.py:240-254 loads them; model/PARIS.py feeds them to the
+fusion function). This module closes the loop: train margin-based
+TransE on the KG's own relation facts, then hand the vectors to the
+existing fusion/blend/LSH machinery (`embed.blend_embeddings`,
+`pipeline.align(fusion_func=...)`).
+
+Formulation (squared-L2 score, the common TransE variant):
+
+    score(h, r, t) = || E[h] + R[r] - E[t] ||^2        (lower = truer)
+
+Per epoch, each triple is paired with ONE corrupted-tail negative; a
+triple pair in violation (margin + s_pos - s_neg > 0) contributes the
+exact squared-L2 gradients
+
+    g_h = g_r = 2 (t' - t),  g_t = -2 (h + r - t),  g_t' = 2 (h + r - t')
+
+summed per id, applied with learning rate ``lr``; entity vectors are
+re-projected to the unit sphere after every step (the paper's
+constraint).
+
+Determinism without RNG state (the repo's doctrine — identical on any
+executor layout):
+- init: E[e][d] = uniform from ``xxhash64(e, d, seed)`` on the 2^-53
+  grid, scaled to the Glorot-style [-6/sqrt(dim), 6/sqrt(dim)] box and
+  L2-normalized;
+- negatives: corrupted tail = ``pmod(xxhash64(h, r, t, epoch, seed),
+  n_entities)`` — a fresh pseudo-sample each epoch, reproducible.
+
+Scale shape: per epoch, 4 hash joins of the triple table against the
+embedding tables (all keyed on dense ids — co-partitionable), one
+union'd gradient stream reduced per id by an Arrow ``applyInPandas``
+numpy sum (vector-at-a-time, never per-row Python), one update join,
+and a ``localCheckpoint`` to truncate lineage (the PARIS iteration
+discipline). Embedding tables shuffle by id only; nothing is ever
+collected to the driver. Entity ids MUST be dense ``[0, n)`` (what
+:mod:`prase_spark.ids` produces) so hash-corruption lands uniformly.
+
+Float sums arrive in shuffle order, so training is deterministic up to
+float-add commutativity — pytest asserts ranking properties, not bits
+(the repo's cross-engine discipline on transcendentals applies to
+iterative float training too; no driver gate, documented in
+COVERAGE.md).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+__all__ = ["init_entity_embeddings", "train_transe", "transe_scores", "TransEModel"]
+
+_U_GRID = float(1 << 53)
+
+
+def _hash_unit_vectors(ids: DataFrame, id_col: str, dim: int, seed: int, salt: str) -> DataFrame:
+    """(id, embedding array<double>): deterministic pseudo-uniform
+    vectors in [-b, b]^dim (b = 6/sqrt(dim)), L2-normalized."""
+    b = 6.0 / (dim ** 0.5)
+    u = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda d: (
+            (
+                F.pmod(
+                    F.xxhash64(F.col(id_col), d, F.lit(int(seed)), F.lit(salt)),
+                    F.lit(1 << 53),
+                ).cast("double")
+                + F.lit(0.5)
+            )
+            / F.lit(_U_GRID)
+            * F.lit(2.0 * b)
+            - F.lit(b)
+        ),
+    )
+    raw = ids.select(F.col(id_col).alias("id"), u.alias("__v"))
+    norm = F.sqrt(
+        F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    return raw.select(
+        "id",
+        F.transform("__v", lambda x: x / norm).alias("embedding"),
+    )
+
+
+def init_entity_embeddings(
+    entities: DataFrame, dim: int = 32, seed: int = 0, id_col: str = "ent_id"
+) -> DataFrame:
+    """Deterministic TransE init for an entity id table."""
+    if dim < 1:
+        raise ValueError(f"dim must be >= 1, got {dim}")
+    return _hash_unit_vectors(entities, id_col, dim, seed, "ent")
+
+
+class TransEModel(NamedTuple):
+    """(ent_id, embedding) + (pred_id, embedding) tables, both unit-ish
+    array<double>; ``dim`` for downstream banding."""
+
+    entities: DataFrame
+    relations: DataFrame
+    dim: int
+
+
+def transe_scores(
+    triples: DataFrame, model: TransEModel, h="subj", r="pred", t="obj"
+) -> DataFrame:
+    """(h, r, t, score): squared-L2 TransE score per triple — the rank
+    surface (lower = more plausible). Three hash joins, score native."""
+    e = model.entities
+    joined = (
+        triples.select(F.col(h).alias("h"), F.col(r).alias("r"), F.col(t).alias("t"))
+        .join(e.select(F.col("id").alias("h"), F.col("embedding").alias("__eh")), "h")
+        .join(e.select(F.col("id").alias("t"), F.col("embedding").alias("__et")), "t")
+        .join(
+            model.relations.select(
+                F.col("id").alias("r"), F.col("embedding").alias("__er")
+            ),
+            "r",
+        )
+    )
+    diff = F.zip_with(
+        F.zip_with("__eh", "__er", lambda a, b: a + b),
+        F.col("__et"),
+        lambda s, c: s - c,
+    )
+    return joined.select(
+        "h",
+        "r",
+        "t",
+        F.aggregate(diff, F.lit(0.0), lambda acc, x: acc + x * x).alias("score"),
+    )
+
+
+def train_transe(
+    triples: DataFrame,
+    n_entities: int,
+    dim: int = 32,
+    epochs: int = 10,
+    lr: float = 0.05,
+    margin: float = 1.0,
+    seed: int = 0,
+    h_col: str = "subj",
+    r_col: str = "pred",
+    t_col: str = "obj",
+) -> TransEModel:
+    """Train TransE on a ``(subj, pred, obj)`` relation-fact table whose
+    entity ids are dense ``[0, n_entities)`` (see module doc). Returns
+    the trained :class:`TransEModel`."""
+    if epochs < 1:
+        raise ValueError(f"epochs must be >= 1, got {epochs}")
+    if n_entities < 2:
+        raise ValueError(f"n_entities must be >= 2, got {n_entities}")
+    spark = triples.sparkSession
+    trip = (
+        triples.select(
+            F.col(h_col).cast("long").alias("h"),
+            F.col(r_col).cast("long").alias("r"),
+            F.col(t_col).cast("long").alias("t"),
+        )
+        .persist()
+    )
+    trip.count()
+    ents = spark.range(n_entities).select(F.col("id"))
+    ent_emb = init_entity_embeddings(ents, dim, seed, id_col="id").localCheckpoint()
+    rels = trip.select(F.col("r").alias("id")).distinct()
+    rel_emb = _hash_unit_vectors(rels, "id", dim, seed, "rel").localCheckpoint()
+
+    def _reduce_grads(pdf):
+        import numpy as np
+
+        vecs = np.stack(pdf["g"].to_numpy())
+        return pdf.iloc[:1].assign(g=[np.asarray(vecs.sum(axis=0)).tolist()])[
+            ["id", "g"]
+        ]
+
+    add = lambda a, b: F.zip_with(a, b, lambda x, y: x + y)  # noqa: E731
+    sub = lambda a, b: F.zip_with(a, b, lambda x, y: x - y)  # noqa: E731
+
+    for epoch in range(epochs):
+        neg = trip.withColumn(
+            "t_neg",
+            F.pmod(
+                F.xxhash64("h", "r", "t", F.lit(epoch), F.lit(int(seed))),
+                F.lit(n_entities),
+            ),
+        )
+        e = ent_emb
+        j = (
+            neg.join(e.select(F.col("id").alias("h"), F.col("embedding").alias("eh")), "h")
+            .join(e.select(F.col("id").alias("t"), F.col("embedding").alias("et")), "t")
+            .join(
+                e.select(F.col("id").alias("t_neg"), F.col("embedding").alias("en")),
+                "t_neg",
+            )
+            .join(
+                rel_emb.select(F.col("id").alias("r"), F.col("embedding").alias("er")),
+                "r",
+            )
+        )
+        hr = add("eh", "er")
+        dpos = sub(hr, F.col("et"))
+        dneg = sub(hr, F.col("en"))
+        sq = lambda v: F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
+        viol = j.withColumn("__dpos", dpos).withColumn("__dneg", dneg).filter(
+            F.lit(float(margin)) + sq(F.col("__dpos")) - sq(F.col("__dneg")) > 0
+        )
+        two = F.lit(2.0)
+        g_ht_r = F.zip_with("en", "et", lambda a, b: two * (a - b))  # 2(t'-t)
+        g_t = F.transform("__dpos", lambda x: -two * x)
+        g_tn = F.transform("__dneg", lambda x: two * x)
+        ent_grads = (
+            viol.select(F.col("h").alias("id"), g_ht_r.alias("g"))
+            .unionByName(viol.select(F.col("t").alias("id"), g_t.alias("g")))
+            .unionByName(viol.select(F.col("t_neg").alias("id"), g_tn.alias("g")))
+        )
+        rel_grads = viol.select(F.col("r").alias("id"), g_ht_r.alias("g"))
+        schema = "id LONG, g ARRAY<DOUBLE>"
+        ent_g = ent_grads.groupBy("id").applyInPandas(_reduce_grads, schema)
+        rel_g = rel_grads.groupBy("id").applyInPandas(_reduce_grads, schema)
+
+        step = F.lit(float(lr))
+        upd = F.zip_with("embedding", "g", lambda v, gd: v - step * gd)
+        new_ent = ent_emb.join(ent_g, "id", "left").select(
+            "id",
+            F.when(F.col("g").isNull(), F.col("embedding")).otherwise(upd).alias("__u"),
+        )
+        norm = F.greatest(
+            F.sqrt(F.aggregate("__u", F.lit(0.0), lambda a, x: a + x * x)),
+            F.lit(1e-12),
+        )
+        ent_emb = new_ent.select(
+            "id", F.transform("__u", lambda x: x / norm).alias("embedding")
+        ).localCheckpoint()
+        rel_emb = (
+            rel_emb.join(rel_g, "id", "left")
+            .select(
+                "id",
+                F.when(F.col("g").isNull(), F.col("embedding"))
+                .otherwise(upd)
+                .alias("embedding"),
+            )
+            .localCheckpoint()
+        )
+
+    trip.unpersist()
+    return TransEModel(entities=ent_emb, relations=rel_emb, dim=dim)

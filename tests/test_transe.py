@@ -1,0 +1,91 @@
+"""Distributed TransE training (prase_spark.transe): deterministic
+hash init, ranking improvement on a structured KG, negative-corruption
+coverage, and integration with the existing embedding machinery."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from prase_spark.transe import (
+    TransEModel,
+    init_entity_embeddings,
+    train_transe,
+    transe_scores,
+)
+
+N = 30
+DIM = 16
+
+
+def _ring_triples(spark):
+    """A 30-entity ring under relation 0 plus a 'sibling' relation 1
+    linking i -> i+2: enough structure for TransE to separate true from
+    corrupted triples quickly."""
+    ring = spark.range(N).selectExpr("id AS subj", "CAST(0 AS LONG) AS pred", f"(id + 1) % {N} AS obj")
+    sib = spark.range(N).selectExpr("id AS subj", "CAST(1 AS LONG) AS pred", f"(id + 2) % {N} AS obj")
+    return ring.unionByName(sib)
+
+
+def test_init_deterministic_unit_norm(spark):
+    ents = spark.range(N).selectExpr("id AS ent_id")
+    a = {r["id"]: r["embedding"] for r in init_entity_embeddings(ents, DIM, seed=7).collect()}
+    b = {r["id"]: r["embedding"] for r in init_entity_embeddings(ents.repartition(5), DIM, seed=7).collect()}
+    assert a == b  # hash init: identical at any partitioning
+    for v in a.values():
+        assert len(v) == DIM
+        assert sum(x * x for x in v) == pytest.approx(1.0, rel=1e-9)
+    c = {r["id"]: r["embedding"] for r in init_entity_embeddings(ents, DIM, seed=8).collect()}
+    assert a[0] != c[0]  # seed actually varies the draw
+
+
+def _mean_scores(spark, model, triples):
+    pos = transe_scores(triples, model).agg(F.avg("score")).collect()[0][0]
+    corrupted = triples.withColumn(
+        "obj", F.pmod(F.col("obj") + 7, F.lit(N))
+    )
+    neg = transe_scores(corrupted, model).agg(F.avg("score")).collect()[0][0]
+    return pos, neg
+
+
+def test_training_improves_ranking(spark):
+    trip = _ring_triples(spark)
+    model = train_transe(trip, n_entities=N, dim=DIM, epochs=8, lr=0.08, seed=3)
+    ents = model.entities.collect()
+    assert len(ents) == N
+    for r in ents:  # unit-sphere projection held through training
+        assert sum(x * x for x in r["embedding"]) == pytest.approx(1.0, rel=1e-6)
+    init = TransEModel(
+        entities=init_entity_embeddings(
+            spark.range(N).selectExpr("id AS ent_id"), DIM, seed=3
+        ),
+        relations=model.relations,  # scores only need SOME relation table
+        dim=DIM,
+    )
+    pos0, neg0 = _mean_scores(spark, init, trip)
+    pos1, neg1 = _mean_scores(spark, model, trip)
+    # at hash init, true and corrupted triples are indistinguishable;
+    # after training the margin must open decisively
+    assert abs(neg0 - pos0) < 0.5
+    assert neg1 - pos1 > 0.5
+    assert pos1 < pos0  # true triples actually got cheaper
+
+
+def test_trained_vectors_feed_existing_ann_stack(spark):
+    """The trained table is drop-in for the repo's embedding machinery
+    (schema contract: dense id + array<double>)."""
+    from prase_spark.datapipe.simsearch import cosine_topk
+
+    model = train_transe(_ring_triples(spark), n_entities=N, dim=DIM, epochs=2, lr=0.05)
+    emb = model.entities.selectExpr("id AS vec_id", "embedding")
+    queries = emb.filter("vec_id = 0").selectExpr("vec_id AS query_id", "embedding")
+    top = cosine_topk(emb, queries, k=3)
+    assert top.count() == 3  # self + 2 nearest, no schema friction
+
+
+def test_input_validation(spark):
+    trip = _ring_triples(spark)
+    with pytest.raises(ValueError, match="epochs"):
+        train_transe(trip, n_entities=N, epochs=0)
+    with pytest.raises(ValueError, match="n_entities"):
+        train_transe(trip, n_entities=1)
+    with pytest.raises(ValueError, match="dim"):
+        init_entity_embeddings(spark.range(2).selectExpr("id AS ent_id"), dim=0)
