@@ -54,7 +54,13 @@ from typing import NamedTuple
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["init_entity_embeddings", "train_transe", "transe_scores", "TransEModel"]
+__all__ = [
+    "init_entity_embeddings",
+    "train_transe",
+    "transe_scores",
+    "gcn_propagate",
+    "TransEModel",
+]
 
 _U_GRID = float(1 << 53)
 
@@ -249,3 +255,83 @@ def train_transe(
 
     trip.unpersist()
     return TransEModel(entities=ent_emb, relations=rel_emb, dim=dim)
+
+
+def gcn_propagate(
+    embeddings: DataFrame,
+    edges: DataFrame,
+    hops: int = 1,
+    self_weight: float = 0.5,
+    src_col: str = "subj",
+    dst_col: str = "obj",
+) -> DataFrame:
+    """GCN-style neighborhood smoothing (the "GCN-style entity vectors"
+    variant the reference's embedding module family includes): ``hops``
+    rounds of
+
+        E'[v] = normalize( self_weight * E[v]
+                           + (1 - self_weight) * mean_{u in N(v)} E[u] )
+
+    over the UNDIRECTED neighbor set of the relation-fact edges — the
+    parameter-free propagation kernel of SGC/LightGCN (feature smoothing
+    without trained weight matrices; pair with :func:`train_transe` for
+    the trained base vectors).
+
+    Shape per hop: symmetrize edges (union), join the embedding table on
+    the neighbor id, per-id mean via the same Arrow ``applyInPandas``
+    vector reduce as training, one update join, ``localCheckpoint``.
+    Entities with no edges keep their vector unchanged (mean falls back
+    to the self vector). Everything is keyed on dense ids; nothing
+    collects to the driver."""
+    if hops < 1:
+        raise ValueError(f"hops must be >= 1, got {hops}")
+    if not 0.0 <= self_weight <= 1.0:
+        raise ValueError(f"self_weight must be in [0, 1], got {self_weight}")
+    sym = (
+        edges.select(F.col(src_col).alias("v"), F.col(dst_col).alias("u"))
+        .unionByName(
+            edges.select(F.col(dst_col).alias("v"), F.col(src_col).alias("u"))
+        )
+        .distinct()
+        .persist()
+    )
+    sym.count()
+
+    def _mean_vecs(pdf):
+        import numpy as np
+
+        vecs = np.stack(pdf["nb"].to_numpy())
+        return pdf.iloc[:1].assign(nb=[np.asarray(vecs.mean(axis=0)).tolist()])[
+            ["id", "nb"]
+        ]
+
+    emb = embeddings
+    sw = F.lit(float(self_weight))
+    nw = F.lit(1.0 - float(self_weight))
+    for _ in range(hops):
+        nb_means = (
+            sym.join(
+                emb.select(F.col("id").alias("u"), F.col("embedding").alias("nb")),
+                "u",
+            )
+            .select(F.col("v").alias("id"), "nb")
+            .groupBy("id")
+            .applyInPandas(_mean_vecs, "id LONG, nb ARRAY<DOUBLE>")
+        )
+        mixed = emb.join(nb_means, "id", "left").select(
+            "id",
+            F.when(F.col("nb").isNull(), F.col("embedding"))
+            .otherwise(
+                F.zip_with("embedding", "nb", lambda s, n: sw * s + nw * n)
+            )
+            .alias("__m"),
+        )
+        norm = F.greatest(
+            F.sqrt(F.aggregate("__m", F.lit(0.0), lambda a, x: a + x * x)),
+            F.lit(1e-12),
+        )
+        emb = mixed.select(
+            "id", F.transform("__m", lambda x: x / norm).alias("embedding")
+        ).localCheckpoint()
+    sym.unpersist()
+    return emb

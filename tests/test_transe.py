@@ -129,3 +129,31 @@ def test_e2e_prase_with_self_trained_embeddings(spark):
     # the fixture aligns near-perfectly under plain PARIS; fused scores
     # from self-trained vectors must not wreck it
     assert ev["precision"] >= 0.9 and ev["recall"] >= 0.8, ev
+
+
+def test_gcn_propagate_smooths_neighbors(spark):
+    from prase_spark.transe import gcn_propagate
+
+    ents = spark.range(N).selectExpr("id AS ent_id")
+    emb = init_entity_embeddings(ents, DIM, seed=5)  # (id, embedding)
+    edges = _ring_triples(spark).filter("pred = 0")
+
+    def mean_neighbor_cos(e):
+        rows = {r["id"]: r["embedding"] for r in e.collect()}
+        tot = 0.0
+        for i in range(N):
+            a, b = rows[i], rows[(i + 1) % N]
+            tot += sum(x * y for x, y in zip(a, b))
+        return tot / N
+
+    before = mean_neighbor_cos(emb)
+    after1 = mean_neighbor_cos(gcn_propagate(emb, edges, hops=1))
+    after3 = mean_neighbor_cos(gcn_propagate(emb, edges, hops=3))
+    # smoothing monotonically pulls ring neighbors together
+    assert after1 > before + 0.05
+    assert after3 > after1
+    # isolated entity keeps its exact vector
+    iso = spark.createDataFrame([(99, [1.0] + [0.0] * (DIM - 1))], "id LONG, embedding ARRAY<DOUBLE>")
+    out = gcn_propagate(emb.unionByName(iso), edges, hops=1)
+    v = out.filter("id = 99").collect()[0]["embedding"]
+    assert v[0] == pytest.approx(1.0) and sum(v[1:]) == pytest.approx(0.0)
