@@ -1428,6 +1428,22 @@ def _q_classifier_quality_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return classifier_score(d, w, n_buckets=97, hash_fn=poly_hash61)
 
 
+def _q_cap_per_source_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-dominance cap (sampling.cap_per_group): keep the 10
+    longest docs per source (n_chars DESC, doc_id ASC tie-break — a
+    total order, so the kept set is deterministic and the oracle is one
+    ROW_NUMBER window). The C4/Gopher-style per-host cap on the gate's
+    source column."""
+    from prase_spark.datapipe.sampling import cap_per_group
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cap_per_group(d, "source", 10, order_col="n_chars").select(
+        F.col("doc_id").alias("key"),
+        "source",
+        F.col("n_chars").cast("long").alias("n_chars"),
+    )
+
+
 def _q_substring_dup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact duplicated-substring detection (datapipe.substrdedup, Lee
     et al. 2022): k=8 token-window fingerprints, global first-occurrence
@@ -1830,6 +1846,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_docs": _q_dsir_weights_docs,
         "classifier_quality_docs": _q_classifier_quality_docs,
         "substring_dup_docs": _q_substring_dup_docs,
+        "cap_per_source_docs": _q_cap_per_source_docs,
         "gopher_repetition_docs": _q_gopher_repetition_docs,
         "curation_chain_docs": _q_curation_chain_docs,
         "language_mix_docs": _q_language_mix_docs,
@@ -3972,6 +3989,16 @@ def oracle_sql() -> dict[str, str]:
                CAST(coalesce(p.seen_cnt, 0) AS BIGINT) AS seen_cnt,
                CAST(coalesce(p.bigram_freq_sum, 0) AS BIGINT) AS bigram_freq_sum
         FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    out["cap_per_source_docs"] = """
+        SELECT doc_id AS key, source, CAST(n_chars AS BIGINT) AS n_chars
+        FROM (
+            SELECT doc_id, source, n_chars,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+            FROM documents
+        ) WHERE rn <= 10
     """
     # substring dedup: the twin re-derives duplication from RAW k-gram
     # strings (window rank over (key,pos) = the min-struct ownership) —

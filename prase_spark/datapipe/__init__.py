@@ -44,6 +44,7 @@ from prase_spark.datapipe.multimodal import (
     probe_media_metadata,
 )
 from prase_spark.datapipe.sampling import (
+    cap_per_group,
     hash_sample,
     stratified_sample,
     temperature_sample,
@@ -132,6 +133,7 @@ __all__ = [
     "dedup_by_url",
     "hash_sample",
     "stratified_sample",
+    "cap_per_group",
     "token_count",
     "quality_score",
     "add_quality",

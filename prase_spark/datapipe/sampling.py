@@ -192,3 +192,48 @@ def temperature_sample(
         docs, rates, stratum_col, default_rate=0.0, seed=seed,
         key_col=key_col, hash_fn=hash_fn,
     )
+
+
+def cap_per_group(
+    docs: DataFrame,
+    group_col: str,
+    k: int,
+    order_col: str | None = None,
+    key_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Keep at most ``k`` rows per group — the anti-dominance curation
+    rule (cap documents per HOST so link farms and mirror sites cannot
+    flood the training mix; C4/Gopher-class pipelines apply exactly this
+    after host reputation scoring).
+
+    Selection is deterministic: rows rank within their group by
+    ``order_col`` (DESC by default — keep the best-scoring k; pass
+    ``descending=False`` for ascending), with ``key_col`` ASC as the
+    total-order tie-break; ``order_col=None`` ranks by key alone (a
+    stable arbitrary-k cut). NULL ``order_col`` values sort LAST in
+    either direction (never crowd out scored rows).
+
+    Scale shape: ONE shuffle on the group key + a per-group window
+    row_number — per-group state is O(1) and group skew is bounded by
+    the biggest host's doc count (cap the pathological hosts upstream
+    with `hoststats.filter_by_hosts` if one host is a double-digit
+    percentage of the corpus; a window cannot be salted without
+    breaking its ordering contract, the `sessionize` note)."""
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    from pyspark.sql import Window
+
+    if order_col is None:
+        order = [F.col(key_col).asc()]
+    else:
+        o = F.col(order_col).desc_nulls_last() if descending else F.col(
+            order_col
+        ).asc_nulls_last()
+        order = [o, F.col(key_col).asc()]
+    w = Window.partitionBy(group_col).orderBy(*order)
+    return (
+        docs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

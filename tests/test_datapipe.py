@@ -1458,3 +1458,39 @@ def test_language_mix_shuffle_free(spark):
     d = spark.createDataFrame([(1, "a\nb")], "doc_id LONG, text STRING")
     plan = language_mix(d)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_cap_per_group(spark):
+    """Anti-dominance cap: top-k per group by order col, deterministic
+    key tie-break, NULL order values last, whole-row passthrough."""
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.sampling import cap_per_group
+
+    rows = [
+        (1, "a", 100), (2, "a", 300), (3, "a", 200), (4, "a", 300),
+        (5, "b", 50), (6, "b", None), (7, "c", 10),
+    ]
+    d = spark.createDataFrame(rows, "doc_id long, host string, score int")
+    got = sorted(
+        r["doc_id"]
+        for r in cap_per_group(d, "host", 2, order_col="score").collect()
+    )
+    # a: scores 300(2),300(4),200(3),100(1) -> keep 2,4 (tie -> min id)
+    # b: 50 then NULL-last -> keep both; c: keep 7
+    assert got == [2, 4, 5, 6, 7]
+    asc = sorted(
+        r["doc_id"]
+        for r in cap_per_group(d, "host", 1, order_col="score", descending=False).collect()
+    )
+    assert asc == [1, 5, 7]  # ascending keeps the smallest score, NULL still last
+    keyed = sorted(
+        r["doc_id"] for r in cap_per_group(d, "host", 1).collect()
+    )
+    assert keyed == [1, 5, 7]  # no order col: stable min-key cut
+    a = sorted(tuple(r) for r in cap_per_group(d, "host", 2, order_col="score").collect())
+    b = sorted(tuple(r) for r in cap_per_group(d.repartition(5), "host", 2, order_col="score").collect())
+    assert a == b  # partitioning invariance
+    with _pytest.raises(ValueError, match="k must be"):
+        cap_per_group(d, "host", 0)
