@@ -15,10 +15,11 @@ detection — no banding, no probability:
    with a polynomial fold over the token hashes (both arrays built in a
    MAP projection, below any explode — the interpreted-Generate trap
    ``textstats.tokens`` documents);
-2. one positioned explode -> ONE corpus-sized groupBy on the 8-byte
-   window fingerprint: occurrence count + global first occurrence
-   (min (key, pos) struct — the paradedup ownership rule, so exactly
-   one copy of every duplicated span is canonical);
+2. one positioned explode -> ONE corpus-sized shuffle on the 8-byte
+   window fingerprint: a window over fp yields each occurrence's group
+   size and its rank in (key, pos) order — rank 1 is the global first
+   occurrence (the paradedup min-key ownership rule), so exactly one
+   copy of every duplicated span is canonical;
 3. every non-canonical occurrence of a fingerprint with count >= 2 is a
    duplicated window; its k covered token positions are exploded and
    de-duplicated per doc (union of overlapping windows WITHOUT interval
