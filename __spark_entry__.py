@@ -40,33 +40,31 @@ def _kg(spark: SparkSession, sf_dir: str, kg: int):
     from prase_spark.kgbuild import build_kg
     from prase_spark.tpch_kg import tpch_raw_triples
 
+    from prase_spark.paris import materialize_concurrently
+
     sc = spark.sparkContext
     for k in [k for k in _KG_CACHE if k[0] != sc.applicationId]:
         del _KG_CACHE[k]
     key = (sc.applicationId, sf_dir, kg)
     if key not in _KG_CACHE:
-        _KG_CACHE[key] = build_kg(tpch_raw_triples(spark, sf_dir, kg))
+        other = (sc.applicationId, sf_dir, 3 - kg)
+        if other not in _KG_CACHE:
+            # neither KG cached yet: build the PAIR concurrently so the
+            # first KG-touching gate pays ~max(t1, t2) instead of t1 + t2,
+            # regardless of which gate the queries() rotation runs first
+            built = materialize_concurrently(
+                lambda: build_kg(tpch_raw_triples(spark, sf_dir, kg)),
+                lambda: build_kg(tpch_raw_triples(spark, sf_dir, 3 - kg)),
+            )
+            _KG_CACHE[key], _KG_CACHE[other] = built
+        else:
+            _KG_CACHE[key] = build_kg(tpch_raw_triples(spark, sf_dir, kg))
     return _KG_CACHE[key]
 
 
 def _kg_pair(spark: SparkSession, sf_dir: str):
-    """Both TPC-H KGs, building any missing ones CONCURRENTLY (the builds
-    are independent and eager — see pipeline.build_kgs_from_raw)."""
-    from prase_spark.kgbuild import build_kg
-    from prase_spark.paris import materialize_concurrently
-    from prase_spark.tpch_kg import tpch_raw_triples
-
-    sc = spark.sparkContext
-    missing = [
-        kg for kg in (1, 2) if (sc.applicationId, sf_dir, kg) not in _KG_CACHE
-    ]
-    if len(missing) == 2:
-        built = materialize_concurrently(
-            lambda: build_kg(tpch_raw_triples(spark, sf_dir, 1)),
-            lambda: build_kg(tpch_raw_triples(spark, sf_dir, 2)),
-        )
-        for kg, frames in zip((1, 2), built):
-            _KG_CACHE[(sc.applicationId, sf_dir, kg)] = frames
+    """Both TPC-H KGs; :func:`_kg` builds a fully-missing pair
+    concurrently, so this is just the two lookups."""
     return _kg(spark, sf_dir, 1), _kg(spark, sf_dir, 2)
 
 
@@ -1470,6 +1468,103 @@ def _q_temperature_mix_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return temperature_weights(d, "source", size_col="n_chars", target_frac=0.5)
 
 
+def _q_selection_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END data-SELECTION chain (VERDICT r4 ask #6) — the
+    composition gate for the mixing/selection layer, the way
+    curation_chain_docs gates the filtering layer: DSIR importance floor
+    -> quality-classifier floor -> temperature mixture over the
+    SURVIVORS -> per-source anti-dominance cap, four operators from
+    three modules chained on real column contracts.
+
+    Stage 1 keeps docs whose integer importance proxy
+    ``imp_e6 = (1e6 * tgt_freq_sum) div max(raw_freq_sum, 1)`` is at
+    least the corpus-average target share ``(1e6 * tmass) div rmass`` —
+    i.e. docs more target(English)-like than the corpus mean; the full
+    transcendental DSIR weight is pytest-oracled separately per the repo
+    doctrine. Stage 2 applies the NB rate-ratio classifier's keep_flag.
+    Stage 3 re-derives temperature rates (tau=0.5, sized by n_chars)
+    from the surviving mix only — selection changes the mixture, so the
+    rates must be computed downstream of the floors — and applies them
+    as poly_hash61 key membership. Stage 4 caps each source at its 5
+    longest survivors. The DuckDB twin replays all four stages as
+    stacked CTEs; every inter-stage contract (who passes which floor,
+    the rate each surviving stratum gets, membership, the capped set) is
+    value-verified end to end. All sinks BIGINT."""
+    from prase_spark.datapipe.classify import classifier_score, nb_log_odds_weights
+    from prase_spark.datapipe.dsir import bucket_model, dsir_weights
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.datapipe.sampling import cap_per_group, temperature_sample
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tm = bucket_model(d.filter(F.col("lang") == "en"), n_buckets=97, hash_fn=poly_hash61)
+    rm = bucket_model(d, n_buckets=97, hash_fn=poly_hash61)
+    tmass = int(tm.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
+    rmass = int(rm.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
+    floor_e6 = (1_000_000 * tmass) // max(rmass, 1)
+    s1 = (
+        dsir_weights(d, tm, rm, n_buckets=97, hash_fn=poly_hash61)
+        .select(
+            "key",
+            F.expr(
+                "CAST((1000000 * tgt_freq_sum) DIV greatest(raw_freq_sum, 1)"
+                " AS BIGINT)"
+            ).alias("imp_e6"),
+        )
+        .filter(F.col("imp_e6") >= floor_e6)
+    )
+    scores = classifier_score(
+        d, nb_log_odds_weights(tm, rm), n_buckets=97, hash_fn=poly_hash61
+    )
+    s2 = (
+        d.select("doc_id", "source", F.col("n_chars").cast("long").alias("n_chars"))
+        .join(s1.select(F.col("key").alias("doc_id"), "imp_e6"), "doc_id")
+        .join(
+            scores.filter(F.col("keep_flag") == 1).select(
+                F.col("key").alias("doc_id"), "logit_e6"
+            ),
+            "doc_id",
+        )
+    )
+    s3 = temperature_sample(
+        s2, "source", size_col="n_chars", target_frac=0.5, seed=42,
+        key_col="doc_id", hash_fn=poly_hash61,
+    )
+    return cap_per_group(s3, "source", 5, order_col="n_chars").select(
+        F.col("doc_id").alias("key"), "source", "n_chars", "imp_e6", "logit_e6"
+    )
+
+
+def _q_transe_margin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-Spark TransE training's integer value surface (VERDICT r4 ask
+    #7): per-epoch margin-violation counts from
+    ``train_transe(deterministic=True)`` over KG1's relation facts —
+    the sorted-fold gradient reduce makes every epoch (and therefore
+    these counts) bit-identical at any partitioning/parallelism
+    (pytest: test_deterministic_mode_bit_identical_any_partitioning).
+
+    No oracle_sql twin BY DESIGN: the counts are exact integers, but
+    deriving them requires replaying 3 epochs of float gradient descent
+    (sqrt re-normalization each step) — transcendental iteration the
+    DuckDB-twin doctrine keeps out of SQL oracles (COVERAGE.md). The
+    driver records the rows-only check; the VALUE pin lives in pytest
+    (bit-equality across partitionings + violations strictly decreasing
+    on the ring fixture)."""
+    from prase_spark.transe import train_transe
+
+    kg = _kg(spark, sf_dir, 1)
+    n = int(kg.nodes.agg(F.max("ent_id")).collect()[0][0]) + 1
+    rel = kg.triples.filter(~F.col("obj_is_lit"))
+    stats: dict = {}
+    train_transe(
+        rel, n_entities=n, dim=8, epochs=3, lr=0.05, seed=0,
+        deterministic=True, stats_out=stats,
+    )
+    return spark.createDataFrame(
+        [(e, int(v)) for e, v in enumerate(stats["violations"])],
+        "epoch LONG, violations LONG",
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -1790,77 +1885,25 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """Dict ORDER is deliberate. The r3 driver record stopped at exactly
-    query 50 of 52 — consistent with BOTH a wall budget and a 50-query
-    record cap, so the order is chosen to be robust under either:
-    positions 1-50 hold every gate whose evidence is FRESH this round
-    (new operators, queries whose defaults or code changed, the two
-    never-driver-recorded queries, the previously hash-red corpus_stats,
-    and the four headline fixpoints), while positions 51+ hold only
-    gates that are stable hash-green since r2/r3 with unchanged defaults
-    — a tail cut costs re-confirmation of old evidence, never a
-    first-ever record. literal_seed stays first: it builds BOTH TPC-H
-    KGs concurrently into _KG_CACHE (building KG1 alone first would
-    serialize the pair build); the fixpoints follow immediately so the
-    most expensive, highest-value gates run while the budget is fresh.
-    The full all-gate local run (tools/check_oracles.py, this round) is
-    recorded in BENCH.md as backup evidence for anything the driver
-    cuts; the five gates added after the reorder (rare_ngram,
-    gopher_repetition, curation_chain, language_mix + exports) sit in
-    the fresh-evidence block too."""
+    """Dict ORDER is deliberate — the driver's CORRECTNESS record caps at
+    50 rows, so position decides which gates get an independent driver
+    record this round. Round-5 rotation policy (VERDICT r4 ask #1):
+    positions 1-32 are exactly the 32 gates that r4's record cut (the
+    stable tail that last got a driver row in r2/r3) so that EVERY gate
+    has a driver-green row in the union of the r4 and r5 records;
+    positions 33+ hold this round's new/changed gates (selection chain,
+    TransE margin counts, the substring-dedup skew guard, two-phase
+    cap_per_group, JPEG decode in multimodal, the ADVICE fixes to
+    temperature/incremental/IVF), then the r4-recorded headline fixpoints,
+    then the r4-recorded stable remainder — those all have fresh r4 driver
+    rows, so a tail cut re-confirms old evidence, never loses a first-ever
+    record. KG build order no longer matters for speed: _kg builds a
+    fully-missing TPC-H KG pair concurrently whichever gate asks first.
+    tools/check_oracles.py (all 84 gates, this round) is recorded in
+    BENCH.md as backup evidence for anything the driver cuts."""
     return {
-        # --- fresh evidence first (new / changed / never-recorded) ---
-        "literal_seed": _q_literal_seed,
-        "paris_align_tpch": _q_paris_align_tpch,
-        "paris_fusion_tpch": _q_paris_fusion_tpch,
-        "feedback_align_tpch": _q_feedback_align_tpch,
-        "reset_align_tpch": _q_reset_align_tpch,
-        "paris_iter1_scores": _q_paris_iter1_scores,
-        "paris_iter1_argmax": _q_paris_iter1_argmax,
-        "corpus_stats": _q_corpus_stats,
-        "embedding_neardup": _q_embedding_neardup,
-        "extract_pages": _q_extract_pages,
-        "multimodal_decode": _q_multimodal_decode,
-        "kg_degrees": _q_kg_degrees,
-        "kg_pagerank": _q_kg_pagerank,
-        "node_triangles": _q_node_triangles,
-        "link_candidates": _q_link_candidates,
-        "graph_partition_metrics": _q_graph_partition_metrics,
-        "sessionize_events": _q_sessionize_events,
-        "asof_last_purchase": _q_asof_last_purchase,
-        "collocations_docs": _q_collocations_docs,
-        "corpus_profile_docs": _q_corpus_profile_docs,
-        "paradedup_docs": _q_paradedup_docs,
-        "term_df_docs": _q_term_df_docs,
-        "inverted_index_docs": _q_inverted_index_docs,
-        "incremental_dedup_docs": _q_incremental_dedup_docs,
-        "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
-        "pii_redact_docs": _q_pii_redact_docs,
-        "host_reputation_docs": _q_host_reputation_docs,
-        "domain_blocklist_docs": _q_domain_blocklist_docs,
-        "rare_ngram_docs": _q_rare_ngram_docs,
-        "lm_freq_docs": _q_lm_freq_docs,
-        "temperature_mix_docs": _q_temperature_mix_docs,
-        "lm_bigram_docs": _q_lm_bigram_docs,
-        "lm_bigram_hashed_docs": _q_lm_bigram_hashed_docs,
-        "dsir_weights_docs": _q_dsir_weights_docs,
-        "classifier_quality_docs": _q_classifier_quality_docs,
-        "substring_dup_docs": _q_substring_dup_docs,
-        "cap_per_source_docs": _q_cap_per_source_docs,
-        "gopher_repetition_docs": _q_gopher_repetition_docs,
-        "curation_chain_docs": _q_curation_chain_docs,
-        "language_mix_docs": _q_language_mix_docs,
-        "dedup_exact_docs": _q_dedup_exact_docs,
-        "dedup_keep_best_docs": _q_dedup_keep_best_docs,
-        "eval_prf_sweep": _q_eval_prf_sweep,
-        "chunk_docs": _q_chunk_docs,
-        "pack_chunks_docs": _q_pack_chunks_docs,
-        "stratified_sample_events": _q_stratified_sample_events,
-        "ivf_topk": _q_ivf_topk,
-        "minhash_neardup_docs": _q_minhash_neardup_docs,
-        # --- important stable gates (r2/r3 hash-green, unchanged) ---
-        "kg1_functionality": _q_kg1_functionality,
-        "kg1_dict_encode": _q_kg1_dict_encode,
+        # --- positions 1-32: the r4-unrecorded tail, rotated to the front
+        #     so every gate has a driver row in r4 ∪ r5 ---
         "kg1_inv_union": _q_kg1_inv_union,
         "kg_info": _q_kg_info,
         "normalize_uri": _q_normalize_uri,
@@ -1873,8 +1916,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "name_block_parts": _q_name_block_parts,
         "name_seed_parts": _q_name_seed_parts,
         "decontaminate_docs": _q_decontaminate_docs,
-        # --- position 51+: stable hash-green since r2/r3, defaults
-        # unchanged — least costly to lose to a budget/record cap ---
         "simhash_pairs_docs": _q_simhash_pairs_docs,
         "simhash_manku_docs": _q_simhash_manku_docs,
         "boilerplate_docs": _q_boilerplate_docs,
@@ -1895,6 +1936,62 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seed_load_filter": _q_seed_load_filter,
         "anti_join_customers": _q_anti_join_customers,
         "top10_attr_functionality": _q_top10_attr_functionality,
+        # --- new / changed this round (fresh evidence) ---
+        "selection_chain_docs": _q_selection_chain_docs,
+        "transe_margin_counts": _q_transe_margin_counts,
+        "substring_dup_docs": _q_substring_dup_docs,
+        "cap_per_source_docs": _q_cap_per_source_docs,
+        "temperature_mix_docs": _q_temperature_mix_docs,
+        "incremental_dedup_docs": _q_incremental_dedup_docs,
+        "multimodal_decode": _q_multimodal_decode,
+        "ivf_topk": _q_ivf_topk,
+        # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
+        "literal_seed": _q_literal_seed,
+        "paris_align_tpch": _q_paris_align_tpch,
+        "paris_fusion_tpch": _q_paris_fusion_tpch,
+        "feedback_align_tpch": _q_feedback_align_tpch,
+        "reset_align_tpch": _q_reset_align_tpch,
+        "paris_iter1_scores": _q_paris_iter1_scores,
+        "paris_iter1_argmax": _q_paris_iter1_argmax,
+        "extract_pages": _q_extract_pages,
+        "curation_chain_docs": _q_curation_chain_docs,
+        "minhash_neardup_docs": _q_minhash_neardup_docs,
+        # --- position 51+: r4-driver-green, unchanged — least costly to
+        #     lose to the record cap ---
+        "corpus_stats": _q_corpus_stats,
+        "embedding_neardup": _q_embedding_neardup,
+        "kg_degrees": _q_kg_degrees,
+        "kg_pagerank": _q_kg_pagerank,
+        "node_triangles": _q_node_triangles,
+        "link_candidates": _q_link_candidates,
+        "graph_partition_metrics": _q_graph_partition_metrics,
+        "sessionize_events": _q_sessionize_events,
+        "asof_last_purchase": _q_asof_last_purchase,
+        "collocations_docs": _q_collocations_docs,
+        "corpus_profile_docs": _q_corpus_profile_docs,
+        "paradedup_docs": _q_paradedup_docs,
+        "term_df_docs": _q_term_df_docs,
+        "inverted_index_docs": _q_inverted_index_docs,
+        "decontaminate_bloom_docs": _q_decontaminate_bloom_docs,
+        "pii_redact_docs": _q_pii_redact_docs,
+        "host_reputation_docs": _q_host_reputation_docs,
+        "domain_blocklist_docs": _q_domain_blocklist_docs,
+        "rare_ngram_docs": _q_rare_ngram_docs,
+        "lm_freq_docs": _q_lm_freq_docs,
+        "lm_bigram_docs": _q_lm_bigram_docs,
+        "lm_bigram_hashed_docs": _q_lm_bigram_hashed_docs,
+        "dsir_weights_docs": _q_dsir_weights_docs,
+        "classifier_quality_docs": _q_classifier_quality_docs,
+        "gopher_repetition_docs": _q_gopher_repetition_docs,
+        "language_mix_docs": _q_language_mix_docs,
+        "dedup_exact_docs": _q_dedup_exact_docs,
+        "dedup_keep_best_docs": _q_dedup_keep_best_docs,
+        "eval_prf_sweep": _q_eval_prf_sweep,
+        "chunk_docs": _q_chunk_docs,
+        "pack_chunks_docs": _q_pack_chunks_docs,
+        "stratified_sample_events": _q_stratified_sample_events,
+        "kg1_functionality": _q_kg1_functionality,
+        "kg1_dict_encode": _q_kg1_dict_encode,
     }
 
 
@@ -4140,6 +4237,104 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN coalesce(p.logit, 0) > 0 THEN 1 ELSE 0 END
                     AS BIGINT) AS keep_flag
         FROM documents d LEFT JOIN per p ON d.doc_id = p.key
+    """
+    # selection chain twin: DSIR floor -> classifier floor -> temperature
+    # rates over the SURVIVORS -> poly-hash membership -> per-source cap,
+    # all four stages stacked so every inter-stage contract is checked
+    out["selection_chain_docs"] = f"""
+        WITH tk AS (SELECT doc_id AS key, lang, {toks} AS t FROM documents),
+        gl AS (
+            SELECT key, lang,
+                   list_concat(
+                       t,
+                       CASE WHEN len(t) >= 2
+                            THEN list_transform(
+                                     generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])
+                            ELSE [] END) AS gs
+            FROM tk
+        ),
+        grams AS (
+            SELECT key, lang, ({poly_gram}) % 97 AS bucket
+            FROM (SELECT key, lang, unnest(gs) AS gram FROM gl)
+        ),
+        tm AS (
+            SELECT bucket, count(*) AS tcnt FROM grams
+            WHERE lang = 'en' GROUP BY bucket
+        ),
+        rm AS (SELECT bucket, count(*) AS rcnt FROM grams GROUP BY bucket),
+        tot AS (
+            SELECT (SELECT count(*) FROM grams WHERE lang = 'en') AS tmass,
+                   (SELECT count(*) FROM grams) AS rmass
+        ),
+        dsir AS (
+            SELECT g.key,
+                   CAST((1000000 * sum(coalesce(tm.tcnt, 0)))
+                        // greatest(sum(coalesce(rm.rcnt, 0)), 1)
+                        AS BIGINT) AS imp_e6
+            FROM grams g
+            LEFT JOIN tm USING (bucket)
+            LEFT JOIN rm USING (bucket)
+            GROUP BY g.key
+        ),
+        s1 AS (
+            SELECT key, imp_e6 FROM dsir, tot
+            WHERE imp_e6 >= (1000000 * tot.tmass) // tot.rmass
+        ),
+        w AS (
+            SELECT r.bucket,
+                   CAST((CAST(1000000 AS HUGEINT) * coalesce(t.tcnt, 0)
+                         * tot.rmass)
+                        // (CAST(greatest(r.rcnt, 1) AS HUGEINT) * tot.tmass)
+                        - 1000000 AS BIGINT) AS w_e6
+            FROM rm r LEFT JOIN tm t USING (bucket) CROSS JOIN tot
+        ),
+        logits AS (
+            SELECT g.key, CAST(sum(w.w_e6) AS BIGINT) AS logit_e6
+            FROM grams g JOIN w USING (bucket)
+            GROUP BY g.key
+        ),
+        s2 AS (
+            SELECT d.doc_id, d.source, CAST(d.n_chars AS BIGINT) AS n_chars,
+                   s1.imp_e6, l.logit_e6
+            FROM documents d
+            JOIN s1 ON s1.key = d.doc_id
+            JOIN logits l ON l.key = d.doc_id AND l.logit_e6 > 0
+        ),
+        per AS (
+            SELECT source AS stratum, CAST(sum(n_chars) AS BIGINT) AS n_size
+            FROM s2 GROUP BY source
+        ),
+        wt AS (
+            SELECT stratum, n_size,
+                   CAST(floor(sqrt(n_size)) AS BIGINT) AS weight
+            FROM per
+        ),
+        wtot AS (SELECT sum(weight) AS s, sum(n_size) AS n FROM wt),
+        rates AS (
+            SELECT stratum,
+                   CASE WHEN n_size IS NULL OR n_size <= 0
+                          OR wtot.s IS NULL OR wtot.s <= 0
+                        THEN CAST(0 AS BIGINT)
+                        ELSE CAST(least(CAST(1000000 AS HUGEINT),
+                             (2 * CAST(500000 AS HUGEINT) * wtot.n * wt.weight
+                                + CAST(wtot.s AS HUGEINT) * wt.n_size)
+                             // (2 * CAST(wtot.s AS HUGEINT) * wt.n_size))
+                             AS BIGINT) END AS keep_e6
+            FROM wt, wtot
+        ),
+        s3 AS (
+            SELECT s2.* FROM s2 JOIN rates ON rates.stratum = s2.source
+            WHERE {POLY_SQL.format(c="s2.doc_id || ':42'")} % 1000000
+                  < rates.keep_e6
+        )
+        SELECT doc_id AS key, source, n_chars, imp_e6, logit_e6 FROM (
+            SELECT s3.*,
+                   row_number() OVER (
+                       PARTITION BY source
+                       ORDER BY n_chars DESC NULLS LAST, doc_id ASC) AS rn
+            FROM s3
+        ) WHERE rn <= 5
     """
     out["temperature_mix_docs"] = """
         WITH per AS (

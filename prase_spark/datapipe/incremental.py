@@ -145,10 +145,14 @@ def incremental_minhash(
         .filter(F.col("est_pct") >= threshold_pct)
     )
     best = est.groupBy("new_key").agg(
-        F.max_by(
+        F.min_by(
             F.struct("corpus_key", "est_pct"),
-            # highest estimate wins; ties -> min corpus key (negate for max_by)
-            F.struct(F.col("est_pct"), (-F.col("corpus_key")).alias("nk")),
+            # highest estimate wins; ties -> min corpus key. min_by over
+            # (-est_pct, corpus_key) keeps the tie-break valid for ANY
+            # orderable key type — negating a string corpus_key (the old
+            # max_by formulation) silently cast to NULL, breaking the
+            # documented determinism for URL/string doc ids.
+            F.struct((-F.col("est_pct")).alias("neg_est"), F.col("corpus_key")),
         ).alias("b")
     )
     out = (

@@ -158,10 +158,18 @@ def temperature_weights(
             "n_size",
             "weight",
             F.expr(
+                # degenerate strata guard: a stratum whose size_col sums to
+                # 0/NULL (or an all-empty corpus, __S = 0) would divide by
+                # zero -> NULL keep_e6 -> TypeError in the driver-side rate
+                # collect. Such strata keep nothing by definition.
+                "CASE WHEN n_size IS NULL OR n_size <= 0"
+                "       OR __S IS NULL OR __S <= 0 THEN CAST(0 AS BIGINT)"
+                " ELSE "
                 f"CAST(least(CAST(1000000 AS DECIMAL(38,0)),"
                 f" (2 * CAST({f_e6} AS DECIMAL(38,0)) * __N * weight"
                 "   + CAST(__S AS DECIMAL(38,0)) * n_size)"
                 "  div (2 * CAST(__S AS DECIMAL(38,0)) * n_size)) AS BIGINT)"
+                " END"
             ).alias("keep_e6"),
         )
     )

@@ -358,7 +358,16 @@ def search_ivf_index(
     # static pruning: the probed cell set is driver-bounded (<= n_cells
     # values); turning it into a literal IN filter lets a cell-partitioned
     # persisted index skip unprobed partition directories entirely
-    probed = [r["cell"] for r in q_cells.select("cell").distinct().collect()]
+    try:
+        probed = [r["cell"] for r in q_cells.select("cell").distinct().collect()]
+    finally:
+        # release the cache immediately: the build-once/probe-many lifecycle
+        # calls this repeatedly on a long-lived session, and a leaked persist
+        # per search accumulates cached RDDs. The probe join below recomputes
+        # q_cells lazily — a broadcast join + bounded window over the query
+        # set, deterministic (row_number ties broken by cell asc), so the
+        # recompute is cheap and bit-stable.
+        q_cells.unpersist()
     pruned = assign.filter(F.col("cell").isin(probed))
     # broadcast the probe set: joining the corpus-sized assignment on a
     # key with only n_cells distinct values via a shuffle join is maximal

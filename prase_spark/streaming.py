@@ -154,7 +154,19 @@ def run_incremental_dedup_stream(
                 clusters.filter(F.col("keep")).select(key_col), key_col
             )
             try:
-                store = sess.read.parquet(store_path)
+                # Exclude THIS batch's store partition from the probe: on a
+                # foreachBatch replay (crash after the store write but before
+                # the checkpoint commit), store/batch=<id> already holds this
+                # batch's own signatures — probing against them would flag
+                # every representative as a 100% self-match and silently drop
+                # the whole batch. Filtering on the hive partition column
+                # keeps the read partition-pruned (the failed dir is skipped
+                # at the scan, not post-filtered).
+                store = (
+                    sess.read.parquet(store_path)
+                    .filter(F.col("batch") != F.lit(int(batch_id)))
+                    .drop("batch")
+                )
             except Exception:
                 store = None  # first batch: no store yet
             if store is not None:

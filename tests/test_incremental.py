@@ -104,3 +104,23 @@ def test_store_probe_agrees_with_full_selfjoin_candidates(spark, corpus):
     # every full-dedup cross pair's new-doc must surface in the incremental
     # result with SOME corpus counterpart
     assert {b for _, b in full} <= {b for _, b in inc}
+
+
+def test_incremental_minhash_string_keys_tiebreak(spark):
+    """ADVICE r4: the tie-break used -corpus_key inside max_by, which casts
+    string keys (URLs) to NULL and silently breaks the documented
+    'ties -> min corpus key' determinism. min_by over (-est_pct, key)
+    works for any orderable key type."""
+    text = ("the quick brown fox jumps over the lazy dog near the river "
+            "bank while the weary traveler watches from the old bridge")
+    corpus = spark.createDataFrame(
+        [("https://b.example/page", text), ("https://a.example/page", text)],
+        "doc_id STRING, text STRING",
+    )
+    new = spark.createDataFrame([("https://z.example/copy", text)],
+                                "doc_id STRING, text STRING")
+    got = incremental_minhash(new, minhash_store(corpus), threshold_pct=50).collect()
+    assert len(got) == 1
+    # both corpus members tie at est 100 -> the MIN key wins, deterministically
+    assert got[0]["dup_of"] == "https://a.example/page"
+    assert got[0]["est_pct"] == 100

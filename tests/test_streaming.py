@@ -174,3 +174,50 @@ def test_incremental_dedup_stream_two_waves(spark, tmp_path):
     q3 = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
     q3.awaitTermination(180)
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {10, 21}
+
+
+def test_incremental_dedup_stream_midbatch_failure_replay(spark, tmp_path):
+    """Crash-replay semantics (ADVICE r4): if an attempt of batch N wrote
+    store/batch=N but died BEFORE the checkpoint commit, the replayed
+    attempt must NOT probe against its own half-written signatures — that
+    would 100%-self-match every representative and silently drop the whole
+    batch. Simulated by pre-planting wave 2's own signatures under
+    store/batch=1 before the batch-1 replay runs."""
+    from prase_spark.datapipe.incremental import minhash_store
+    from prase_spark.streaming import run_incremental_dedup_stream
+
+    long_a = (
+        "spark shuffles partition data across executors during wide "
+        "transformations while the scheduler assigns tasks to cores and the "
+        "memory manager spills sorted runs to local disk under pressure"
+    )
+    novel_b = (
+        "a completely novel document about inverted indexes and bloom "
+        "filters that shares no shingles with the first crawl wave at all"
+    )
+    src = str(tmp_path / "docs")
+    out = str(tmp_path / "corpus")
+    store = str(tmp_path / "store")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = spark.createDataFrame([(10, long_a)], "doc_id LONG, text STRING")
+    wave1.write.parquet(src)
+    q = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
+    q.awaitTermination(180)
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {10}
+
+    # simulate the failed first attempt of batch 1: its store write landed,
+    # the checkpoint commit did not
+    wave2 = spark.createDataFrame([(21, novel_b)], "doc_id LONG, text STRING")
+    minhash_store(wave2).write.mode("overwrite").parquet(f"{store}/batch=1")
+    # out/batch=1 may or may not have landed before the crash; plant it too
+    # (the replay must overwrite, not double-append)
+    wave2.write.mode("overwrite").parquet(f"{out}/batch=1")
+
+    wave2.write.mode("append").parquet(src)
+    q2 = run_incremental_dedup_stream(spark, src, out, store, ckpt, threshold=0.5)
+    q2.awaitTermination(180)
+    # the batch's doc survives the replay: it must NOT match its own
+    # pre-crash signature, and it is genuinely novel vs batch 0's store
+    assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {10, 21}
+    assert spark.read.parquet(store).count() == 2

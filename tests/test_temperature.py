@@ -110,3 +110,22 @@ def test_null_stratum_rated_and_sampled(spark):
         docs, {None: w[None] / 1e6, "en": 0.0}, "src", default_rate=0.0, seed=7
     )
     assert {r["doc_id"] for r in direct.collect()} == expect
+
+
+def test_zero_and_null_size_strata_keep_nothing(spark):
+    """ADVICE r4: a stratum whose size_col sums to 0 (or NULL) used to
+    produce keep_e6 = NULL (decimal division by zero) and a TypeError in
+    temperature_sample's driver-side rate collect. It must rate to 0."""
+    docs = spark.createDataFrame(
+        [(1, "en", 100), (2, "en", 60), (3, "empty", 0), (4, "nul", None)],
+        "doc_id long, src string, n_chars long",
+    )
+    w = {r["stratum"]: r["keep_e6"] for r in
+         temperature_weights(docs, "src", size_col="n_chars",
+                             target_frac=0.5).collect()}
+    assert w["empty"] == 0 and w["nul"] == 0
+    assert 0 < w["en"] <= 1_000_000
+    # the sample no longer raises, and degenerate strata keep nothing
+    kept = temperature_sample(docs, "src", size_col="n_chars",
+                              target_frac=0.5, seed=7)
+    assert {r["src"] for r in kept.collect()} <= {"en"}

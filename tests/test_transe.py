@@ -157,3 +157,36 @@ def test_gcn_propagate_smooths_neighbors(spark):
     out = gcn_propagate(emb.unionByName(iso), edges, hops=1)
     v = out.filter("id = 99").collect()[0]["embedding"]
     assert v[0] == pytest.approx(1.0) and sum(v[1:]) == pytest.approx(0.0)
+
+
+def test_deterministic_mode_bit_identical_any_partitioning(spark):
+    """deterministic=True: sorted-fold gradient reduce -> the trained
+    vectors AND the per-epoch margin-violation counts are bit-identical
+    at any input partitioning (the transe_margin_counts gate contract)."""
+    trip = _ring_triples(spark)
+    sa, sb = {}, {}
+    ma = train_transe(trip, n_entities=N, dim=DIM, epochs=4, lr=0.08,
+                      seed=3, deterministic=True, stats_out=sa)
+    mb = train_transe(trip.repartition(7), n_entities=N, dim=DIM, epochs=4,
+                      lr=0.08, seed=3, deterministic=True, stats_out=sb)
+    assert sa["violations"] == sb["violations"]
+    assert len(sa["violations"]) == 4
+    va = {r["id"]: r["embedding"] for r in ma.entities.collect()}
+    vb = {r["id"]: r["embedding"] for r in mb.entities.collect()}
+    assert va == vb  # bit-identical, not approx
+    # the integer surface is meaningful: training reduces violations
+    assert sa["violations"][-1] < sa["violations"][0]
+    assert all(v >= 0 for v in sa["violations"])
+
+
+def test_stats_out_fast_path_epoch0_exact(spark):
+    """stats_out works on the default (posexplode/groupBy-sum) path too;
+    epoch 0's count is computed from the pure-hash init, so it must equal
+    the deterministic path's epoch-0 count exactly."""
+    trip = _ring_triples(spark)
+    s_fast, s_det = {}, {}
+    train_transe(trip, n_entities=N, dim=DIM, epochs=1, lr=0.08, seed=3,
+                 stats_out=s_fast)
+    train_transe(trip, n_entities=N, dim=DIM, epochs=1, lr=0.08, seed=3,
+                 deterministic=True, stats_out=s_det)
+    assert s_fast["violations"] == s_det["violations"]
