@@ -15,11 +15,13 @@ detection — no banding, no probability:
    with a polynomial fold over the token hashes (both arrays built in a
    MAP projection, below any explode — the interpreted-Generate trap
    ``textstats.tokens`` documents);
-2. one positioned explode -> ONE corpus-sized shuffle on the 8-byte
-   window fingerprint: a window over fp yields each occurrence's group
-   size and its rank in (key, pos) order — rank 1 is the global first
-   occurrence (the paradedup min-key ownership rule), so exactly one
-   copy of every duplicated span is canonical;
+2. one positioned explode, then ownership as a map-side-combinable
+   ``groupBy(fp).agg(count, min(struct(key, pos)))`` joined back onto
+   the occurrence stream (shuffle-hash, AQE-skew-splittable): the
+   min-(key, pos) occurrence is the global first (the paradedup min-key
+   ownership rule), so exactly one copy of every duplicated span is
+   canonical — no window, no per-fp sort/buffer, so a boilerplate
+   fingerprint repeated across 10^7 docs cannot serialize a partition;
 3. every non-canonical occurrence of a fingerprint with count >= 2 is a
    duplicated window; its k covered token positions are exploded and
    de-duplicated per doc (union of overlapping windows WITHOUT interval
@@ -30,10 +32,13 @@ detection — no banding, no probability:
    for docs shorter than k.
 
 Scale shape at 10^12 docs: the only corpus-sized shuffles carry
-(fingerprint, key, pos) longs — never text; the fingerprint groupBy is
-map-side combinable; covered-position dedup shuffles on the doc key
-(bounded per doc by token count). Per-token CPU is O(k) fold work in
-whole-stage codegen (k=16 default: ~16 multiply-adds per token).
+(fingerprint, key, pos) longs — never text; the ownership aggregate is
+map-side combinable (a hot fingerprint reduces to one partial row per
+map task) and the join-back is AQE-skew-splittable; covered-position
+dedup shuffles on the doc key (bounded per doc by token count).
+Per-token CPU is O(k) fold work in whole-stage codegen (k=16 default:
+~16 multiply-adds per token), paid twice (aggregate + probe side) in
+exchange for never materializing the occurrence stream.
 
 The report DELIBERATELY stops at flags/stats rather than cutting the
 spans from ``text``: the repo's extraction invariant is byte-identical
@@ -131,26 +136,39 @@ def substring_dup_stats(
     (min key, then min pos) stays canonical and is not counted — a
     corpus with every doc unique reports all-zero."""
     fps = kgram_fingerprints(docs, k, text_col, key_col, hash_fn)
-    # ownership in ONE pass: a window over the fingerprint gives each
-    # occurrence its group size and rank in (key, pos) order — rank 1 IS
-    # the min-(key,pos) owner. The earlier groupBy+self-join formulation
-    # recomputed the whole fingerprint chain twice and paid a
-    # SortMergeJoin of two corpus-sized streams (measured: this rewrite
-    # took the 30k-page legs 107.3 -> 57.8 s at 4 cores and 37.9 ->
-    # 17.2 s at 16, lifting 4->16 efficiency 0.708 -> 0.841). Skew: a
-    # pathologically hot fingerprint (an empty/template k-gram repeated
-    # across millions of docs) serializes its ONE window partition —
-    # the same hot-key doctrine as max_shingle_df applies upstream
-    # (boilerplate removal before substring dedup).
-    wfp = Window.partitionBy("fp").orderBy("key", "pos")
+    # ownership WITHOUT a window over the fingerprint (VERDICT r4 #1):
+    # the r4 Window.partitionBy("fp") formulation fully sorted + buffered
+    # each fingerprint's partition, and massive template duplication (a
+    # licence header across 10^7 docs) is this operator's EXPECTED input
+    # — one hot fp serialized a partition AQE cannot split (windows are
+    # unsplittable), straggler-to-OOM at 100 TB. Instead:
+    #   1. groupBy(fp).agg(count, min(struct(key, pos))) — both
+    #      aggregates are map-side combinable, so a hot fp collapses to
+    #      ONE partial row per map task before the exchange; no sort, no
+    #      buffering, O(1) state per fp;
+    #   2. join the (cnt, owner) row back onto the occurrence stream —
+    #      a JOIN's skewed partitions AQE splits (unlike a window's),
+    #      and the shuffle_hash hint keeps the corpus-sized probe side
+    #      unsorted (SMJ would reintroduce the full sort).
+    # The fingerprint chain is evaluated once per consumer (agg + probe)
+    # — O(k) long ops/token in codegen, deliberately recomputed rather
+    # than materializing a corpus-sized (key, pos, fp) checkpoint; at
+    # sandbox volume the rewrite measures within noise of the window
+    # formulation and removes its skew ceiling (BENCH.md r5).
+    # test_hot_fingerprint_no_window_sort pins the plan shape.
+    agg = fps.groupBy("fp").agg(
+        F.count("*").alias("__cnt"),
+        F.min(F.struct("key", "pos")).alias("__own"),
+    )
     dup_occ = (
-        fps.select(
-            "key",
-            "pos",
-            F.count("*").over(wfp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)).alias("__cnt"),
-            F.row_number().over(wfp).alias("__rn"),
+        fps.join(agg.hint("shuffle_hash"), "fp")
+        .filter(
+            (F.col("__cnt") >= 2)
+            & (
+                (F.col("key") != F.col("__own.key"))
+                | (F.col("pos") != F.col("__own.pos"))
+            )
         )
-        .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
         .select("key", "pos")
     )
     per_doc_kgrams = dup_occ.groupBy("key").agg(

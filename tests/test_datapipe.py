@@ -1494,3 +1494,47 @@ def test_cap_per_group(spark):
     assert a == b  # partitioning invariance
     with _pytest.raises(ValueError, match="k must be"):
         cap_per_group(d, "host", 0)
+
+
+def test_cap_per_group_two_phase_plan_and_skew(spark):
+    """VERDICT r4 ask #8: cap_per_group runs as a TWO-PHASE partial
+    top-k — phase 1 ranks within (group, salt) shards so a hot group
+    never fully sorts in one window partition; phase 2 re-ranks only the
+    shard survivors. Pins the plan shape (a window partitioned by the
+    salt before the final group window) and value-equality with a
+    brute-force reference on a skewed fixture."""
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.sampling import cap_per_group
+
+    # one dominant group (90% of rows) + two small ones
+    d = spark.range(2000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 10 < 9, F.lit("hot.example"))
+        .otherwise(F.concat(F.lit("cold"), (F.col("id") % 2).cast("string")))
+        .alias("host"),
+        (F.col("id") * 37 % 101).alias("score"),
+    )
+    out = cap_per_group(d, "host", 5, order_col="score")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace(" ", "").lower()
+    specs = norm.split("windowspecdefinition(")[1:]
+    assert len(specs) == 2, plan
+    assert any("__salt" in s.split(")")[0][:80] for s in specs), plan
+    got = sorted((r["doc_id"], r["host"]) for r in out.collect())
+    # brute-force reference: global (score DESC, doc_id ASC) top-5/group
+    ref = []
+    rows = d.collect()
+    for h in {r["host"] for r in rows}:
+        grp = sorted(
+            (r for r in rows if r["host"] == h),
+            key=lambda r: (-r["score"], r["doc_id"]),
+        )[:5]
+        ref.extend((r["doc_id"], h) for r in grp)
+    assert got == sorted(ref)
+    # salt granularity doesn't change the answer
+    alt = sorted(
+        (r["doc_id"], r["host"])
+        for r in cap_per_group(d, "host", 5, order_col="score", salt_buckets=7).collect()
+    )
+    assert alt == got

@@ -124,3 +124,40 @@ def test_all_dup_doc_reports_full_coverage(spark):
     assert got[1]["dup_token_cnt"] == 0
     assert (got[2]["dup_token_cnt"], got[2]["dup_span_cnt"]) == (6, 1)
     assert got[2]["dup_pct_e4"] == 10000
+
+
+def test_hot_fingerprint_no_window_sort(spark):
+    """VERDICT r4 #1: one fingerprint planted in 10^5 docs must not
+    serialize a window partition. Pins BOTH the plan shape (no Window
+    operator anywhere — ownership is a map-side-combinable aggregate +
+    join-back on the fp leg; the only window left in the operator
+    partitions by doc key for span counting) and the values (every doc
+    except the global min-(key, pos) owner reports the k duplicated
+    tokens as one span)."""
+    n = 100_000
+    docs = spark.range(n).selectExpr(
+        "id AS doc_id",
+        # shared 4-token prefix = ONE hot fingerprint across all docs;
+        # unique numeric suffix tokens so nothing else duplicates
+        "concat('hot tpl gram span uniq', id, ' tail', id) AS text",
+    )
+    out = substring_dup_stats(docs, k=K)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    norm = plan.replace(" ", "").lower()
+    # no window may partition by fp anywhere in the plan; the ONLY
+    # window left is the span-count one over the doc key
+    assert "windowspecdefinition(fp" not in norm
+    n_windows = norm.count("windowspecdefinition(")
+    assert n_windows >= 1 and all(
+        seg.startswith("key") for seg in norm.split("windowspecdefinition(")[1:]
+    ), plan
+    # ownership reduces via a combinable partial aggregate on fp
+    assert "partial_min" in norm and "partial_count" in norm
+    rows = {r["key"]: r for r in out.collect()}
+    assert len(rows) == n
+    owner = rows[0]  # min (key, pos) = doc 0
+    assert owner["dup_kgram_cnt"] == 0 and owner["dup_token_cnt"] == 0
+    dup = rows[1]
+    assert dup["dup_kgram_cnt"] == 1
+    assert dup["dup_token_cnt"] == K and dup["dup_span_cnt"] == 1
+    assert sum(r["dup_kgram_cnt"] for r in rows.values()) == n - 1
