@@ -1828,21 +1828,30 @@ def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL codec-free media decode, value-verified: per document, four
+    """REAL codec-free media decode, value-verified: per document, five
     container payloads are synthesized from doc_id arithmetic (PNG with
     all five filter types cycling, BMP alternating bottom-up/top-down,
     GIF with a REAL LZW compressor and interlace on every third doc,
-    16-bit PCM WAV), run through the ACTUAL decoders (zlib inflate +
-    spec unfilter / raw pixel walk / LZW + palette / PCM parse —
-    datapipe/multimodal.py), and reduced to POSITION-WEIGHTED exact-
-    integer checksums (media_decode_checksums) so permutation bugs —
-    wrong BMP orientation, mis-ordered interlace passes — flip the value.
-    The DuckDB twin re-derives the same integers from the arithmetic
-    alone — it never sees a container byte — so a single flipped bit
-    anywhere in inflate/unfilter/orientation/LZW/PCM handling flips the
+    16-bit PCM WAV, and — round 5 — a baseline JPEG whose
+    per-8x8-block-constant gray content round-trips pixel-exactly
+    through Huffman/dequant/IDCT at quant=1), run through the ACTUAL
+    decoders (zlib inflate + spec unfilter / raw pixel walk / LZW +
+    palette / PCM parse / JPEG entropy+IDCT — datapipe/multimodal.py),
+    and reduced to POSITION-WEIGHTED exact-integer checksums
+    (media_decode_checksums) so permutation bugs — wrong BMP
+    orientation, mis-ordered interlace passes — flip the value. The
+    DuckDB twin re-derives the same integers from the arithmetic alone —
+    it never sees a container byte — so a single flipped bit anywhere in
+    inflate/unfilter/orientation/LZW/PCM/JPEG handling flips the
     gate."""
     from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
-    from prase_spark.fixtures import synth_bmp, synth_gif, synth_png, synth_wav16_raw
+    from prase_spark.fixtures import (
+        synth_bmp,
+        synth_gif,
+        synth_jpeg,
+        synth_png,
+        synth_wav16_raw,
+    )
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
 
@@ -1873,6 +1882,16 @@ def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
                 out.append((doc * 10 + 3, "image", bytearray(
                     synth_gif(gidx, palette, interlace=doc % 3 == 0)),
                     None, None, None, None))
+                # baseline JPEG (round 5): per-8x8-block-constant gray, so
+                # with the all-ones quant table only the exact-integer DC
+                # coefficient survives and decode is PIXEL-EXACT — the
+                # oracle predicts the pixels from doc arithmetic alone
+                jimg = (
+                    (doc * 11 + (y[:, :, 0] // 8) * 5 + (x[:, :, 0] // 8) * 3)
+                    % 256
+                ).astype(np.uint8)
+                out.append((doc * 10 + 4, "image", bytearray(
+                    synth_jpeg(jimg)), None, None, None, None))
             yield pd.DataFrame(out, columns=[f.name for f in MEDIA.fields])
 
     media = d.mapInPandas(build, MEDIA)
@@ -3570,6 +3589,14 @@ def oracle_sql() -> dict[str, str]:
                             * ((d * 31 + k * 7) % 2001 - 1000))
                            % 1000000007) AS cs
                 FROM smp GROUP BY d, n
+            ),
+            jpg AS (
+                SELECT d, h * w AS n_units,
+                       sum(((i % 10007 + 1)
+                            * ((d * 11 + ((i // (w * 3)) // 8) * 5
+                                + (((i % (w * 3)) // 3) // 8) * 3) % 256))
+                           % 1000000007) AS cs
+                FROM pix GROUP BY d, h, w
             )
             SELECT d * 10 + 0 AS media_id, 'png' AS fmt,
                    CAST(n_units AS BIGINT) AS n_units,
@@ -3584,6 +3611,9 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT d * 10 + 3, 'gif', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
             FROM gif
+            UNION ALL
+            SELECT d * 10 + 4, 'jpeg', CAST(n_units AS BIGINT), CAST(cs AS BIGINT)
+            FROM jpg
         """,
         "paris_iter1_scores": _paris_scores_sql,
         "paris_iter1_argmax": f"""

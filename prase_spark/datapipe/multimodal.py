@@ -5,17 +5,20 @@ The Spark-side plumbing (schemas, Arrow batch shapes, partition-size
 control) is real and tested. Decode status by format (round 4):
 
 - **REAL, codec-free**: PNG pixels (stdlib zlib inflate + spec unfilter,
-  8-bit gray/RGB/RGBA non-interlaced), GIF first frame (pure-integer LZW
-  + palette, interlace supported), BMP pixels (uncompressed 24/32-bit),
-  WAV PCM samples (8/16-bit, mono-averaged) — plus nearest-neighbor
-  resize, n×n grayscale thumbnail features and RMS-envelope audio
-  features, all pure numpy (``decode_real`` / ``decode_media_features``).
-- **REAL header metadata only**: JPEG/WEBP dims (probe_*) — pixel decode
-  of DCT/VP8-coded formats genuinely needs codec libraries (PIL /
-  torchaudio / pyav), absent in this container; ``decode_real`` raises
-  NotImplementedError for them with the integration point documented, and
-  ``decode_media_features`` falls back to the deterministic stub vector
-  with ``decoded=false``.
+  8-bit gray/RGB/RGBA non-interlaced), baseline-sequential JPEG pixels
+  (generic DHT Huffman decode + dequant + 8x8 matrix IDCT + YCbCr,
+  1- and 3-component, 1-2 sampling factors, restart intervals — round
+  5), GIF first frame (pure-integer LZW + palette, interlace supported),
+  BMP pixels (uncompressed 24/32-bit), WAV PCM samples (8/16-bit,
+  mono-averaged) — plus nearest-neighbor resize, n×n grayscale thumbnail
+  features and RMS-envelope audio features, all pure numpy
+  (``decode_real`` / ``decode_media_features``).
+- **REAL header metadata only**: WEBP dims + progressive-JPEG detection
+  (probe_* / an SOF2 NotImplementedError) — VP8 and progressive scans
+  genuinely need codec libraries (PIL / torchaudio / pyav), absent in
+  this container; ``decode_real`` raises NotImplementedError for them
+  with the integration point documented, and ``decode_media_features``
+  falls back to the deterministic stub vector with ``decoded=false``.
 """
 
 from __future__ import annotations
@@ -69,12 +72,15 @@ def decode_real(payload: bytes, kind: str):
         return ("image", decode_bmp(b))
     if b[:6] in (b"GIF87a", b"GIF89a"):
         return ("image", decode_gif(b))
+    if b[:2] == b"\xff\xd8":
+        return ("image", decode_jpeg(b))  # baseline sequential, pure numpy
     if b[:4] == b"RIFF" and b[8:12] == b"WAVE":
         return ("audio", decode_wav(b))
     raise NotImplementedError(
-        f"{kind}: DCT/VP8-coded formats (JPEG/WEBP/video) need codec "
-        "libraries unavailable in this container; plug PIL/torchaudio/pyav "
-        "in here — the surrounding Spark plumbing is final"
+        f"{kind}: progressive JPEG / VP8-coded formats (WEBP/video) need "
+        "codec libraries unavailable in this container; plug "
+        "PIL/torchaudio/pyav in here — the surrounding Spark plumbing is "
+        "final"
     )
 
 
@@ -355,6 +361,259 @@ def decode_wav(b: bytes) -> tuple[np.ndarray, int]:
         n = (len(samples) // nch) * nch
         samples = samples[:n].reshape(-1, nch).mean(axis=1)
     return samples, rate
+
+
+# ---- baseline JPEG (ITU-T T.81) — pure numpy, no codec library ----
+#
+# Baseline *sequential* JPEG is Huffman decode + dequantize + 8x8 IDCT +
+# (for color) YCbCr->RGB — pure arithmetic, same codec-free discipline as
+# the round-4 GIF LZW decoder (VERDICT r4 ask #4). Progressive JPEG
+# (SOF2) and arithmetic coding stay behind the declared env boundary.
+
+_ZIGZAG = np.array(
+    [
+        0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+        12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+        35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+        58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+    ],
+    dtype=np.int64,
+)
+
+# orthonormal DCT-II basis: M[u, x] = alpha(u) cos((2x+1) u pi / 16);
+# forward A = M B M^T, inverse B = M^T A M
+_DCT_M = np.array(
+    [
+        [
+            (np.sqrt(1.0 / 8.0) if u == 0 else np.sqrt(2.0 / 8.0))
+            * np.cos((2 * x + 1) * u * np.pi / 16.0)
+            for x in range(8)
+        ]
+        for u in range(8)
+    ]
+)
+
+
+def _jpeg_round(a: np.ndarray) -> np.ndarray:
+    """floor(x + 0.5) — half always rounds UP, the convention the pytest
+    scalar twin mirrors (np.rint's half-to-even would diverge on exact
+    halves)."""
+    return np.floor(a + 0.5)
+
+
+class _JpegBitReader:
+    """MSB-first bit reader over entropy-coded data with 0xFF00
+    byte-unstuffing; stops at any real marker (leaves it unconsumed)."""
+
+    def __init__(self, b: bytes, pos: int):
+        self.b = b
+        self.pos = pos
+        self.bit = 0
+
+    def at_marker(self) -> bool:
+        return (
+            self.bit == 0
+            and self.pos + 1 < len(self.b)
+            and self.b[self.pos] == 0xFF
+            and self.b[self.pos + 1] != 0x00
+        )
+
+    def read_bit(self) -> int:
+        if self.b[self.pos] == 0xFF and self.b[self.pos + 1] != 0x00:
+            raise ValueError("JPEG: bit read ran into a marker")
+        v = (self.b[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            # an 0xFF data byte is always followed by a stuffed 0x00
+            # (the marker case raised above) — skip both
+            self.pos += 2 if self.b[self.pos] == 0xFF else 1
+        return v
+
+    def align(self):
+        if self.bit:
+            self.bit = 0
+            self.pos += 2 if self.b[self.pos] == 0xFF else 1
+
+    def receive(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.read_bit()
+        return v
+
+
+def _extend(v: int, s: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map the s received bits to the signed value."""
+    return v if s == 0 or v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+
+def _huff_table(bits: list[int], vals: bytes) -> dict[tuple[int, int], int]:
+    """(code length, code) -> symbol, canonical per T.81 Annex C."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(bits[length - 1]):
+            table[(length, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+def _huff_decode(r: _JpegBitReader, table: dict[tuple[int, int], int]) -> int:
+    code, length = 0, 0
+    while length < 16:
+        code = (code << 1) | r.read_bit()
+        length += 1
+        sym = table.get((length, code))
+        if sym is not None:
+            return sym
+    raise ValueError("JPEG: invalid Huffman code")
+
+
+def decode_jpeg(b: bytes) -> np.ndarray:
+    """REAL baseline-sequential JPEG decode (SOF0, 8-bit, 1 or 3
+    components, any 1-2 sampling factors, restart intervals) -> HxWx3
+    uint8. Grayscale replicates to RGB; color converts JFIF YCbCr->RGB.
+    Pure numpy: generic DHT Huffman decode, dequantize, de-zigzag,
+    orthonormal matrix IDCT, level shift, floor(x+.5) rounding (the
+    pytest twin's convention). Progressive (SOF2) raises."""
+    if b[:2] != b"\xff\xd8":
+        raise ValueError("not a JPEG")
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    restart = 0
+    i = 2
+    while i + 4 <= len(b):
+        if b[i] != 0xFF:
+            raise ValueError("JPEG: bad marker alignment")
+        m = b[i + 1]
+        if m == 0xD9:  # EOI before SOS
+            break
+        seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
+        seg = b[i + 4 : i + 2 + seg_len]
+        if m == 0xDB:  # DQT
+            p = 0
+            while p < len(seg):
+                prec, tid = seg[p] >> 4, seg[p] & 0x0F
+                p += 1
+                if prec:
+                    vals = np.frombuffer(seg[p : p + 128], dtype=">u2").astype(np.int64)
+                    p += 128
+                else:
+                    vals = np.frombuffer(seg[p : p + 64], dtype=np.uint8).astype(np.int64)
+                    p += 64
+                tbl = np.zeros(64, dtype=np.int64)
+                tbl[_ZIGZAG] = vals
+                qt[tid] = tbl.reshape(8, 8)
+        elif m == 0xC4:  # DHT
+            p = 0
+            while p < len(seg):
+                cls, tid = seg[p] >> 4, seg[p] & 0x0F
+                bits = list(seg[p + 1 : p + 17])
+                n = sum(bits)
+                huff[(cls, tid)] = _huff_table(bits, seg[p + 17 : p + 17 + n])
+                p += 17 + n
+        elif m == 0xC0 or m == 0xC1:  # SOF0/1 (baseline / ext. sequential)
+            if seg[0] != 8:
+                raise NotImplementedError("JPEG: only 8-bit precision")
+            h = int.from_bytes(seg[1:3], "big")
+            w = int.from_bytes(seg[3:5], "big")
+            ncomp = seg[5]
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = seg[6 + 3 * c], seg[7 + 3 * c], seg[8 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 0x0F, tq))
+            frame = (h, w, comps)
+        elif m in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF):
+            raise NotImplementedError(
+                "JPEG: progressive/arithmetic/hierarchical scans need a "
+                "codec library; only baseline sequential decodes codec-free"
+            )
+        elif m == 0xDD:  # DRI
+            restart = int.from_bytes(seg[0:2], "big")
+        elif m == 0xDA:  # SOS — entropy-coded data follows
+            if frame is None:
+                raise ValueError("JPEG: SOS before SOF")
+            ns = seg[0]
+            scan = {}
+            for c in range(ns):
+                cid, tabs = seg[1 + 2 * c], seg[2 + 2 * c]
+                scan[cid] = (tabs >> 4, tabs & 0x0F)
+            return _decode_scan(b, i + 2 + seg_len, frame, scan, qt, huff, restart)
+        i += 2 + seg_len
+    raise ValueError("JPEG: no SOS marker")
+
+
+def _decode_scan(b, pos, frame, scan, qt, huff, restart):
+    h, w, comps = frame
+    hmax = max(c[1] for c in comps)
+    vmax = max(c[2] for c in comps)
+    mcux = -(-w // (8 * hmax))
+    mcuy = -(-h // (8 * vmax))
+    planes = {}
+    for cid, ch, cv, _tq in comps:
+        planes[cid] = np.zeros((mcuy * cv * 8, mcux * ch * 8), dtype=np.float64)
+    r = _JpegBitReader(b, pos)
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                r.align()
+                if not (b[r.pos] == 0xFF and 0xD0 <= b[r.pos + 1] <= 0xD7):
+                    raise ValueError("JPEG: expected RST marker")
+                r.pos += 2
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch, cv, tq in comps:
+                dct, act = scan[cid]
+                for by in range(cv):
+                    for bx in range(ch):
+                        coef = np.zeros(64, dtype=np.int64)
+                        s = _huff_decode(r, huff[(0, dct)])
+                        diff = _extend(r.receive(s), s)
+                        pred[cid] += diff
+                        coef[0] = pred[cid]
+                        k = 1
+                        while k < 64:
+                            sym = _huff_decode(r, huff[(1, act)])
+                            if sym == 0x00:  # EOB
+                                break
+                            run, size = sym >> 4, sym & 0x0F
+                            if size == 0:
+                                if run != 15:
+                                    raise ValueError("JPEG: bad AC symbol")
+                                k += 16  # ZRL
+                                continue
+                            k += run
+                            if k > 63:
+                                raise ValueError("JPEG: AC index overflow")
+                            coef[k] = _extend(r.receive(size), size)
+                            k += 1
+                        blk = np.zeros(64, dtype=np.int64)
+                        blk[_ZIGZAG] = coef
+                        blk = blk.reshape(8, 8) * qt[tq]
+                        pix = _DCT_M.T @ blk.astype(np.float64) @ _DCT_M
+                        y0 = (my * cv + by) * 8
+                        x0 = (mx * ch + bx) * 8
+                        planes[cid][y0 : y0 + 8, x0 : x0 + 8] = pix + 128.0
+            n_mcu += 1
+    out_planes = []
+    for cid, ch, cv, _tq in comps:
+        p = planes[cid]
+        p = np.repeat(np.repeat(p, vmax // cv, axis=0), hmax // ch, axis=1)
+        out_planes.append(p[:h, :w])
+    if len(out_planes) == 1:
+        g = np.clip(_jpeg_round(out_planes[0]), 0, 255).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    y, cb, cr = out_planes
+    cb = cb - 128.0
+    cr = cr - 128.0
+    rgb = np.stack(
+        [y + 1.402 * cr, y - 0.344136 * cb - 0.714136 * cr, y + 1.772 * cb],
+        axis=2,
+    )
+    return np.clip(_jpeg_round(rgb), 0, 255).astype(np.uint8)
 
 
 def resize_nearest(img: np.ndarray, out_h: int, out_w: int) -> np.ndarray:

@@ -501,3 +501,202 @@ def synth_gif(indices, palette, interlace=False, local_table=False) -> bytes:
         b"\x3b",
     ]
     return b"".join(parts)
+
+
+def synth_jpeg(
+    img,
+    subsample=(1, 1),
+    qluma=None,
+    qchroma=None,
+    restart=0,
+) -> bytes:
+    """Encode an HxW (gray) or HxWx3 (RGB) uint8 array as a REAL
+    baseline-sequential JFIF JPEG (SOI/DQT/SOF0/DHT/SOS/EOI, canonical
+    Huffman tables, bit-stuffed entropy stream) so decode exercises the
+    full marker walk + Huffman + dequant + IDCT path, not a canned blob.
+
+    - ``subsample``: (h, v) luma sampling factors; (2, 2) = 4:2:0 chroma
+      (box-mean downsample). Gray images always encode one component.
+    - ``qluma`` / ``qchroma``: 8x8 quant tables (default all-ones, i.e.
+      max quality — with per-8x8-block-CONSTANT input the round trip is
+      pixel-exact: only the DC coefficient survives, it is an exact
+      integer, and the IDCT of a DC-only block is constant).
+    - ``restart``: emit DRI + RSTn every ``restart`` MCUs (0 = never).
+
+    Huffman tables are valid-but-simple: all 12 DC categories at code
+    length 5, all 162 AC symbols at code length 8 (canonical, never the
+    all-ones code) — legal per T.81 Annex C and deliberately trivial so
+    this encoder shares no table data with the decoder under test."""
+    import struct
+
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import _DCT_M, _ZIGZAG
+
+    img = np.asarray(img)
+    gray = img.ndim == 2 or img.shape[2] == 1
+    h, w = img.shape[:2]
+    sh, sv = (1, 1) if gray else subsample
+    q0 = np.ones((8, 8), dtype=np.int64) if qluma is None else np.asarray(qluma, dtype=np.int64)
+    q1 = q0 if qchroma is None else np.asarray(qchroma, dtype=np.int64)
+
+    def _round(a):
+        return np.floor(np.asarray(a, dtype=np.float64) + 0.5)
+
+    def _pad(plane, bh, bw):
+        ph = -(-plane.shape[0] // bh) * bh
+        pw = -(-plane.shape[1] // bw) * bw
+        out = np.empty((ph, pw), dtype=np.float64)
+        out[: plane.shape[0], : plane.shape[1]] = plane
+        out[plane.shape[0] :, : plane.shape[1]] = plane[-1:, :]
+        out[:, plane.shape[1] :] = out[:, plane.shape[1] - 1 : plane.shape[1]]
+        return out
+
+    if gray:
+        comps = [(1, 1, 1, 0)]
+        planes = {1: img.reshape(h, w).astype(np.float64)}
+        qmap = {0: q0}
+    else:
+        rgb = img.astype(np.float64)
+        r, g, b_ = rgb[:, :, 0], rgb[:, :, 1], rgb[:, :, 2]
+        y = np.clip(_round(0.299 * r + 0.587 * g + 0.114 * b_), 0, 255)
+        cb = np.clip(_round(-0.168736 * r - 0.331264 * g + 0.5 * b_ + 128.0), 0, 255)
+        cr = np.clip(_round(0.5 * r - 0.418688 * g - 0.081312 * b_ + 128.0), 0, 255)
+        if (sh, sv) != (1, 1):
+            def down(p):
+                pp = _pad(p, sv, sh)
+                return _round(
+                    pp.reshape(pp.shape[0] // sv, sv, pp.shape[1] // sh, sh)
+                    .mean(axis=(1, 3))
+                )
+            cb, cr = down(cb), down(cr)
+        comps = [(1, sh, sv, 0), (2, 1, 1, 1), (3, 1, 1, 1)]
+        planes = {1: y, 2: cb, 3: cr}
+        qmap = {0: q0, 1: q1}
+
+    # block-DCT every plane (padded to its own MCU-aligned size)
+    hmax, vmax = max(c[1] for c in comps), max(c[2] for c in comps)
+    mcux, mcuy = -(-w // (8 * hmax)), -(-h // (8 * vmax))
+    blocks = {}
+    for cid, ch_, cv_, tq in comps:
+        p = _pad(planes[cid], mcuy * cv_ * 8, mcux * ch_ * 8)
+        coefs = np.empty((p.shape[0] // 8, p.shape[1] // 8, 64), dtype=np.int64)
+        for by in range(coefs.shape[0]):
+            for bx in range(coefs.shape[1]):
+                blk = p[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] - 128.0
+                a = _DCT_M @ blk @ _DCT_M.T
+                qz = _round(a / qmap[tq]).astype(np.int64).reshape(64)
+                zz = np.empty(64, dtype=np.int64)
+                zz[:] = qz[_ZIGZAG]
+                coefs[by, bx] = zz
+        blocks[cid] = coefs
+
+    # canonical Huffman tables (see docstring)
+    dc_bits = [0, 0, 0, 0, 12, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0]
+    dc_vals = list(range(12))
+    ac_vals = [0x00, 0xF0] + [
+        (run << 4) | size for run in range(16) for size in range(1, 11)
+    ]
+    ac_bits = [0, 0, 0, 0, 0, 0, 0, len(ac_vals), 0, 0, 0, 0, 0, 0, 0, 0]
+
+    def _codes(bits, vals):
+        out, code, k = {}, 0, 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[k]] = (length, code)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    dc_code, ac_code = _codes(dc_bits, dc_vals), _codes(ac_bits, ac_vals)
+
+    out = bytearray(b"\xff\xd8")  # SOI
+
+    def seg(marker, body):
+        out.extend(bytes([0xFF, marker]) + struct.pack(">H", len(body) + 2) + body)
+
+    for tid, q in qmap.items():
+        # DQT stores the table in zigzag order
+        flat = np.empty(64, dtype=np.int64)
+        flat[:] = q.reshape(64)[_ZIGZAG]
+        seg(0xDB, bytes([tid]) + bytes(int(v) for v in flat))
+    sof = bytearray(struct.pack(">BHHB", 8, h, w, len(comps)))
+    for cid, ch_, cv_, tq in comps:
+        sof += bytes([cid, (ch_ << 4) | cv_, tq])
+    seg(0xC0, bytes(sof))
+    seg(0xC4, bytes([0x00] + dc_bits) + bytes(dc_vals))
+    seg(0xC4, bytes([0x10] + ac_bits) + bytes(ac_vals))
+    if not gray:  # chroma shares the same simple tables under ids 1
+        seg(0xC4, bytes([0x01] + dc_bits) + bytes(dc_vals))
+        seg(0xC4, bytes([0x11] + ac_bits) + bytes(ac_vals))
+    if restart:
+        seg(0xDD, struct.pack(">H", restart))
+    sos = bytearray([len(comps)])
+    for cid, *_ in comps:
+        tabs = 0x00 if cid == 1 else 0x11
+        sos += bytes([cid, tabs])
+    sos += bytes([0, 63, 0])
+    seg(0xDA, bytes(sos))
+
+    bitbuf, nbits = 0, 0
+
+    def put(code, length):
+        nonlocal bitbuf, nbits
+        bitbuf = (bitbuf << length) | code
+        nbits += length
+        while nbits >= 8:
+            byte = (bitbuf >> (nbits - 8)) & 0xFF
+            out.append(byte)
+            if byte == 0xFF:
+                out.append(0x00)
+            nbits -= 8
+            bitbuf &= (1 << nbits) - 1
+
+    def put_val(v):
+        s = int(abs(v)).bit_length()
+        bits = v if v >= 0 else v + (1 << s) - 1
+        return s, bits
+
+    pred = {cid: 0 for cid, *_ in comps}
+    n_mcu = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if restart and n_mcu and n_mcu % restart == 0:
+                if nbits:  # byte-align with 1-padding per T.81 F.1.2.3
+                    put((1 << (8 - nbits)) - 1, 8 - nbits)
+                out.extend(bytes([0xFF, 0xD0 + ((n_mcu // restart - 1) % 8)]))
+                pred = {cid: 0 for cid, *_ in comps}
+            for cid, ch_, cv_, tq in comps:
+                dcc = dc_code if cid == 1 else dc_code
+                acc = ac_code if cid == 1 else ac_code
+                for by in range(cv_):
+                    for bx in range(ch_):
+                        zz = blocks[cid][my * cv_ + by, mx * ch_ + bx]
+                        diff = int(zz[0]) - pred[cid]
+                        pred[cid] = int(zz[0])
+                        s, bits = put_val(diff)
+                        put(*reversed(dcc[s]))
+                        if s:
+                            put(bits, s)
+                        k, run = 1, 0
+                        while k < 64:
+                            v = int(zz[k])
+                            if v == 0:
+                                run += 1
+                            else:
+                                while run > 15:
+                                    put(*reversed(acc[0xF0]))
+                                    run -= 16
+                                s, bits = put_val(v)
+                                put(*reversed(acc[(run << 4) | s]))
+                                put(bits, s)
+                                run = 0
+                            k += 1
+                        if run:
+                            put(*reversed(acc[0x00]))
+            n_mcu += 1
+    if nbits:
+        put((1 << (8 - nbits)) - 1, 8 - nbits)  # pad final byte with 1s
+    out.extend(b"\xff\xd9")  # EOI
+    return bytes(out)

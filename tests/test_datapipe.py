@@ -1142,14 +1142,19 @@ def test_decode_media_features_real_and_fallback(spark):
     img = rng.integers(0, 256, size=(16, 16, 3), dtype=np.uint8)
     png, bmp = _make_png(img, [0, 1, 2, 3, 4]), _make_bmp(img)
     wav = _make_wav16([np.sin(np.arange(800) / 5.0) * 0.4], 8000)
-    # SOI + SOF0 carrying 50x100 dims: probed fine, decode env-blocked
+    # SOI + SOF0 carrying 50x100 dims but NO scan data: probed fine,
+    # decode degrades to the stub path (truncated payloads never crash)
     jpg = (b"\xff\xd8\xff\xc0" + (9).to_bytes(2, "big") + b"\x08"
            + (50).to_bytes(2, "big") + (100).to_bytes(2, "big") + b"\x01" + b"\x00" * 4)
+    from prase_spark.fixtures import synth_jpeg
+
+    jpg_real = synth_jpeg(img)  # same pixels as the PNG/BMP, 4:4:4 q=1
     rows = [
         (0, "image", bytearray(png), "image/png", None, None, None),
         (1, "image", bytearray(bmp), "image/bmp", None, None, None),
         (2, "audio", bytearray(wav), "audio/wav", None, None, None),
         (3, "image", bytearray(jpg), "image/jpeg", None, None, None),
+        (4, "image", bytearray(jpg_real), "image/jpeg", None, None, None),
     ]
     got = {
         r["media_id"]: r
@@ -1166,6 +1171,15 @@ def test_decode_media_features_real_and_fallback(spark):
     assert got[2]["decoded"] and got[2]["sample_rate"] == 8000
     assert not got[3]["decoded"] and got[3]["fmt"] == "jpeg"
     assert got[3]["features"] and len(got[3]["features"]) == 4
+    # a REAL baseline JPEG decodes for real now (round 5); q=1 4:4:4 is
+    # near-lossless, so the thumbnail features sit within a few grey
+    # levels of the PNG's
+    assert got[4]["decoded"] and got[4]["fmt"] == "jpeg"
+    assert got[4]["width"] == 16 and got[4]["height"] == 16
+    assert all(
+        abs(a - b) <= 4.0 / 255.0
+        for a, b in zip(got[4]["features"], got[0]["features"])
+    )
 
 
 def test_media_decode_checksums_integer_sinks(spark):
@@ -1174,16 +1188,23 @@ def test_media_decode_checksums_integer_sinks(spark):
     import numpy as np
 
     from prase_spark.datapipe.multimodal import MEDIA, media_decode_checksums
-    from prase_spark.fixtures import synth_bmp, synth_png, synth_wav16_raw
+    from prase_spark.fixtures import synth_bmp, synth_jpeg, synth_png, synth_wav16_raw
 
     img = np.arange(4 * 5 * 3, dtype=np.uint8).reshape(4, 5, 3)
     ints = np.array([0, 100, -100, 32767, -32768, 7])
+    # per-8x8-block constant gray -> baseline JPEG decodes EXACTLY
+    jimg = np.array(
+        [[(41 + (y // 8) * 5 + (x // 8) * 3) % 256 for x in range(11)]
+         for y in range(9)],
+        dtype=np.uint8,
+    )
     rows = [
         (0, "image", bytearray(synth_png(img, (4, 3))), None, None, None, None),
         (1, "image", bytearray(synth_bmp(img, top_down=True)), None, None, None, None),
         (2, "audio", bytearray(synth_wav16_raw(ints, 8000)), None, None, None, None),
-        (3, "image", b"\xff\xd8\xff\xe0" + bytes(10), None, None, None, None),  # JPEG: env-blocked
+        (3, "image", b"\xff\xd8\xff\xe0" + bytes(10), None, None, None, None),  # truncated JPEG
         (4, "image", b"GIF89a" + bytes(10), None, None, None, None),    # malformed GIF
+        (5, "image", bytearray(synth_jpeg(jimg)), None, None, None, None),
     ]
     got = {
         r["media_id"]: (r["fmt"], r["n_units"], r["checksum"])
@@ -1202,8 +1223,11 @@ def test_media_decode_checksums_integer_sinks(spark):
     assert got[1] == ("bmp", 20, pix_sum)
     # int16 extremes recovered exactly through the /32768 normalization
     assert got[2] == ("wav", 6, wsum(ints.astype(np.int64) ** 2))
-    assert got[3] == ("jpeg", None, None)
+    assert got[3] == ("jpeg", None, None)  # truncated payloads degrade, never crash
     assert got[4] == ("gif", None, None)  # malformed payloads degrade, never crash
+    # block-constant baseline JPEG: round trip is pixel-exact, so the
+    # checksum equals the arithmetic over the source gray replicated x3
+    assert got[5] == ("jpeg", 9 * 11, wsum(np.repeat(jimg[:, :, None], 3, axis=2)))
     # position weighting: a flipped image must NOT collide
     assert pix_sum != wsum(img[::-1])
 
