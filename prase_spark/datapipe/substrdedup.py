@@ -15,13 +15,16 @@ detection — no banding, no probability:
    with a polynomial fold over the token hashes (both arrays built in a
    MAP projection, below any explode — the interpreted-Generate trap
    ``textstats.tokens`` documents);
-2. one positioned explode, then ownership as a map-side-combinable
-   ``groupBy(fp).agg(count, min(struct(key, pos)))`` joined back onto
-   the occurrence stream (shuffle-hash, AQE-skew-splittable): the
-   min-(key, pos) occurrence is the global first (the paradedup min-key
-   ownership rule), so exactly one copy of every duplicated span is
-   canonical — no window, no per-fp sort/buffer, so a boilerplate
-   fingerprint repeated across 10^7 docs cannot serialize a partition;
+2. one positioned explode, then HEAT-ROUTED ownership: a ~1%-of-docs
+   hash sample sketches the cross-doc-hot fingerprints; hot occurrences
+   reduce via a map-side-combinable ``groupBy(fp).agg(count,
+   min(struct))`` + broadcast join-back (no sort, no corpus shuffle —
+   a boilerplate fingerprint repeated across 10^7 docs collapses to one
+   partial row per map task), while the cold majority keeps the fast
+   single-window ownership whose per-fp partitions the sketch just
+   bounded (~2x ``hot_fp_threshold`` whp). Both paths compute the same
+   exact min-(key, pos) first-occurrence rule (the paradedup min-key
+   ownership), so routing never changes the output;
 3. every non-canonical occurrence of a fingerprint with count >= 2 is a
    duplicated window; its k covered token positions are exploded and
    de-duplicated per doc (union of overlapping windows WITHOUT interval
@@ -31,14 +34,16 @@ detection — no banding, no probability:
    / ``dup_span_cnt`` / ``dup_pct_e4`` (exact-integer half-up), zeros
    for docs shorter than k.
 
-Scale shape at 10^12 docs: the only corpus-sized shuffles carry
-(fingerprint, key, pos) longs — never text; the ownership aggregate is
-map-side combinable (a hot fingerprint reduces to one partial row per
-map task) and the join-back is AQE-skew-splittable; covered-position
-dedup shuffles on the doc key (bounded per doc by token count).
-Per-token CPU is O(k) fold work in whole-stage codegen (k=16 default:
-~16 multiply-adds per token), paid twice (aggregate + probe side) in
-exchange for never materializing the occurrence stream.
+Scale shape at 10^12 docs: the only corpus-sized shuffle carries
+(fingerprint, key, pos) longs — never text — and its window partitions
+are heat-bounded by the sketch; hot fingerprints never shuffle raw
+(map-side combine collapses them before the tiny hot exchange);
+covered-position dedup shuffles on the doc key (bounded per doc by
+token count). Per-token CPU is O(k) fold work in whole-stage codegen
+(k=16 default: ~16 multiply-adds per token), plus ~1% for the sketch
+pass. A fingerprint hot WITHIN one doc but not across docs can evade a
+doc-level sketch; its window partition is still bounded by the max doc
+token count.
 
 The report DELIBERATELY stops at flags/stats rather than cutting the
 spans from ``text``: the repo's extraction invariant is byte-identical
@@ -119,6 +124,10 @@ def substring_dup_stats(
     text_col: str = "text",
     key_col: str = "doc_id",
     hash_fn=None,
+    hot_fp_threshold: int = 10_000,
+    sketch_frac_e4: int = 100,
+    max_hot_fps: int = 100_000,
+    stats_out: dict | None = None,
 ) -> DataFrame:
     """Per-document duplicated-substring report (see module doc):
 
@@ -134,43 +143,105 @@ def substring_dup_stats(
     Every row of ``docs`` is preserved (zeros for short/empty/NULL-text
     docs). The globally FIRST occurrence of each duplicated window
     (min key, then min pos) stays canonical and is not counted — a
-    corpus with every doc unique reports all-zero."""
+    corpus with every doc unique reports all-zero.
+
+    Skew routing (VERDICT r4 #1): ``sketch_frac_e4``/10^4 of the docs
+    (hash-deterministic) are fingerprinted to sketch cross-doc-hot
+    fingerprints (estimated count >= ``hot_fp_threshold``, halved for
+    sampling slack); at most ``max_hot_fps`` of them (largest first)
+    bypass the window path — see the module doc. ``stats_out`` (a dict)
+    receives ``hot_fps`` and ``hot_est_threshold`` telemetry. Routing
+    never changes the result."""
     fps = kgram_fingerprints(docs, k, text_col, key_col, hash_fn)
-    # ownership WITHOUT a window over the fingerprint (VERDICT r4 #1):
-    # the r4 Window.partitionBy("fp") formulation fully sorted + buffered
-    # each fingerprint's partition, and massive template duplication (a
-    # licence header across 10^7 docs) is this operator's EXPECTED input
-    # — one hot fp serialized a partition AQE cannot split (windows are
-    # unsplittable), straggler-to-OOM at 100 TB. Instead:
-    #   1. groupBy(fp).agg(count, min(struct(key, pos))) — both
-    #      aggregates are map-side combinable, so a hot fp collapses to
-    #      ONE partial row per map task before the exchange; no sort, no
-    #      buffering, O(1) state per fp;
-    #   2. join the (cnt, owner) row back onto the occurrence stream —
-    #      a JOIN's skewed partitions AQE splits (unlike a window's),
-    #      and the shuffle_hash hint keeps the corpus-sized probe side
-    #      unsorted (SMJ would reintroduce the full sort).
-    # The fingerprint chain is evaluated once per consumer (agg + probe)
-    # — O(k) long ops/token in codegen, deliberately recomputed rather
-    # than materializing a corpus-sized (key, pos, fp) checkpoint; at
-    # sandbox volume the rewrite measures within noise of the window
-    # formulation and removes its skew ceiling (BENCH.md r5).
-    # test_hot_fingerprint_no_window_sort pins the plan shape.
-    agg = fps.groupBy("fp").agg(
-        F.count("*").alias("__cnt"),
-        F.min(F.struct("key", "pos")).alias("__own"),
-    )
-    dup_occ = (
-        fps.join(agg.hint("shuffle_hash"), "fp")
-        .filter(
-            (F.col("__cnt") >= 2)
-            & (
-                (F.col("key") != F.col("__own.key"))
-                | (F.col("pos") != F.col("__own.pos"))
-            )
+    # ownership without an UNBOUNDED window over the fingerprint
+    # (VERDICT r4 #1): the r4 Window.partitionBy("fp") fully sorted +
+    # buffered each fingerprint's partition, and massive template
+    # duplication (a licence header across 10^7 docs) is this operator's
+    # EXPECTED input — one hot fp serialized a partition AQE cannot
+    # split (windows are unsplittable), straggler-to-OOM at 100 TB. But
+    # the pure groupBy+join-back alternative measured 0.63 efficiency
+    # and ~2x wall at 4->16 (BENCH.md r5): on the COMMON unique-heavy
+    # fingerprint distribution, map-side combine collapses nothing and
+    # the corpus pays two chain evaluations plus two corpus-sized
+    # exchanges. So route by heat (the skew.salted_join sketch
+    # doctrine):
+    #   1. SKETCH cross-doc-hot fingerprints from a ~1%-of-DOCS
+    #      deterministic hash sample (chain cost ~1%; a fingerprint with
+    #      >= hot_fp_threshold cross-doc occurrences is caught whp, and
+    #      a miss only costs window-partition size, bounded whp by
+    #      ~2x threshold);
+    #   2. HOT occurrences (broadcast semi-join on the tiny hot set) go
+    #      through groupBy(fp).agg(count, min(struct)) — NOW map-side
+    #      combinable to |hot| rows per task — and a broadcast join-back;
+    #      no sort, no buffering, no corpus shuffle;
+    #   3. COLD occurrences keep the r4 single-window ownership, whose
+    #      per-fp partitions the sketch just bounded.
+    # Both paths compute the identical exact min-(key, pos) ownership,
+    # so the OUTPUT is classification-independent (the DuckDB twin stays
+    # byte-identical); routing only decides the physical plan.
+    # test_hot_fingerprint_routed_off_window pins the routing.
+    spark = docs.sparkSession
+    # sketch membership always hashes with xxhash64: routing never
+    # affects the output, so it needs no SQL-replicable twin. The sample
+    # is persisted before the fingerprint chain: an unmaterialized
+    # filter under the interpreted HOF chain was measured to cost like a
+    # FULL-corpus chain (the Generate/CollapseProject interplay the
+    # DEPLOY explode note documents), while the persisted ~1% sample
+    # pays ~1%.
+    sketch = F.pmod(F.xxhash64(F.col(key_col).cast("string")), F.lit(10_000))
+    sampled = docs.filter(sketch < F.lit(int(sketch_frac_e4))).persist()
+    est_thresh = max(1, (hot_fp_threshold * sketch_frac_e4) // 10_000 // 2)
+    try:
+        hot_rows = [
+            r["fp"]
+            for r in kgram_fingerprints(sampled, k, text_col, key_col, hash_fn)
+            .groupBy("fp")
+            .agg(F.count("*").alias("__scnt"))
+            .filter(F.col("__scnt") >= est_thresh)
+            .orderBy(F.desc("__scnt"), F.asc("fp"))
+            .limit(int(max_hot_fps))
+            .collect()  # driver-bounded by max_hot_fps longs (<= ~1 MB)
+        ]
+    finally:
+        sampled.unpersist()
+    if stats_out is not None:
+        stats_out["hot_fps"] = len(hot_rows)
+        stats_out["hot_est_threshold"] = est_thresh
+    if hot_rows:
+        hot = spark.createDataFrame([(int(f),) for f in hot_rows], "fp LONG")
+        fps_cold = fps.join(F.broadcast(hot), "fp", "left_anti")
+        fps_hot = fps.join(F.broadcast(hot), "fp")
+        agg = fps_hot.groupBy("fp").agg(
+            F.count("*").alias("__cnt"),
+            F.min(F.struct("key", "pos")).alias("__own"),
         )
+        dup_hot = (
+            fps_hot.join(F.broadcast(agg), "fp")
+            .filter(
+                (F.col("__cnt") >= 2)
+                & (
+                    (F.col("key") != F.col("__own.key"))
+                    | (F.col("pos") != F.col("__own.pos"))
+                )
+            )
+            .select("key", "pos")
+        )
+    else:
+        fps_cold, dup_hot = fps, None
+    wfp = Window.partitionBy("fp").orderBy("key", "pos")
+    dup_cold = (
+        fps_cold.select(
+            "key",
+            "pos",
+            F.count("*")
+            .over(wfp.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing))
+            .alias("__cnt"),
+            F.row_number().over(wfp).alias("__rn"),
+        )
+        .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
         .select("key", "pos")
     )
+    dup_occ = dup_cold if dup_hot is None else dup_cold.unionByName(dup_hot)
     per_doc_kgrams = dup_occ.groupBy("key").agg(
         F.count("*").alias("dup_kgram_cnt")
     )

@@ -126,14 +126,16 @@ def test_all_dup_doc_reports_full_coverage(spark):
     assert got[2]["dup_pct_e4"] == 10000
 
 
-def test_hot_fingerprint_no_window_sort(spark):
+def test_hot_fingerprint_routed_off_window(spark):
     """VERDICT r4 #1: one fingerprint planted in 10^5 docs must not
-    serialize a window partition. Pins BOTH the plan shape (no Window
-    operator anywhere — ownership is a map-side-combinable aggregate +
-    join-back on the fp leg; the only window left in the operator
-    partitions by doc key for span counting) and the values (every doc
-    except the global min-(key, pos) owner reports the k duplicated
-    tokens as one span)."""
+    serialize a window partition. The doc-sample sketch classifies it
+    hot (stats_out telemetry proves the routing), its 10^5 occurrences
+    reduce via the map-side-combinable aggregate + broadcast join-back
+    (plan pin: a partial_min/partial_count aggregate on fp and a
+    BroadcastHashJoin feed the hot leg), and the window path only ever
+    sees the sketch-bounded cold fingerprints. Values: every doc except
+    the global min-(key, pos) owner reports the k duplicated tokens as
+    one span."""
     n = 100_000
     docs = spark.range(n).selectExpr(
         "id AS doc_id",
@@ -141,18 +143,15 @@ def test_hot_fingerprint_no_window_sort(spark):
         # unique numeric suffix tokens so nothing else duplicates
         "concat('hot tpl gram span uniq', id, ' tail', id) AS text",
     )
-    out = substring_dup_stats(docs, k=K)
+    stats: dict = {}
+    out = substring_dup_stats(docs, k=K, hot_fp_threshold=10_000, stats_out=stats)
+    # the sketch caught the planted fingerprint (and nothing else)
+    assert stats["hot_fps"] == 1
     plan = out._jdf.queryExecution().executedPlan().toString()
     norm = plan.replace(" ", "").lower()
-    # no window may partition by fp anywhere in the plan; the ONLY
-    # window left is the span-count one over the doc key
-    assert "windowspecdefinition(fp" not in norm
-    n_windows = norm.count("windowspecdefinition(")
-    assert n_windows >= 1 and all(
-        seg.startswith("key") for seg in norm.split("windowspecdefinition(")[1:]
-    ), plan
-    # ownership reduces via a combinable partial aggregate on fp
+    # hot leg: combinable partial aggregate + broadcast join-back
     assert "partial_min" in norm and "partial_count" in norm
+    assert "broadcasthashjoin" in norm
     rows = {r["key"]: r for r in out.collect()}
     assert len(rows) == n
     owner = rows[0]  # min (key, pos) = doc 0
@@ -161,3 +160,15 @@ def test_hot_fingerprint_no_window_sort(spark):
     assert dup["dup_kgram_cnt"] == 1
     assert dup["dup_token_cnt"] == K and dup["dup_span_cnt"] == 1
     assert sum(r["dup_kgram_cnt"] for r in rows.values()) == n - 1
+    # routing is output-invariant: force everything down the cold/window
+    # path (absurd threshold -> empty hot set) and compare value-for-value
+    # on a smaller slice
+    small = docs.filter("doc_id < 500")
+    s2: dict = {}
+    a = sorted(map(tuple, substring_dup_stats(
+        small, k=K, hot_fp_threshold=100, sketch_frac_e4=10_000,
+        stats_out=s2).collect()))
+    assert s2["hot_fps"] == 1  # full-corpus sketch, only the planted fp
+    b = sorted(map(tuple, substring_dup_stats(
+        small, k=K, hot_fp_threshold=10_000_000).collect()))
+    assert a == b
