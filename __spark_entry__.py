@@ -1496,8 +1496,14 @@ def _q_selection_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from prase_spark.datapipe.sampling import cap_per_group, temperature_sample
 
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    tm = bucket_model(d.filter(F.col("lang") == "en"), n_buckets=97, hash_fn=poly_hash61)
-    rm = bucket_model(d, n_buckets=97, hash_fn=poly_hash61)
+    # the 97-row bucket models are persisted: five consumers (the two
+    # mass collects here, dsir_weights' and nb_log_odds_weights' internal
+    # total collects, and the scoring broadcasts) would otherwise each
+    # re-run the corpus gram pass that produces them
+    tm = bucket_model(
+        d.filter(F.col("lang") == "en"), n_buckets=97, hash_fn=poly_hash61
+    ).persist()
+    rm = bucket_model(d, n_buckets=97, hash_fn=poly_hash61).persist()
     tmass = int(tm.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
     rmass = int(rm.agg(F.coalesce(F.sum("cnt"), F.lit(0))).collect()[0][0])
     floor_e6 = (1_000_000 * tmass) // max(rmass, 1)
@@ -4378,11 +4384,14 @@ def oracle_sql() -> dict[str, str]:
         ),
         tot AS (SELECT sum(weight) AS s, sum(n_size) AS n FROM w)
         SELECT stratum, n_size, weight,
-               CAST(least(CAST(1000000 AS HUGEINT),
-                    (2 * CAST(500000 AS HUGEINT) * tot.n * w.weight
-                       + CAST(tot.s AS HUGEINT) * w.n_size)
-                    // (2 * CAST(tot.s AS HUGEINT) * w.n_size))
-                    AS BIGINT) AS keep_e6
+               CASE WHEN n_size IS NULL OR n_size <= 0
+                      OR tot.s IS NULL OR tot.s <= 0
+                    THEN CAST(0 AS BIGINT)
+                    ELSE CAST(least(CAST(1000000 AS HUGEINT),
+                         (2 * CAST(500000 AS HUGEINT) * tot.n * w.weight
+                            + CAST(tot.s AS HUGEINT) * w.n_size)
+                         // (2 * CAST(tot.s AS HUGEINT) * w.n_size))
+                         AS BIGINT) END AS keep_e6
         FROM w, tot
     """
     out["lm_freq_docs"] = f"""

@@ -4,8 +4,9 @@ Images/audio/video ride as ``binary`` columns with a small metadata struct.
 The Spark-side plumbing (schemas, Arrow batch shapes, partition-size
 control) is real and tested. Decode status by format (round 4):
 
-- **REAL, codec-free**: PNG pixels (stdlib zlib inflate + spec unfilter,
-  8-bit gray/RGB/RGBA non-interlaced), baseline-sequential JPEG pixels
+- **REAL, codec-free**: PNG pixels (stdlib zlib inflate + spec unfilter;
+  gray/palette at 1/2/4/8-bit, RGB/gray+alpha/RGBA at 8-bit, Adam7
+  interlace — round 5), baseline-sequential JPEG pixels
   (generic DHT Huffman decode + dequant + 8x8 matrix IDCT + YCbCr,
   1- and 3-component, 1-2 sampling factors, restart intervals — round
   5), GIF first frame (pure-integer LZW + palette, interlace supported),
@@ -84,13 +85,17 @@ def decode_real(payload: bytes, kind: str):
     )
 
 
-def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
+def _png_unfilter(
+    raw: bytes, width: int, height: int, bpp: int, stride: int | None = None
+) -> np.ndarray:
     """PNG spec §9 scanline unfilter (None/Sub/Up/Average/Paeth).
 
     Sub/Paeth are sequential in x by definition, so each scanline walks
     bytes in Python — decode is row-local inside mapInPandas, so per-image
-    cost is what it is; thumbnails for feature extraction stay tiny."""
-    stride = width * bpp
+    cost is what it is; thumbnails for feature extraction stay tiny.
+    ``stride`` (scanline bytes) defaults to width*bpp; bit-packed depths
+    pass it explicitly (bpp stays 1 byte per the spec's filter rule)."""
+    stride = width * bpp if stride is None else stride
     out = np.zeros((height, stride), dtype=np.uint8)
     pos = 0
     prev = np.zeros(stride, dtype=np.int32)
@@ -125,18 +130,39 @@ def _png_unfilter(raw: bytes, width: int, height: int, bpp: int) -> np.ndarray:
     return out
 
 
+# Adam7 pass grid: (x0, y0, dx, dy) per pass, spec order
+_ADAM7 = [
+    (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+    (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+]
+
+
+def _png_unpack_row(row: np.ndarray, depth: int, n: int) -> np.ndarray:
+    """Unpack a filtered-and-reconstructed scanline's bytes into ``n``
+    samples at bit ``depth`` (1/2/4 bit-packed MSB-first, 8 pass-through)."""
+    if depth == 8:
+        return row[:n]
+    bits = np.unpackbits(row)
+    groups = bits[: (len(bits) // depth) * depth].reshape(-1, depth)
+    weights = (1 << np.arange(depth - 1, -1, -1)).astype(np.uint8)
+    return (groups * weights).sum(axis=1).astype(np.uint8)[:n]
+
+
 def decode_png(b: bytes) -> np.ndarray:
     """REAL PNG pixel decode — stdlib zlib + numpy, no codec library:
-    chunk walk -> concatenated IDAT inflate -> per-scanline unfilter ->
-    HxWx3 uint8 (alpha dropped, grayscale broadcast). Supports the
-    dominant web profile: 8-bit depth, color types 0 (gray), 2 (RGB),
-    6 (RGBA), non-interlaced; anything else raises with the reason."""
+    chunk walk -> concatenated IDAT inflate -> per-scanline unfilter
+    (per Adam7 pass when interlaced) -> HxWx3 uint8 (alpha dropped,
+    grayscale broadcast, palette indices resolved through PLTE).
+    Supports the full common web profile: color types 0 (gray, depth
+    1/2/4/8), 2 (RGB), 3 (palette, depth 1/2/4/8), 4 (gray+alpha),
+    6 (RGBA), interlace 0 and 1 (Adam7). 16-bit depth raises with the
+    reason."""
     import zlib
 
     if not b.startswith(_PNG_SIG):
         raise ValueError("not a PNG")
     pos, width, height, depth, ctype, interlace = 8, None, None, None, None, None
-    idat = bytearray()
+    idat, palette = bytearray(), None
     while pos + 8 <= len(b):
         size = int.from_bytes(b[pos : pos + 4], "big")
         cid = b[pos + 4 : pos + 8]
@@ -145,6 +171,8 @@ def decode_png(b: bytes) -> np.ndarray:
             width = int.from_bytes(data[0:4], "big")
             height = int.from_bytes(data[4:8], "big")
             depth, ctype, interlace = data[8], data[9], data[12]
+        elif cid == b"PLTE":
+            palette = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
         elif cid == b"IDAT":
             idat += data
         elif cid == b"IEND":
@@ -152,21 +180,48 @@ def decode_png(b: bytes) -> np.ndarray:
         pos += 12 + size  # size + id + crc
     if width is None:
         raise ValueError("PNG: no IHDR")
-    if depth != 8 or interlace != 0 or ctype not in (0, 2, 6):
+    ch_map = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}
+    depth_ok = depth == 8 or (depth in (1, 2, 4) and ctype in (0, 3))
+    if ctype not in ch_map or not depth_ok or interlace not in (0, 1):
         raise NotImplementedError(
             f"PNG profile unsupported without codec libs: depth={depth} "
-            f"color_type={ctype} interlace={interlace} (supported: 8-bit "
-            "gray/RGB/RGBA, non-interlaced)"
+            f"color_type={ctype} interlace={interlace} (supported: "
+            "gray/palette at 1/2/4/8-bit, RGB/gray+alpha/RGBA at 8-bit, "
+            "interlace none/Adam7)"
         )
-    channels = {0: 1, 2: 3, 6: 4}[ctype]
+    if ctype == 3 and palette is None:
+        raise ValueError("PNG: palette image without PLTE")
+    channels = ch_map[ctype]
+    bpp = max(1, channels * depth // 8)
     raw = zlib.decompress(bytes(idat))
-    expect = height * (1 + width * channels)
-    if len(raw) != expect:
-        raise ValueError(f"PNG: inflated size {len(raw)} != expected {expect}")
-    img = _png_unfilter(raw, width, height, channels).reshape(height, width, channels)
+    samples = np.zeros((height, width, channels), dtype=np.uint8)
+    passes = _ADAM7 if interlace else [(0, 0, 1, 1)]
+    off = 0
+    for x0, y0, dx, dy in passes:
+        pw = max(0, -(-(width - x0) // dx))
+        ph = max(0, -(-(height - y0) // dy))
+        if pw == 0 or ph == 0:
+            continue
+        stride = -(-(pw * channels * depth) // 8)
+        need = ph * (1 + stride)
+        rows = _png_unfilter(raw[off : off + need], pw, ph, bpp, stride)
+        off += need
+        for j in range(ph):
+            vals = _png_unpack_row(rows[j], depth, pw * channels)
+            samples[y0 + j * dy, x0 :: dx][:pw] = vals.reshape(pw, channels)
+    if off != len(raw):
+        raise ValueError(f"PNG: inflated size {len(raw)} != consumed {off}")
+    if ctype == 3:
+        return palette[samples[:, :, 0]]
+    if depth < 8:  # gray: scale 1/2/4-bit samples to full 8-bit range
+        samples = (samples.astype(np.int64) * (255 // ((1 << depth) - 1))).astype(
+            np.uint8
+        )
     if channels == 1:
-        return np.repeat(img, 3, axis=2)
-    return img[:, :, :3].copy()
+        return np.repeat(samples, 3, axis=2)
+    if channels == 2:  # gray+alpha: broadcast the gray, drop alpha
+        return np.repeat(samples[:, :, :1], 3, axis=2)
+    return samples[:, :, :3].copy()
 
 
 def decode_bmp(b: bytes) -> np.ndarray:
@@ -410,14 +465,6 @@ class _JpegBitReader:
         self.pos = pos
         self.bit = 0
 
-    def at_marker(self) -> bool:
-        return (
-            self.bit == 0
-            and self.pos + 1 < len(self.b)
-            and self.b[self.pos] == 0xFF
-            and self.b[self.pos + 1] != 0x00
-        )
-
     def read_bit(self) -> int:
         if self.b[self.pos] == 0xFF and self.b[self.pos + 1] != 0x00:
             raise ValueError("JPEG: bit read ran into a marker")
@@ -487,9 +534,14 @@ def decode_jpeg(b: bytes) -> np.ndarray:
     while i + 4 <= len(b):
         if b[i] != 0xFF:
             raise ValueError("JPEG: bad marker alignment")
+        while i + 4 <= len(b) and b[i + 1] == 0xFF:
+            i += 1  # T.81 B.1.1.2: optional 0xFF fill bytes before a marker
         m = b[i + 1]
         if m == 0xD9:  # EOI before SOS
             break
+        if m == 0x01 or 0xD0 <= m <= 0xD7:  # TEM/RSTn: standalone, no length
+            i += 2
+            continue
         seg_len = int.from_bytes(b[i + 2 : i + 4], "big")
         seg = b[i + 4 : i + 2 + seg_len]
         if m == 0xDB:  # DQT

@@ -237,6 +237,8 @@ def cap_per_group(
     n_groups rows), a rounding error next to the corpus."""
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
+    if salt_buckets < 1:
+        raise ValueError(f"salt_buckets must be >= 1, got {salt_buckets}")
     from pyspark.sql import Window
 
     if order_col is None:

@@ -40,10 +40,16 @@ are heat-bounded by the sketch; hot fingerprints never shuffle raw
 (map-side combine collapses them before the tiny hot exchange);
 covered-position dedup shuffles on the doc key (bounded per doc by
 token count). Per-token CPU is O(k) fold work in whole-stage codegen
-(k=16 default: ~16 multiply-adds per token), plus ~1% for the sketch
-pass. A fingerprint hot WITHIN one doc but not across docs can evade a
-doc-level sketch; its window partition is still bounded by the max doc
-token count.
+(k=16 default: ~16 multiply-adds per token), evaluated once on a cold
+corpus and twice when hot fingerprints exist (the hot filter's probe
+side), plus ~1% for the sketch pass; the hot occurrence set and the
+duplicated-occurrence set are persisted (both skew/output-proportional,
+never the cold majority) so no leg runs per-consumer. The returned
+DataFrame references those caches lazily — a build-once session
+processing many corpora reclaims them with ``spark.catalog.clearCache()``
+between corpora. A fingerprint hot WITHIN one doc but not across docs
+can evade a doc-level sketch; its window partition is still bounded by
+the max doc token count.
 
 The report DELIBERATELY stops at flags/stats rather than cutting the
 spans from ``text``: the repo's extraction invariant is byte-identical
@@ -207,10 +213,18 @@ def substring_dup_stats(
     if stats_out is not None:
         stats_out["hot_fps"] = len(hot_rows)
         stats_out["hot_est_threshold"] = est_thresh
+        # a capped sketch means fingerprints beyond the cap fell back to
+        # the window path — slow, never wrong; surface it
+        stats_out["hot_capped"] = len(hot_rows) >= int(max_hot_fps)
     if hot_rows:
         hot = spark.createDataFrame([(int(f),) for f in hot_rows], "fp LONG")
         fps_cold = fps.join(F.broadcast(hot), "fp", "left_anti")
-        fps_hot = fps.join(F.broadcast(hot), "fp")
+        # persist the HOT occurrences (skew-proportional, never the cold
+        # corpus majority): both the ownership aggregate and the
+        # join-back probe read them, and without the cache each leg
+        # would re-run the full-corpus fingerprint chain just to filter
+        # it down to the hot rows
+        fps_hot = fps.join(F.broadcast(hot), "fp").persist()
         agg = fps_hot.groupBy("fp").agg(
             F.count("*").alias("__cnt"),
             F.min(F.struct("key", "pos")).alias("__own"),
@@ -241,7 +255,13 @@ def substring_dup_stats(
         .filter((F.col("__cnt") >= 2) & (F.col("__rn") > 1))
         .select("key", "pos")
     )
-    dup_occ = dup_cold if dup_hot is None else dup_cold.unionByName(dup_hot)
+    # dup_occ feeds two consumers (the k-gram counts and the covered-
+    # position explode); persist the duplicated occurrences — output-
+    # proportional, usually a small corpus fraction — so the ownership
+    # legs run once, not once per consumer
+    dup_occ = (
+        dup_cold if dup_hot is None else dup_cold.unionByName(dup_hot)
+    ).persist()
     per_doc_kgrams = dup_occ.groupBy("key").agg(
         F.count("*").alias("dup_kgram_cnt")
     )

@@ -293,18 +293,25 @@ def synthetic_pages_distributed(
 # spec to be decodable by a conforming reader.
 # ---------------------------------------------------------------------------
 
-def synth_png(img, filters=(0, 1, 2, 3, 4), ctype=2) -> bytes:
-    """Encode an HxWxC uint8 array as a PNG, applying the given per-row
-    filter types cyclically (exercises every unfilter branch downstream).
-    ctype: 0 gray (HxWx1), 2 RGB, 6 RGBA."""
+def synth_png(
+    img, filters=(0, 1, 2, 3, 4), ctype=2, palette=None, interlace=False, depth=8
+) -> bytes:
+    """Encode an image as a PNG, applying the given per-row filter types
+    cyclically (exercises every unfilter branch downstream).
+
+    - ``ctype``: 0 gray (HxW[x1]), 2 RGB, 3 palette (``img`` = HxW
+      indices, ``palette`` = Nx3 uint8), 4 gray+alpha, 6 RGBA;
+    - ``depth``: 8, or 1/2/4 for gray/palette (bit-packed MSB-first —
+      sub-8-bit rows use filter 0, the common encoder choice);
+    - ``interlace``: Adam7 pass layout."""
     import struct
     import zlib
 
     import numpy as np
 
     h, w = img.shape[:2]
-    ch = {0: 1, 2: 3, 6: 4}[ctype]
-    flat = img.reshape(h, w * ch).astype(np.int32)
+    ch = {0: 1, 2: 3, 3: 1, 4: 2, 6: 4}[ctype]
+    samples = np.asarray(img).reshape(h, w, ch).astype(np.int32)
 
     def chunk(cid, data):
         return (
@@ -312,38 +319,73 @@ def synth_png(img, filters=(0, 1, 2, 3, 4), ctype=2) -> bytes:
             + struct.pack(">I", zlib.crc32(cid + data))
         )
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, ctype, 0, 0, 0)
+    def pack_row(vals):
+        if depth == 8:
+            return vals.astype(np.uint8)
+        bits = (
+            (vals[:, None] >> np.arange(depth - 1, -1, -1)) & 1
+        ).astype(np.uint8).reshape(-1)
+        pad = (-len(bits)) % 8
+        if pad:
+            bits = np.concatenate([bits, np.zeros(pad, dtype=np.uint8)])
+        return np.packbits(bits)
+
+    def encode_rows(sub):
+        """Filter one (sub)image (ph x pw x ch) into raw scanline bytes."""
+        ph, pw = sub.shape[:2]
+        if ph == 0 or pw == 0:
+            return b""
+        out = bytearray()
+        if depth != 8:
+            for y in range(ph):
+                out.append(0)
+                out.extend(pack_row(sub[y].reshape(-1)).tobytes())
+            return bytes(out)
+        flat = sub.reshape(ph, pw * ch)
+        prev = np.zeros(pw * ch, dtype=np.int32)
+        for y in range(ph):
+            ft = filters[y % len(filters)]
+            line = flat[y]
+            a = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
+            if ft == 0:
+                enc = line
+            elif ft == 1:
+                enc = (line - a) % 256
+            elif ft == 2:
+                enc = (line - prev) % 256
+            elif ft == 3:
+                enc = (line - ((a + prev) // 2)) % 256
+            else:  # Paeth (predictors read RAW neighbor bytes per the spec)
+                enc = np.zeros(pw * ch, dtype=np.int32)
+                for x in range(pw * ch):
+                    aa = line[x - ch] if x >= ch else 0
+                    bb = prev[x]
+                    cc = prev[x - ch] if x >= ch else 0
+                    p = aa + bb - cc
+                    pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
+                    pred = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
+                    enc[x] = (line[x] - pred) % 256
+            out.append(ft)
+            out.extend(enc.astype(np.uint8).tobytes())
+            prev = line
+        return bytes(out)
+
     raw = bytearray()
-    prev = np.zeros(w * ch, dtype=np.int32)
-    for y in range(h):
-        ft = filters[y % len(filters)]
-        line = flat[y]
-        a = np.concatenate([np.zeros(ch, dtype=np.int32), line[:-ch]])
-        if ft == 0:
-            enc = line
-        elif ft == 1:
-            enc = (line - a) % 256
-        elif ft == 2:
-            enc = (line - prev) % 256
-        elif ft == 3:
-            enc = (line - ((a + prev) // 2)) % 256
-        else:  # Paeth (predictors read RAW neighbor bytes per the spec)
-            enc = np.zeros(w * ch, dtype=np.int32)
-            for x in range(w * ch):
-                aa = line[x - ch] if x >= ch else 0
-                bb = prev[x]
-                cc = prev[x - ch] if x >= ch else 0
-                p = aa + bb - cc
-                pa, pb, pc = abs(p - aa), abs(p - bb), abs(p - cc)
-                pred = aa if (pa <= pb and pa <= pc) else (bb if pb <= pc else cc)
-                enc[x] = (line[x] - pred) % 256
-        raw.append(ft)
-        raw.extend(enc.astype(np.uint8).tobytes())
-        prev = line
-    return (
-        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(raw))) + chunk(b"IEND", b"")
-    )
+    if interlace:
+        adam7 = [
+            (0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+            (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2),
+        ]
+        for x0, y0, dx, dy in adam7:
+            raw.extend(encode_rows(samples[y0::dy, x0::dx]))
+    else:
+        raw.extend(encode_rows(samples))
+    ihdr = struct.pack(">IIBBBBB", w, h, depth, ctype, 0, 0, 1 if interlace else 0)
+    parts = [b"\x89PNG\r\n\x1a\n", chunk(b"IHDR", ihdr)]
+    if ctype == 3:
+        parts.append(chunk(b"PLTE", np.asarray(palette, dtype=np.uint8).tobytes()))
+    parts += [chunk(b"IDAT", zlib.compress(bytes(raw))), chunk(b"IEND", b"")]
+    return b"".join(parts)
 
 
 def synth_bmp(img, top_down=False) -> bytes:
@@ -668,8 +710,9 @@ def synth_jpeg(
                 out.extend(bytes([0xFF, 0xD0 + ((n_mcu // restart - 1) % 8)]))
                 pred = {cid: 0 for cid, *_ in comps}
             for cid, ch_, cv_, tq in comps:
-                dcc = dc_code if cid == 1 else dc_code
-                acc = ac_code if cid == 1 else ac_code
+                # luma and chroma deliberately share the same simple
+                # tables (written under both DHT ids — see docstring)
+                dcc, acc = dc_code, ac_code
                 for by in range(cv_):
                     for bx in range(ch_):
                         zz = blocks[cid][my * cv_ + by, mx * ch_ + bx]

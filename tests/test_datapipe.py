@@ -1562,3 +1562,52 @@ def test_cap_per_group_two_phase_plan_and_skew(spark):
         for r in cap_per_group(d, "host", 5, order_col="score", salt_buckets=7).collect()
     )
     assert alt == got
+
+
+def test_png_palette_bitdepth_adam7_profiles(spark):
+    """Round 5: decode_png covers the full common web profile — palette
+    (PLTE) at 1/2/4/8-bit, bit-packed gray, gray+alpha, and Adam7
+    interlace — all round-tripped through the synth_png encoder."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import decode_png
+    from prase_spark.fixtures import synth_png
+
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (13, 9, 3), dtype=np.uint8)
+    assert np.array_equal(decode_png(synth_png(img, interlace=True)), img)
+    pal = rng.randint(0, 256, (17, 3), dtype=np.uint8)
+    idx = rng.randint(0, 17, (11, 14), dtype=np.uint8)
+    assert np.array_equal(decode_png(synth_png(idx, ctype=3, palette=pal)), pal[idx])
+    pal4 = rng.randint(0, 256, (16, 3), dtype=np.uint8)
+    idx4 = rng.randint(0, 16, (10, 13), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(synth_png(idx4, ctype=3, palette=pal4, depth=4, interlace=True)),
+        pal4[idx4],
+    )
+    pal1 = np.array([[255, 0, 0], [0, 0, 255]], dtype=np.uint8)
+    idx1 = rng.randint(0, 2, (9, 17), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(synth_png(idx1, ctype=3, palette=pal1, depth=1)), pal1[idx1]
+    )
+    g2 = rng.randint(0, 4, (7, 11), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(synth_png(g2, ctype=0, depth=2)),
+        np.repeat((g2 * 85)[:, :, None], 3, axis=2),
+    )
+    ga = rng.randint(0, 256, (8, 8, 2), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(synth_png(ga, ctype=4)), np.repeat(ga[:, :, :1], 3, axis=2)
+    )
+    a = rng.randint(0, 256, (16, 16, 4), dtype=np.uint8)
+    assert np.array_equal(
+        decode_png(synth_png(a, ctype=6, interlace=True)), a[:, :, :3]
+    )
+    # 16-bit stays a declared boundary
+    import pytest as _pytest
+
+    blob = bytearray(synth_png(img))
+    sig_ihdr = blob.find(b"IHDR")
+    blob[sig_ihdr + 12] = 16  # depth byte
+    with _pytest.raises(NotImplementedError, match="depth=16"):
+        decode_png(bytes(blob))

@@ -217,3 +217,13 @@ def test_dispatch_and_progressive_boundary():
     prog[idx + 1] = 0xC2
     with pytest.raises(NotImplementedError, match="progressive"):
         decode_jpeg(bytes(prog))
+
+
+def test_fill_bytes_before_markers():
+    """T.81 B.1.1.2: markers may be preceded by any number of 0xFF fill
+    bytes; the walk must skip them instead of desynchronizing."""
+    img = np.full((8, 8), 123, dtype=np.uint8)
+    blob = synth_jpeg(img)
+    # inject fill bytes before the DQT marker (right after SOI)
+    padded = blob[:2] + b"\xff\xff\xff" + blob[2:]
+    assert np.array_equal(decode_jpeg(padded), decode_jpeg(blob))

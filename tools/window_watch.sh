@@ -1,50 +1,64 @@
 #!/bin/bash
-# Quiet-window watcher: probe the raw-CPU 8->32 scaling ceiling every
-# ~4 minutes; the first time it reads >= 3.80x (of 4x ideal), fire the
-# 1M-page 8->32 extraction scaling bench and append the result to
-# BENCH.md with the probe stamp. One-shot: exits after a successful
-# in-window run or after MAX_PROBES attempts.
+# Quiet-window watcher: probe the raw-CPU scaling ceiling with a
+# SUSTAINED multi-second probe (round 5 — the 2 s burst probe reads
+# ~3.9x on a host whose sustained ceiling is clamped to ~3.1x) every
+# ~4 minutes; the first time the 8->32 sustained ratio reads >= THRESH
+# with a near-idle loadavg, fire (a) the 1M-page 8->32 extraction
+# scaling bench and (b) the 30k-page 4->16 substring-dedup legs, and
+# append both to BENCH.md with the probe stamp. One-shot: exits after a
+# successful in-window run or after MAX_PROBES attempts.
 set -u
 cd /root/repo
 MAX_PROBES=${MAX_PROBES:-12}
 THRESH=${THRESH:-3.80}
+PROBE_SECONDS=${PROBE_SECONDS:-5.0}
 OUT=/tmp/window_watch.log
 for i in $(seq 1 "$MAX_PROBES"); do
-  ratio=$(python3 - <<'EOF'
+  ratio=$(python3 - "$PROBE_SECONDS" <<'EOF'
 import sys
 sys.path.insert(0, "tools")
 from cpu_probe import measure
-ops8 = measure(8, 2.0)
-ops32 = measure(32, 2.0)
+secs = float(sys.argv[1])
+ops8 = measure(8, secs)
+ops32 = measure(32, secs)
 print(round(ops32 / ops8, 2))
 EOF
 )
   load=$(cut -d' ' -f1-3 /proc/loadavg)
-  echo "$(date -u +%H:%M:%S) probe#$i 8->32=$ratio loadavg=$load" >> "$OUT"
-  # the probe alone is not enough: under concurrent load it measures
-  # RELATIVE throughput on a busy box (it read 3.81x mid-bench once) —
-  # require a near-idle 1-min loadavg as well before firing
+  echo "$(date -u +%H:%M:%S) probe#$i sustained-8->32=$ratio loadavg=$load" >> "$OUT"
   load1=$(cut -d' ' -f1 /proc/loadavg)
   ok=$(python3 -c "print(1 if float('$ratio') >= float('$THRESH') and float('$load1') < 1.5 else 0)")
   if [ "$ok" = "1" ]; then
-    echo "window open ($ratio) — running scaling bench" >> "$OUT"
+    echo "window open (sustained $ratio) — running scaling benches" >> "$OUT"
     python3 scaling_bench.py --pages 1000000 --low 8 --high 32 \
       --workload extract > /tmp/window_scaling.json 2>/tmp/window_scaling.err
-    if [ -s /tmp/window_scaling.json ]; then
-      python3 - "$ratio" "$load" <<'EOF'
+    python3 scaling_bench.py --pages 30000 --low 4 --high 16 \
+      --workload substr > /tmp/window_substr.json 2>/tmp/window_substr.err
+    if [ -s /tmp/window_scaling.json ] || [ -s /tmp/window_substr.json ]; then
+      python3 - "$ratio" "$load" "$PROBE_SECONDS" <<'EOF'
 import json, sys
-ratio, load = sys.argv[1], sys.argv[2]
-lines = [l for l in open("/tmp/window_scaling.json") if l.strip().startswith("{")]
-rec = json.loads(lines[-1])
-legs = rec.get("legs") or rec.get("results") or rec
+ratio, load, secs = sys.argv[1], sys.argv[2], sys.argv[3]
+def last_json(path):
+    try:
+        lines = [l for l in open(path) if l.strip().startswith("{")]
+        return json.loads(lines[-1]) if lines else None
+    except OSError:
+        return None
+ext = last_json("/tmp/window_scaling.json")
+sub = last_json("/tmp/window_substr.json")
 with open("BENCH.md", "a") as f:
-    f.write("\n## Scaling run: extraction+stats, watcher-fired in-window "
-            "(pages=1000000)\n\n")
-    f.write(f"(raw-CPU probe 8->32 = {ratio}x of 4x ideal at loadavg {load}, "
-            "measured by tools/window_watch.sh immediately before launch)\n\n")
-    f.write("```json\n" + json.dumps(rec) + "\n```\n")
+    f.write("\n## Scaling run: watcher-fired in-window (SUSTAINED probe)\n\n")
+    f.write(f"(raw-CPU sustained probe 8->32 = {ratio}x of 4x ideal over "
+            f"{secs}s/level at loadavg {load}, measured by "
+            "tools/window_watch.sh immediately before the legs)\n\n")
+    if ext:
+        f.write("extraction+stats 8->32 (pages=1000000):\n```json\n"
+                + json.dumps(ext) + "\n```\n")
+    if sub:
+        f.write("substring-dedup 4->16 (pages=30000):\n```json\n"
+                + json.dumps(sub) + "\n```\n")
 EOF
-      git add BENCH.md && git commit -q -m "BENCH: watcher-fired in-window 8->32 scaling read at 1M pages
+      git add BENCH.md && git commit -q -m "BENCH: watcher-fired in-window scaling reads (sustained probe)
 
 No-Verification-Needed: doc-only BENCH.md append" \
         && echo "committed" >> "$OUT"
