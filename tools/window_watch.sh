@@ -14,6 +14,11 @@ THRESH=${THRESH:-3.80}
 PROBE_SECONDS=${PROBE_SECONDS:-5.0}
 OUT=/tmp/window_watch.log
 for i in $(seq 1 "$MAX_PROBES"); do
+  # read loadavg BEFORE the probe: the probe's own 32 processes push the
+  # 1-min average past any idle gate for minutes (the 5 s sustained
+  # probe made the post-probe read self-defeating)
+  load=$(cut -d' ' -f1-3 /proc/loadavg)
+  load1=$(cut -d' ' -f1 /proc/loadavg)
   ratio=$(python3 - "$PROBE_SECONDS" <<'EOF'
 import sys
 sys.path.insert(0, "tools")
@@ -24,9 +29,7 @@ ops32 = measure(32, secs)
 print(round(ops32 / ops8, 2))
 EOF
 )
-  load=$(cut -d' ' -f1-3 /proc/loadavg)
-  echo "$(date -u +%H:%M:%S) probe#$i sustained-8->32=$ratio loadavg=$load" >> "$OUT"
-  load1=$(cut -d' ' -f1 /proc/loadavg)
+  echo "$(date -u +%H:%M:%S) probe#$i sustained-8->32=$ratio pre-probe-loadavg=$load" >> "$OUT"
   ok=$(python3 -c "print(1 if float('$ratio') >= float('$THRESH') and float('$load1') < 1.5 else 0)")
   if [ "$ok" = "1" ]; then
     echo "window open (sustained $ratio) — running scaling benches" >> "$OUT"
