@@ -37,12 +37,14 @@ def _host_probe() -> dict:
 
 
 def _scaling_leg() -> dict:
-    """8->32 scaling record (the north_rule two-cluster-size criterion;
+    """N->4N scaling record (the north_rule two-cluster-size criterion;
     VERDICT r4 ask #5), gated on a SUSTAINED multi-second CPU probe — the
     2 s burst probe reads ~3.9x on a host whose sustained 8->32 ceiling
     is clamped to ~3.1x (the r4 finding), so a burst-green window can
-    still produce a garbage efficiency. Runs BEFORE the main bench
-    session so the two fresh leg JVMs own the whole box. If the window is
+    still produce a garbage efficiency. Prefers the 8->32 pair and falls
+    back to a probe-verified 4->16 (the clamp usually bites only above
+    16 processes; the rule allows any N->4N). Runs BEFORE the main bench
+    session so the two fresh leg JVMs own the whole box. If every pair is
     clamped the record says so explicitly (skipped + the probe readings)
     instead of publishing an efficiency the hardware cannot express;
     the watcher records in BENCH.md carry the in-window evidence then.
@@ -53,41 +55,58 @@ def _scaling_leg() -> dict:
     from cpu_probe import measure
 
     probe_seconds = float(os.environ.get("PRASE_SCALING_PROBE_SECONDS", "4.0"))
-    ops8 = measure(8, probe_seconds)
-    ops32 = measure(32, probe_seconds)
-    sustained = round(ops32 / ops8, 2)
-    load1 = os.getloadavg()[0]
+    thresh = float(os.environ.get("PRASE_SCALING_PROBE_THRESH", "3.7"))
+    load1 = os.getloadavg()[0]  # BEFORE the probes — they inflate it
     out: dict = {
-        "sustained_probe_8_32": sustained,
         "probe_seconds": probe_seconds,
         "loadavg_at_probe": round(load1, 2),
     }
-    thresh = float(os.environ.get("PRASE_SCALING_PROBE_THRESH", "3.7"))
-    if sustained < thresh or load1 > 1.5:
+    # prefer the 8->32 pair; the host's sustained clamp often bites only
+    # above 16 processes, and the north rule allows ANY N->4N pair, so
+    # fall back to a probe-verified 4->16 rather than recording nothing
+    pair = None
+    s_8_32 = round(measure(32, probe_seconds) / measure(8, probe_seconds), 2)
+    out["sustained_probe_8_32"] = s_8_32
+    if s_8_32 >= thresh and load1 < 1.5:
+        pair = (8, 32)
+    else:
+        s_4_16 = round(measure(16, probe_seconds) / measure(4, probe_seconds), 2)
+        out["sustained_probe_4_16"] = s_4_16
+        if s_4_16 >= thresh and load1 < 1.5:
+            pair = (4, 16)
+    if pair is None:
         out["skipped"] = (
-            f"host clamped (sustained 8->32 ceiling {sustained}x of 4x ideal, "
-            f"loadavg {load1:.2f}) — efficiency unmeasurable here; see the "
-            "watcher-fired in-window records in BENCH.md"
+            "host clamped at every probed pair (sustained ceilings above, "
+            f"loadavg {load1:.2f}) — a 4x-core efficiency is unmeasurable "
+            "here; see the watcher-fired in-window records in BENCH.md"
         )
-        return {"scaling_8_32": out}
+        return {"scaling_n_4n": out}
     import scaling_bench
 
     repo = os.path.dirname(os.path.abspath(__file__))
-    pages = int(os.environ.get("PRASE_BENCH_SCALING_PAGES", "500000"))
-    lo = scaling_bench.run_level(repo, 8, pages, "extract")
-    hi = scaling_bench.run_level(repo, 32, pages, "extract")
+    # 1M pages: the low-core leg must be long enough to amortize fixed
+    # job overhead (~8 s of scheduling/AQE per run) or the efficiency
+    # reads low regardless of the window — a 300k-page run in a 3.76x
+    # window read 0.545 with leg times consistent with ~8 s fixed cost,
+    # while every >= 0.8 read on this workload (r3 0.866, r4 0.917) was
+    # taken at 1M pages
+    pages = int(os.environ.get("PRASE_BENCH_SCALING_PAGES", "1000000"))
+    lo = scaling_bench.run_level(repo, pair[0], pages, "extract")
+    hi = scaling_bench.run_level(repo, pair[1], pages, "extract")
     out.update(
         {
             "workload": "extract",
             "pages": pages,
-            "sec_8": lo["sec"],
-            "sec_32": hi["sec"],
-            "docs_per_sec_8": lo["docs_per_sec"],
-            "docs_per_sec_32": hi["docs_per_sec"],
+            "n_cores": pair[0],
+            "n4_cores": pair[1],
+            "sec_n": lo["sec"],
+            "sec_4n": hi["sec"],
+            "docs_per_sec_n": lo["docs_per_sec"],
+            "docs_per_sec_4n": hi["docs_per_sec"],
             "efficiency_n_to_4n": round((lo["sec"] / hi["sec"]) / 4.0, 3),
         }
     )
-    return {"scaling_8_32": out}
+    return {"scaling_n_4n": out}
 
 
 def main():
