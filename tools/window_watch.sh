@@ -2,45 +2,55 @@
 # Quiet-window watcher: probe the raw-CPU scaling ceiling with a
 # SUSTAINED multi-second probe (round 5 — the 2 s burst probe reads
 # ~3.9x on a host whose sustained ceiling is clamped to ~3.1x) every
-# ~4 minutes; the first time the 8->32 sustained ratio reads >= THRESH
-# with a near-idle loadavg, fire (a) the 1M-page 8->32 extraction
-# scaling bench and (b) the 30k-page 4->16 substring-dedup legs, and
-# append both to BENCH.md with the probe stamp. One-shot: exits after a
-# successful in-window run or after MAX_PROBES attempts.
+# ~4 minutes. Prefers an 8->32 window; falls back to 4->16 (the host
+# clamp usually bites only above 16 processes, and the north rule
+# allows any N->4N pair). On the first open window it fires the 1M-page
+# extraction legs at the open pair plus the 30k-page 4->16
+# substring-dedup legs, appends both to BENCH.md with the probe stamp,
+# and commits. One-shot: exits after a successful in-window run or
+# after MAX_PROBES attempts.
 set -u
 cd /root/repo
 MAX_PROBES=${MAX_PROBES:-12}
 THRESH=${THRESH:-3.80}
 PROBE_SECONDS=${PROBE_SECONDS:-5.0}
+PAGES=${PAGES:-1000000}
+export PAGES  # read back by the BENCH.md-append heredoc
 OUT=/tmp/window_watch.log
 for i in $(seq 1 "$MAX_PROBES"); do
-  # read loadavg BEFORE the probe: the probe's own 32 processes push the
-  # 1-min average past any idle gate for minutes (the 5 s sustained
-  # probe made the post-probe read self-defeating)
+  # read loadavg BEFORE the probe: the probe's own processes push the
+  # 1-min average past any idle gate for minutes
   load=$(cut -d' ' -f1-3 /proc/loadavg)
   load1=$(cut -d' ' -f1 /proc/loadavg)
-  ratio=$(python3 - "$PROBE_SECONDS" <<'EOF'
+  probes=$(python3 - "$PROBE_SECONDS" <<'EOF'
 import sys
 sys.path.insert(0, "tools")
 from cpu_probe import measure
 secs = float(sys.argv[1])
-ops8 = measure(8, secs)
-ops32 = measure(32, secs)
-print(round(ops32 / ops8, 2))
+r_8_32 = measure(32, secs) / measure(8, secs)
+r_4_16 = measure(16, secs) / measure(4, secs)
+print(f"{round(r_8_32, 2)} {round(r_4_16, 2)}")
 EOF
 )
-  echo "$(date -u +%H:%M:%S) probe#$i sustained-8->32=$ratio pre-probe-loadavg=$load" >> "$OUT"
-  ok=$(python3 -c "print(1 if float('$ratio') >= float('$THRESH') and float('$load1') < 1.5 else 0)")
-  if [ "$ok" = "1" ]; then
-    echo "window open (sustained $ratio) — running scaling benches" >> "$OUT"
-    python3 scaling_bench.py --pages 1000000 --low 8 --high 32 \
+  r832=${probes% *}
+  r416=${probes#* }
+  echo "$(date -u +%H:%M:%S) probe#$i sustained-8->32=$r832 4->16=$r416 pre-probe-loadavg=$load" >> "$OUT"
+  pair=$(python3 -c "
+r832, r416, l = float('$r832'), float('$r416'), float('$load1')
+if l < 1.5 and r832 >= float('$THRESH'): print('8 32')
+elif l < 1.5 and r416 >= float('$THRESH'): print('4 16')
+else: print('')")
+  if [ -n "$pair" ]; then
+    lo=${pair% *}; hi=${pair#* }
+    echo "window open (8->32=$r832 4->16=$r416) — running legs at $lo->$hi" >> "$OUT"
+    python3 scaling_bench.py --pages "$PAGES" --low "$lo" --high "$hi" \
       --workload extract > /tmp/window_scaling.json 2>/tmp/window_scaling.err
     python3 scaling_bench.py --pages 30000 --low 4 --high 16 \
       --workload substr > /tmp/window_substr.json 2>/tmp/window_substr.err
     if [ -s /tmp/window_scaling.json ] || [ -s /tmp/window_substr.json ]; then
-      python3 - "$ratio" "$load" "$PROBE_SECONDS" <<'EOF'
+      python3 - "$r832" "$r416" "$load" "$PROBE_SECONDS" "$lo" "$hi" <<'EOF'
 import json, sys
-ratio, load, secs = sys.argv[1], sys.argv[2], sys.argv[3]
+r832, r416, load, secs, lo, hi = sys.argv[1:7]
 def last_json(path):
     try:
         lines = [l for l in open(path) if l.strip().startswith("{")]
@@ -51,11 +61,11 @@ ext = last_json("/tmp/window_scaling.json")
 sub = last_json("/tmp/window_substr.json")
 with open("BENCH.md", "a") as f:
     f.write("\n## Scaling run: watcher-fired in-window (SUSTAINED probe)\n\n")
-    f.write(f"(raw-CPU sustained probe 8->32 = {ratio}x of 4x ideal over "
-            f"{secs}s/level at loadavg {load}, measured by "
-            "tools/window_watch.sh immediately before the legs)\n\n")
+    f.write(f"(raw-CPU sustained probes over {secs}s/level at pre-probe "
+            f"loadavg {load}: 8->32 = {r832}x, 4->16 = {r416}x of 4x ideal, "
+            "measured by tools/window_watch.sh immediately before the legs)\n\n")
     if ext:
-        f.write("extraction+stats 8->32 (pages=1000000):\n```json\n"
+        f.write(f"extraction+stats {lo}->{hi} (pages=" + str(__import__("os").environ.get("PAGES","1000000")) + "):\n```json\n"
                 + json.dumps(ext) + "\n```\n")
     if sub:
         f.write("substring-dedup 4->16 (pages=30000):\n```json\n"
@@ -66,7 +76,7 @@ EOF
 No-Verification-Needed: doc-only BENCH.md append" \
         && echo "committed" >> "$OUT"
     else
-      echo "bench produced no output; see /tmp/window_scaling.err" >> "$OUT"
+      echo "benches produced no output; see /tmp/window_scaling.err and /tmp/window_substr.err" >> "$OUT"
     fi
     exit 0
   fi
