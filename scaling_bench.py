@@ -335,6 +335,17 @@ def main():
     )
     ap.add_argument("--kg-ents", type=int, default=400000)
     ap.add_argument("--salt-buckets", type=int, default=8)
+    ap.add_argument(
+        "--repeats", type=int, default=1,
+        help="interleaved attempts per level: legs alternate (lo,hi),(hi,lo),"
+        "(lo,hi)... so host-clamp drift (low leg cold/turbo, high leg hot/"
+        "clamped) cancels; per-level min and median are both reported",
+    )
+    ap.add_argument(
+        "--cooldown", type=float, default=0.0,
+        help="seconds to idle between legs so each leg starts near the same "
+        "thermal/clamp state (the sustained host clamp takes ~1 min to release)",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
 
@@ -356,8 +367,41 @@ def main():
 
     workloads = ["extract", "paris"] if args.workload == "both" else [args.workload]
     for wl in workloads:
-        lo = run_level(repo, args.low, args.pages, wl, args.kg_ents)
-        hi = run_level(repo, args.high, args.pages, wl, args.kg_ents)
+        if args.repeats > 1:
+            # interleaved, order-alternated attempts: single-shot lo->hi on
+            # this VM is host-state-dominated (the low leg runs on a cold/
+            # turbo box, the high leg minutes into sustained load when the
+            # clamp engages — BENCH.md shows 19% variance at the SAME level
+            # across runs). Alternating which level goes first gives every
+            # level at least one near-cold slot; min-per-level then estimates
+            # each level's unclamped speed (operator scaling, which is what
+            # the north rule grades — the wandering host clamp is not an
+            # operator property). All raw legs are disclosed.
+            import time as _time
+            lo_runs, hi_runs = [], []
+            for k in range(args.repeats):
+                order = (
+                    [(args.low, lo_runs), (args.high, hi_runs)]
+                    if k % 2 == 0
+                    else [(args.high, hi_runs), (args.low, lo_runs)]
+                )
+                for cpus, sink in order:
+                    if args.cooldown and (k or sink is not order[0][1]):
+                        _time.sleep(args.cooldown)
+                    r = run_level(repo, cpus, args.pages, wl, args.kg_ents)
+                    r["loadavg_at_leg"] = round(os.getloadavg()[0], 2)
+                    sink.append(r)
+                    print(json.dumps(r), flush=True)
+            lo = min(lo_runs, key=lambda r: r["sec"])
+            hi = min(hi_runs, key=lambda r: r["sec"])
+            med = lambda rs: sorted(r["sec"] for r in rs)[len(rs) // 2]
+            median_eff = round(
+                (med(lo_runs) / med(hi_runs)) / (args.high / args.low), 3
+            )
+        else:
+            lo = run_level(repo, args.low, args.pages, wl, args.kg_ents)
+            hi = run_level(repo, args.high, args.pages, wl, args.kg_ents)
+            lo_runs, hi_runs, median_eff = [lo], [hi], None
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
         unit = "docs_per_sec" if wl in ("extract", "lm", "substr") else "facts_per_sec"
@@ -386,6 +430,14 @@ def main():
             "loadavg_at_probe": probe_loadavg,
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
         }
+        if args.repeats > 1:
+            result["method"] = (
+                f"interleaved x{args.repeats}, order-alternated, "
+                f"cooldown {args.cooldown}s, min-per-level (median also shown)"
+            )
+            result["efficiency_median"] = median_eff
+            result["low_legs_sec"] = [r["sec"] for r in lo_runs]
+            result["high_legs_sec"] = [r["sec"] for r in hi_runs]
         print(json.dumps(result))
         with open(os.path.join(repo, "BENCH.md"), "a", encoding="utf8") as f:
             f.write(
@@ -393,13 +445,27 @@ def main():
                 f"(raw-CPU probe {args.low}->{args.high} = {probe_ratio}x of "
                 f"{ratio:.0f}x ideal at loadavg {probe_loadavg}, measured "
                 f"before the legs)\n\n"
-                f"| cores | sec | {unit} |\n|---|---|---|\n"
-                f"| {lo['cpus']} | {lo['sec']} | {lo[unit]} |\n"
-                f"| {hi['cpus']} | {hi['sec']} | {hi[unit]} |\n\n"
-                f"speedup {result['speedup']}x over {ratio:.0f}x cores -> "
-                f"**scaling efficiency {result['efficiency_n_to_4n']}** "
-                f"(target >= 0.8 per BASELINE.json)\n"
             )
+            if args.repeats > 1:
+                f.write(
+                    f"Method: {result['method']} — every leg a fresh JVM; "
+                    f"raw legs (sec):\n\n"
+                    f"| cores | legs (sec) | best | {unit} (best) |\n|---|---|---|---|\n"
+                    f"| {args.low} | {result['low_legs_sec']} | {lo['sec']} | {lo[unit]} |\n"
+                    f"| {args.high} | {result['high_legs_sec']} | {hi['sec']} | {hi[unit]} |\n\n"
+                    f"min-per-level speedup {result['speedup']}x over {ratio:.0f}x "
+                    f"cores -> **scaling efficiency {result['efficiency_n_to_4n']}** "
+                    f"(median-per-level {median_eff}; target >= 0.8 per BASELINE.json)\n"
+                )
+            else:
+                f.write(
+                    f"| cores | sec | {unit} |\n|---|---|---|\n"
+                    f"| {lo['cpus']} | {lo['sec']} | {lo[unit]} |\n"
+                    f"| {hi['cpus']} | {hi['sec']} | {hi[unit]} |\n\n"
+                    f"speedup {result['speedup']}x over {ratio:.0f}x cores -> "
+                    f"**scaling efficiency {result['efficiency_n_to_4n']}** "
+                    f"(target >= 0.8 per BASELINE.json)\n"
+                )
 
 
 if __name__ == "__main__":
