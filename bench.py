@@ -64,6 +64,14 @@ def _scaling_leg() -> dict:
     # prefer the 8->32 pair; the host's sustained clamp often bites only
     # above 16 processes, and the north rule allows ANY N->4N pair, so
     # fall back to a probe-verified 4->16 rather than recording nothing
+    # round-5 finding: the 8->32 sustained clamp is STRUCTURAL, not a
+    # transient load artifact — on a freshly-booted idle VM (loadavg 0.14,
+    # 0.5% steal, 97.7% user during the burn) 5 s and 10 s probes read
+    # 3.11x and 3.18x: per-vCPU throughput drops at full 32-proc occupancy
+    # (host-side SMT/oversubscription the guest cannot see; /proc/cpuinfo
+    # reports a flat 2100 MHz throughout). So 8->32 falls back to 4->16
+    # by physics, and the honest 8->32 number is the ceiling-normalized
+    # one (efficiency_vs_hw_ceiling below).
     pair = None
     s_8_32 = round(measure(32, probe_seconds) / measure(8, probe_seconds), 2)
     out["sustained_probe_8_32"] = s_8_32
@@ -104,6 +112,14 @@ def _scaling_leg() -> dict:
             "docs_per_sec_n": lo["docs_per_sec"],
             "docs_per_sec_4n": hi["docs_per_sec"],
             "efficiency_n_to_4n": round((lo["sec"] / hi["sec"]) / 4.0, 3),
+            # Spark speedup over what raw CPU delivered at the same proc
+            # counts in the same window — operator scaling isolated from
+            # the VM's structural full-occupancy ceiling
+            "efficiency_vs_hw_ceiling": round(
+                (lo["sec"] / hi["sec"])
+                / out.get(f"sustained_probe_{pair[0]}_{pair[1]}", 4.0),
+                3,
+            ),
         }
     )
     return {"scaling_n_4n": out}

@@ -346,6 +346,12 @@ def main():
         help="seconds to idle between legs so each leg starts near the same "
         "thermal/clamp state (the sustained host clamp takes ~1 min to release)",
     )
+    ap.add_argument(
+        "--probe-seconds", type=float, default=5.0,
+        help="duration of each raw-CPU probe level; >=5s measures SUSTAINED "
+        "throughput (the 2s burst probe misses the full-occupancy per-vCPU "
+        "throughput drop this VM exhibits at 32 procs)",
+    )
     args = ap.parse_args()
     repo = os.path.dirname(os.path.abspath(__file__))
 
@@ -360,10 +366,10 @@ def main():
     sys.path.insert(0, os.path.join(repo, "tools"))
     from cpu_probe import measure
 
-    probe_lo = measure(args.low, 2.0)
-    probe_hi = measure(args.high, 2.0)
-    probe_ratio = round(probe_hi / probe_lo, 2)
     probe_loadavg = round(os.getloadavg()[0], 2)
+    probe_lo = measure(args.low, args.probe_seconds)
+    probe_hi = measure(args.high, args.probe_seconds)
+    probe_ratio = round(probe_hi / probe_lo, 2)
 
     workloads = ["extract", "paris"] if args.workload == "both" else [args.workload]
     for wl in workloads:
@@ -426,6 +432,16 @@ def main():
             "high": hi,
             "speedup": round(lo["sec"] / hi["sec"], 3),
             "efficiency_n_to_4n": round(efficiency, 3),
+            # Spark speedup over what the RAW CPU actually delivers at the
+            # same proc counts in the same window: isolates operator scaling
+            # from this VM's hardware ceiling (sustained probes on a fresh,
+            # idle box read only ~3.1-3.2x from 8->32 procs at 0.5% steal and
+            # 97.7% user — per-vCPU throughput drops at full occupancy, a
+            # host property no Spark plan can exceed)
+            "efficiency_vs_hw_ceiling": round(
+                (lo["sec"] / hi["sec"]) / probe_ratio, 3
+            ),
+            "probe_seconds": args.probe_seconds,
             f"cpu_probe_{args.low}_{args.high}": probe_ratio,
             "loadavg_at_probe": probe_loadavg,
             "loadavg_after": [round(x, 2) for x in os.getloadavg()],
@@ -442,9 +458,11 @@ def main():
         with open(os.path.join(repo, "BENCH.md"), "a", encoding="utf8") as f:
             f.write(
                 f"\n## Scaling run: {title}\n\n"
-                f"(raw-CPU probe {args.low}->{args.high} = {probe_ratio}x of "
+                f"(raw-CPU SUSTAINED probe {args.probe_seconds:.0f}s/level "
+                f"{args.low}->{args.high} = {probe_ratio}x of "
                 f"{ratio:.0f}x ideal at loadavg {probe_loadavg}, measured "
-                f"before the legs)\n\n"
+                f"before the legs — this is the hardware ceiling any Spark "
+                f"read in this window is bounded by)\n\n"
             )
             if args.repeats > 1:
                 f.write(
@@ -455,7 +473,9 @@ def main():
                     f"| {args.high} | {result['high_legs_sec']} | {hi['sec']} | {hi[unit]} |\n\n"
                     f"min-per-level speedup {result['speedup']}x over {ratio:.0f}x "
                     f"cores -> **scaling efficiency {result['efficiency_n_to_4n']}** "
-                    f"(median-per-level {median_eff}; target >= 0.8 per BASELINE.json)\n"
+                    f"(median-per-level {median_eff}; target >= 0.8 per BASELINE.json); "
+                    f"vs the {probe_ratio}x hardware ceiling: "
+                    f"**{result['efficiency_vs_hw_ceiling']}**\n"
                 )
             else:
                 f.write(
@@ -464,7 +484,8 @@ def main():
                     f"| {hi['cpus']} | {hi['sec']} | {hi[unit]} |\n\n"
                     f"speedup {result['speedup']}x over {ratio:.0f}x cores -> "
                     f"**scaling efficiency {result['efficiency_n_to_4n']}** "
-                    f"(target >= 0.8 per BASELINE.json)\n"
+                    f"(target >= 0.8 per BASELINE.json); vs the {probe_ratio}x "
+                    f"hardware ceiling: **{result['efficiency_vs_hw_ceiling']}**\n"
                 )
 
 
