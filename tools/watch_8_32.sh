@@ -30,8 +30,14 @@ EOF
     open=$(python3 -c "print('y' if float('$r832') >= float('$THRESH') else '')")
     if [ -n "$open" ]; then
       echo "window open ($r832) — firing 8->32 legs at $PAGES pages" >> "$OUT"
+      # order-alternated repeats: the single-shot lo->hi firing measured
+      # 0.303 (22:26 this session) because the watcher's own probe burn
+      # plus the 8-core leg push the host into its sustained clamp by the
+      # time the 32-core leg runs; (lo,hi),(hi,lo) gives the 32-leg one
+      # near-cold slot and min-per-level reports the unclamped speed
       python3 scaling_bench.py --pages "$PAGES" --low 8 --high 32 \
         --workload extract --probe-seconds "$PROBE_SECONDS" \
+        --repeats 2 --cooldown 60 \
         > /tmp/watch_8_32_run.json 2>/tmp/watch_8_32_run.err
       if [ -s /tmp/watch_8_32_run.json ]; then
         git add BENCH.md >> "$OUT" 2>&1
