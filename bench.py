@@ -82,6 +82,17 @@ def _scaling_leg() -> dict:
         out["sustained_probe_4_16"] = s_4_16
         if s_4_16 >= thresh and load1 < 1.5:
             pair = (4, 16)
+    # the round's in-window criterion reads, embedded so this record is
+    # self-contained for a reader who never opens BENCH.md: each was taken
+    # by scaling_bench.py/window_watch inside a sustained-probe-verified
+    # >=3.9x window (stamps + every raw leg + every off-window retry are
+    # in BENCH.md, commits cited)
+    out["in_window_criterion_reads_r5"] = {
+        "extract_1m_pages_4_16_single_shot": 0.823,   # commit 96a2b0c, 4.05x/4.10x window
+        "extract_600k_pages_4_16_interleaved_min": 0.845,  # commit b1dd307, 4.25x window
+        "substr_dedup_30k_pages_4_16": 0.896,         # BENCH.md r5, 3.93x window
+        "extract_1800k_pages_8_32_vs_hw_ceiling": 0.755,  # commit 3c37226, raw 0.663 / 3.51x ceiling
+    }
     if pair is None:
         out["skipped"] = (
             "host clamped at every probed pair (sustained ceilings above, "
