@@ -1540,6 +1540,56 @@ def _q_selection_chain_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BPE_CACHE: dict = {}
+
+
+def _bpe(spark: SparkSession, sf_dir: str, k: int = 8):
+    """Memoized BPE training over documents — the two bpe gates share
+    one trained (merges, vocab) pair per session/sf (the _kg memo
+    doctrine: keyed by applicationId, stopped-context entries evicted;
+    the vocab DataFrame is persisted by bpe_train)."""
+    from prase_spark.datapipe.bpetrain import bpe_train
+
+    sc = spark.sparkContext
+    for key in [key for key in _BPE_CACHE if key[0] != sc.applicationId]:
+        del _BPE_CACHE[key]
+    key = (sc.applicationId, sf_dir, k)
+    if key not in _BPE_CACHE:
+        d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        _BPE_CACHE[key] = bpe_train(d, n_merges=k, return_vocab=True)
+    return _BPE_CACHE[key]
+
+
+def _q_bpe_merges_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE tokenizer training (Sennrich 2016) over the
+    documents corpus: the first 8 learned merges as
+    (rank, l, r, pair_cnt) — exact BIGINT counts and ascii symbols under
+    a shared (pair_cnt DESC, l, r) total order, so the table is
+    bit-identical at any partitioning AND cross-engine. The DuckDB twin
+    replays all 8 iterations as generated MATERIALIZED CTE blocks
+    (pair-count self-join on pos+1, arg-max, greedy merge application
+    via the run-parity window formulation — provably equal to the Spark
+    fold's leftmost-non-overlapping semantics; l != r matches can never
+    share a symbol, l == r pairs merge at even run offsets). No
+    reference analog — first-class LLM-pipeline op
+    (prase_spark/datapipe/bpetrain.py)."""
+    return _bpe(spark, sf_dir)[0]
+
+
+def _q_bpe_token_counts_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document token counts under the trained BPE tokenizer
+    (key, bpe_tokens): segmentation is a lookup against the trained
+    vocab's final symbol arrays — one exploded scan + one word-keyed
+    join + a per-doc sum; docs with no tokens report 0 via the
+    row-preserving left join. Value-verifies the whole train->segment
+    path end to end (the oracle re-derives every word's segment length
+    from the same 8 unrolled merge iterations)."""
+    from prase_spark.datapipe.bpetrain import bpe_token_counts
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_token_counts(d, _bpe(spark, sf_dir)[1])
+
+
 def _q_transe_margin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """In-Spark TransE training's integer value surface (VERDICT r4 ask
     #7): per-epoch margin-violation counts from
@@ -1919,7 +1969,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     positions 33+ hold this round's new/changed gates (selection chain,
     TransE margin counts, the substring-dedup skew guard, two-phase
     cap_per_group, JPEG decode in multimodal, the ADVICE fixes to
-    temperature/incremental/IVF), then the r4-recorded headline fixpoints,
+    temperature/incremental/IVF, BPE tokenizer train + segment-count
+    gates), then the r4-recorded headline fixpoints,
     then the r4-recorded stable remainder — those all have fresh r4 driver
     rows, so a tail cut re-confirms old evidence, never loses a first-ever
     record. KG build order no longer matters for speed: _kg builds a
@@ -1970,6 +2021,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "multimodal_decode": _q_multimodal_decode,
         "ivf_topk": _q_ivf_topk,
+        "bpe_merges_docs": _q_bpe_merges_docs,
+        "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -2584,6 +2637,78 @@ def _pagerank_ctes(iterations: int, scale: int, damping_e2: int) -> str:
             f"FROM nodes n LEFT JOIN m{i} m USING (node))"
         )
     return ",\n            ".join(ctes)
+
+
+def _bpe_ctes(n_merges: int) -> str:
+    """BPE merge iterations (prase_spark/datapipe/bpetrain.py) as
+    generated DuckDB CTE blocks (the _paris_iter_ctes doctrine —
+    MATERIALIZED, since each block reads its predecessor several times
+    and inlining would re-evaluate the chain exponentially). Word table
+    -> per-char symbol rows (pos, sym) with the trailing '_' EOW symbol
+    -> per iteration k: pair counts via the pos+1 self-join, arg-max
+    under the shared (pair_cnt DESC, l, r) total order, then GREEDY
+    leftmost-non-overlapping merge application: for l != r adjacent
+    matches can never overlap (overlap at i, i+1 needs sym_{i+1} = r =
+    l), so every match merges; for l == r matches merge at EVEN offsets
+    within each run of identical symbols (gaps-and-islands over the
+    sym = l rows), which is exactly what the Spark-side carry fold
+    computes. Consumed rows (lag(is_start)) drop; positions renumber."""
+    toks = _TOKS_SQL.format(c="text")
+    blocks = [
+        f"""
+        wt AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS cnt
+            FROM (SELECT unnest({toks}) AS word FROM documents)
+            GROUP BY word
+        ),
+        s0 AS MATERIALIZED (
+            SELECT word, cnt, pos,
+                   CASE WHEN pos <= length(word) THEN word[pos] ELSE '_' END AS sym
+            FROM (SELECT word, cnt,
+                         unnest(generate_series(1, length(word)+1)) AS pos
+                  FROM wt)
+        )"""
+    ]
+    for k in range(1, n_merges + 1):
+        p = k - 1
+        blocks.append(f"""
+        top_{k} AS MATERIALIZED (
+            SELECT a.sym AS l, b.sym AS r, SUM(a.cnt) AS pair_cnt
+            FROM s{p} a JOIN s{p} b ON b.word = a.word AND b.pos = a.pos + 1
+            GROUP BY 1, 2
+            ORDER BY pair_cnt DESC, l, r LIMIT 1
+        ),
+        lr_{k} AS MATERIALIZED (
+            SELECT word, cnt, pos, sym,
+                   lead(sym) OVER (PARTITION BY word ORDER BY pos) AS nxt
+            FROM s{p}
+        ),
+        runs_{k} AS MATERIALIZED (
+            SELECT word, pos,
+                   ROW_NUMBER() OVER (PARTITION BY word, grp ORDER BY pos) - 1 AS off
+            FROM (SELECT x.word, x.pos,
+                         x.pos - ROW_NUMBER() OVER (PARTITION BY x.word ORDER BY x.pos) AS grp
+                  FROM lr_{k} x, top_{k} t WHERE x.sym = t.l)
+        ),
+        ns_{k} AS MATERIALIZED (
+            SELECT word, cnt, pos,
+                   CASE WHEN is_start THEN l || r ELSE sym END AS sym,
+                   COALESCE(lag(is_start) OVER (PARTITION BY word ORDER BY pos), FALSE) AS consumed
+            FROM (
+                SELECT x.word, x.cnt, x.pos, x.sym, t.l, t.r,
+                       COALESCE(CASE WHEN t.l <> t.r THEN x.sym = t.l AND x.nxt = t.r
+                                     ELSE x.sym = t.l AND x.nxt = t.r AND rn.off % 2 = 0
+                                END, FALSE) AS is_start
+                FROM lr_{k} x CROSS JOIN top_{k} t
+                LEFT JOIN runs_{k} rn ON rn.word = x.word AND rn.pos = x.pos
+            )
+        ),
+        s{k} AS MATERIALIZED (
+            SELECT word, cnt,
+                   ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos, sym
+            FROM ns_{k} WHERE NOT consumed
+        )""")
+    return ",".join(blocks)
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4277,6 +4402,32 @@ def oracle_sql() -> dict[str, str]:
     # selection chain twin: DSIR floor -> classifier floor -> temperature
     # rates over the SURVIVORS -> poly-hash membership -> per-source cap,
     # all four stages stacked so every inter-stage contract is checked
+    bpe_ctes = _bpe_ctes(8)
+    bpe_sel = " UNION ALL ".join(
+        f"SELECT CAST({k} AS BIGINT) AS rank, l, r, CAST(pair_cnt AS BIGINT) AS pair_cnt"
+        f" FROM top_{k}"
+        for k in range(1, 9)
+    )
+    out["bpe_merges_docs"] = f"""
+        WITH {bpe_ctes}
+        SELECT * FROM ({bpe_sel})
+    """
+    out["bpe_token_counts_docs"] = f"""
+        WITH {bpe_ctes},
+        per_word AS MATERIALIZED (
+            SELECT word, CAST(count(*) AS BIGINT) AS n_sym FROM s8 GROUP BY word
+        ),
+        dw AS (
+            SELECT doc_id AS key, unnest({toks}) AS word FROM documents
+        ),
+        agg AS (
+            SELECT key, SUM(n_sym) AS bpe_tokens
+            FROM dw JOIN per_word USING (word) GROUP BY key
+        )
+        SELECT d.doc_id AS key,
+               CAST(COALESCE(a.bpe_tokens, 0) AS BIGINT) AS bpe_tokens
+        FROM documents d LEFT JOIN agg a ON a.key = d.doc_id
+    """
     out["selection_chain_docs"] = f"""
         WITH tk AS (SELECT doc_id AS key, lang, {toks} AS t FROM documents),
         gl AS (
