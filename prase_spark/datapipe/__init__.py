@@ -3,6 +3,7 @@ deduplication, similarity search, text analysis, chunking/packing,
 decontamination, sampling, multimodal plumbing."""
 
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
+from prase_spark.datapipe.bpetrain import bpe_token_counts, bpe_train, word_table
 from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
 from prase_spark.datapipe.colloc import collocations
 from prase_spark.datapipe.paradedup import dedup_paragraphs
@@ -100,6 +101,9 @@ __all__ = [
     "temperature_sample",
     "temperature_weights",
     "exact_dedup",
+    "bpe_token_counts",
+    "bpe_train",
+    "word_table",
     "minhash_dedup",
     "minhash_lsh_pairs",
     "keep_best",
