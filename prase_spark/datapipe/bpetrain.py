@@ -25,6 +25,15 @@ merge loop runs on THAT table. Per merge iteration:
 - ``localCheckpoint`` every ``checkpoint_every`` iterations truncates
   the fold-on-fold lineage (the pagerank doctrine).
 
+Plan-hygiene constraint (pinned by ``test_bpe_plan_hygiene``): the
+merge loop MUST read a materialized vocab (``bpe_train`` persists it
+before iterating). On an unpersisted vocab Catalyst pushes the pair
+explode's implicit non-empty filter below the word aggregate, re-
+computing ``size(zip_with(...)) > 0`` per CORPUS token occurrence —
+interpreted HOF work on the corpus-sized stream, the exact class of
+cost the one-pass collapse exists to avoid. Persisting pins the filter
+to the vocab-sized InMemory scan (verified via ``.explain``).
+
 Greedy semantics pinned by tests and the DuckDB twin: within a run of
 identical symbols ("aaaa", merge (a,a)) pairs merge at even offsets
 ((aa)(aa)); for l != r adjacent matches can never share a symbol (that

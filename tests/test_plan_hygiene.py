@@ -65,3 +65,36 @@ def test_star_round_plan_hygiene(spark):
     assert "HashAggregate" in plan
     # every exchange is keyed on a node-id column, never a full-row key
     assert "hashpartitioning(a" in plan
+
+
+def test_bpe_plan_hygiene(spark):
+    """The BPE merge loop must read a materialized vocab: on an
+    unpersisted one, Catalyst pushes the pair explode's implicit
+    non-empty filter below the word aggregate and recomputes
+    size(zip_with(...)) per CORPUS token occurrence (interpreted HOF on
+    the corpus-sized stream). Persisted — the bpe_train path — the
+    filter pins to the vocab-sized InMemory scan."""
+    from prase_spark.datapipe.bpetrain import (
+        char_symbols,
+        pair_counts,
+        word_table,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma{i % 7}") for i in range(50)],
+        "doc_id LONG, text STRING",
+    )
+    vocab = word_table(docs).withColumn("syms", char_symbols("word")).persist()
+    try:
+        vocab.count()
+        plan = _plan(pair_counts(vocab))
+        assert "InMemoryTableScan" in plan
+        # everything above the cache scan reads the cached syms column —
+        # nothing rebuilds the symbol chain from word (i.e. no filter
+        # escaped below the materialization onto the corpus stream; the
+        # text after the scan marker is the cached relation's own
+        # definition, which legitimately mentions the chain)
+        above_scan = plan.split("InMemoryTableScan")[0]
+        assert "split(word" not in above_scan and "explode(filter" not in above_scan
+    finally:
+        vocab.unpersist()
