@@ -211,7 +211,11 @@ def bpe_token_counts(
     corpus pays one exploded scan + one word-keyed join (vocab-sized
     build side; Spark picks broadcast vs shuffle-hash by its stats) +
     one map-side-combinable per-doc sum. Docs with no tokens report 0
-    (left join keeps every input row)."""
+    (left join keeps every input row). Counting a DIFFERENT corpus than
+    the one that trained ``vocab`` undercounts: unseen words drop at the
+    inner word join (real BPE would back off to characters) — union the
+    new corpus's ``word_table`` into the vocab with ``char_symbols`` +
+    the merge replay first, or accept the documented drop."""
     per_word = vocab.select("word", F.size("syms").alias("__n"))
     per_doc = (
         docs.select(F.col(key_col).alias("key"), F.explode(tokens(text_col)).alias("word"))
