@@ -775,6 +775,28 @@ def _q_incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return incremental_minhash(new, store, threshold_pct=50, hash_fn=poly_hash61)
 
 
+def _q_decontaminate_fuzzy_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination (decontam.decontaminate_fuzzy): the eval
+    set = docs 0-19 re-keyed +500000 (verbatim leaks — must flag their
+    train originals at est_pct=100, plus any genuine near-dups the
+    banding surfaces); train = all documents. Broadcast direction is the
+    operator's point (eval bands into the train stream — the reverse of
+    incremental_dedup_docs); poly hash end-to-end so signatures,
+    banding, candidates, estimates, and the per-train argmax are all
+    value-verified by the role-flipped incremental SQL twin."""
+    from prase_spark.datapipe.decontam import decontaminate_fuzzy
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = d.select("doc_id", "text")
+    evals = d.filter(F.col("doc_id") < 20).select(
+        (F.col("doc_id") + 500000).alias("doc_id"), "text"
+    )
+    return decontaminate_fuzzy(
+        train, evals, threshold_pct=50, hash_fn=poly_hash61
+    )
+
+
 def _q_decontaminate_bloom_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-prefiltered decontamination (decontam.decontaminate_bloom):
     same inputs and — by the no-false-negative + exact-verify
@@ -2023,6 +2045,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "bpe_merges_docs": _q_bpe_merges_docs,
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
+        "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -3907,6 +3930,53 @@ def oracle_sql() -> dict[str, str]:
     # prefilter has no false negatives; survivors are exact-verified), so
     # the same oracle hash-checks the accelerated plan end-to-end.
     out["decontaminate_bloom_docs"] = out["decontaminate_docs"]
+    out["decontaminate_fuzzy_docs"] = f"""
+        WITH train AS (SELECT doc_id AS key, text FROM documents),
+        evals AS (
+            SELECT doc_id + 500000 AS key, text FROM documents WHERE doc_id < 20
+        ),
+        alld AS (SELECT * FROM train UNION ALL SELECT * FROM evals),
+        tk AS (SELECT key, {toks} AS t FROM alld),
+        sh AS ({_shingle_cte(3)}),
+        hx AS (SELECT key, shingle, {poly_shingle} % {_MERSENNE} AS x FROM sh),
+        params(h, a, b) AS (VALUES
+            {mh_params}
+        ),
+        sig AS (
+            SELECT key, h,
+                   min(CAST((CAST(a AS BIGINT) * x + b) % {_MERSENNE} AS BIGINT)) AS minhash
+            FROM hx, params GROUP BY key, h
+        ),
+        banded AS (
+            SELECT key, h // 4 AS band,
+                   list_aggregate(list_sort(list(h || ':' || minhash)), 'string_agg', ',') AS band_key
+            FROM sig GROUP BY key, h // 4
+        ),
+        cand AS (
+            SELECT DISTINCT t.key AS train_key, e.key AS eval_key
+            FROM banded t JOIN banded e
+              ON t.band = e.band AND t.band_key = e.band_key
+            WHERE t.key < 500000 AND e.key >= 500000
+        ),
+        est AS (
+            SELECT cd.train_key, cd.eval_key,
+                   CAST(100 * sum(CASE WHEN st.minhash = se.minhash THEN 1 ELSE 0 END) AS BIGINT) // 64 AS est_pct
+            FROM cand cd
+            JOIN sig st ON st.key = cd.train_key
+            JOIN sig se ON se.key = cd.eval_key AND se.h = st.h
+            GROUP BY cd.train_key, cd.eval_key
+        ),
+        best AS (
+            SELECT train_key, eval_key, est_pct,
+                   row_number() OVER (PARTITION BY train_key
+                                      ORDER BY est_pct DESC, eval_key ASC) AS rn
+            FROM est WHERE est_pct >= 50
+        )
+        SELECT n.key, b.eval_key AS contaminated_by,
+               CAST(coalesce(b.est_pct, 0) AS BIGINT) AS est_pct
+        FROM train n LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+          ON b.train_key = n.key
+    """
     out["incremental_dedup_docs"] = f"""
         WITH corpus AS (SELECT doc_id AS key, text FROM documents WHERE doc_id < 80),
         newb AS (

@@ -9,7 +9,7 @@ from prase_spark.datapipe.colloc import collocations
 from prase_spark.datapipe.paradedup import dedup_paragraphs
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
-from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom
+from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom, decontaminate_fuzzy
 from prase_spark.datapipe.hoststats import (
     filter_by_domain_blocklist,
     filter_by_hosts,
@@ -123,6 +123,7 @@ __all__ = [
     "pack_chunks",
     "decontaminate",
     "decontaminate_bloom",
+    "decontaminate_fuzzy",
     "document_frequency",
     "hash_store",
     "incremental_exact",

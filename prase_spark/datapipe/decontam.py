@@ -168,3 +168,111 @@ def decontaminate_bloom(
             (F.coalesce("n_hits", F.lit(0)) >= min_hits).alias("contaminated"),
         )
     )
+
+
+def decontaminate_fuzzy(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    eval_text_col: str | None = None,
+    eval_key_col: str | None = None,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+    shingle_n: int = 3,
+    threshold_pct: int = 50,
+    hash_fn=None,
+    max_bucket_size: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(key, contaminated_by, est_pct) for every train row: FUZZY
+    decontamination (the GPT-3-appendix / PaLM near-overlap hygiene
+    pass) — flag training documents whose MinHash-estimated Jaccard
+    against ANY eval/benchmark document reaches ``threshold_pct``, which
+    exact-shingle :func:`decontaminate` misses once an eval answer is
+    lightly paraphrased or partially quoted. ``contaminated_by`` = the
+    eval doc with the highest estimate (ties -> min eval key), NULL
+    below threshold; ``est_pct = (100 * matching_slots) DIV num_hashes``
+    is an exact integer in both engines, so the operator value-gates.
+
+    This is :func:`incremental.incremental_minhash` with the broadcast
+    on the OTHER side: there the probe batch is small and the corpus is
+    the store; here the eval set is the small side (benchmarks are
+    thousands of rows) and TRAIN is the 10^12-doc corpus — so the eval
+    bands broadcast into the train band stream (train never shuffles on
+    text or signatures), the banded candidate set (collisions with a
+    tiny eval set — output-proportional) broadcasts back into the train
+    signature scan, and the only aggregations are per-candidate-pair
+    slot counts plus a per-train-key argmax. Degenerate TRAIN band
+    buckets (boilerplate signatures) are capped with the standard guard
+    + telemetry; eval-side buckets need no cap (the whole side
+    broadcasts)."""
+    from prase_spark.datapipe.buckets import DEFAULT_MAX_BUCKET, cap_band_buckets
+    from prase_spark.datapipe.dedup import (
+        band_keys_of_wide,
+        minhash_wide_signatures,
+        shingle_table,
+    )
+
+    if max_bucket_size is None:
+        max_bucket_size = DEFAULT_MAX_BUCKET
+    ekey = eval_key_col or key_col
+    etxt = eval_text_col or text_col
+    ev_sigs = minhash_wide_signatures(
+        shingle_table(eval_df, etxt, ekey, shingle_n), num_hashes, seed, hash_fn
+    ).persist()
+    ev_bands = band_keys_of_wide(ev_sigs, num_hashes, bands).select(
+        F.col("key").alias("eval_key"), "band", "band_key"
+    )
+    tr_sigs = minhash_wide_signatures(
+        shingle_table(train, text_col, key_col, shingle_n),
+        num_hashes,
+        seed,
+        hash_fn,
+    ).persist()
+    tr_bands = cap_band_buckets(
+        band_keys_of_wide(tr_sigs, num_hashes, bands),
+        max_bucket_size,
+        stats_out=stats_out,
+        label="decontaminate_fuzzy",
+    )
+    cand = (
+        tr_bands.select(F.col("key").alias("train_key"), "band", "band_key")
+        .join(F.broadcast(ev_bands), ["band", "band_key"])
+        .select("train_key", "eval_key")
+        .distinct()
+    )
+    matches = sum(
+        F.when(F.col(f"t.m{h}") == F.col(f"e.m{h}"), 1).otherwise(0)
+        for h in range(num_hashes)
+    )
+    est = (
+        tr_sigs.alias("t")
+        .join(F.broadcast(cand), F.col("t.key") == F.col("train_key"))
+        .join(F.broadcast(ev_sigs.alias("e")), F.col("eval_key") == F.col("e.key"))
+        .select("train_key", "eval_key", matches.alias("__matches"))
+        .selectExpr(
+            "train_key",
+            "eval_key",
+            f"CAST(100 * __matches AS BIGINT) DIV {num_hashes} AS est_pct",
+        )
+        .filter(F.col("est_pct") >= threshold_pct)
+    )
+    best = est.groupBy("train_key").agg(
+        F.min_by(
+            F.struct("eval_key", "est_pct"),
+            # highest estimate wins; ties -> min eval key (the
+            # any-orderable-key formulation, not numeric negation)
+            F.struct((-F.col("est_pct")).alias("neg_est"), F.col("eval_key")),
+        ).alias("b")
+    )
+    return (
+        train.select(F.col(key_col).alias("key"))
+        .join(best, F.col("key") == F.col("train_key"), "left")
+        .select(
+            "key",
+            F.col("b.eval_key").alias("contaminated_by"),
+            F.coalesce(F.col("b.est_pct"), F.lit(0).cast("long")).alias("est_pct"),
+        )
+    )
