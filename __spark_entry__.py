@@ -1643,6 +1643,72 @@ def _q_transe_margin_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dag_closure_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directed transitive closure with min-hop depth
+    (prase_spark.closure.transitive_closure — frontier BFS, new-pairs-only,
+    one shuffle per level) over a deterministic ternary-tree DAG templated
+    from part: edges (p_partkey, p_partkey DIV 3). Every node's full
+    ancestor chain (~log3 N levels) lands in the closure, so the gate
+    exercises level-by-level discovery, diamond dedup, and min-depth
+    semantics; the DuckDB twin is the textbook WITH RECURSIVE + GROUP BY
+    MIN(depth). rdfs:subClassOf*/SKOS broader* expansion for KG-construct
+    type inference (reference stores only asserted edges —
+    /root/reference/objects/KG.py)."""
+    from prase_spark.closure import transitive_closure
+
+    edges = (
+        spark.read.parquet(f"{sf_dir}/part.parquet")
+        # p_partkey 0 would be the self-loop (0, 0): harmless for the
+        # Spark closure (new-(src,anc)-pairs-only frontier is cycle-safe)
+        # but divergent for the DuckDB twin, whose recursive UNION dedups
+        # whole rows INCLUDING depth — keep the shared template acyclic
+        .filter(F.col("p_partkey") >= 1)
+        .select(
+            F.col("p_partkey").cast("long").alias("src"),
+            F.expr("CAST(p_partkey AS BIGINT) DIV 3").alias("dst"),
+        )
+    )
+    clos = transitive_closure(edges, max_hops=64)
+    return clos.select("src", "anc", F.col("depth").cast("long").alias("depth"))
+
+
+def _q_type_propagate_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """rdf:type inference at instance scale
+    (prase_spark.closure.propagate_types): the tiny subclass DAG
+    (nation -> 100+region -> 200/world) is closed once and broadcast;
+    the customer table (the 10^12-row stand-in) is scanned ONCE — its
+    only exchange is the final map-side-combinable min-depth groupBy.
+    Every 10th customer also directly asserts the root type, pinning the
+    asserted-beats-inherited (depth 0 < depth 2) rule in the value hash."""
+    from prase_spark.closure import propagate_types
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    sub = nation.select(
+        F.col("n_nationkey").cast("long").alias("src"),
+        (F.col("n_regionkey").cast("long") + F.lit(100)).alias("dst"),
+    ).unionByName(
+        region.select(
+            (F.col("r_regionkey").cast("long") + F.lit(100)).alias("src"),
+            F.lit(200).cast("long").alias("dst"),
+        )
+    )
+    assertions = customer.select(
+        F.col("c_custkey").cast("long").alias("entity"),
+        F.col("c_nationkey").cast("long").alias("type"),
+    ).unionByName(
+        customer.filter(F.col("c_custkey") % 10 == 0).select(
+            F.col("c_custkey").cast("long").alias("entity"),
+            F.lit(200).cast("long").alias("type"),
+        )
+    )
+    out = propagate_types(assertions, sub)
+    return out.select(
+        "entity", "type", F.col("depth").cast("long").alias("depth")
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -2046,6 +2112,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merges_docs": _q_bpe_merges_docs,
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
+        "dag_closure_parts": _q_dag_closure_parts,
+        "type_propagate_customers": _q_type_propagate_customers,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -4669,5 +4737,52 @@ def oracle_sql() -> dict[str, str]:
                          // (2 * p.n_distinct)
                     ELSE 0 END AS BIGINT) AS rare_pct_e4
         FROM per_doc p LEFT JOIN nr USING (key)
+    """
+    out["dag_closure_parts"] = """
+        WITH RECURSIVE e AS (
+            SELECT CAST(p_partkey AS BIGINT) AS src,
+                   CAST(p_partkey // 3 AS BIGINT) AS dst
+            FROM part WHERE p_partkey >= 1
+        ),
+        clos AS (
+            SELECT src, dst AS anc, 1 AS depth FROM e
+            UNION
+            SELECT c.src, e.dst, c.depth + 1
+            FROM clos c JOIN e ON c.anc = e.src
+        )
+        SELECT src, anc, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM clos GROUP BY src, anc
+    """
+    out["type_propagate_customers"] = """
+        WITH RECURSIVE e AS (
+            SELECT CAST(n_nationkey AS BIGINT) AS src,
+                   CAST(n_regionkey + 100 AS BIGINT) AS dst
+            FROM nation
+            UNION ALL
+            SELECT CAST(r_regionkey + 100 AS BIGINT), CAST(200 AS BIGINT)
+            FROM region
+        ),
+        clos AS (
+            SELECT src, dst AS anc, 1 AS depth FROM e
+            UNION
+            SELECT c.src, e.dst, c.depth + 1
+            FROM clos c JOIN e ON c.anc = e.src
+        ),
+        a AS (
+            SELECT CAST(c_custkey AS BIGINT) AS entity,
+                   CAST(c_nationkey AS BIGINT) AS type
+            FROM customer
+            UNION ALL
+            SELECT CAST(c_custkey AS BIGINT), CAST(200 AS BIGINT)
+            FROM customer WHERE c_custkey % 10 = 0
+        ),
+        both_ AS (
+            SELECT entity, type, 0 AS depth FROM a
+            UNION ALL
+            SELECT a.entity, c.anc AS type, c.depth
+            FROM a JOIN clos c ON a.type = c.src
+        )
+        SELECT entity, type, CAST(MIN(depth) AS BIGINT) AS depth
+        FROM both_ GROUP BY entity, type
     """
     return out
