@@ -1709,6 +1709,109 @@ def _q_type_propagate_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ntriples_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared fixture for the N-Triples gates: orders rendered as one
+    relation triple (order ownedBy customer) + one literal triple
+    (order comment), with every seventh comment salted with the full
+    escape alphabet (quote, backslash, newline) so the escaping path is
+    in the value hash, not just the happy path."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    lit_obj = F.when(
+        F.col("o_orderkey") % 7 == 0,
+        F.concat(F.lit('"'), F.col("o_orderpriority"), F.lit("\\"), F.lit("\n")),
+    ).otherwise(F.col("o_orderpriority"))
+    rel = o.select(
+        F.concat(F.lit("http://ex/o/"), F.col("o_orderkey")).alias("subj"),
+        F.lit("http://ex/p/ownedBy").alias("pred"),
+        F.concat(F.lit("http://ex/c/"), F.col("o_custkey")).alias("obj"),
+        F.lit(False).alias("obj_is_lit"),
+    )
+    lit = o.select(
+        F.concat(F.lit("http://ex/o/"), F.col("o_orderkey")).alias("subj"),
+        F.lit("http://ex/p/comment").alias("pred"),
+        lit_obj.alias("obj"),
+        F.lit(True).alias("obj_is_lit"),
+    )
+    return rel.unionByName(lit)
+
+
+def _q_ntriples_export_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RDF interchange sink (prase_spark.rdfio.to_ntriples): the
+    canonical triple store rendered as W3C N-Triples lines — pure
+    whole-stage-codegen string expressions, no shuffle (a 10^12-triple
+    export writes straight out of the scan partitioning). The DuckDB
+    twin replays the five-escape chain and both object shapes, so every
+    byte of the serialization is in the value hash. The reference's KGs
+    are cut from exactly this format (DBpedia dumps -> the TSVs
+    /root/reference/objects/KG.py reads)."""
+    from prase_spark.rdfio import to_ntriples
+
+    return to_ntriples(_ntriples_source(spark, sf_dir))
+
+
+def _q_ntriples_roundtrip_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parse-after-format identity (rdfio.from_ntriples ∘ to_ntriples):
+    the twin is the SOURCE construction itself, so the gate proves the
+    parser is the serializer's exact inverse — incl. the single-pass
+    unescape (a naive chained replace would corrupt backslash-n
+    sequences; rdfio splits on escaped-backslash first)."""
+    from prase_spark.rdfio import from_ntriples, to_ntriples
+
+    return from_ntriples(to_ntriples(_ntriples_source(spark, sf_dir)))
+
+
+def _q_bgp_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL-style basic-graph-pattern matching (prase_spark.bgp):
+    a 4-pattern star+chain over a TPC-H-derived triple table —
+    ?o ownedBy ?c . ?c inNation ?n . ?n inRegion r1 . ?o status F —
+    compiled to left-deep equi-joins (constants pushed into the scans,
+    connected-pattern order, cartesian guard). The DuckDB twin is the
+    literal 4-way self-join. The reference answers these lookups from
+    its dict adjacency (objects/KG.py); this is the distributed form."""
+    from prase_spark.bgp import bgp_match
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tr = (
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+            F.lit("ownedBy").alias("pred"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("inRegion").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        tr,
+        [
+            ("?o", "ownedBy", "?c"),
+            ("?c", "inNation", "?n"),
+            ("?n", "inRegion", "r1"),
+            ("?o", "status", "F"),
+        ],
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -2114,6 +2217,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
         "dag_closure_parts": _q_dag_closure_parts,
         "type_propagate_customers": _q_type_propagate_customers,
+        "ntriples_export_orders": _q_ntriples_export_orders,
+        "ntriples_roundtrip_orders": _q_ntriples_roundtrip_orders,
+        "bgp_star_orders": _q_bgp_star_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -4784,5 +4890,65 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT entity, type, CAST(MIN(depth) AS BIGINT) AS depth
         FROM both_ GROUP BY entity, type
+    """
+    _nt_src = """
+        nt AS (
+            SELECT 'http://ex/o/' || o_orderkey AS subj,
+                   'http://ex/p/ownedBy' AS pred,
+                   'http://ex/c/' || o_custkey AS obj,
+                   FALSE AS obj_is_lit
+            FROM orders
+            UNION ALL
+            SELECT 'http://ex/o/' || o_orderkey,
+                   'http://ex/p/comment',
+                   CASE WHEN o_orderkey % 7 = 0
+                        THEN '"' || o_orderpriority || '\\' || chr(10)
+                        ELSE o_orderpriority END,
+                   TRUE
+            FROM orders
+        )
+    """
+    out["ntriples_export_orders"] = f"""
+        WITH {_nt_src}
+        SELECT '<' || subj || '> <' || pred || '> ' ||
+               CASE WHEN obj_is_lit
+                    THEN '"' ||
+                         replace(replace(replace(replace(replace(
+                             obj,
+                             '\\', '\\\\'),
+                             '"', '\\"'),
+                             chr(10), '\\n'),
+                             chr(13), '\\r'),
+                             chr(9), '\\t') ||
+                         '"'
+                    ELSE '<' || obj || '>' END ||
+               ' .' AS line
+        FROM nt
+    """
+    out["ntriples_roundtrip_orders"] = f"""
+        WITH {_nt_src}
+        SELECT subj, pred, obj, obj_is_lit FROM nt
+    """
+    out["bgp_star_orders"] = """
+        WITH tr AS (
+            SELECT 'o' || o_orderkey AS subj, 'ownedBy' AS pred,
+                   'c' || o_custkey AS obj FROM orders
+            UNION ALL
+            SELECT 'c' || c_custkey, 'inNation', 'n' || c_nationkey
+            FROM customer
+            UNION ALL
+            SELECT 'n' || n_nationkey, 'inRegion', 'r' || n_regionkey
+            FROM nation
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'status', o_orderstatus FROM orders
+        )
+        SELECT DISTINCT t2.subj AS c, t3.subj AS n, t1.subj AS o
+        FROM tr t1
+        JOIN tr t2 ON t1.obj = t2.subj
+                   AND t1.pred = 'ownedBy' AND t2.pred = 'inNation'
+        JOIN tr t3 ON t2.obj = t3.subj
+                   AND t3.pred = 'inRegion' AND t3.obj = 'r1'
+        JOIN tr t4 ON t4.subj = t1.subj
+                   AND t4.pred = 'status' AND t4.obj = 'F'
     """
     return out

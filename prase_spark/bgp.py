@@ -1,0 +1,105 @@
+"""Basic-graph-pattern (SPARQL-style) matching over the triple store.
+
+The reference answers entity questions by dict lookups over its
+adjacency maps (/root/reference/objects/KG.py fact dicts); the
+distributed equivalent of "find all bindings of this variable pattern"
+is a chain of equi-joins over the triple table — exactly what a SPARQL
+BGP compiles to in any triple store. This module is that compiler:
+
+    bgp_match(triples, [("?x", "type", "Person"),
+                        ("?x", "worksAt", "?y"),
+                        ("?y", "locatedIn", "Berlin")])
+    -> DataFrame[x, y]
+
+Plan shape (the part that must survive 10^12 triples):
+- each pattern is ONE filtered scan of the triple table — constants
+  become pushed-down predicate filters (predicate constants especially:
+  a predicate-partitioned store prunes to one partition per pattern);
+- patterns join LEFT-DEEP in selectivity order (fewest variables
+  first), each join keyed on the shared variables — plain shuffled
+  equi-joins Catalyst/AQE can reorder, broadcast, or skew-split;
+- a pattern sharing NO variable with the accumulated bindings is
+  rejected (cartesian guard) rather than silently cross-joined.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _is_var(term: str) -> bool:
+    return isinstance(term, str) and term.startswith("?")
+
+
+def _pattern_df(
+    triples: DataFrame, pat, subj: str, pred: str, obj: str
+) -> tuple[DataFrame, set]:
+    """One filtered+projected scan: constants filter, variables project."""
+    s, p, o = pat
+    df = triples
+    cols, out = [(s, subj), (p, pred), (o, obj)], []
+    seen = {}
+    for term, col in cols:
+        if _is_var(term):
+            name = term[1:]
+            if not name:
+                raise ValueError(f"empty variable name in pattern {pat}")
+            if name in seen:
+                # repeated variable within one pattern: equality filter
+                df = df.where(F.col(col) == F.col(seen[name]))
+            else:
+                seen[name] = col
+                out.append(F.col(col).alias(name))
+        else:
+            df = df.where(F.col(col) == F.lit(term))
+    return df.select(*out), set(seen)
+
+
+def bgp_match(
+    triples: DataFrame,
+    patterns,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    distinct: bool = True,
+) -> DataFrame:
+    """All variable bindings satisfying every (s, p, o) pattern.
+
+    Terms starting with ``?`` are variables (shared names join);
+    anything else is a constant equality filter. Result columns are the
+    variable names without ``?``, sorted. ``distinct=True`` gives SPARQL
+    SELECT DISTINCT semantics (duplicate solutions from multi-edge
+    bindings collapse); pass False for bag semantics.
+    """
+    pats = list(patterns)
+    if not pats:
+        raise ValueError("empty pattern list")
+    for p in pats:
+        if not any(_is_var(t) for t in p):
+            raise ValueError(
+                f"pattern {p} binds no variable (ASK-style existence "
+                "checks are a count, not a BGP solution)"
+            )
+    # left-deep order: start with the most-constant pattern, then always
+    # pick a pattern connected to the bound variables (fewest new vars
+    # first) — a greedy selectivity heuristic; Catalyst/AQE still picks
+    # the physical join strategy per step.
+    remaining = [(_pattern_df(triples, p, subj, pred, obj), p) for p in pats]
+    remaining.sort(key=lambda t: len(t[0][1]))
+    (acc, bound), _ = remaining.pop(0)
+    while remaining:
+        idx = next(
+            (i for i, ((_, vs), _) in enumerate(remaining) if vs & bound),
+            None,
+        )
+        if idx is None:
+            disconnected = [p for (_, _vs), p in remaining]
+            raise ValueError(
+                f"pattern(s) {disconnected} share no variable with the rest "
+                "of the BGP — refusing the implicit cartesian product"
+            )
+        (df, vs), _ = remaining.pop(idx)
+        acc = acc.join(df, on=sorted(vs & bound))
+        bound |= vs
+    out = acc.select(*sorted(bound))
+    return out.distinct() if distinct else out

@@ -1,0 +1,151 @@
+"""N-Triples serialization round-trip + BGP pattern matching.
+
+Oracle strategy: hand-pinned lines incl. every escape character, a
+seeded random-literal round-trip (format -> parse == identity), and a
+DuckDB SQL twin for the BGP join semantics.
+"""
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from prase_spark.bgp import bgp_match
+from prase_spark.rdfio import from_ntriples, to_ntriples
+
+TRIPLES = [
+    ("http://ex/a", "http://ex/knows", "http://ex/b", False),
+    ("http://ex/a", "http://ex/name", 'Ann "The Hammer"', True),
+    ("http://ex/b", "http://ex/note", "tab\there\nline2\r\\end", True),
+    ("http://ex/b", "http://ex/name", "", True),
+]
+COLS = ["subj", "pred", "obj", "obj_is_lit"]
+
+
+def test_to_ntriples_exact_lines(spark):
+    got = {r["line"] for r in to_ntriples(spark.createDataFrame(TRIPLES, COLS)).collect()}
+    assert got == {
+        "<http://ex/a> <http://ex/knows> <http://ex/b> .",
+        '<http://ex/a> <http://ex/name> "Ann \\"The Hammer\\"" .',
+        '<http://ex/b> <http://ex/note> "tab\\there\\nline2\\r\\\\end" .',
+        '<http://ex/b> <http://ex/name> "" .',
+    }
+
+
+def test_roundtrip_identity(spark):
+    df = spark.createDataFrame(TRIPLES, COLS)
+    back = from_ntriples(to_ntriples(df))
+    assert {tuple(r) for r in back.collect()} == set(TRIPLES)
+
+
+def test_roundtrip_random_literals(spark):
+    import random
+
+    rng = random.Random(7)
+    alphabet = 'ab"\\\n\r\t xyz'
+    rows = [
+        (f"http://ex/e{i}", "http://ex/v",
+         "".join(rng.choice(alphabet) for _ in range(rng.randrange(0, 12))),
+         True)
+        for i in range(200)
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    back = from_ntriples(to_ntriples(df))
+    assert sorted(tuple(r) for r in back.collect()) == sorted(rows)
+
+
+def test_from_ntriples_drops_malformed_and_counts(spark):
+    lines = spark.createDataFrame(
+        [
+            ("<http://ex/a> <http://ex/p> <http://ex/b> .",),
+            ("# a comment",),
+            ("",),
+            ("   ",),
+            ("<http://ex/a> <http://ex/p> no-brackets .",),
+            ('<http://ex/a> <http://ex/p> "unterminated .',),
+            ("<http://ex/a> <missing-object> .",),
+        ],
+        ["line"],
+    )
+    stats = {}
+    out = from_ntriples(lines, stats_out=stats).collect()
+    assert [tuple(r) for r in out] == [("http://ex/a", "http://ex/p", "http://ex/b", False)]
+    assert stats["malformed"] == 3  # comments/blanks are not malformed
+
+
+def _triples_df(spark):
+    rows = [
+        ("a", "type", "Person"), ("b", "type", "Person"), ("c", "type", "City"),
+        ("a", "worksAt", "acme"), ("b", "worksAt", "acme"), ("b", "worksAt", "initech"),
+        ("acme", "locatedIn", "berlin"), ("initech", "locatedIn", "tokyo"),
+        ("a", "knows", "b"), ("b", "knows", "a"), ("a", "knows", "a"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"]), rows
+
+
+def test_bgp_chain(spark):
+    t, _ = _triples_df(spark)
+    got = {
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?x", "type", "Person"), ("?x", "worksAt", "?y"),
+             ("?y", "locatedIn", "berlin")],
+        ).collect()
+    }
+    # columns sorted: (x, y)
+    assert got == {("a", "acme"), ("b", "acme")}
+
+
+def test_bgp_matches_duckdb(spark):
+    t, rows = _triples_df(spark)
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t, [("?x", "knows", "?z"), ("?z", "worksAt", "?y")]
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{a}','{b}','{c}')" for a, b, c in rows)
+        + ") v(subj, pred, obj)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT DISTINCT p1.subj AS x, p2.obj AS y, p1.obj AS z
+            FROM t p1 JOIN t p2 ON p1.obj = p2.subj
+            WHERE p1.pred = 'knows' AND p2.pred = 'worksAt'
+            """
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bgp_repeated_var_in_one_pattern(spark):
+    t, _ = _triples_df(spark)
+    got = {tuple(r) for r in bgp_match(t, [("?x", "knows", "?x")]).collect()}
+    assert got == {("a",)}
+
+
+def test_bgp_rejects_cartesian_and_degenerate(spark):
+    t, _ = _triples_df(spark)
+    with pytest.raises(ValueError, match="cartesian"):
+        bgp_match(t, [("?x", "type", "Person"), ("?y", "type", "City")])
+    with pytest.raises(ValueError, match="binds no variable"):
+        bgp_match(t, [("a", "type", "Person")])
+    with pytest.raises(ValueError, match="empty pattern list"):
+        bgp_match(t, [])
+
+
+def test_bgp_pushes_constant_filters_to_scan(spark, tmp_path):
+    t, rows = _triples_df(spark)
+    p = f"{tmp_path}/t.parquet"
+    t.write.parquet(p)
+    t2 = spark.read.parquet(p)
+    out = bgp_match(t2, [("?x", "worksAt", "?y"), ("?y", "locatedIn", "berlin")])
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the predicate constants must reach the parquet scan, not a
+    # post-scan filter only
+    assert "PushedFilters" in plan and "worksAt" in plan
