@@ -1812,6 +1812,35 @@ def _q_bgp_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental canonical-ID maintenance
+    (matching.incremental_components): a base sameAs graph of 8-node
+    stars (event -> its group hub) is closed with connected_components,
+    then a batch of cross-group edges (every 16th id bridges to the next
+    group) merges pairs of components WITHOUT recomputing over the base —
+    the mapping is only ever streamed against broadcast batch-sized
+    sides (plan-pinned in pytest). The DuckDB twin is the full-recompute
+    reachability closure over base ∪ batch, so the gate value-verifies
+    the central invariant: incremental == from-scratch."""
+    from prase_spark.matching import connected_components, incremental_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    base = ev.filter(F.col("event_id") % 8 != 0).select(
+        F.col("event_id").alias("src"),
+        F.expr("(event_id DIV 8) * 8").alias("dst"),
+    )
+    batch = ev.filter(F.col("event_id") % 16 == 0).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") + 8).alias("dst"),
+    )
+    mapping = connected_components(base)
+    return incremental_components(mapping, batch).select(
+        "node", F.col("component").cast("long").alias("component")
+    )
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -2220,6 +2249,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export_orders": _q_ntriples_export_orders,
         "ntriples_roundtrip_orders": _q_ntriples_roundtrip_orders,
         "bgp_star_orders": _q_bgp_star_orders,
+        "incremental_cc_events": _q_incremental_cc_events,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -4950,5 +4980,27 @@ def oracle_sql() -> dict[str, str]:
                    AND t3.pred = 'inRegion' AND t3.obj = 'r1'
         JOIN tr t4 ON t4.subj = t1.subj
                    AND t4.pred = 'status' AND t4.obj = 'F'
+    """
+    out["incremental_cc_events"] = """
+        WITH RECURSIVE e0 AS (
+            SELECT CAST(event_id AS BIGINT) AS a,
+                   CAST((event_id // 8) * 8 AS BIGINT) AS b
+            FROM events WHERE event_id % 8 <> 0
+            UNION ALL
+            SELECT CAST(event_id AS BIGINT), CAST(event_id + 8 AS BIGINT)
+            FROM events WHERE event_id % 16 = 0
+        ),
+        sym AS (
+            SELECT a, b FROM e0 WHERE a <> b
+            UNION
+            SELECT b, a FROM e0 WHERE a <> b
+        ),
+        reach AS (
+            SELECT a AS node, b AS r FROM sym
+            UNION
+            SELECT reach.node, s.b FROM reach JOIN sym s ON reach.r = s.a
+        )
+        SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS component
+        FROM reach GROUP BY node
     """
     return out

@@ -275,3 +275,82 @@ def canonical_entity_ids(
         .alias("ent_id"),
         F.col("component").alias("canonical_id"),
     )
+
+
+def incremental_components(
+    mapping: DataFrame,
+    new_edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Merge a batch of new sameAs edges into an existing canonical-ID
+    mapping WITHOUT recomputing components over the full graph.
+
+    ``mapping`` is a prior `connected_components` output (node,
+    component), component = min reachable node id; ``new_edges`` is the
+    day's/batch's new equivalence evidence (endpoints may be brand-new
+    nodes). NEW capability beyond the reference (it realigns its two
+    in-memory KGs from scratch each run — objects/KGs.py holds no
+    persistent state); a continuously-updating 10^12-mention store
+    cannot.
+
+    Scale contract — the instance-scale mapping is NEVER shuffled:
+    1. each batch endpoint resolves to its current component with one
+       broadcast-the-batch join against the mapping scan;
+    2. components are CONTRACTED: CC runs only on the (old-comp,
+       old-comp) graph the batch touches — batch-sized, not
+       corpus-sized (transitive cross-batch merges collapse here);
+    3. the resulting (old_comp -> new_comp) relabel map is broadcast
+       back over the mapping — one more scan, no exchange — and
+       brand-new nodes are unioned in.
+    Labels stay canonical (min node id) because a merged component's new
+    label is the min of the merged old labels, each itself a min node id.
+    """
+    e = (
+        new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull())
+        .distinct()
+    )
+    batch_nodes = (
+        e.select(F.col("a").alias("node"))
+        .unionByName(e.select(F.col("b").alias("node")))
+        .distinct()
+    )
+    # (1) resolve endpoints: broadcast the batch side so the mapping only
+    # streams (never shuffles); ``seen`` is batch-sized, so the anti-join
+    # for unseen nodes broadcasts batch-sized data only — the full
+    # mapping's node column is never collected or broadcast
+    seen = (
+        mapping.join(F.broadcast(batch_nodes), "node")
+        .select("node", "component")
+        .localCheckpoint()
+    )
+    unseen = batch_nodes.join(
+        F.broadcast(seen.select("node")), "node", "left_anti"
+    ).select("node", F.col("node").alias("component"))
+    resolved = seen.unionByName(unseen)
+    ra = resolved.select(F.col("node").alias("a"), F.col("component").alias("ca"))
+    rb = resolved.select(F.col("node").alias("b"), F.col("component").alias("cb"))
+    contracted = (
+        e.join(F.broadcast(ra), "a")
+        .join(F.broadcast(rb), "b")
+        .select(F.col("ca").alias("src"), F.col("cb").alias("dst"))
+        .where(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    # (2) CC over the touched-component graph only
+    relabel = (
+        connected_components(contracted)
+        .where(F.col("node") != F.col("component"))
+        .select(F.col("node").alias("component"), F.col("component").alias("new_comp"))
+    )
+    if stats_out is not None:
+        stats_out["touched_components"] = relabel.count()
+    # (3) broadcast relabel over the mapping; brand-new nodes enter with
+    # their own id as component, then relabel like everything else
+    return (
+        mapping.unionByName(unseen)
+        .join(F.broadcast(relabel), "component", "left")
+        .select("node", F.coalesce("new_comp", "component").alias("component"))
+    )
