@@ -18,7 +18,9 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
 """
 
 from prase_spark.asof import asof_join
+from prase_spark.bgp import bgp_match
 from prase_spark.checkpoint import load_state, save_state
+from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import extract_text, extract_triples
@@ -35,7 +37,9 @@ from prase_spark.matching import (
     bipartite_match,
     canonical_entity_ids,
     connected_components,
+    incremental_components,
 )
+from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -79,6 +83,12 @@ __all__ = [
     "node_triangles",
     "link_candidates",
     "asof_join",
+    "bgp_match",
+    "transitive_closure",
+    "propagate_types",
+    "incremental_components",
+    "to_ntriples",
+    "from_ntriples",
     "TransEModel",
     "init_entity_embeddings",
     "train_transe",
