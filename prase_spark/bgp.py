@@ -62,6 +62,7 @@ def bgp_match(
     pred: str = "pred",
     obj: str = "obj",
     distinct: bool = True,
+    optional=(),
 ) -> DataFrame:
     """All variable bindings satisfying every (s, p, o) pattern.
 
@@ -70,6 +71,14 @@ def bgp_match(
     variable names without ``?``, sorted. ``distinct=True`` gives SPARQL
     SELECT DISTINCT semantics (duplicate solutions from multi-edge
     bindings collapse); pass False for bag semantics.
+
+    ``optional`` patterns are SPARQL OPTIONAL clauses: each left-joins
+    onto the required solution on its shared variables — solutions
+    survive with NULL bindings where the optional edge is absent. Each
+    optional must share ≥1 variable with the required patterns (same
+    cartesian guard), and optionals join the REQUIRED bindings
+    independently (a chain of dependent optionals should be one
+    required-BGP-plus-optional nesting, not two optionals).
     """
     pats = list(patterns)
     if not pats:
@@ -101,5 +110,20 @@ def bgp_match(
         (df, vs), _ = remaining.pop(idx)
         acc = acc.join(df, on=sorted(vs & bound))
         bound |= vs
+    acc = acc.select(*sorted(bound))
+    if distinct:
+        acc = acc.distinct()
+    for pat in optional:
+        df, vs = _pattern_df(triples, pat, subj, pred, obj)
+        shared = vs & bound
+        if not shared:
+            raise ValueError(
+                f"optional pattern {pat} shares no variable with the "
+                "required patterns — refusing the implicit cartesian product"
+            )
+        if distinct:
+            df = df.distinct()
+        acc = acc.join(df, on=sorted(shared), how="left")
+        bound |= vs
     out = acc.select(*sorted(bound))
-    return out.distinct() if distinct else out
+    return out

@@ -62,24 +62,40 @@ def to_ntriples(
     """Render (subj, pred, obj, obj_is_lit) rows as N-Triples ``line``s.
 
     IRIs are wrapped in angle brackets as-is (upstream normalize_uri
-    guarantees bracket-safety); literal objects get the five canonical
-    string escapes and double quotes.
+    guarantees bracket-safety); terms already spelled ``_:label`` are
+    emitted as blank nodes (bare); literal objects get the five
+    canonical string escapes and double quotes.
     """
+
+    def _res_term(col):
+        return F.when(col.startswith("_:"), col).otherwise(
+            F.concat(F.lit("<"), col, F.lit(">"))
+        )
+
     obj_term = F.when(
         F.col(obj_is_lit),
         F.concat(F.lit('"'), _escape_literal(F.col(obj)), F.lit('"')),
-    ).otherwise(F.concat(F.lit("<"), F.col(obj), F.lit(">")))
+    ).otherwise(_res_term(F.col(obj)))
     return triples.select(
         F.concat(
-            F.lit("<"), F.col(subj), F.lit("> <"), F.col(pred), F.lit("> "),
+            _res_term(F.col(subj)), F.lit(" <"), F.col(pred), F.lit("> "),
             obj_term, F.lit(" ."),
         ).alias("line")
     )
 
 
-# one anchored regex classifies + captures both shapes; group 3 non-None
-# selects the IRI-object alternative, group 4 the literal alternative
-_NT_RE = r'^<([^<>\s]+)> <([^<>\s]+)> (?:<([^<>\s]+)>|"((?:[^"\\]|\\.)*)") \.$'
+# one anchored regex classifies + captures every term shape:
+# g1 subj-IRI | g2 subj-blank, g3 pred, g4 obj-IRI | g5 obj-blank |
+# g6 obj-literal (an optional ^^<datatype> / @lang suffix is accepted
+# and STRIPPED — the engine's literal normalizer drops those wrappers
+# anyway, reference objects/KG.py:71-87)
+_NT_RE = (
+    r"^(?:<([^<>\s]+)>|(_:[A-Za-z][A-Za-z0-9]*)) "
+    r"<([^<>\s]+)> "
+    r'(?:<([^<>\s]+)>|(_:[A-Za-z][A-Za-z0-9]*)|'
+    r'"((?:[^"\\]|\\.)*)"(?:\^\^<[^<>\s]+>|@[A-Za-z][A-Za-z0-9-]*)?)'
+    r" \.$"
+)
 
 
 def from_ntriples(
@@ -89,20 +105,32 @@ def from_ntriples(
 ) -> DataFrame:
     """Parse N-Triples ``line``s back to (subj, pred, obj, obj_is_lit).
 
-    Malformed lines (and comments / blank lines) are dropped, counted in
-    ``stats_out['malformed']`` when a dict is passed — the same
-    drop-and-count contract as the TSV scan's malformed-line filter
-    (sources._read_tsv).
+    Accepts the full common dump profile: IRI and ``_:label`` blank-node
+    terms (blanks come back spelled ``_:label``, so export∘parse is
+    still the identity), and typed/language-tagged literals — the
+    ``^^<dt>`` / ``@lang`` suffix is stripped to the lexical form, the
+    same normalization the engine's literal normalizer applies
+    (reference objects/KG.py:71-87). Malformed lines (and comments /
+    blank lines) are dropped, counted in ``stats_out['malformed']`` when
+    a dict is passed — the same drop-and-count contract as the TSV
+    scan's malformed-line filter (sources._read_tsv).
     """
     l = F.col(line)
+    # regexp_extract returns '' both for no-match and a non-participating
+    # group: terms are ≥1 char by construction, so '' reliably means "the
+    # other alternative matched"; the IRI-vs-blank pick is a when chain
+    # and the literal branch is flagged off the raw text (only literal
+    # objects put a quote after the predicate's closing bracket)
     parsed = lines.select(
-        F.regexp_extract(l, _NT_RE, 1).alias("subj"),
-        F.regexp_extract(l, _NT_RE, 2).alias("pred"),
-        F.regexp_extract(l, _NT_RE, 3).alias("_obj_iri"),
-        F.regexp_extract(l, _NT_RE, 4).alias("_obj_lit"),
+        F.when(F.regexp_extract(l, _NT_RE, 1) != "", F.regexp_extract(l, _NT_RE, 1))
+        .otherwise(F.regexp_extract(l, _NT_RE, 2))
+        .alias("subj"),
+        F.regexp_extract(l, _NT_RE, 3).alias("pred"),
+        F.when(F.regexp_extract(l, _NT_RE, 4) != "", F.regexp_extract(l, _NT_RE, 4))
+        .otherwise(F.regexp_extract(l, _NT_RE, 5))
+        .alias("_obj_res"),
+        F.regexp_extract(l, _NT_RE, 6).alias("_obj_lit"),
         l.rlike(_NT_RE).alias("_ok"),
-        # regexp_extract returns '' both for no-match and empty capture:
-        # disambiguate the IRI-vs-literal branch off the raw text
         l.rlike(r'> "').alias("_is_lit"),
     )
     if stats_out is not None:
@@ -118,7 +146,7 @@ def from_ntriples(
             "subj",
             "pred",
             F.when(F.col("_is_lit"), _unescape_literal(F.col("_obj_lit")))
-            .otherwise(F.col("_obj_iri"))
+            .otherwise(F.col("_obj_res"))
             .alias("obj"),
             F.col("_is_lit").alias("obj_is_lit"),
         )

@@ -149,3 +149,73 @@ def test_bgp_pushes_constant_filters_to_scan(spark, tmp_path):
     # the predicate constants must reach the parquet scan, not a
     # post-scan filter only
     assert "PushedFilters" in plan and "worksAt" in plan
+
+
+def test_blank_nodes_roundtrip_and_parse(spark):
+    rows = [
+        ("_:b0", "http://ex/p", "http://ex/x", False),
+        ("http://ex/a", "http://ex/p", "_:b0", False),
+        ("_:b1", "http://ex/name", 'val "q"', True),
+    ]
+    df = spark.createDataFrame(rows, COLS)
+    lines = {r["line"] for r in to_ntriples(df).collect()}
+    assert lines == {
+        "_:b0 <http://ex/p> <http://ex/x> .",
+        "<http://ex/a> <http://ex/p> _:b0 .",
+        '_:b1 <http://ex/name> "val \\"q\\"" .',
+    }
+    back = from_ntriples(to_ntriples(df))
+    assert {tuple(r) for r in back.collect()} == set(rows)
+
+
+def test_typed_and_tagged_literals_stripped(spark):
+    lines = spark.createDataFrame(
+        [
+            ('<http://ex/a> <http://ex/age> "42"^^<http://www.w3.org/2001/XMLSchema#integer> .',),
+            ('<http://ex/a> <http://ex/label> "chat"@fr .',),
+            ('<http://ex/a> <http://ex/label> "plain" .',),
+        ],
+        ["line"],
+    )
+    stats = {}
+    got = {tuple(r) for r in from_ntriples(lines, stats_out=stats).collect()}
+    # suffix stripped to the lexical form — the same normalization the
+    # engine's literal normalizer applies (reference objects/KG.py:71-87)
+    assert got == {
+        ("http://ex/a", "http://ex/age", "42", True),
+        ("http://ex/a", "http://ex/label", "chat", True),
+        ("http://ex/a", "http://ex/label", "plain", True),
+    }
+    assert stats["malformed"] == 0
+
+
+def test_bgp_optional(spark):
+    t, _ = _triples_df(spark)
+    got = {
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?x", "type", "Person")],
+            optional=[("?x", "worksAt", "?w")],
+        ).collect()
+    }
+    # a,b both work; optional binds w — cols sorted (w, x)... variable
+    # order: sorted(bound) = [w, x]
+    assert got == {("acme", "a"), ("acme", "b"), ("initech", "b")}
+
+    # absent optional edge -> NULL binding, row survives
+    got2 = {
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?x", "type", "City")],
+            optional=[("?x", "worksAt", "?w")],
+        ).collect()
+    }
+    assert got2 == {(None, "c")}
+
+
+def test_bgp_optional_rejects_disconnected(spark):
+    t, _ = _triples_df(spark)
+    with pytest.raises(ValueError, match="optional pattern"):
+        bgp_match(t, [("?x", "type", "Person")], optional=[("?z", "type", "City")])
