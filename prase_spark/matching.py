@@ -283,7 +283,8 @@ def incremental_components(
     src: str = "src",
     dst: str = "dst",
     stats_out: dict | None = None,
-) -> DataFrame:
+    with_delta: bool = False,
+):
     """Merge a batch of new sameAs edges into an existing canonical-ID
     mapping WITHOUT recomputing components over the full graph.
 
@@ -306,6 +307,11 @@ def incremental_components(
        brand-new nodes are unioned in.
     Labels stay canonical (min node id) because a merged component's new
     label is the min of the merged old labels, each itself a min node id.
+
+    ``with_delta=True`` additionally returns the CHANGED rows — relabelled
+    old nodes plus brand-new nodes — as a second DataFrame: the
+    O(touched)-sized record a snapshot+delta store persists per batch
+    instead of rewriting the O(10^12) mapping (streaming.run_incremental_cc_stream).
     """
     e = (
         new_edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
@@ -349,8 +355,20 @@ def incremental_components(
         stats_out["touched_components"] = relabel.count()
     # (3) broadcast relabel over the mapping; brand-new nodes enter with
     # their own id as component, then relabel like everything else
-    return (
+    full = (
         mapping.unionByName(unseen)
         .join(F.broadcast(relabel), "component", "left")
         .select("node", F.coalesce("new_comp", "component").alias("component"))
     )
+    if not with_delta:
+        return full
+    changed_old = (
+        mapping.join(F.broadcast(relabel), "component")
+        .select("node", F.col("new_comp").alias("component"))
+    )
+    delta = changed_old.unionByName(
+        unseen.join(F.broadcast(relabel), "component", "left").select(
+            "node", F.coalesce("new_comp", "component").alias("component")
+        )
+    )
+    return full, delta

@@ -200,6 +200,113 @@ def run_incremental_dedup_stream(
     return writer.start()
 
 
+def read_cc_state(spark: SparkSession, state_path: str, exclude_batch: int | None = None) -> DataFrame:
+    """Reconstruct the current canonical-ID mapping (node, component) from
+    a snapshot+delta store written by :func:`run_incremental_cc_stream`.
+
+    Last-writer-wins per node over the hive-partitioned delta log
+    (``state_path/delta/batch=<id>``): a node's component is the one from
+    the highest batch that touched it — exactly one hash aggregation on
+    the node key, no join. ``exclude_batch`` drops one partition at the
+    SCAN (partition-pruned, not post-filtered) so a replayed micro-batch
+    never reads its own failed attempt's output.
+    """
+    df = spark.read.parquet(f"{state_path}/delta")
+    if exclude_batch is not None:
+        df = df.filter(F.col("batch") != F.lit(int(exclude_batch)))
+    return df.groupBy("node").agg(
+        F.max_by("component", F.col("batch")).alias("component")
+    )
+
+
+def compact_cc_state(spark: SparkSession, state_path: str, target_path: str) -> int:
+    """Offline compaction for the delta log: materialize the merged
+    mapping into a FRESH state dir (``target_path/delta/batch=0``) the
+    caller atomically swaps in. Keeps :func:`read_cc_state`'s per-read
+    cost O(live nodes) instead of O(sum of delta rows ever written);
+    at 10^12 mentions this runs as a periodic batch job off the hot path.
+    Returns the number of live mapping rows written.
+    """
+    merged = read_cc_state(spark, state_path)
+    merged.write.mode("overwrite").parquet(f"{target_path}/delta/batch=0")
+    return spark.read.parquet(f"{target_path}/delta/batch=0").count()
+
+
+def run_incremental_cc_stream(
+    spark: SparkSession,
+    edges_path: str,
+    state_path: str,
+    checkpoint_path: str,
+    src: str = "src",
+    dst: str = "dst",
+    available_now: bool = True,
+    metrics_out: dict | None = None,
+):
+    """Continuous canonical-entity-ID maintenance: the streaming twin of
+    matching.incremental_components for a sameAs-evidence feed that never
+    stops (each PARIS/embedding pass over a fresh crawl slice emits new
+    equivalence edges; the canonical mapping must absorb them without a
+    full recompute).
+
+    Per micro-batch (foreachBatch):
+    1. the current mapping is reconstructed from the delta log
+       (:func:`read_cc_state`), EXCLUDING this batch's own partition so a
+       replay after a mid-batch crash is idempotent (same doctrine as
+       run_incremental_dedup_stream's store probe);
+    2. incremental_components merges the batch edges — the mapping only
+       streams (broadcast-the-batch joins; the touched-component relabel
+       is batch-bounded), never shuffles;
+    3. ONLY the delta (relabelled old nodes + brand-new nodes — O(touched),
+       not O(corpus)) lands under ``state_path/delta/batch=<id>``,
+       mode=overwrite, so the sink is idempotent on top of the stream
+       checkpoint's exactly-once file progress. A 10^12-row mapping is
+       never rewritten per batch; run :func:`compact_cc_state` off the
+       hot path when the log grows.
+
+    ``metrics_out`` (test hook) accumulates per-batch
+    ``{batch_id: {"delta_rows": n, "touched_components": m}}`` lineage.
+    """
+    from prase_spark.matching import incremental_components
+
+    schema = spark.read.parquet(edges_path).schema
+
+    def process(batch_df: DataFrame, batch_id: int):
+        sess = batch_df.sparkSession
+        try:
+            mapping = read_cc_state(sess, state_path, exclude_batch=batch_id)
+        except Exception:  # first batch: no delta log yet — empty mapping
+            # typed after the edge endpoints (ids may be long OR string)
+            mapping = batch_df.select(
+                F.col(src).alias("node"), F.col(src).alias("component")
+            ).limit(0)
+        stats: dict = {}
+        _, delta = incremental_components(
+            mapping, batch_df, src=src, dst=dst, stats_out=stats, with_delta=True
+        )
+        delta = delta.persist()
+        try:
+            delta.write.mode("overwrite").parquet(
+                f"{state_path}/delta/batch={batch_id}"
+            )
+            if metrics_out is not None:
+                metrics_out[int(batch_id)] = {
+                    "delta_rows": delta.count(),
+                    "touched_components": stats.get("touched_components"),
+                }
+        finally:
+            delta.unpersist()
+
+    writer = (
+        spark.readStream.schema(schema)
+        .parquet(edges_path)
+        .writeStream.foreachBatch(process)
+        .option("checkpointLocation", checkpoint_path)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def streaming_event_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
     """Windowed aggregation pattern over an event stream (late data handled
     by watermark) — the standard stateful-op shape for pipeline metrics."""

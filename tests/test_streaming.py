@@ -221,3 +221,106 @@ def test_incremental_dedup_stream_midbatch_failure_replay(spark, tmp_path):
     # pre-crash signature, and it is genuinely novel vs batch 0's store
     assert {r["doc_id"] for r in spark.read.parquet(out).collect()} == {10, 21}
     assert spark.read.parquet(store).count() == 2
+
+
+def _cc_state(spark, state):
+    from prase_spark.streaming import read_cc_state
+
+    return {
+        (r["node"], r["component"]) for r in read_cc_state(spark, state).collect()
+    }
+
+
+def test_incremental_cc_stream_two_waves(spark, tmp_path):
+    """Wave 1 builds {1,2,3} + {10,11}; wave 2's single edge (3,10) must
+    merge the two components transitively and introduce a new node 20 —
+    with the state store only ever holding O(touched) delta rows per
+    batch, reconstructed last-writer-wins by read_cc_state."""
+    from prase_spark.streaming import run_incremental_cc_stream
+
+    src = str(tmp_path / "edges")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    wave1 = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "src LONG, dst LONG"
+    )
+    wave1.write.parquet(src)
+    metrics: dict = {}
+    q = run_incremental_cc_stream(spark, src, state, ckpt, metrics_out=metrics)
+    q.awaitTermination(180)
+    assert _cc_state(spark, state) == {(1, 1), (2, 1), (3, 1), (10, 10), (11, 10)}
+
+    wave2 = spark.createDataFrame([(3, 10), (20, 20)], "src LONG, dst LONG")
+    wave2.write.mode("append").parquet(src)
+    metrics2: dict = {}
+    q2 = run_incremental_cc_stream(spark, src, state, ckpt, metrics_out=metrics2)
+    q2.awaitTermination(180)
+    assert _cc_state(spark, state) == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (20, 20)
+    }
+    # the batch-1 delta is O(touched): relabelled 10,11 + new node 20 —
+    # NOT a rewrite of the full 6-row mapping
+    (bid,) = metrics2.keys()
+    assert metrics2[bid]["delta_rows"] == 3
+    assert metrics2[bid]["touched_components"] == 1  # comp 10 -> 1
+
+    # drained replay: no new batches, state unchanged
+    q3 = run_incremental_cc_stream(spark, src, state, ckpt)
+    q3.awaitTermination(180)
+    assert _cc_state(spark, state) == {
+        (1, 1), (2, 1), (3, 1), (10, 1), (11, 1), (20, 20)
+    }
+
+
+def test_incremental_cc_stream_midbatch_failure_replay(spark, tmp_path):
+    """Crash-replay semantics: an attempt of batch 1 wrote its delta but
+    died before the checkpoint commit. The replay must NOT read its own
+    half-written delta as prior state (that would make the merge a no-op
+    relabel against already-merged labels); it must recompute from
+    batch-0 state only and overwrite. Simulated by planting a WRONG delta
+    under delta/batch=1 before the replay runs."""
+    from prase_spark.streaming import run_incremental_cc_stream
+
+    src = str(tmp_path / "edges")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+
+    spark.createDataFrame([(1, 2), (10, 11)], "src LONG, dst LONG").write.parquet(src)
+    q = run_incremental_cc_stream(spark, src, state, ckpt)
+    q.awaitTermination(180)
+    assert _cc_state(spark, state) == {(1, 1), (2, 1), (10, 10), (11, 10)}
+
+    # failed first attempt of batch 1: a bogus delta landed (wrong labels)
+    spark.createDataFrame(
+        [(10, 99), (11, 99)], "node LONG, component LONG"
+    ).write.mode("overwrite").parquet(f"{state}/delta/batch=1")
+
+    wave2 = spark.createDataFrame([(2, 10)], "src LONG, dst LONG")
+    wave2.write.mode("append").parquet(src)
+    q2 = run_incremental_cc_stream(spark, src, state, ckpt)
+    q2.awaitTermination(180)
+    # replay overwrote the bogus partition; labels are the true merge
+    assert _cc_state(spark, state) == {(1, 1), (2, 1), (10, 1), (11, 1)}
+
+
+def test_compact_cc_state(spark, tmp_path):
+    """Compaction folds the delta log into a fresh single-batch state dir
+    whose read_cc_state output is identical to the uncompacted read."""
+    from prase_spark.streaming import compact_cc_state, run_incremental_cc_stream
+
+    src = str(tmp_path / "edges")
+    state = str(tmp_path / "state")
+    ckpt = str(tmp_path / "ckpt")
+    spark.createDataFrame([(1, 2), (10, 11)], "src LONG, dst LONG").write.parquet(src)
+    run_incremental_cc_stream(spark, src, state, ckpt).awaitTermination(180)
+    spark.createDataFrame([(2, 10)], "src LONG, dst LONG").write.mode(
+        "append"
+    ).parquet(src)
+    run_incremental_cc_stream(spark, src, state, ckpt).awaitTermination(180)
+
+    before = _cc_state(spark, state)
+    compacted = str(tmp_path / "state2")
+    n = compact_cc_state(spark, state, compacted)
+    assert n == len(before)
+    assert _cc_state(spark, compacted) == before
