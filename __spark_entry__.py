@@ -1841,6 +1841,33 @@ def _q_incremental_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_incremental_cc_delta_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The O(touched) DELTA of the same incremental merge
+    (matching.incremental_components with_delta=True) — the per-batch
+    record streaming.run_incremental_cc_stream persists instead of
+    rewriting the 10^12-row mapping. Delta semantics value-verified
+    against first principles: a node is in the delta iff it is NEW
+    (absent from the base mapping) or its component label CHANGED —
+    the DuckDB twin computes base-only and base∪batch reachability
+    closures independently and diffs them."""
+    from prase_spark.matching import connected_components, incremental_components
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_id").cast("long").alias("event_id")
+    )
+    base = ev.filter(F.col("event_id") % 8 != 0).select(
+        F.col("event_id").alias("src"),
+        F.expr("(event_id DIV 8) * 8").alias("dst"),
+    )
+    batch = ev.filter(F.col("event_id") % 16 == 0).select(
+        F.col("event_id").alias("src"),
+        (F.col("event_id") + 8).alias("dst"),
+    )
+    mapping = connected_components(base)
+    _, delta = incremental_components(mapping, batch, with_delta=True)
+    return delta.select("node", F.col("component").cast("long").alias("component"))
+
+
 # ---- rows-only queries (non-SQL-expressible; pytest oracles cover them) ----
 
 
@@ -2250,6 +2277,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_roundtrip_orders": _q_ntriples_roundtrip_orders,
         "bgp_star_orders": _q_bgp_star_orders,
         "incremental_cc_events": _q_incremental_cc_events,
+        "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5002,5 +5030,49 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS component
         FROM reach GROUP BY node
+    """
+    out["incremental_cc_delta_events"] = """
+        WITH RECURSIVE be AS (
+            SELECT CAST(event_id AS BIGINT) AS a,
+                   CAST((event_id // 8) * 8 AS BIGINT) AS b
+            FROM events WHERE event_id % 8 <> 0
+        ),
+        bsym AS (
+            SELECT a, b FROM be WHERE a <> b
+            UNION
+            SELECT b, a FROM be WHERE a <> b
+        ),
+        breach AS (
+            SELECT a AS node, b AS r FROM bsym
+            UNION
+            SELECT breach.node, s.b FROM breach JOIN bsym s ON breach.r = s.a
+        ),
+        base_map AS (
+            SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS component
+            FROM breach GROUP BY node
+        ),
+        fe AS (
+            SELECT a, b FROM be
+            UNION ALL
+            SELECT CAST(event_id AS BIGINT), CAST(event_id + 8 AS BIGINT)
+            FROM events WHERE event_id % 16 = 0
+        ),
+        fsym AS (
+            SELECT a, b FROM fe WHERE a <> b
+            UNION
+            SELECT b, a FROM fe WHERE a <> b
+        ),
+        freach AS (
+            SELECT a AS node, b AS r FROM fsym
+            UNION
+            SELECT freach.node, s.b FROM freach JOIN fsym s ON freach.r = s.a
+        ),
+        full_map AS (
+            SELECT node, CAST(LEAST(node, MIN(r)) AS BIGINT) AS component
+            FROM freach GROUP BY node
+        )
+        SELECT f.node, f.component
+        FROM full_map f LEFT JOIN base_map b ON f.node = b.node
+        WHERE b.node IS NULL OR b.component <> f.component
     """
     return out
