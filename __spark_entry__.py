@@ -1966,18 +1966,66 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_ALIGN_RES_CACHE: dict = {}
+
+
+def _align_results_2iter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Memoized flagship alignment_results (2 Jacobi iterations, default
+    θ): shared by the alignment gate and the canonical-export gate so the
+    fixpoint runs once per (session, sf_dir) during a gate sweep."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.pipeline import align, alignment_results
+
+    key = (id(spark), sf_dir)
+    if key not in _ALIGN_RES_CACHE:
+        kg1, kg2 = _kg_pair(spark, sf_dir)
+        cfg = ParisConfig(iterations=2)
+        run = align(spark, kg1, kg2, cfg, checkpoint=False)
+        _ALIGN_RES_CACHE[key] = alignment_results(
+            run.state, kg1, kg2, cfg.theta
+        ).localCheckpoint()
+    return _ALIGN_RES_CACHE[key]
+
+
 def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Flagship: full PARIS alignment between the two TPC-H-derived KGs
     (2 Jacobi iterations + bipartite). Rows-only for the driver; the pytest
     oracle (tests/oracle_paris.py) checks the math value-for-value."""
-    from prase_spark.config import ParisConfig
-    from prase_spark.pipeline import align, alignment_results
-
-    kg1, kg2 = _kg_pair(spark, sf_dir)
-    cfg = ParisConfig(iterations=2)
-    run = align(spark, kg1, kg2, cfg, checkpoint=False)
-    res = alignment_results(run.state, kg1, kg2, cfg.theta)
+    res = _align_results_2iter(spark, sf_dir)
     return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
+
+
+def _q_canonical_export_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """North-rule closer as ONE value-oracled query: PARIS alignment →
+    canonical-entity merge (connected components over the accepted
+    entity-equivalence graph, canonical = min IRI) → owl:sameAs
+    N-Triples materialization (rdfio.to_ntriples codegen render). The
+    DuckDB twin replays the full 2-iteration fixpoint SQL, closes the
+    pair graph with a recursive reachability CTE, and renders the lines
+    with string concatenation — so linking, merging AND the export
+    rendering are all in the value hash."""
+    from prase_spark.matching import connected_components
+    from prase_spark.rdfio import to_ntriples
+
+    res = _align_results_2iter(spark, sf_dir)
+    # KG1 names carry <...> wrappers, KG2 names are bare (tpch_kg.py);
+    # CC runs over bare IRIs so min-ordering is bracket-free in both
+    # engines
+    pairs = res.filter(F.col("kind") == "entity").select(
+        F.regexp_replace(
+            F.regexp_replace("name_l", "^<", ""), ">$", ""
+        ).alias("src"),
+        F.col("name_r").alias("dst"),
+    )
+    comp = connected_components(pairs)
+    return to_ntriples(
+        comp.select(
+            F.col("node").alias("subj"),
+            F.lit("http://www.w3.org/2002/07/owl#sameAs").alias("pred"),
+            F.col("component").alias("obj"),
+            F.lit(False).alias("obj_is_lit"),
+        )
+    )
 
 
 def _det_embeddings(kg, dim: int = 4) -> DataFrame:
@@ -2278,6 +2326,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star_orders": _q_bgp_star_orders,
         "incremental_cc_events": _q_incremental_cc_events,
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
+        "canonical_export_tpch": _q_canonical_export_tpch,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -3887,6 +3936,42 @@ def oracle_sql() -> dict[str, str]:
                   NOT IN ('site2.co.uk', 'site5.org', 'example.com')
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
+        # canonical_export_tpch: the full 2-iter fixpoint replay as a CTE,
+        # then recursive reachability closure over accepted entity pairs
+        # (canonical = min bare IRI) rendered as owl:sameAs N-Triples.
+        "canonical_export_tpch": f"""
+            WITH res AS (
+                {_paris_align_sql(iterations=2)}
+            ),
+            cpairs AS (
+                SELECT regexp_replace(regexp_replace(name_l, '^<', ''), '>$', '') AS a,
+                       name_r AS b
+                FROM res WHERE kind = 'entity'
+            ),
+            csym AS (
+                SELECT a, b FROM cpairs WHERE a <> b
+                UNION
+                SELECT b, a FROM cpairs WHERE a <> b
+            ),
+            -- DuckDB rejects a nested WITH inside a RECURSIVE outer CTE
+            -- list, so the reachability closure is scoped into its own
+            -- derived-table subquery (non-recursive outer list is fine).
+            ccomp AS (
+                SELECT node, LEAST(node, MIN(r)) AS component
+                FROM (
+                    WITH RECURSIVE creach AS (
+                        SELECT a AS node, b AS r FROM csym
+                        UNION
+                        SELECT creach.node, s.b
+                        FROM creach JOIN csym s ON creach.r = s.a
+                    )
+                    SELECT node, r FROM creach
+                ) GROUP BY node
+            )
+            SELECT '<' || node || '> <http://www.w3.org/2002/07/owl#sameAs> <'
+                   || component || '> .' AS line
+            FROM ccomp
+        """,
         "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),
         "feedback_align_tpch": _paris_align_sql(iterations=3, fusion=True, seed_customers=True),
         "reset_align_tpch": _paris_align_sql(iterations=2, reset_customers=True),
