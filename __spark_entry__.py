@@ -2315,7 +2315,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temperature_mix_docs": _q_temperature_mix_docs,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "multimodal_decode": _q_multimodal_decode,
-        "ivf_topk": _q_ivf_topk,
+        # canonical_export (north-rule closer, new this round) takes the
+        # driver-record slot; ivf_topk yields it — r4 driver-green, and
+        # its only r5 change (search-side unpersist) cannot alter values.
+        "canonical_export_tpch": _q_canonical_export_tpch,
         "bpe_merges_docs": _q_bpe_merges_docs,
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
@@ -2326,7 +2329,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star_orders": _q_bgp_star_orders,
         "incremental_cc_events": _q_incremental_cc_events,
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
-        "canonical_export_tpch": _q_canonical_export_tpch,
+        "ivf_topk": _q_ivf_topk,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
