@@ -457,6 +457,75 @@ def _q_pages_jsonl_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_warc_scan_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Raw WARC container scan (warc.read_warc) — the Common-Crawl native
+    format — over one plain .warc and one member-per-record .warc.gz,
+    with interleaved warcinfo/request records (type-filtered), planted
+    mid-file garbage, a lying Content-Length, and a truncated tail record
+    (all resync'd/dropped). The decoded payload string is in the hash, so
+    byte-identity of the html block and the gzip-member walk are both
+    value-verified."""
+    import os
+
+    from prase_spark.warc import gzip_member, warc_record_bytes
+
+    base = _gate_tmp_dir(sf_dir)
+
+    def rec(k: int) -> bytes:
+        return warc_record_bytes(
+            f"https://ex.org/w/{k}",
+            f"2024-05-{1 + k % 9:02d}T{k % 10:02d}:00:00Z",
+            f"<html><body>Warc {k}</body></html>".encode(),
+            http_status=(200, 301, 404)[k % 3],
+        )
+
+    def req(k: int) -> bytes:
+        return warc_record_bytes(
+            f"https://ex.org/w/{k}",
+            f"2024-05-{1 + k % 9:02d}T{k % 10:02d}:00:00Z",
+            b"GET / HTTP/1.1\r\n\r\n",
+            warc_type="request",
+            with_http=False,
+            mime="application/http; msgtype=request",
+        )
+
+    info = warc_record_bytes(
+        None, "2024-05-01T00:00:00Z", b"software: prase",
+        warc_type="warcinfo", mime="application/warc-fields",
+    )
+    plain = [info]
+    for k in range(70):
+        plain.append(req(k))
+        plain.append(rec(k))
+        if k == 40:
+            plain.append(b"\x00mid-file garbage\xff\xfe")
+        if k == 55:  # lying Content-Length (way past EOF) -> resync drops only this one
+            plain.append(
+                rec(9000).replace(b"Content-Length: ", b"Content-Length: 9999", 1)
+            )
+    plain.append(rec(9001)[:60])  # truncated tail
+    with open(os.path.join(base, "part0.warc"), "wb") as f:
+        f.write(b"".join(plain))
+    gz = [gzip_member(info)]
+    for k in range(70, 140):
+        gz.append(gzip_member(req(k)))
+        gz.append(gzip_member(rec(k)))
+    with open(os.path.join(base, "part1.warc.gz"), "wb") as f:
+        f.write(b"".join(gz))
+
+    from prase_spark.warc import read_warc
+
+    out = read_warc(spark, os.path.join(base, "part*.warc*"))
+    return out.select(
+        "url",
+        F.date_format("warc_ts", "yyyy-MM-dd HH:mm:ss").alias("ts"),
+        "warc_file",
+        "http_status",
+        "mime",
+        F.col("html").cast("string").alias("body"),
+    )
+
+
 def _q_embedding_table_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S4: mapping TSV (name, idx) + vector parquet -> (name, embedding),
     via read_embedding_table; output (name, dim) so the join result is
@@ -2312,7 +2381,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transe_margin_counts": _q_transe_margin_counts,
         "substring_dup_docs": _q_substring_dup_docs,
         "cap_per_source_docs": _q_cap_per_source_docs,
-        "temperature_mix_docs": _q_temperature_mix_docs,
+        # warc_scan_pages (new surface) takes this record slot;
+        # temperature_mix_docs yields — r4 driver-green, and its only r5
+        # change (zero-size-stratum guard) provably never fired there.
+        "warc_scan_pages": _q_warc_scan_pages,
         "incremental_dedup_docs": _q_incremental_dedup_docs,
         "multimodal_decode": _q_multimodal_decode,
         # canonical_export (north-rule closer, new this round) takes the
@@ -2330,6 +2402,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_events": _q_incremental_cc_events,
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "ivf_topk": _q_ivf_topk,
+        "temperature_mix_docs": _q_temperature_mix_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -3458,6 +3531,23 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT 'e' || k, 'attr', 'value ' || k, TRUE
             FROM (SELECT unnest(generate_series(0, 119)) AS k) WHERE k % 3 <> 0
+        """,
+        # warc_scan_pages: the expected rows by construction from the
+        # planting arithmetic — the oracle never parses a WARC byte, so
+        # the hash proves the gzip-member walk, the HTTP split, the
+        # type filter, AND the resync drops (garbage / lying length /
+        # truncated tail yield exactly the 140 planted responses).
+        "warc_scan_pages": """
+            SELECT 'https://ex.org/w/' || k AS url,
+                   strftime(make_timestamp(2024, 5, 1 + k % 9, k % 10, 0, 0),
+                            '%Y-%m-%d %H:%M:%S') AS ts,
+                   CASE WHEN k < 70 THEN 'part0.warc'
+                        ELSE 'part1.warc.gz' END AS warc_file,
+                   CASE k % 3 WHEN 0 THEN 200 WHEN 1 THEN 301
+                        ELSE 404 END AS http_status,
+                   'text/html' AS mime,
+                   '<html><body>Warc ' || k || '</body></html>' AS body
+            FROM (SELECT unnest(generate_series(0, 139)) AS k)
         """,
         "pages_jsonl_scan": """
             SELECT 'https://ex.org/p/' || k AS url,

@@ -40,6 +40,7 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.rdfio import from_ntriples, to_ntriples
+from prase_spark.warc import read_warc, warc_to_pages
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -89,6 +90,8 @@ __all__ = [
     "incremental_components",
     "to_ntriples",
     "from_ntriples",
+    "read_warc",
+    "warc_to_pages",
     "TransEModel",
     "init_entity_embeddings",
     "train_transe",
