@@ -29,6 +29,13 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--pages-l", default=None, help="parquet/iceberg path, PAGES schema")
     ap.add_argument("--pages-r", default=None)
+    ap.add_argument(
+        "--warc-l",
+        default=None,
+        help="raw WARC glob (e.g. crawl/*.warc.gz) — Common-Crawl native "
+        "ingest; text is derived from the byte-identical html payloads",
+    )
+    ap.add_argument("--warc-r", default=None)
     ap.add_argument("--out", default="/tmp/prase_out")
     ap.add_argument("--checkpoint-dir", default="/tmp/prase_ckpt")
     ap.add_argument("--iterations", type=int, default=3)
@@ -81,6 +88,25 @@ def main() -> None:
                 "subj", "pred", "obj", "is_attr"
             )
         raw_l, raw_r = raws["L"], raws["R"]
+    elif args.warc_l:
+        # raw-crawl mode: WARC containers -> PAGES -> triples. Text does
+        # not exist yet in the container, so extraction derives it from
+        # the byte-identical html payloads (use_text_column=False).
+        from prase_spark.extract import extract_triples
+        from prase_spark.warc import read_warc, warc_to_pages
+
+        pages_l = warc_to_pages(read_warc(spark, args.warc_l))
+        pages_r = (
+            warc_to_pages(read_warc(spark, args.warc_r))
+            if args.warc_r
+            else pages_l
+        )
+        raw_l = extract_triples(pages_l, use_text_column=False).select(
+            "subj", "pred", "obj", "is_attr"
+        )
+        raw_r = extract_triples(pages_r, use_text_column=False).select(
+            "subj", "pred", "obj", "is_attr"
+        )
     else:
         if args.pages_l:
             pages_l = spark.read.parquet(args.pages_l)

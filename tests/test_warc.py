@@ -163,3 +163,34 @@ def test_parallelism_invariance(spark, tmp_path):
     many = {tuple((k, str(v)) for k, v in sorted(r.asDict().items()))
             for r in read_warc(spark, glob).repartition(8).collect()}
     assert one == many and len(one) == 24
+
+
+def test_warc_to_kg_end_to_end(spark, tmp_path):
+    """The full raw-crawl seam: WARC bytes -> pages -> byte-derived text
+    -> triples -> dict-encoded KG. Sentences in the payloads match the
+    extraction pattern bank, so expected triples are known exactly."""
+    from prase_spark.extract import extract_triples
+    from prase_spark.kgbuild import build_kg, kg_info
+
+    bodies = {
+        "https://kg.org/1": b"<html><body><p>Alice works for Acme</p></body></html>",
+        "https://kg.org/2": b"<html><body>Bob was born in Paris</body></html>",
+        "https://kg.org/3": b'<html><body>Acme \'s founded is "1999"</body></html>',
+    }
+    parts = [
+        warc_record_bytes(url, "2024-04-01T00:00:00Z", body)
+        for url, body in sorted(bodies.items())
+    ]
+    (tmp_path / "kg.warc.gz").write_bytes(b"".join(gzip_member(p) for p in parts))
+
+    pages = warc_to_pages(read_warc(spark, str(tmp_path / "kg.warc.gz")))
+    triples = extract_triples(pages, use_text_column=False)
+    got = {(r["subj"], r["pred"], r["obj"], r["is_attr"]) for r in triples.collect()}
+    assert got == {
+        ("Alice", "employer", "Acme", False),
+        ("Bob", "bornIn", "Paris", False),
+        ("Acme", "founded", "1999", True),
+    }
+    kg = build_kg(triples.select("subj", "pred", "obj", "is_attr"))
+    info = kg_info(kg)
+    assert info["relation_tuples"] == 2 and info["attribute_tuples"] == 1
