@@ -1881,6 +1881,58 @@ def _q_bgp_star_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL FILTER + OPTIONAL over the same TPC-H triple table as
+    bgp_star_orders: region is a VARIABLE here, status is OPTIONAL
+    (edges exist only for 'F' orders, so non-F solutions carry NULL),
+    and two FILTER clauses (s = 'F', r <> 'r1') apply with SQL NULL
+    semantics — SPARQL's error-eliminates rule. The DuckDB twin is the
+    literal join chain + LEFT JOIN + WHERE."""
+    from prase_spark.bgp import bgp_match
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    tr = (
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+            F.lit("ownedBy").alias("pred"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            n.select(
+                F.concat(F.lit("n"), F.col("n_nationkey")).alias("subj"),
+                F.lit("inRegion").alias("pred"),
+                F.concat(F.lit("r"), F.col("n_regionkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.filter(F.col("o_orderstatus") == "F").select(
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        tr,
+        [
+            ("?o", "ownedBy", "?c"),
+            ("?c", "inNation", "?n"),
+            ("?n", "inRegion", "?r"),
+        ],
+        optional=[("?o", "status", "?s")],
+        filters=["s = 'F'", "r <> 'r1'"],
+    )
+
+
 def _q_incremental_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental canonical-ID maintenance
     (matching.incremental_components): a base sameAs graph of 8-node
@@ -2403,6 +2455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
+        "bgp_filter_orders": _q_bgp_filter_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5186,6 +5239,20 @@ def oracle_sql() -> dict[str, str]:
                    AND t3.pred = 'inRegion' AND t3.obj = 'r1'
         JOIN tr t4 ON t4.subj = t1.subj
                    AND t4.pred = 'status' AND t4.obj = 'F'
+    """
+    out["bgp_filter_orders"] = """
+        WITH tr_st AS (
+            SELECT 'o' || o_orderkey AS subj, o_orderstatus AS obj
+            FROM orders WHERE o_orderstatus = 'F'
+        )
+        SELECT DISTINCT 'c' || c.c_custkey AS c, 'n' || n.n_nationkey AS n,
+               'o' || o.o_orderkey AS o, 'r' || n.n_regionkey AS r,
+               st.obj AS s
+        FROM orders o
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN nation n ON c.c_nationkey = n.n_nationkey
+        LEFT JOIN tr_st st ON st.subj = 'o' || o.o_orderkey
+        WHERE st.obj = 'F' AND 'r' || n.n_regionkey <> 'r1'
     """
     out["incremental_cc_events"] = """
         WITH RECURSIVE e0 AS (

@@ -63,6 +63,7 @@ def bgp_match(
     obj: str = "obj",
     distinct: bool = True,
     optional=(),
+    filters=(),
 ) -> DataFrame:
     """All variable bindings satisfying every (s, p, o) pattern.
 
@@ -79,6 +80,15 @@ def bgp_match(
     cartesian guard), and optionals join the REQUIRED bindings
     independently (a chain of dependent optionals should be one
     required-BGP-plus-optional nesting, not two optionals).
+
+    ``filters`` are SPARQL FILTER clauses over the bound variable
+    columns: SQL expression strings (``"x <> y"``,
+    ``"CAST(n AS INT) > 5"``) or pyspark Columns. They apply to the
+    whole group solution (after optionals) with SQL NULL semantics —
+    a comparison on an unbound (NULL) optional variable eliminates
+    the solution, which is exactly SPARQL's error-eliminates rule. At
+    scale this is free selectivity: Catalyst pushes any filter that
+    references one join side down below the joins into the scans.
     """
     pats = list(patterns)
     if not pats:
@@ -126,4 +136,6 @@ def bgp_match(
         acc = acc.join(df, on=sorted(shared), how="left")
         bound |= vs
     out = acc.select(*sorted(bound))
+    for flt in filters:
+        out = out.where(F.expr(flt) if isinstance(flt, str) else flt)
     return out

@@ -219,3 +219,71 @@ def test_bgp_optional_rejects_disconnected(spark):
     t, _ = _triples_df(spark)
     with pytest.raises(ValueError, match="optional pattern"):
         bgp_match(t, [("?x", "type", "Person")], optional=[("?z", "type", "City")])
+
+
+def test_bgp_filter_string_and_column(spark):
+    from pyspark.sql import functions as F
+
+    t, _ = _triples_df(spark)
+    # knows pairs excluding self-loops (FILTER(?x != ?z))
+    got = {
+        tuple(r)
+        for r in bgp_match(
+            t, [("?x", "knows", "?z")], filters=["x <> z"]
+        ).collect()
+    }
+    assert got == {("a", "b"), ("b", "a")}
+    # same filter as a Column expression
+    got_col = {
+        tuple(r)
+        for r in bgp_match(
+            t, [("?x", "knows", "?z")], filters=[F.col("x") != F.col("z")]
+        ).collect()
+    }
+    assert got_col == got
+
+
+def test_bgp_filter_null_semantics_on_optional(spark):
+    """SPARQL error-eliminates: a comparison over an unbound OPTIONAL
+    variable removes the solution (SQL NULL comparison -> not TRUE)."""
+    t, _ = _triples_df(spark)
+    got = {
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?x", "type", "City")],
+            optional=[("?x", "worksAt", "?w")],
+            filters=["w <> 'initech'"],
+        ).collect()
+    }
+    assert got == set()  # w is NULL for the only City solution
+
+
+def test_bgp_filter_matches_duckdb(spark):
+    t, rows = _triples_df(spark)
+    got = sorted(
+        tuple(r)
+        for r in bgp_match(
+            t,
+            [("?x", "knows", "?z"), ("?z", "worksAt", "?y")],
+            filters=["x <> z", "y <> 'initech'"],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{a}','{b}','{c}')" for a, b, c in rows)
+        + ") v(subj, pred, obj)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            """
+            SELECT DISTINCT k.subj AS x, w.obj AS y, k.obj AS z
+            FROM t k JOIN t w ON k.obj = w.subj
+            WHERE k.pred = 'knows' AND w.pred = 'worksAt'
+              AND k.subj <> k.obj AND w.obj <> 'initech'
+            """
+        ).fetchall()
+    )
+    assert got == want
