@@ -40,7 +40,7 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.rdfio import from_ntriples, to_ntriples
-from prase_spark.warc import read_warc, warc_to_pages
+from prase_spark.warc import read_warc, warc_to_pages, wet_to_pages
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -92,6 +92,7 @@ __all__ = [
     "from_ntriples",
     "read_warc",
     "warc_to_pages",
+    "wet_to_pages",
     "TransEModel",
     "init_entity_embeddings",
     "train_transe",

@@ -270,3 +270,19 @@ def warc_to_pages(records: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("text"),
         F.lit(None).cast("string").alias("lang"),
     )
+
+
+def wet_to_pages(records: DataFrame) -> DataFrame:
+    """WET (``conversion``) records -> PAGES: Common Crawl's sibling
+    format where the block already IS the extracted text, so ``text``
+    is the UTF-8 decode of the byte-identical payload and ``html`` is
+    NULL. Read with ``read_warc(path, warc_types=('conversion',))``.
+    Zero-exchange narrow projection, like ``warc_to_pages``.
+    """
+    return records.select(
+        "url",
+        "warc_ts",
+        F.lit(None).cast("binary").alias("html"),
+        F.col("html").cast("string").alias("text"),
+        F.lit(None).cast("string").alias("lang"),
+    )

@@ -194,3 +194,33 @@ def test_warc_to_kg_end_to_end(spark, tmp_path):
     kg = build_kg(triples.select("subj", "pred", "obj", "is_attr"))
     info = kg_info(kg)
     assert info["relation_tuples"] == 2 and info["attribute_tuples"] == 1
+
+
+def test_wet_conversion_to_pages_and_triples(spark, tmp_path):
+    """WET mode: conversion records carry pre-extracted text; the PAGES
+    adapter decodes the byte-identical payload into the text column and
+    extraction consumes it directly (use_text_column=True)."""
+    from prase_spark.extract import extract_triples
+    from prase_spark.warc import wet_to_pages
+
+    texts = {
+        "https://wet.org/1": "Alice works for Acme",
+        "https://wet.org/2": "Bob was born in Paris",
+    }
+    parts = [
+        warc_record_bytes(url, "2024-04-02T00:00:00Z", txt.encode(),
+                          warc_type="conversion", mime="text/plain",
+                          with_http=False)
+        for url, txt in sorted(texts.items())
+    ]
+    (tmp_path / "seg.warc.wet.gz").write_bytes(
+        b"".join(gzip_member(p) for p in parts))
+
+    recs = read_warc(spark, str(tmp_path / "seg.warc.wet.gz"),
+                     warc_types=("conversion",))
+    pages = wet_to_pages(recs)
+    rows = {r["url"]: r for r in pages.collect()}
+    assert rows["https://wet.org/1"]["text"] == "Alice works for Acme"
+    assert rows["https://wet.org/1"]["html"] is None
+    got = {(r["subj"], r["pred"], r["obj"]) for r in extract_triples(pages).collect()}
+    assert got == {("Alice", "employer", "Acme"), ("Bob", "bornIn", "Paris")}
