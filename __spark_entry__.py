@@ -1933,6 +1933,40 @@ def _q_bgp_filter_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_path_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL one-or-more property path inside a BGP: ?x cat c2 .
+    ?x within+ ?a . FILTER(?a != 'p0') over a ternary-tree containment
+    relation templated from part — the path pattern's source is the
+    transitive closure of ONLY the `within` subgraph (closure.
+    transitive_closure), joined left-deep with the plain cat pattern.
+    The DuckDB twin is the recursive reachability CTE + join + WHERE."""
+    from prase_spark.bgp import bgp_match
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").select(
+        F.col("p_partkey").cast("long").alias("k")
+    )
+    tr = (
+        p.filter(F.col("k") >= 1)
+        .select(
+            F.concat(F.lit("p"), F.col("k")).alias("subj"),
+            F.lit("within").alias("pred"),
+            F.concat(F.lit("p"), F.expr("k DIV 3")).alias("obj"),
+        )
+        .unionByName(
+            p.select(
+                F.concat(F.lit("p"), F.col("k")).alias("subj"),
+                F.lit("cat").alias("pred"),
+                F.concat(F.lit("c"), F.col("k") % 5).alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        tr,
+        [("?x", "cat", "c2"), ("?x", "within+", "?a")],
+        filters=["a <> 'p0'"],
+    )
+
+
 def _q_incremental_cc_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental canonical-ID maintenance
     (matching.incremental_components): a base sameAs graph of 8-node
@@ -2456,6 +2490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
+        "bgp_path_parts": _q_bgp_path_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5253,6 +5288,25 @@ def oracle_sql() -> dict[str, str]:
         JOIN nation n ON c.c_nationkey = n.n_nationkey
         LEFT JOIN tr_st st ON st.subj = 'o' || o.o_orderkey
         WHERE st.obj = 'F' AND 'r' || n.n_regionkey <> 'r1'
+    """
+    out["bgp_path_parts"] = """
+        WITH RECURSIVE e AS (
+            SELECT 'p' || CAST(p_partkey AS BIGINT) AS src,
+                   'p' || CAST(p_partkey // 3 AS BIGINT) AS dst
+            FROM part WHERE p_partkey >= 1
+        ),
+        clos AS (
+            SELECT src, dst AS anc FROM e
+            UNION
+            SELECT c.src, e.dst FROM clos c JOIN e ON c.anc = e.src
+        ),
+        cat2 AS (
+            SELECT 'p' || CAST(p_partkey AS BIGINT) AS x
+            FROM part WHERE p_partkey % 5 = 2
+        )
+        SELECT DISTINCT c.anc AS a, cat2.x AS x
+        FROM clos c JOIN cat2 ON c.src = cat2.x
+        WHERE c.anc <> 'p0'
     """
     out["incremental_cc_events"] = """
         WITH RECURSIVE e0 AS (

@@ -64,6 +64,7 @@ def bgp_match(
     distinct: bool = True,
     optional=(),
     filters=(),
+    path_max_hops: int = 64,
 ) -> DataFrame:
     """All variable bindings satisfying every (s, p, o) pattern.
 
@@ -89,6 +90,16 @@ def bgp_match(
     the solution, which is exactly SPARQL's error-eliminates rule. At
     scale this is free selectivity: Catalyst pushes any filter that
     references one join side down below the joins into the scans.
+
+    A constant predicate ending in ``+`` is a SPARQL one-or-more
+    property path (``?x locatedIn+ ?y``): the pattern's source becomes
+    the transitive closure of that predicate's edge set
+    (``closure.transitive_closure`` — frontier BFS, cycle-safe,
+    ``path_max_hops`` radius cap). The closure materializes only the
+    ONE predicate's subgraph, never the triple table, so the cost is
+    O(edges(p) × avg reach) — the ontology-closure scale posture.
+    ``*`` (zero-or-more) is rejected: its zero-length arm binds every
+    node in the graph, which is never what a 10^12-triple query means.
     """
     pats = list(patterns)
     if not pats:
@@ -99,11 +110,37 @@ def bgp_match(
                 f"pattern {p} binds no variable (ASK-style existence "
                 "checks are a count, not a BGP solution)"
             )
+    def _source_for(pat):
+        """Triple table, or the predicate's transitive closure for a
+        ``p+`` property-path pattern (rendered back into triple shape so
+        the whole left-deep machinery applies unchanged)."""
+        _, p, _ = pat
+        if _is_var(p) or not isinstance(p, str):
+            return triples
+        if p.endswith("*"):
+            raise ValueError(
+                f"zero-or-more path {p!r} is not supported (its "
+                "zero-length arm binds every node); use '+' and union "
+                "the identity bindings you actually want"
+            )
+        if p.endswith("+") and len(p) > 1:
+            from prase_spark.closure import transitive_closure
+
+            edges = triples.where(F.col(pred) == F.lit(p[:-1])).select(
+                F.col(subj).alias("src"), F.col(obj).alias("dst")
+            )
+            return transitive_closure(edges, max_hops=path_max_hops).select(
+                F.col("src").alias(subj),
+                F.lit(p).alias(pred),
+                F.col("anc").alias(obj),
+            )
+        return triples
+
     # left-deep order: start with the most-constant pattern, then always
     # pick a pattern connected to the bound variables (fewest new vars
     # first) — a greedy selectivity heuristic; Catalyst/AQE still picks
     # the physical join strategy per step.
-    remaining = [(_pattern_df(triples, p, subj, pred, obj), p) for p in pats]
+    remaining = [(_pattern_df(_source_for(p), p, subj, pred, obj), p) for p in pats]
     remaining.sort(key=lambda t: len(t[0][1]))
     (acc, bound), _ = remaining.pop(0)
     while remaining:
@@ -124,7 +161,7 @@ def bgp_match(
     if distinct:
         acc = acc.distinct()
     for pat in optional:
-        df, vs = _pattern_df(triples, pat, subj, pred, obj)
+        df, vs = _pattern_df(_source_for(pat), pat, subj, pred, obj)
         shared = vs & bound
         if not shared:
             raise ValueError(

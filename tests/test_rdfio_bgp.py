@@ -287,3 +287,46 @@ def test_bgp_filter_matches_duckdb(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def _path_triples(spark):
+    rows = [
+        ("a", "locatedIn", "b"), ("b", "locatedIn", "c"), ("c", "locatedIn", "d"),
+        ("x", "locatedIn", "y"),
+        ("a", "type", "Office"), ("x", "type", "Office"),
+    ]
+    return spark.createDataFrame(rows, ["subj", "pred", "obj"])
+
+
+def test_bgp_property_path_plus(spark):
+    t = _path_triples(spark)
+    got = {
+        tuple(r) for r in bgp_match(t, [("?s", "locatedIn+", "?t")]).collect()
+    }
+    assert got == {
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+        ("c", "d"), ("x", "y"),
+    }
+    # constant endpoint + composition with a plain pattern
+    got2 = {
+        tuple(r)
+        for r in bgp_match(
+            t, [("?s", "type", "Office"), ("?s", "locatedIn+", "d")]
+        ).collect()
+    }
+    assert got2 == {("a",)}
+
+
+def test_bgp_property_path_cycle_safe(spark):
+    t = spark.createDataFrame(
+        [("a", "next", "b"), ("b", "next", "a"), ("b", "next", "c")],
+        ["subj", "pred", "obj"],
+    )
+    got = {tuple(r) for r in bgp_match(t, [("a", "next+", "?d")]).collect()}
+    assert got == {("a",), ("b",), ("c",)}
+
+
+def test_bgp_property_path_rejects_star(spark):
+    t = _path_triples(spark)
+    with pytest.raises(ValueError, match="zero-or-more"):
+        bgp_match(t, [("?s", "locatedIn*", "?d")])
