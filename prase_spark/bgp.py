@@ -111,9 +111,17 @@ def bgp_match(
                 "checks are a count, not a BGP solution)"
             )
     def _source_for(pat):
-        """Triple table, or the predicate's transitive closure for a
-        ``p+`` property-path pattern (rendered back into triple shape so
-        the whole left-deep machinery applies unchanged)."""
+        """Triple table, or a derived edge set for a property-path
+        predicate, rendered back into triple shape so the whole
+        left-deep machinery (joins, OPTIONAL, FILTER) applies unchanged.
+
+        Path grammar (``^``, ``|``, trailing ``+`` are metacharacters):
+            atom := '^'? name          inverse atom swaps subj/obj
+            alt  := atom ('|' atom)*   union of the atoms' edge sets
+            path := alt '+'?           '+' = one-or-more over the WHOLE
+                                       alternation (SPARQL ``(a|^b)+``)
+        Each atom is one predicate-filtered scan; only the path's own
+        subgraph is ever unioned/closed, never the triple table."""
         _, p, _ = pat
         if _is_var(p) or not isinstance(p, str):
             return triples
@@ -123,18 +131,36 @@ def bgp_match(
                 "zero-length arm binds every node); use '+' and union "
                 "the identity bindings you actually want"
             )
-        if p.endswith("+") and len(p) > 1:
+        plus = p.endswith("+")
+        base = p[:-1] if plus else p
+        atoms = base.split("|") if ("|" in base or base.startswith("^")) else None
+        if atoms is None and not plus:
+            return triples  # plain predicate constant
+        atoms = atoms if atoms is not None else [base]
+        legs = []
+        for a in atoms:
+            inv = a.startswith("^")
+            name = a[1:] if inv else a
+            if not name or "^" in name:
+                raise ValueError(f"malformed path atom {a!r} in {p!r}")
+            scan = triples.where(F.col(pred) == F.lit(name))
+            legs.append(
+                scan.select(F.col(obj).alias("src"), F.col(subj).alias("dst"))
+                if inv
+                else scan.select(F.col(subj).alias("src"), F.col(obj).alias("dst"))
+            )
+        e = legs[0]
+        for leg in legs[1:]:
+            e = e.unionByName(leg)
+        if plus:
             from prase_spark.closure import transitive_closure
 
-            edges = triples.where(F.col(pred) == F.lit(p[:-1])).select(
-                F.col(subj).alias("src"), F.col(obj).alias("dst")
+            e = transitive_closure(e, max_hops=path_max_hops).select(
+                "src", F.col("anc").alias("dst")
             )
-            return transitive_closure(edges, max_hops=path_max_hops).select(
-                F.col("src").alias(subj),
-                F.lit(p).alias(pred),
-                F.col("anc").alias(obj),
-            )
-        return triples
+        return e.select(
+            F.col("src").alias(subj), F.lit(p).alias(pred), F.col("dst").alias(obj)
+        )
 
     # left-deep order: start with the most-constant pattern, then always
     # pick a pattern connected to the bound variables (fewest new vars

@@ -330,3 +330,38 @@ def test_bgp_property_path_rejects_star(spark):
     t = _path_triples(spark)
     with pytest.raises(ValueError, match="zero-or-more"):
         bgp_match(t, [("?s", "locatedIn*", "?d")])
+
+
+def test_bgp_inverse_and_alternation_atoms(spark):
+    t, _ = _triples_df(spark)
+    # inverse: who is worked-at BY whom (employer ?e, person ?p)... cols
+    # sorted (e, p)
+    got = {
+        tuple(r) for r in bgp_match(t, [("?e", "^worksAt", "?p")]).collect()
+    }
+    assert got == {("acme", "a"), ("acme", "b"), ("initech", "b")}
+    # alternation: knows OR worksAt edges from a
+    got2 = {
+        tuple(r) for r in bgp_match(t, [("a", "knows|worksAt", "?y")]).collect()
+    }
+    assert got2 == {("a",), ("b",), ("acme",)}
+
+
+def test_bgp_alternation_with_inverse_closure(spark):
+    """(down|^up)+ mixed-direction reachability: up edges traversed
+    backwards participate in the same closure as down edges."""
+    t = spark.createDataFrame(
+        [("a", "down", "b"), ("c", "up", "b"), ("c", "down", "d")],
+        ["subj", "pred", "obj"],
+    )
+    got = {tuple(r) for r in bgp_match(t, [("a", "down|^up+", "?y")]).collect()}
+    # a -down-> b -(^up)-> c -down-> d
+    assert got == {("b",), ("c",), ("d",)}
+
+
+def test_bgp_malformed_path_atom_rejected(spark):
+    t, _ = _triples_df(spark)
+    with pytest.raises(ValueError, match="malformed path atom"):
+        bgp_match(t, [("?x", "knows|", "?y")])
+    with pytest.raises(ValueError, match="malformed path atom"):
+        bgp_match(t, [("?x", "^", "?y")])
