@@ -40,7 +40,12 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.rdfio import from_ntriples, to_ntriples
-from prase_spark.warc import read_warc, warc_to_pages, wet_to_pages
+from prase_spark.warc import (
+    read_warc,
+    warc_file_metrics,
+    warc_to_pages,
+    wet_to_pages,
+)
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -91,6 +96,7 @@ __all__ = [
     "to_ntriples",
     "from_ntriples",
     "read_warc",
+    "warc_file_metrics",
     "warc_to_pages",
     "wet_to_pages",
     "TransEModel",

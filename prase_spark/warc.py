@@ -256,6 +256,90 @@ def read_warc(
     return binary.mapInPandas(kernel, WARC_SCHEMA)
 
 
+def parse_warc_stats(data: bytes) -> dict:
+    """Per-container health summary for the manifest audit: record count
+    by type, total payload bytes, and the number of RESYNC events (a
+    magic marker skipped because of a malformed header / bad length) —
+    the parser emits records best-effort, so a sagging record count or a
+    nonzero resync count flags bit rot / truncated transfer per file."""
+    buf = _gunzip_members(data) if data[:2] == _GZIP_MAGIC else data
+    n = len(buf)
+    pos = 0
+    counts: dict[str, int] = {}
+    payload_bytes = 0
+    resyncs = 0
+    while pos < n:
+        m = _MAGIC_RE.search(buf, pos)
+        if m is None:
+            break
+        start = m.start()
+        hdr_end = buf.find(_CRLF2, start)
+        if hdr_end < 0:
+            resyncs += 1
+            break
+        headers: dict[str, str] = {}
+        for ln in buf[start:hdr_end].split(b"\r\n")[1:]:
+            if b":" in ln:
+                k, v = ln.split(b":", 1)
+                headers[k.strip().lower().decode("latin-1")] = v.strip().decode(
+                    "utf-8", "replace"
+                )
+        clen_raw = headers.get("content-length", "")
+        if not clen_raw.isdigit() or hdr_end + 4 + int(clen_raw) > n:
+            resyncs += 1
+            pos = start + 5
+            continue
+        wt = headers.get("warc-type", "").lower() or "unknown"
+        counts[wt] = counts.get(wt, 0) + 1
+        payload_bytes += int(clen_raw)
+        pos = hdr_end + 4 + int(clen_raw)
+    return {
+        "decompressed_bytes": n,
+        "records_by_type": counts,
+        "n_records": sum(counts.values()),
+        "payload_bytes": payload_bytes,
+        "n_resyncs": resyncs,
+    }
+
+
+def warc_file_metrics(spark: SparkSession, path: str) -> DataFrame:
+    """One row per container: (warc_file, n_records, n_responses,
+    payload_bytes, decompressed_bytes, n_resyncs) — the audit pass to
+    join against the crawl manifest (DEPLOY.md WARC health signal).
+    Separate lightweight scan: it never materializes payloads as rows.
+    """
+    binary = spark.read.format("binaryFile").load(path).select("path", "content")
+    schema = (
+        "warc_file STRING, n_records BIGINT, n_responses BIGINT, "
+        "payload_bytes BIGINT, decompressed_bytes BIGINT, n_resyncs BIGINT"
+    )
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                s = parse_warc_stats(bytes(content))
+                rows.append(
+                    (
+                        str(fpath).rsplit("/", 1)[-1],
+                        s["n_records"],
+                        s["records_by_type"].get("response", 0),
+                        s["payload_bytes"],
+                        s["decompressed_bytes"],
+                        s["n_resyncs"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "warc_file", "n_records", "n_responses",
+                    "payload_bytes", "decompressed_bytes", "n_resyncs",
+                ],
+            )
+
+    return binary.mapInPandas(kernel, schema)
+
+
 def warc_to_pages(records: DataFrame) -> DataFrame:
     """WARC records -> the PAGES shape (url, warc_ts, html, text, lang).
 

@@ -8,6 +8,7 @@ import pytest
 
 from prase_spark.warc import (
     gzip_member,
+    parse_warc_stats,
     parse_warc_bytes,
     read_warc,
     warc_record_bytes,
@@ -224,3 +225,41 @@ def test_wet_conversion_to_pages_and_triples(spark, tmp_path):
     assert rows["https://wet.org/1"]["html"] is None
     got = {(r["subj"], r["pred"], r["obj"]) for r in extract_triples(pages).collect()}
     assert got == {("Alice", "employer", "Acme"), ("Bob", "bornIn", "Paris")}
+
+
+def test_parse_warc_stats_counts_and_resyncs():
+    recs = _mk_records(6)
+    clean = _container(recs)  # warcinfo + 6 req + 6 resp
+    s = parse_warc_stats(clean)
+    assert s["records_by_type"] == {"warcinfo": 1, "request": 6, "response": 6}
+    assert s["n_records"] == 13 and s["n_resyncs"] == 0
+    assert s["payload_bytes"] > 0
+
+    blobs = [warc_record_bytes(u, t, h, http_status=st) for u, t, h, st in recs]
+    lying = blobs[2].replace(b"Content-Length: ", b"Content-Length: 99999", 1)
+    dirty = blobs[0] + lying + blobs[3] + blobs[4][: len(blobs[4]) // 2]
+    s2 = parse_warc_stats(dirty)
+    # lying record resyncs; truncated tail resyncs; 0 and 3 count
+    assert s2["records_by_type"] == {"response": 2}
+    assert s2["n_resyncs"] == 2
+
+
+def test_warc_file_metrics_spark(spark, tmp_path):
+    from prase_spark.warc import warc_file_metrics
+
+    (tmp_path / "m0.warc").write_bytes(_container(_mk_records(5, "m0")))
+    (tmp_path / "m1.warc.gz").write_bytes(_container(_mk_records(3, "m1"), gz=True))
+    rows = {
+        r["warc_file"]: r
+        for r in warc_file_metrics(
+            spark, os.path.join(str(tmp_path), "m*.warc*")
+        ).collect()
+    }
+    assert rows["m0.warc"]["n_responses"] == 5
+    assert rows["m0.warc"]["n_records"] == 11  # warcinfo + 5 req + 5 resp
+    assert rows["m1.warc.gz"]["n_responses"] == 3
+    assert all(r["n_resyncs"] == 0 for r in rows.values())
+    # stats agree with the record reader
+    n = read_warc(spark, os.path.join(str(tmp_path), "m*.warc*"),
+                  warc_types=("response",)).count()
+    assert n == 8
