@@ -18,7 +18,8 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
 """
 
 from prase_spark.asof import asof_join
-from prase_spark.bgp import bgp_match
+from prase_spark.bgp import bgp_aggregate, bgp_match
+from prase_spark.cdx import build_cdx, cdx_lookup, surt_key, to_cdxj, write_cdx_index
 from prase_spark.checkpoint import load_state, save_state
 from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
@@ -33,6 +34,12 @@ from prase_spark.graphstats import (
 )
 from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
+from prase_spark.linkgraph import (
+    anchor_text_priors,
+    extract_links,
+    host_link_graph,
+    resolve_href,
+)
 from prase_spark.matching import (
     bipartite_match,
     canonical_entity_ids,
@@ -90,6 +97,16 @@ __all__ = [
     "link_candidates",
     "asof_join",
     "bgp_match",
+    "bgp_aggregate",
+    "surt_key",
+    "build_cdx",
+    "write_cdx_index",
+    "cdx_lookup",
+    "to_cdxj",
+    "extract_links",
+    "resolve_href",
+    "host_link_graph",
+    "anchor_text_priors",
     "transitive_closure",
     "propagate_types",
     "incremental_components",

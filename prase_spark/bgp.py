@@ -202,3 +202,64 @@ def bgp_match(
     for flt in filters:
         out = out.where(F.expr(flt) if isinstance(flt, str) else flt)
     return out
+
+
+def bgp_aggregate(
+    triples: DataFrame,
+    patterns,
+    group_by,
+    aggs: dict,
+    having=None,
+    order_by=(),
+    limit: int | None = None,
+    distinct: bool = False,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL aggregate query — ``SELECT ?g (agg(...) AS alias) WHERE
+    { patterns } GROUP BY ?g [HAVING ...] [ORDER BY ...] [LIMIT n]`` —
+    over the BGP solution bag.
+
+    ``group_by`` lists grouping variables (``?n`` or ``n``); ``aggs``
+    maps result alias -> SQL aggregate expression over the bound
+    variable columns (``{"n_orders": "count(*)", "cents":
+    "sum(CAST(p AS BIGINT))"}``). ``distinct`` defaults to False because
+    SPARQL aggregates evaluate over the solution BAG (a solution reached
+    through two different edges counts twice); pass True for
+    DISTINCT-then-aggregate. ``having`` / ``order_by`` entries are SQL
+    expression strings or Columns; an empty ``group_by`` is a global
+    (one-row) aggregation.
+
+    Scale shape: the aggregation is one hash agg with map-side partial
+    combine over the join output; ``order_by`` + ``limit`` together
+    compile to TakeOrderedAndProject (per-partition top-k then a k-row
+    merge — no global sort ever materializes). ``optional`` / ``filters``
+    / property paths pass through to bgp_match unchanged."""
+    sol = bgp_match(triples, patterns, distinct=distinct, **bgp_kwargs)
+    keys = [g[1:] if _is_var(g) else g for g in group_by]
+    missing = [k for k in keys if k not in sol.columns]
+    if missing:
+        raise ValueError(f"group_by variable(s) {missing} not bound by the BGP")
+    if not aggs:
+        raise ValueError("aggs must name at least one aggregate")
+    agg_cols = [F.expr(e).alias(a) for a, e in aggs.items()]
+    out = sol.groupBy(*keys).agg(*agg_cols) if keys else sol.agg(*agg_cols)
+    if having is not None:
+        out = out.where(F.expr(having) if isinstance(having, str) else having)
+    if order_by:
+        import re
+
+        def _order_expr(o):
+            # F.expr parses EXPRESSIONS, not sort items — a trailing
+            # ASC/DESC would be silently dropped, so peel it ourselves
+            if not isinstance(o, str):
+                return o
+            m = re.match(r"^(.*?)\s+(asc|desc)\s*$", o, re.IGNORECASE)
+            if m:
+                e = F.expr(m.group(1))
+                return e.desc() if m.group(2).lower() == "desc" else e.asc()
+            return F.expr(o)
+
+        out = out.orderBy(*[_order_expr(o) for o in order_by])
+    if limit is not None:
+        out = out.limit(limit)
+    return out

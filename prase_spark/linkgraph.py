@@ -1,0 +1,158 @@
+"""Web link-graph construction: ``<a href>`` extraction, URL resolution,
+host graph, anchor-text priors.
+
+Beyond-reference surface (the reference's KG dumps carry no hyperlink
+structure — its only page-shaped input is the TSV triple dump,
+/root/reference/objects/KGs.py:55-88), but the FIRST thing a web-scale
+KG constructor mines from a crawl is the link graph: anchor texts are
+the canonical mention→entity prior (the signal behind Wikipedia-anchor
+entity linking), and the host graph feeds reputation/curation
+(hoststats) and PageRank (graphstats).
+
+Scale shape:
+- ``extract_links`` is ONE codegen'd projection per page — decode,
+  ``regexp_extract_all``, explode, per-element field extracts, href
+  resolution — zero exchanges, zero Python; a 10^12-page corpus pays
+  exactly one scan.
+- ``host_link_graph`` is one hash aggregation keyed on (src_host,
+  dst_host) — map-side partial combine; the host-pair key space
+  (~10^9-10^10 at crawl scale) is the aggregate's output, never
+  materialized per-page.
+- ``anchor_text_priors`` reuses the salted two-phase top-k
+  (datapipe.sampling.cap_per_group), so one mega-popular target URL
+  (10^8 in-links) never serializes a single-partition sort.
+
+Link-element grammar (deterministic, RE2-compatible — the gate's DuckDB
+twin replays the exact same regexes): an anchor element is
+``<a ...href="...".>text</a>`` where the attribute list carries a
+double-quoted href and the anchor text contains no ``<``. Nested markup
+inside the anchor, unquoted hrefs, and single quotes are out of grammar
+(dropped) — the point is a pinned, engine-replayable spec, not a
+browser-grade parser.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# one <a> element: href in the attribute list, text free of '<'
+_ELEM_RE = r'(?i)<a\s[^>]*href="[^"]*"[^>]*>[^<]*</a>'
+_HREF_RE = r'(?i)href="([^"]*)"'
+_TEXT_RE = r"(?i)>([^<]*)</a>"
+# schemes that are never crawlable link targets
+_DROP_HREF_RE = r"(?i)^(javascript:|mailto:|tel:|data:|#|$)"
+
+
+def resolve_href(src_url: Column | str, href: Column | str) -> Column:
+    """Absolute URL for ``href`` found on page ``src_url`` (NULL when the
+    href is non-crawlable: empty, fragment-only, javascript:/mailto:/...).
+
+    Resolution rules (RFC 3986 subset, no ``..`` normalization):
+    absolute stays; ``//host/p`` inherits the source scheme; ``/p`` is
+    origin-rooted; anything else resolves against the source URL's
+    directory (its path up to the last ``/``, or ``/`` when the source
+    has no path)."""
+    src = F.col(src_url) if isinstance(src_url, str) else src_url
+    h = F.col(href) if isinstance(href, str) else href
+    scheme = F.regexp_extract(src, r"^([a-zA-Z][a-zA-Z0-9+.-]*)://", 1)
+    origin = F.regexp_extract(src, r"^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*)", 1)
+    path = F.regexp_replace(src, r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*", "")
+    path = F.regexp_replace(path, r"[?#].*$", "")
+    pdir = F.regexp_extract(path, r"^(.*/)", 1)
+    base = F.concat(origin, F.when(pdir == "", F.lit("/")).otherwise(pdir))
+    return (
+        F.when(h.rlike(_DROP_HREF_RE), F.lit(None).cast("string"))
+        .when(h.rlike(r"(?i)^https?://"), h)
+        .when(h.startswith("//"), F.concat(scheme, F.lit(":"), h))
+        .when(h.startswith("/"), F.concat(origin, h))
+        .otherwise(F.concat(base, h))
+    )
+
+
+def extract_links(
+    pages: DataFrame,
+    url_col: str = "url",
+    html_col: str = "html",
+    drop_nofollow: bool = True,
+) -> DataFrame:
+    """(src_url, dst_url, anchor) — one row per in-grammar ``<a>`` element
+    whose href resolves to a crawlable absolute URL.
+
+    ``anchor`` is the element's text, whitespace-collapsed and trimmed
+    (may be ``''`` for image-only anchors). ``drop_nofollow=True``
+    discards elements carrying ``rel=...nofollow...`` — the link-graph
+    convention (nofollow edges are excluded from reputation/rank).
+
+    Plan: decode → regexp_extract_all → explode → field extracts, all
+    inside one WholeStageCodegen projection; link multiplicity is
+    preserved (the host graph weighs repeated edges)."""
+    h = F.decode(F.col(html_col), "utf-8")
+    elems = F.regexp_extract_all(h, F.lit(_ELEM_RE), 0)
+    df = pages.select(
+        F.col(url_col).alias("src_url"), F.explode(elems).alias("__elem")
+    )
+    if drop_nofollow:
+        df = df.where(~F.col("__elem").rlike(r'(?i)rel="[^"]*nofollow[^"]*"'))
+    href = F.regexp_extract(F.col("__elem"), _HREF_RE, 1)
+    anchor = F.trim(
+        F.regexp_replace(F.regexp_extract(F.col("__elem"), _TEXT_RE, 1), r"\s+", " ")
+    )
+    return (
+        df.select(
+            "src_url",
+            resolve_href(F.col("src_url"), href).alias("dst_url"),
+            anchor.alias("anchor"),
+        )
+        .where(F.col("dst_url").isNotNull())
+    )
+
+
+def host_link_graph(links: DataFrame, drop_self: bool = True) -> DataFrame:
+    """(src_host, dst_host, n_links, n_src_pages) — the host-level web
+    graph. ``n_links`` counts edges with multiplicity; ``n_src_pages``
+    counts distinct linking pages (the dedup-resistant weight).
+    ``drop_self=True`` removes intra-host navigation edges (they dwarf
+    cross-host edges and carry no linking signal).
+
+    One hash aggregation (two-phase for the distinct); feeds
+    graphstats.pagerank / hoststats reputation directly."""
+    from prase_spark.datapipe.boilerplate import host_of
+
+    g = links.select(
+        host_of("src_url").alias("src_host"),
+        host_of("dst_url").alias("dst_host"),
+        "src_url",
+    )
+    if drop_self:
+        g = g.where(F.col("src_host") != F.col("dst_host"))
+    return g.groupBy("src_host", "dst_host").agg(
+        F.count(F.lit(1)).alias("n_links"),
+        F.countDistinct("src_url").alias("n_src_pages"),
+    )
+
+
+def anchor_text_priors(
+    links: DataFrame, k: int = 3, min_count: int = 1, salt_buckets: int = 64
+) -> DataFrame:
+    """(dst_url, anchor, n) — the top-``k`` non-empty anchor texts per
+    link target by in-link count: the mention→entity prior table for
+    anchor-based entity linking (what "the big apple" resolving to a
+    city page looks like at corpus scale).
+
+    Ties break anchor-ASC (deterministic at any partitioning). Counting
+    is one hash agg; the per-target cut is the salted TWO-PHASE top-k
+    (cap_per_group), so a 10^8-in-link target never single-partition
+    sorts."""
+    from prase_spark.datapipe.sampling import cap_per_group
+
+    counts = (
+        links.where(F.col("anchor") != "")
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .where(F.col("n") >= min_count)
+    )
+    return cap_per_group(
+        counts, "dst_url", k, order_col="n", key_col="anchor",
+        salt_buckets=salt_buckets,
+    )

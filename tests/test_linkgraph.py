@@ -1,0 +1,107 @@
+"""Link-graph extraction: grammar, href resolution, host graph, anchor priors."""
+
+from pyspark.sql import functions as F
+
+from prase_spark.linkgraph import (
+    anchor_text_priors,
+    extract_links,
+    host_link_graph,
+    resolve_href,
+)
+
+
+def _pages(spark, rows):
+    return spark.createDataFrame(
+        [(u, h.encode("utf-8")) for u, h in rows], "url string, html binary"
+    )
+
+
+def test_extract_links_grammar_and_resolution(spark):
+    html = (
+        '<p>x</p>'
+        '<a href="https://ext.com/a">Abs  Link</a>'
+        '<A CLASS="z" HREF="/rooted.html"> Rooted\n text </A>'
+        '<a href="rel.html"></a>'
+        '<a href="//cdn.net/c">CDN</a>'
+        '<a href="https://spam.example/s" rel="ugc nofollow">Spam</a>'
+        '<a href="mailto:a@b.c">Mail</a>'
+        '<a href="#frag">Frag</a>'
+        '<a href="javascript:void(0)">JS</a>'
+        '<a href="x.html"><img src="i.png"></a>'  # nested markup: out of grammar
+    )
+    pages = _pages(spark, [("https://h.example.org/dir/p.html", html)])
+    got = sorted(
+        extract_links(pages).select("dst_url", "anchor").collect(),
+        key=lambda r: (r.dst_url, r.anchor),
+    )
+    assert [(r.dst_url, r.anchor) for r in got] == [
+        ("https://cdn.net/c", "CDN"),
+        ("https://ext.com/a", "Abs Link"),
+        ("https://h.example.org/dir/rel.html", ""),
+        ("https://h.example.org/rooted.html", "Rooted text"),
+    ]
+    # nofollow kept when drop_nofollow=False
+    kept = extract_links(pages, drop_nofollow=False)
+    assert kept.where(F.col("dst_url") == "https://spam.example/s").count() == 1
+
+
+def test_resolve_href_pathless_source(spark):
+    df = spark.createDataFrame(
+        [("http://host.org", "page.html"), ("http://host.org", "/abs.html")],
+        "src string, href string",
+    )
+    got = sorted(
+        df.select(resolve_href("src", "href").alias("u")).collect()
+    )
+    assert [r.u for r in got] == [
+        "http://host.org/abs.html",
+        "http://host.org/page.html",
+    ]
+
+
+def test_host_link_graph_weights_and_self_loops(spark):
+    links = spark.createDataFrame(
+        [
+            ("https://a.org/p1", "https://b.org/x", "t"),
+            ("https://a.org/p1", "https://b.org/y", "t"),
+            ("https://a.org/p2", "https://b.org/x", "t"),
+            ("https://a.org/p1", "https://a.org/nav", "self"),
+        ],
+        "src_url string, dst_url string, anchor string",
+    )
+    g = host_link_graph(links).collect()
+    assert len(g) == 1
+    row = g[0]
+    assert (row.src_host, row.dst_host, row.n_links, row.n_src_pages) == (
+        "a.org", "b.org", 3, 2
+    )
+    g2 = host_link_graph(links, drop_self=False)
+    assert g2.count() == 2
+
+
+def test_anchor_text_priors_topk_ties(spark):
+    rows = (
+        [("s%d" % i, "https://t.org/x", "beta") for i in range(3)]
+        + [("s%d" % i, "https://t.org/x", "alpha") for i in range(3)]
+        + [("s9", "https://t.org/x", "gamma")]
+        + [("s1", "https://t.org/x", "")]  # empty anchors never count
+    )
+    links = spark.createDataFrame(
+        rows, "src_url string, dst_url string, anchor string"
+    )
+    got = sorted(
+        anchor_text_priors(links, k=2, salt_buckets=4).collect(),
+        key=lambda r: r.anchor,
+    )
+    # counts tie 3-3 between alpha/beta -> both kept (anchor-asc order);
+    # gamma (1) cut by k=2
+    assert [(r.anchor, r.n) for r in got] == [("alpha", 3), ("beta", 3)]
+
+
+def test_extract_links_parallelism_invariant(spark):
+    html = '<a href="/a.html">A</a><a href="b.html">B b</a>'
+    rows = [("https://h%d.org/d/p%d" % (i % 3, i), html) for i in range(40)]
+    pages = _pages(spark, rows)
+    one = sorted(map(tuple, extract_links(pages.coalesce(1)).collect()))
+    many = sorted(map(tuple, extract_links(pages.repartition(7)).collect()))
+    assert one == many and len(one) == 80
