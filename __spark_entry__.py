@@ -2539,6 +2539,46 @@ def _q_bgp_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_minus_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL MINUS + VALUES over the TPC-H triple table: customers'
+    non-'F' orders (MINUS compiles to a left-anti equi-join on the
+    shared variable) restricted to three nations by inline VALUES data
+    (an IN filter Catalyst pushes into the scans). Every order has
+    exactly one status triple, so the DuckDB twin is the literal
+    status <> 'F' + IN predicate."""
+    from prase_spark.bgp import bgp_match
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tr = (
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+            F.lit("ownedBy").alias("pred"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+    )
+    return bgp_match(
+        tr,
+        [("?o", "ownedBy", "?c"), ("?c", "inNation", "?n")],
+        minus=[("?o", "status", "F")],
+        values={"?n": ["n0", "n1", "n2"]},
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2634,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_prior_pages": _q_anchor_prior_pages,
         "surt_cdx_pages": _q_surt_cdx_pages,
         "bgp_agg_orders": _q_bgp_agg_orders,
+        "bgp_minus_orders": _q_bgp_minus_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5619,5 +5660,13 @@ def oracle_sql() -> dict[str, str]:
         FROM j GROUP BY n
         ORDER BY cents DESC, n ASC
         LIMIT 10
+    """
+    out["bgp_minus_orders"] = """
+        SELECT DISTINCT 'c' || c.c_custkey AS c,
+                        'n' || c.c_nationkey AS n,
+                        'o' || o.o_orderkey AS o
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        WHERE o.o_orderstatus <> 'F'
+          AND ('n' || c.c_nationkey) IN ('n0', 'n1', 'n2')
     """
     return out

@@ -64,6 +64,8 @@ def bgp_match(
     distinct: bool = True,
     optional=(),
     filters=(),
+    minus=(),
+    values: dict | None = None,
     path_max_hops: int = 64,
 ) -> DataFrame:
     """All variable bindings satisfying every (s, p, o) pattern.
@@ -90,6 +92,22 @@ def bgp_match(
     the solution, which is exactly SPARQL's error-eliminates rule. At
     scale this is free selectivity: Catalyst pushes any filter that
     references one join side down below the joins into the scans.
+
+    ``minus`` patterns are SPARQL MINUS clauses: a solution is removed
+    when the minus pattern has ANY binding agreeing with it on their
+    shared variables — exactly a left-anti equi-join on those variables
+    (EXISTS semantics, so extra minus-side variables need no distinct).
+    Each minus pattern must share ≥1 variable with the required
+    patterns; SPARQL's degenerate disjoint-domain MINUS (removes
+    nothing) is rejected as a query bug, same doctrine as the cartesian
+    guard. MINUS applies after OPTIONAL, before FILTER.
+
+    ``values`` is the inline-data clause for the common single-variable
+    form — ``VALUES ?n { n1 n2 }`` as ``{"?n": ["n1", "n2"]}`` — applied
+    as an IN filter per variable, which Catalyst pushes into the scans
+    (free partition pruning on a predicate-partitioned store).
+    Row-correlated multi-variable VALUES is a join against a literal
+    DataFrame the caller composes.
 
     A constant predicate ending in ``+`` is a SPARQL one-or-more
     property path (``?x locatedIn+ ?y``): the pattern's source becomes
@@ -199,6 +217,21 @@ def bgp_match(
         acc = acc.join(df, on=sorted(shared), how="left")
         bound |= vs
     out = acc.select(*sorted(bound))
+    for pat in minus:
+        df, vs = _pattern_df(_source_for(pat), pat, subj, pred, obj)
+        shared = vs & bound
+        if not shared:
+            raise ValueError(
+                f"MINUS pattern {pat} shares no variable with the required "
+                "patterns — SPARQL's disjoint-domain MINUS removes nothing; "
+                "refusing the no-op"
+            )
+        out = out.join(df, on=sorted(shared), how="left_anti")
+    for var, vals in (values or {}).items():
+        name = var[1:] if _is_var(var) else var
+        if name not in bound:
+            raise ValueError(f"VALUES variable {var!r} not bound by the BGP")
+        out = out.where(F.col(name).isin(list(vals)))
     for flt in filters:
         out = out.where(F.expr(flt) if isinstance(flt, str) else flt)
     return out

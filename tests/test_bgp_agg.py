@@ -66,6 +66,45 @@ def test_unbound_group_var_rejected(triples):
         )
 
 
+def test_minus_removes_compatible_solutions(spark, triples):
+    from prase_spark.bgp import bgp_match
+
+    got = sorted(
+        r.o
+        for r in bgp_match(
+            triples,
+            [("?o", "ownedBy", "?c")],
+            minus=[("?o", "price", "100")],
+        ).collect()
+    )
+    assert got == ["o2", "o3"]  # o1 has price 100 -> removed
+
+
+def test_minus_disjoint_rejected(spark, triples):
+    from prase_spark.bgp import bgp_match
+
+    with pytest.raises(ValueError, match="MINUS"):
+        bgp_match(
+            triples, [("?o", "ownedBy", "?c")], minus=[("?x", "price", "?p")]
+        )
+
+
+def test_values_inline_data(spark, triples):
+    from prase_spark.bgp import bgp_match
+
+    got = sorted(
+        (r.c, r.n)
+        for r in bgp_match(
+            triples,
+            [("?c", "inNation", "?n")],
+            values={"?n": ["n2"]},
+        ).collect()
+    )
+    assert got == [("c2", "n2"), ("c3", "n2")]
+    with pytest.raises(ValueError, match="VALUES"):
+        bgp_match(triples, [("?c", "inNation", "?n")], values={"?z": ["x"]})
+
+
 def test_topk_plan_is_take_ordered(triples):
     q = bgp_aggregate(
         triples,
