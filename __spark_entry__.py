@@ -2579,6 +2579,69 @@ def _q_bgp_minus_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_robots_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL robots.txt parse + REP longest-match evaluation
+    (datapipe.robots): ten hosts share a policy body (comments, a
+    shadowed badbot block, nested Allow under Disallow), page paths
+    cycle through no-rule / denied / longest-match-allowed / denied by
+    doc_id%4. The oracle derives the verdict from the arithmetic — it
+    never parses a robots line — so line algebra, agent grouping,
+    prefix matching and the (length, allow) argmax are all in the
+    hash."""
+    from prase_spark.datapipe.robots import parse_robots, robots_allowed
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    body = (
+        "# crawl policy\n"
+        "User-agent: badbot\nDisallow: /\n\n"
+        "User-agent: *\nDisallow: /private\nAllow: /private/ok\nDisallow: /tmp\n"
+    )
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        F.lit(body).alias("body"),
+    )
+    rules = parse_robots(hosts)
+    path = (
+        F.when(i % 4 == 0, F.concat(F.lit("/pub/x"), i.cast("string")))
+        .when(i % 4 == 1, F.concat(F.lit("/private/x"), i.cast("string")))
+        .when(i % 4 == 2, F.concat(F.lit("/private/ok/y"), i.cast("string")))
+        .otherwise(F.concat(F.lit("/tmp/z"), i.cast("string")))
+    )
+    pages = d.select(
+        F.concat(
+            F.lit("https://h"), (i % 10).cast("string"),
+            F.lit(".example.org"), path,
+        ).alias("url")
+    )
+    return robots_allowed(pages, rules).select("url", "allowed")
+
+
+def _q_noindex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """meta-robots noindex filter (datapipe.robots.drop_noindex): the
+    tag is planted on doc_id%3==0, attribute-order-reversed on
+    doc_id%6==0; survivors are doc_id%3!=0 by construction."""
+    from prase_spark.datapipe.robots import drop_noindex
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    meta = (
+        F.when(i % 6 == 0, F.lit('<META CONTENT="noindex" NAME="robots">'))
+        .when(i % 3 == 0, F.lit('<meta name="robots" content="noindex,nofollow">'))
+        .otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    )
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body>"),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.org/doc/"), i.cast("string")).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return drop_noindex(pages).select("url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2675,6 +2738,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_cdx_pages": _q_surt_cdx_pages,
         "bgp_agg_orders": _q_bgp_agg_orders,
         "bgp_minus_orders": _q_bgp_minus_orders,
+        "robots_filter_pages": _q_robots_filter_pages,
+        "noindex_pages": _q_noindex_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5668,5 +5733,22 @@ def oracle_sql() -> dict[str, str]:
         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
         WHERE o.o_orderstatus <> 'F'
           AND ('n' || c.c_nationkey) IN ('n0', 'n1', 'n2')
+    """
+    # robots gates: verdicts derived from doc_id arithmetic only — the
+    # oracle never parses a robots.txt line or an HTML byte.
+    out["robots_filter_pages"] = """
+        SELECT 'https://h' || (doc_id % 10) || '.example.org'
+                   || CASE doc_id % 4
+                        WHEN 0 THEN '/pub/x' || doc_id
+                        WHEN 1 THEN '/private/x' || doc_id
+                        WHEN 2 THEN '/private/ok/y' || doc_id
+                        ELSE '/tmp/z' || doc_id
+                      END AS url,
+               (doc_id % 4 = 0 OR doc_id % 4 = 2) AS allowed
+        FROM documents
+    """
+    out["noindex_pages"] = """
+        SELECT 'https://example.org/doc/' || doc_id AS url
+        FROM documents WHERE doc_id % 3 <> 0
     """
     return out
