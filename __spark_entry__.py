@@ -2642,6 +2642,61 @@ def _q_noindex_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drop_noindex(pages).select("url")
 
 
+def _q_crawl_chain_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl-compliance → extraction seam END-TO-END in one hash:
+    drop_noindex (plants on doc_id%5==0) → robots_allowed keep-filter
+    (/private paths on doc_id%4==1 denied by a parsed robots.txt) →
+    REAL html→text→triple extraction UNIONed with REAL <a href> link
+    extraction rendered as linksTo triples — the web-graph-as-KG view.
+    The oracle re-derives survivors and both triple kinds from doc_id
+    arithmetic; every stage's failure (noindex leak, robots leak,
+    extraction or grammar drift) diverges the hash."""
+    from prase_spark.datapipe.robots import drop_noindex, parse_robots, robots_allowed
+    from prase_spark.extract import extract_triples
+    from prase_spark.linkgraph import extract_links
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    path = F.when(
+        i % 4 == 1, F.concat(F.lit("/private/x"), s)
+    ).otherwise(F.concat(F.lit("/pub/x"), s))
+    url = F.concat(
+        F.lit("https://h"), (i % 10).cast("string"), F.lit(".example.org"), path
+    )
+    meta = F.when(
+        i % 5 == 0, F.lit('<meta name="robots" content="noindex">')
+    ).otherwise(F.lit('<meta name="viewport" content="width=1">'))
+    html = F.concat(
+        F.lit("<html><head>"), meta, F.lit("</head><body><p>Person_"), s,
+        F.lit(" works for Org_"), (i % 40).cast("string"), F.lit(" . "),
+        F.col("text"),
+        F.lit('</p><a href="https://ext'), (i % 4).cast("string"),
+        F.lit('.com/e">E'), (i % 3).cast("string"), F.lit("</a></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    hosts = spark.range(10).select(
+        F.concat(F.lit("h"), F.col("id").cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        F.lit("User-agent: *\nDisallow: /private\n").alias("body"),
+    )
+    surv = (
+        robots_allowed(drop_noindex(pages), parse_robots(hosts))
+        .where("allowed")
+        .select("url", "html")
+    )
+    facts = extract_triples(surv, use_text_column=False).select(
+        "url", "subj", "pred", "obj"
+    )
+    links = extract_links(surv).select(
+        F.col("src_url").alias("url"),
+        F.col("src_url").alias("subj"),
+        F.lit("linksTo").alias("pred"),
+        F.col("dst_url").alias("obj"),
+    )
+    return facts.unionByName(links)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2740,6 +2795,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus_orders": _q_bgp_minus_orders,
         "robots_filter_pages": _q_robots_filter_pages,
         "noindex_pages": _q_noindex_pages,
+        "crawl_chain_pages": _q_crawl_chain_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5750,5 +5806,20 @@ def oracle_sql() -> dict[str, str]:
     out["noindex_pages"] = """
         SELECT 'https://example.org/doc/' || doc_id AS url
         FROM documents WHERE doc_id % 3 <> 0
+    """
+    out["crawl_chain_pages"] = """
+        WITH surv AS (
+            SELECT doc_id AS i,
+                   'https://h' || (doc_id % 10) || '.example.org/pub/x'
+                       || doc_id AS url
+            FROM documents
+            WHERE doc_id % 5 <> 0 AND doc_id % 4 <> 1
+        )
+        SELECT url, 'Person_' || i AS subj, 'employer' AS pred,
+               'Org_' || (i % 40) AS obj
+        FROM surv
+        UNION ALL
+        SELECT url, url, 'linksTo', 'https://ext' || (i % 4) || '.com/e'
+        FROM surv
     """
     return out
