@@ -2697,6 +2697,46 @@ def _q_crawl_chain_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts.unionByName(links)
 
 
+def _q_sitemap_stale_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sitemap XML parse (datapipe.sitemaps) + staleness join
+    against a CDX capture table: per doc a one-entry sitemap shard is
+    rendered (lastmod omitted on doc_id%13==0), the capture table omits
+    doc_id%17==0 (never crawled), and ``stale`` falls out of the
+    day-grain comparison. The oracle derives all four columns from
+    doc_id arithmetic — it never sees XML."""
+    from prase_spark.datapipe.sitemaps import parse_sitemaps, staleness_against_cdx
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    loc = F.concat(
+        F.lit("https://h"), (i % 10).cast("string"), F.lit(".example.org/p"), s
+    )
+    lastmod = F.concat(
+        F.lit("2024-03-"), F.lpad((1 + i % 28).cast("string"), 2, "0")
+    )
+    body = F.concat(
+        F.lit("<urlset>\n  <url>\n    <loc> "), loc, F.lit(" </loc>\n"),
+        F.when(
+            i % 13 == 0, F.lit("")
+        ).otherwise(F.concat(F.lit("    <lastmod>"), lastmod, F.lit("</lastmod>\n"))),
+        F.lit("  </url>\n</urlset>"),
+    )
+    shards = d.select(
+        F.concat(F.lit("h"), (i % 10).cast("string"), F.lit(".example.org"))
+        .alias("host"),
+        body.alias("body"),
+    )
+    cdx = d.where(i % 17 != 0).select(
+        loc.alias("url"),
+        F.concat(
+            F.lit("202403"), F.lpad((1 + i % 25).cast("string"), 2, "0"),
+            F.lit("120000"),
+        ).alias("ts"),
+    )
+    return staleness_against_cdx(parse_sitemaps(shards), cdx)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2796,6 +2836,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "robots_filter_pages": _q_robots_filter_pages,
         "noindex_pages": _q_noindex_pages,
         "crawl_chain_pages": _q_crawl_chain_pages,
+        "sitemap_stale_pages": _q_sitemap_stale_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5821,5 +5862,22 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL
         SELECT url, url, 'linksTo', 'https://ext' || (i % 4) || '.com/e'
         FROM surv
+    """
+    out["sitemap_stale_pages"] = """
+        SELECT 'https://h' || (doc_id % 10) || '.example.org/p' || doc_id AS loc,
+               CASE WHEN doc_id % 13 = 0 THEN NULL
+                    ELSE '2024-03-'
+                         || lpad(CAST(1 + doc_id % 28 AS VARCHAR), 2, '0')
+               END AS lastmod,
+               CASE WHEN doc_id % 17 = 0 THEN NULL
+                    ELSE '202403'
+                         || lpad(CAST(1 + doc_id % 25 AS VARCHAR), 2, '0')
+                         || '120000'
+               END AS last_capture_ts,
+               CASE WHEN doc_id % 17 = 0 THEN TRUE
+                    WHEN doc_id % 13 = 0 THEN FALSE
+                    ELSE (doc_id % 28) > (doc_id % 25)
+               END AS stale
+        FROM documents
     """
     return out

@@ -19,6 +19,11 @@ from prase_spark.datapipe.hoststats import (
 )
 from prase_spark.datapipe.pii import add_pii_counts, redact_corpus, redact_pii
 from prase_spark.datapipe.robots import drop_noindex, parse_robots, robots_allowed
+from prase_spark.datapipe.sitemaps import (
+    parse_sitemaps,
+    sitemap_index,
+    staleness_against_cdx,
+)
 from prase_spark.datapipe.textstats import intra_doc_repetition, language_mix, word_ngrams
 from prase_spark.datapipe.incremental import hash_store, incremental_exact, incremental_minhash, minhash_store
 from prase_spark.datapipe.lmscore import (
