@@ -2737,6 +2737,34 @@ def _q_sitemap_stale_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return staleness_against_cdx(parse_sitemaps(shards), cdx)
 
 
+def _q_mention_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anchor-based entity linking END-TO-END: REAL link extraction over
+    the templated pages → raw (dst_url, anchor, n) counts → the
+    anchor→target dictionary (argmax n, dst-ASC ties) → case-insensitive
+    mention resolution with a NIL branch (doc_id%11==0 mentions match
+    nothing). The oracle replays counts and argmax from the links CTE —
+    entity linking verified without parsing HTML."""
+    from prase_spark.linkgraph import extract_links, link_mentions
+
+    links = extract_links(_link_pages(spark, sf_dir))
+    priors = (
+        links.where(F.col("anchor") != "")
+        .groupBy("dst_url", "anchor")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    mentions = d.select(
+        F.concat(F.lit("Person_"), i.cast("string")).alias("subj"),
+        F.when(
+            i % 11 == 0, F.concat(F.lit("nohit "), i.cast("string"))
+        )
+        .otherwise(F.concat(F.lit("ext "), (i % 5).cast("string")))
+        .alias("mention"),
+    )
+    return link_mentions(mentions, priors).select("subj", "mention", "entity_url")
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2837,6 +2865,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "noindex_pages": _q_noindex_pages,
         "crawl_chain_pages": _q_crawl_chain_pages,
         "sitemap_stale_pages": _q_sitemap_stale_pages,
+        "mention_link_pages": _q_mention_link_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5793,6 +5822,30 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY dst_url ORDER BY n DESC, anchor ASC
             ) AS rk FROM c
         ) WHERE rk <= 3
+    """
+    out["mention_link_pages"] = f"""
+        WITH {_LINKS_CTE},
+        c AS (
+            SELECT dst_url, anchor, count(*) AS n
+            FROM links WHERE anchor <> ''
+            GROUP BY dst_url, anchor
+        ),
+        best AS (
+            SELECT m, dst_url FROM (
+                SELECT lower(anchor) AS m, dst_url, row_number() OVER (
+                    PARTITION BY lower(anchor) ORDER BY n DESC, dst_url ASC
+                ) AS rk FROM c
+            ) WHERE rk = 1
+        ),
+        men AS (
+            SELECT 'Person_' || doc_id AS subj,
+                   CASE WHEN doc_id % 11 = 0 THEN 'nohit ' || doc_id
+                        ELSE 'ext ' || (doc_id % 5)
+                   END AS mention
+            FROM documents
+        )
+        SELECT men.subj, men.mention, best.dst_url AS entity_url
+        FROM men LEFT JOIN best ON lower(men.mention) = best.m
     """
     # SURT/CDX: expected records derived from doc_id arithmetic only —
     # the oracle never canonicalizes a URL or hashes page bytes via the

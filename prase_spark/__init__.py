@@ -38,6 +38,7 @@ from prase_spark.linkgraph import (
     anchor_text_priors,
     extract_links,
     host_link_graph,
+    link_mentions,
     resolve_href,
 )
 from prase_spark.matching import (
@@ -107,6 +108,7 @@ __all__ = [
     "resolve_href",
     "host_link_graph",
     "anchor_text_priors",
+    "link_mentions",
     "transitive_closure",
     "propagate_types",
     "incremental_components",

@@ -156,3 +156,43 @@ def anchor_text_priors(
         counts, "dst_url", k, order_col="n", key_col="anchor",
         salt_buckets=salt_buckets,
     )
+
+
+def link_mentions(
+    mentions: DataFrame,
+    priors: DataFrame,
+    mention_col: str = "mention",
+) -> DataFrame:
+    """Anchor-based entity linking: resolve each mention string to the
+    link target the web most often labels with that anchor — the
+    classic Wikipedia-anchor linker, here over the crawl's own anchor
+    statistics (``anchor_text_priors`` output or the raw (dst_url,
+    anchor, n) counts).
+
+    Matching is case-insensitive on the whitespace-collapsed anchor;
+    per anchor the highest-``n`` target wins, ties break dst_url-ASC
+    (deterministic at any partitioning). Adds ``entity_url`` (NULL when
+    no anchor matches — the caller's NIL-entity policy).
+
+    Scale shape: the anchor→target dictionary reduces FIRST (one hash
+    agg over the priors, anchor-vocabulary-sized output), then joins the
+    mention stream on the lowercased string key — a plain equi-join
+    Catalyst broadcasts when the dictionary is small and shuffles on
+    8-byte-hashable keys when it is not. The mention stream is never
+    windowed or collected."""
+    dictionary = (
+        priors.groupBy(F.lower(F.col("anchor")).alias("__m"))
+        .agg(
+            F.min_by(
+                "dst_url", F.struct((-F.col("n")).alias("nn"), F.col("dst_url"))
+            ).alias("entity_url")
+        )
+    )
+    return (
+        mentions.join(
+            dictionary,
+            F.lower(F.col(mention_col)) == F.col("__m"),
+            "left",
+        )
+        .drop("__m")
+    )

@@ -98,6 +98,32 @@ def test_anchor_text_priors_topk_ties(spark):
     assert [(r.anchor, r.n) for r in got] == [("alpha", 3), ("beta", 3)]
 
 
+def test_link_mentions_argmax_and_nil(spark):
+    from prase_spark.linkgraph import link_mentions
+
+    priors = spark.createDataFrame(
+        [
+            ("https://a.org/x", "Big Apple", 5),
+            ("https://b.org/y", "Big Apple", 5),   # tie -> dst asc = a.org
+            ("https://c.org/z", "big apple", 9),   # case folds into same key
+            ("https://d.org/w", "Unrelated", 3),
+        ],
+        "dst_url string, anchor string, n long",
+    )
+    mentions = spark.createDataFrame(
+        [("m1", "BIG APPLE"), ("m2", "nothing matches")],
+        "id string, mention string",
+    )
+    got = {r.id: r.entity_url for r in link_mentions(mentions, priors).collect()}
+    assert got == {"m1": "https://c.org/z", "m2": None}
+    # tie case: drop the 9-count row -> a.org wins by dst asc
+    got2 = {
+        r.id: r.entity_url
+        for r in link_mentions(mentions, priors.where(F.col("n") != 9)).collect()
+    }
+    assert got2["m1"] == "https://a.org/x"
+
+
 def test_extract_links_parallelism_invariant(spark):
     html = '<a href="/a.html">A</a><a href="b.html">B b</a>'
     rows = [("https://h%d.org/d/p%d" % (i % 3, i), html) for i in range(40)]
