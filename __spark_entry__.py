@@ -2765,6 +2765,34 @@ def _q_mention_link_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return link_mentions(mentions, priors).select("subj", "mention", "entity_url")
 
 
+def _q_redirect_resolve_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redirect-chain resolution by pointer doubling
+    (urlnorm.resolve_redirects — ceil(log2 max_hops) self-joins, never
+    O(chain) iterations): chains of length doc_id%7 (1-3 hops) from
+    doc_id arithmetic plus a planted 2-cycle that must come back
+    final=NULL/cyclic=TRUE. Oracle derives final/hops from the
+    arithmetic; hops NULLed on cyclic rows (their doubling count is an
+    implementation detail)."""
+    from prase_spark.datapipe.urlnorm import resolve_redirects
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    edges = d.where((i % 7 >= 1) & (i % 7 <= 3)).select(
+        F.concat(F.lit("p"), i.cast("string")).alias("src"),
+        F.concat(F.lit("p"), (i - 1).cast("string")).alias("dst"),
+    )
+    loop = spark.createDataFrame(
+        [("loopA", "loopB"), ("loopB", "loopA")], "src string, dst string"
+    )
+    res = resolve_redirects(edges.unionByName(loop))
+    return res.select(
+        "src",
+        "final",
+        F.when(F.col("cyclic"), None).otherwise(F.col("hops")).alias("hops"),
+        "cyclic",
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2866,6 +2894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_chain_pages": _q_crawl_chain_pages,
         "sitemap_stale_pages": _q_sitemap_stale_pages,
         "mention_link_pages": _q_mention_link_pages,
+        "redirect_resolve_pages": _q_redirect_resolve_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5932,5 +5961,14 @@ def oracle_sql() -> dict[str, str]:
                     ELSE (doc_id % 28) > (doc_id % 25)
                END AS stale
         FROM documents
+    """
+    out["redirect_resolve_pages"] = """
+        SELECT 'p' || doc_id AS src,
+               'p' || (doc_id - (doc_id % 7)) AS final,
+               CAST(doc_id % 7 AS BIGINT) AS hops,
+               FALSE AS cyclic
+        FROM documents WHERE doc_id % 7 IN (1, 2, 3)
+        UNION ALL SELECT 'loopA', NULL, NULL, TRUE
+        UNION ALL SELECT 'loopB', NULL, NULL, TRUE
     """
     return out

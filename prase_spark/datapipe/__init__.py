@@ -57,7 +57,7 @@ from prase_spark.datapipe.sampling import (
     temperature_sample,
     temperature_weights,
 )
-from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url
+from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url, resolve_redirects
 from prase_spark.datapipe.classify import (
     LogisticModel,
     classifier_score,
@@ -141,6 +141,7 @@ __all__ = [
     "remove_boilerplate",
     "host_of",
     "canonical_url",
+    "resolve_redirects",
     "dedup_by_url",
     "hash_sample",
     "stratified_sample",

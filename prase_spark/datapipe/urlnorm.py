@@ -52,6 +52,70 @@ def canonical_url(col: Column | str) -> Column:
     return u
 
 
+def resolve_redirects(
+    redirects: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    max_hops: int = 32,
+) -> DataFrame:
+    """(src, final, hops, cyclic) — the terminal target of every
+    redirect chain, by POINTER DOUBLING: each round joins the mapping
+    with itself, so a chain of length L resolves in ceil(log2 L) joins,
+    not L — ``max_hops=32`` costs 5 self-joins however long the chains.
+
+    ``redirects`` is the single-successor edge set a crawl emits from
+    3xx captures (one Location per source URL; duplicate sources are
+    rejected upstream by construction — a URL redirects to one place at
+    a given snapshot). Rows whose chain exceeds ``max_hops`` after the
+    doubling rounds still point at a source URL — those are loops (or
+    over-long chains, same crawl policy): flagged ``cyclic`` with
+    ``final`` NULL, exactly how a crawler treats redirect cycles.
+
+    Scale shape: each round is ONE equi-join of the mapping with itself
+    on an 8-byte-hashable key plus a coalesce — no windows, no
+    iteration proportional to chain length, localCheckpoint-free
+    because the loop depth is a constant 5."""
+    import math
+
+    m = redirects.select(
+        F.col(src_col).alias("src"),
+        F.col(dst_col).alias("cur"),
+        F.lit(1).cast("long").alias("hops"),
+    )
+    rounds = max(1, math.ceil(math.log2(max(2, max_hops))))
+    for _ in range(rounds):
+        nxt = m.select(
+            F.col("src").alias("n_src"),
+            F.col("cur").alias("n_cur"),
+            F.col("hops").alias("n_hops"),
+        )
+        m = (
+            m.join(nxt, m["cur"] == nxt["n_src"], "left")
+            .select(
+                "src",
+                F.coalesce("n_cur", "cur").alias("cur"),
+                (
+                    F.col("hops")
+                    + F.coalesce(F.col("n_hops"), F.lit(0))
+                ).alias("hops"),
+            )
+        )
+    # a cur that is still someone's source after the rounds is a cycle
+    # (or an over-max chain): final unusable either way
+    srcs = redirects.select(F.col(src_col).alias("cur")).distinct()
+    return (
+        m.join(srcs.withColumn("__loop", F.lit(True)), on="cur", how="left")
+        .select(
+            "src",
+            F.when(F.col("__loop").isNotNull(), None)
+            .otherwise(F.col("cur"))
+            .alias("final"),
+            "hops",
+            F.col("__loop").isNotNull().alias("cyclic"),
+        )
+    )
+
+
 def dedup_by_url(
     pages: DataFrame,
     url_col: str = "url",

@@ -1,0 +1,45 @@
+"""Redirect-chain resolution: pointer doubling, cycles, hop counts."""
+
+from prase_spark.datapipe.urlnorm import resolve_redirects
+
+
+def test_chain_cycle_terminal(spark):
+    edges = spark.createDataFrame(
+        [
+            # 5-hop chain: a5 -> a4 -> a3 -> a2 -> a1 -> a0
+            ("a5", "a4"), ("a4", "a3"), ("a3", "a2"), ("a2", "a1"), ("a1", "a0"),
+            # 2-cycle
+            ("c1", "c2"), ("c2", "c1"),
+            # 1-hop
+            ("b1", "b0"),
+        ],
+        "src string, dst string",
+    )
+    got = {r.src: (r.final, r.hops, r.cyclic) for r in resolve_redirects(edges).collect()}
+    assert got["a5"] == ("a0", 5, False)
+    assert got["a3"] == ("a0", 3, False)
+    assert got["b1"] == ("b0", 1, False)
+    assert got["c1"][0] is None and got["c1"][2] is True
+    assert got["c2"][0] is None and got["c2"][2] is True
+
+
+def test_long_chain_within_doubling_budget(spark):
+    n = 30  # < max_hops=32, needs all 5 doubling rounds
+    edges = spark.createDataFrame(
+        [("u%d" % i, "u%d" % (i - 1)) for i in range(1, n + 1)],
+        "src string, dst string",
+    )
+    got = {r.src: (r.final, r.hops) for r in resolve_redirects(edges).collect()}
+    assert got["u%d" % n] == ("u0", n)
+    assert got["u1"] == ("u0", 1)
+
+
+def test_overlong_chain_flagged(spark):
+    edges = spark.createDataFrame(
+        [("u%d" % i, "u%d" % (i - 1)) for i in range(1, 6)],
+        "src string, dst string",
+    )
+    got = {r.src: r.cyclic for r in resolve_redirects(edges, max_hops=4).collect()}
+    # ceil(log2(4)) = 2 rounds resolve chains up to 4 hops; the 5-hop
+    # head still points at a source -> flagged
+    assert got["u5"] is True and got["u4"] is False
