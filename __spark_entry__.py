@@ -2793,6 +2793,30 @@ def _q_redirect_resolve_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdx_revisit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC revisit-record marking (cdx.mark_revisits): each of 100 URLs
+    gets doc-count/100 captures whose digest flips every second capture,
+    so the lag-window verdict alternates F,T,F,T,... per URL; the oracle
+    derives the flag from capture-index parity — if the window ordered
+    wrong or leaked across URLs the hash diverges."""
+    from prase_spark.cdx import mark_revisits
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    idx = F.expr("doc_id DIV 100")
+    cdx = d.select(
+        F.concat(F.lit("https://s.example/p"), (i % 100).cast("string"))
+        .alias("url"),
+        F.concat(
+            F.lit("202401"), F.lpad((idx + 1).cast("string"), 2, "0"),
+            F.lit("000000"),
+        ).alias("ts"),
+        F.concat(F.lit("d"), F.expr("(doc_id DIV 100) DIV 2").cast("string"))
+        .alias("digest"),
+    )
+    return mark_revisits(cdx)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2895,6 +2919,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sitemap_stale_pages": _q_sitemap_stale_pages,
         "mention_link_pages": _q_mention_link_pages,
         "redirect_resolve_pages": _q_redirect_resolve_pages,
+        "cdx_revisit_pages": _q_cdx_revisit_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -5970,5 +5995,13 @@ def oracle_sql() -> dict[str, str]:
         FROM documents WHERE doc_id % 7 IN (1, 2, 3)
         UNION ALL SELECT 'loopA', NULL, NULL, TRUE
         UNION ALL SELECT 'loopB', NULL, NULL, TRUE
+    """
+    out["cdx_revisit_pages"] = """
+        SELECT 'https://s.example/p' || (doc_id % 100) AS url,
+               '202401' || lpad(CAST(1 + doc_id // 100 AS VARCHAR), 2, '0')
+                   || '000000' AS ts,
+               'd' || ((doc_id // 100) // 2) AS digest,
+               ((doc_id // 100) % 2 = 1) AS revisit
+        FROM documents
     """
     return out

@@ -19,7 +19,14 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
 
 from prase_spark.asof import asof_join
 from prase_spark.bgp import bgp_aggregate, bgp_match
-from prase_spark.cdx import build_cdx, cdx_lookup, surt_key, to_cdxj, write_cdx_index
+from prase_spark.cdx import (
+    build_cdx,
+    cdx_lookup,
+    mark_revisits,
+    surt_key,
+    to_cdxj,
+    write_cdx_index,
+)
 from prase_spark.checkpoint import load_state, save_state
 from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
@@ -103,6 +110,7 @@ __all__ = [
     "build_cdx",
     "write_cdx_index",
     "cdx_lookup",
+    "mark_revisits",
     "to_cdxj",
     "extract_links",
     "resolve_href",

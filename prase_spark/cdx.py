@@ -94,6 +94,26 @@ def cdx_lookup(cdx: DataFrame, surt_prefix: str) -> DataFrame:
     return cdx.where(F.col("surt").startswith(surt_prefix)).orderBy("surt", "ts")
 
 
+def mark_revisits(cdx: DataFrame) -> DataFrame:
+    """cdx + (revisit: boolean) — a capture is a REVISIT when its digest
+    equals the digest of the SAME URL's previous capture (ts order):
+    the WARC `revisit` record convention, which lets a store keep one
+    payload per content change instead of one per fetch.
+
+    Ties on ts break by digest (deterministic). The window partitions
+    by URL: its size is the URL's recapture count — crawl-policy
+    bounded (a crawler revisits a URL dozens of times per year, never
+    corpus-many), so no skew surface; the first capture of every URL is
+    never a revisit."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy("ts", "digest")
+    prev = F.lag("digest").over(w)
+    return cdx.withColumn(
+        "revisit", prev.isNotNull() & (prev == F.col("digest"))
+    )
+
+
 def to_cdxj(cdx: DataFrame) -> DataFrame:
     """Render records as CDXJ lines: ``<surt> <ts> {"url":...,
     "digest":..., "length":...}`` — the interchange format crawl tooling

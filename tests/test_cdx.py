@@ -78,6 +78,31 @@ def test_cdx_index_roundtrip_and_pruneable_layout(spark, tmp_path):
     ]
 
 
+def test_mark_revisits(spark):
+    from prase_spark.cdx import mark_revisits
+
+    cdx = spark.createDataFrame(
+        [
+            ("u", "20240101000000", "d1"),
+            ("u", "20240102000000", "d1"),  # same digest -> revisit
+            ("u", "20240103000000", "d2"),  # content changed -> fresh
+            ("u", "20240104000000", "d2"),  # revisit again
+            ("v", "20240101000000", "d1"),  # other URL: first capture
+        ],
+        "url string, ts string, digest string",
+    )
+    got = {
+        (r.url, r.ts): r.revisit for r in mark_revisits(cdx).collect()
+    }
+    assert got == {
+        ("u", "20240101000000"): False,
+        ("u", "20240102000000"): True,
+        ("u", "20240103000000"): False,
+        ("u", "20240104000000"): True,
+        ("v", "20240101000000"): False,
+    }
+
+
 def test_to_cdxj_line_shape(spark):
     line = (
         to_cdxj(build_cdx(_pages(spark).limit(1))).first().line
