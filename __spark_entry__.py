@@ -2817,6 +2817,44 @@ def _q_cdx_revisit_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mark_revisits(cdx)
 
 
+def _q_head_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WAT-field head extraction (extract.extract_head_meta): title
+    always present, h1 on doc_id%2==0, meta description with the
+    attribute order FLIPPED on doc_id%3==0, rel=canonical on
+    doc_id%4==0 — the oracle rebuilds all four nullable fields from the
+    arithmetic, never touching HTML."""
+    from prase_spark.extract import extract_head_meta
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    desc = F.when(
+        i % 3 == 0,
+        F.concat(F.lit('<meta content="desc '), s, F.lit('" name="description">')),
+    ).otherwise(
+        F.concat(F.lit('<meta name="description" content="desc '), s, F.lit('">'))
+    )
+    html = F.concat(
+        F.lit("<html><head><title> Doc  "), s, F.lit(" </title>"), desc,
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit('<link rel="canonical" href="https://c.org/'), s,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit("</head><body>"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("<h1>H "), s, F.lit("</h1>")),
+        ).otherwise(F.lit("")),
+        F.col("text"), F.lit("</body></html>"),
+    )
+    pages = d.select(
+        F.concat(F.lit("https://example.org/doc/"), s).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+    return extract_head_meta(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -2920,6 +2958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mention_link_pages": _q_mention_link_pages,
         "redirect_resolve_pages": _q_redirect_resolve_pages,
         "cdx_revisit_pages": _q_cdx_revisit_pages,
+        "head_meta_pages": _q_head_meta_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6002,6 +6041,15 @@ def oracle_sql() -> dict[str, str]:
                    || '000000' AS ts,
                'd' || ((doc_id // 100) // 2) AS digest,
                ((doc_id // 100) % 2 = 1) AS revisit
+        FROM documents
+    """
+    out["head_meta_pages"] = """
+        SELECT 'https://example.org/doc/' || doc_id AS url,
+               'Doc ' || doc_id AS title,
+               CASE WHEN doc_id % 2 = 0 THEN 'H ' || doc_id END AS h1,
+               'desc ' || doc_id AS meta_description,
+               CASE WHEN doc_id % 4 = 0
+                    THEN 'https://c.org/' || doc_id END AS canonical_url
         FROM documents
     """
     return out

@@ -31,7 +31,7 @@ from prase_spark.checkpoint import load_state, save_state
 from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
-from prase_spark.extract import extract_text, extract_triples
+from prase_spark.extract import extract_head_meta, extract_text, extract_triples
 from prase_spark.graphstats import (
     degrees,
     link_candidates,
@@ -113,6 +113,7 @@ __all__ = [
     "mark_revisits",
     "to_cdxj",
     "extract_links",
+    "extract_head_meta",
     "resolve_href",
     "host_link_graph",
     "anchor_text_priors",

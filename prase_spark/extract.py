@@ -109,6 +109,56 @@ def pages_to_raw_triples(pages: DataFrame) -> DataFrame:
     return extract_triples(pages).select("subj", "pred", "obj", "is_attr")
 
 
+def extract_head_meta(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, title, h1, meta_description, canonical_url) — the WAT-record
+    head fields a crawl pipeline mines for document titles (entity-name
+    candidates), snippets, and rel=canonical dedup hints.
+
+    One codegen projection (decode + four regexp extracts, whitespace
+    collapsed); absent fields are NULL. Grammar matches the linkgraph
+    doctrine: double-quoted attributes, text free of ``<``, either
+    attribute order for meta/link tags — pinned and RE2-replayable."""
+    h = F.decode(F.col(html_col), "utf-8")
+
+    def _clean(c):
+        t = F.trim(F.regexp_replace(c, r"\s+", " "))
+        return F.when(t == "", None).otherwise(t)
+
+    title = F.regexp_extract(h, r"(?is)<title[^>]*>([^<]*)</title>", 1)
+    h1 = F.regexp_extract(h, r"(?is)<h1[^>]*>([^<]*)</h1>", 1)
+    desc = F.concat(
+        F.regexp_extract(
+            h,
+            r'(?is)<meta\s[^>]*name\s*=\s*"description"[^>]*content\s*=\s*"([^"]*)"',
+            1,
+        ),
+        F.regexp_extract(
+            h,
+            r'(?is)<meta\s[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"description"',
+            1,
+        ),
+    )
+    canon = F.concat(
+        F.regexp_extract(
+            h,
+            r'(?is)<link\s[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"',
+            1,
+        ),
+        F.regexp_extract(
+            h,
+            r'(?is)<link\s[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"',
+            1,
+        ),
+    )
+    return pages.select(
+        "url",
+        _clean(title).alias("title"),
+        _clean(h1).alias("h1"),
+        _clean(desc).alias("meta_description"),
+        _clean(canon).alias("canonical_url"),
+    )
+
+
 def route_by_http(triples: DataFrame) -> DataFrame:
     """S2's self-classifying router (test.py:49-52): object containing
     'http' -> relation triple, else attribute triple."""

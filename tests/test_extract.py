@@ -55,3 +55,32 @@ def test_route_by_http(spark):
     )
     got = {r["obj"]: r["is_attr"] for r in route_by_http(df).collect()}
     assert got == {"http://x.org/y": False, "plain": True}
+
+
+def test_extract_head_meta(spark):
+    from prase_spark.extract import extract_head_meta
+
+    rows = [
+        (
+            "u1",
+            b'<html><head><title> My  Title </title>'
+            b'<meta name="description" content="a desc">'
+            b'<link rel="canonical" href="https://c.org/x"></head>'
+            b"<body><h1>Head\none</h1></body></html>",
+        ),
+        (
+            "u2",
+            b'<html><head><META CONTENT="rev desc" NAME="description">'
+            b'<LINK HREF="https://c.org/y" REL="canonical"></head><body></body></html>',
+        ),
+        ("u3", b"<html><body>nothing</body></html>"),
+    ]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    got = {r.url: r for r in extract_head_meta(pages).collect()}
+    assert (got["u1"].title, got["u1"].h1) == ("My Title", "Head one")
+    assert got["u1"].meta_description == "a desc"
+    assert got["u1"].canonical_url == "https://c.org/x"
+    assert got["u2"].title is None
+    assert got["u2"].meta_description == "rev desc"
+    assert got["u2"].canonical_url == "https://c.org/y"
+    assert got["u3"].title is None and got["u3"].canonical_url is None
