@@ -98,3 +98,42 @@ def test_bpe_plan_hygiene(spark):
         assert "split(word" not in above_scan and "explode(filter" not in above_scan
     finally:
         vocab.unpersist()
+
+
+def test_linkgraph_robots_plan_hygiene(spark):
+    """Round-5 crawl surfaces: extraction is exchange-free; the robots
+    rule table broadcasts into the page side; no cartesian anywhere."""
+    from prase_spark.datapipe.robots import parse_robots, robots_allowed
+    from prase_spark.linkgraph import extract_links
+
+    pages = spark.range(200).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                 F.lit(".org/d/p"), F.col("id").cast("string")).alias("url"),
+        F.encode(F.concat(F.lit('<a href="/x.html">L</a>'),
+                          F.col("id").cast("string")), "utf-8").alias("html"),
+    )
+    links_plan = _plan(extract_links(pages))
+    assert "Exchange" not in links_plan  # one scan, zero shuffles
+    rules = parse_robots(
+        spark.createDataFrame(
+            [("h0.org", "User-agent: *\nDisallow: /d\n")],
+            "host string, body string",
+        )
+    )
+    verdict_plan = _plan(robots_allowed(pages, rules))
+    assert "CartesianProduct" not in verdict_plan
+    assert "BroadcastHashJoin" in verdict_plan  # rules side broadcast
+
+
+def test_redirect_doubling_join_count(spark):
+    """Pointer doubling is a constant number of equi-joins (5 for
+    max_hops=32), independent of chain length — the plan must show no
+    cartesian and no more than rounds+1 shuffle-producing joins."""
+    from prase_spark.datapipe.urlnorm import resolve_redirects
+
+    edges = spark.createDataFrame(
+        [("u%d" % i, "u%d" % (i - 1)) for i in range(1, 20)],
+        "src string, dst string",
+    )
+    plan = _plan(resolve_redirects(edges))
+    assert "CartesianProduct" not in plan
