@@ -92,6 +92,9 @@ def _scaling_leg() -> dict:
         "extract_600k_pages_4_16_interleaved_min": 0.845,  # commit b1dd307, 4.25x window
         "substr_dedup_30k_pages_4_16": 0.896,         # BENCH.md r5, 3.93x window
         "extract_1800k_pages_8_32_vs_hw_ceiling": 0.755,  # commit 3c37226, raw 0.663 / 3.51x ceiling
+        # best raw 8->32 read: watcher-fired in a 3.84x sustained window,
+        # interleaved x2 order-alternated, min-per-level 3.146x/4
+        "extract_1m_pages_8_32_interleaved_min": 0.786,  # commit 7cccf07, 1.056 vs ceiling
     }
     if pair is None:
         out["skipped"] = (
@@ -342,6 +345,26 @@ def main():
         timings["pagerank_nodes"] = n_nodes
         edges.unpersist()
 
+    # extra metric (round 5): <a href> link extraction throughput over
+    # natively-synthesized anchor-rich pages (tools/linkgraph_bench.py
+    # synthesizer) — the crawl-side link-graph scan rate
+    def q_linkgraph():
+        sys.path.insert(
+            0, os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools")
+        )
+        from linkgraph_bench import synth_link_pages
+
+        from prase_spark.linkgraph import extract_links
+
+        n_lp = int(os.environ.get("PRASE_BENCH_LINK_PAGES", "100000"))
+        pages = synth_link_pages(spark, n_lp, 18)
+        extract_links(pages.limit(1000)).count()  # warmup codegen
+        t0 = time.time()
+        n_links = extract_links(pages).count()
+        elapsed = time.time() - t0
+        timings["link_extract_pages_per_sec"] = round(n_lp / elapsed, 1)
+        timings["link_extract_links"] = n_links
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -355,6 +378,8 @@ def main():
     q_lmscore()
     spark.catalog.clearCache()
     q_graph()
+    spark.catalog.clearCache()
+    q_linkgraph()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
