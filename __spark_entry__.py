@@ -2333,6 +2333,71 @@ def _q_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_triples(pages, use_text_column=False)
 
 
+def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages carrying schema.org structured data templated from doc_id:
+    one JSON-LD block (Person with a nested Organization, an @id-only
+    affiliation link, and literal props), a PLANTED malformed JSON-LD
+    block on every 10th doc (exercising the counted-drop contract), and
+    one microdata item (itemid subject; immediate-text / meta-content /
+    a-href value forms). Every emitted triple is doc_id arithmetic, so
+    the DuckDB twin re-derives the full output in pure SQL."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    year = (F.lit(1900) + F.col("doc_id") % 120).cast("string")
+    ld = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@context":"https://schema.org","@type":"Person",'
+              '"@id":"https://example.org/ent/'), i,
+        F.lit('","name":"Person '), i,
+        F.lit('","birthDate":"'), year,
+        F.lit('","worksFor":{"@type":"Organization","name":"Org '),
+        (F.col("doc_id") % 40).cast("string"),
+        F.lit('"},"affiliation":[{"@id":"https://example.org/org/'),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit('"}]}</script>'),
+    )
+    bad = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.lit('<script type="application/ld+json">{not json,</script>'),
+    ).otherwise(F.lit(""))
+    md = F.concat(
+        F.lit('<div itemscope itemtype="https://schema.org/Person" '
+              'itemid="https://example.org/md/'), i,
+        F.lit('"><span itemprop="name">Person '), i,
+        F.lit('</span><meta itemprop="birthYear" content="'), year,
+        F.lit('"><a itemprop="homepage" href="https://example.org/home/'),
+        (F.col("doc_id") % 50).cast("string"),
+        F.lit('">home</a></div>'),
+    )
+    html = F.concat(
+        F.lit("<html><head>"), ld, bad,
+        F.lit("</head><body>"), md, F.lit("</body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://example.org/doc/"), i).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def _q_structured_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON-LD + microdata extraction (prase_spark/structured.py) over the
+    templated pages: 11 triples per doc (7 ld, 4 microdata), including a
+    per-page blank node for the nested Organization. The planted malformed
+    block must contribute NOTHING (counted, never raised)."""
+    from prase_spark.structured import extract_structured
+
+    return extract_structured(_structured_pages(spark, sf_dir))
+
+
+def _q_structured_stats_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url structured-data telemetry over the same pages — the crawl-QA
+    counted-drop surface: every 10th doc shows n_ld_blocks=2 with
+    n_ld_malformed=1, and its triple counts are unchanged."""
+    from prase_spark.structured import structured_stats
+
+    return structured_stats(_structured_pages(spark, sf_dir))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec-free media decode, value-verified: per document, five
     container payloads are synthesized from doc_id arithmetic (PNG with
@@ -2940,6 +3005,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
+        "structured_extract_pages": _q_structured_extract_pages,
+        "structured_stats_pages": _q_structured_stats_pages,
         "bgp_filter_orders": _q_bgp_filter_orders,
         "bgp_path_parts": _q_bgp_path_parts,
         # --- newest this session (positions 55+, past the driver's
@@ -4667,6 +4734,46 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
+        # structured-data extraction: the oracle re-derives all 11 triples
+        # per doc (7 JSON-LD incl. the _:b0 nested-Organization blank node,
+        # 4 microdata) from doc_id arithmetic; the planted malformed block
+        # (every 10th doc) must contribute zero rows.
+        "structured_extract_pages": """
+            WITH u AS (
+                SELECT doc_id,
+                       'https://example.org/doc/' || doc_id AS url,
+                       'https://example.org/ent/' || doc_id AS ent,
+                       'https://example.org/md/' || doc_id AS md,
+                       CAST(1900 + doc_id % 120 AS VARCHAR) AS yr
+                FROM documents
+            )
+            SELECT url, ent AS subj, 'rdf:type' AS pred, 'Person' AS obj,
+                   FALSE AS obj_is_lit, 'ldjson' AS source FROM u
+            UNION ALL SELECT url, ent, 'name', 'Person ' || doc_id, TRUE, 'ldjson' FROM u
+            UNION ALL SELECT url, ent, 'birthDate', yr, TRUE, 'ldjson' FROM u
+            UNION ALL SELECT url, ent, 'worksFor', '_:b0', FALSE, 'ldjson' FROM u
+            UNION ALL SELECT url, '_:b0', 'rdf:type', 'Organization', FALSE, 'ldjson' FROM u
+            UNION ALL SELECT url, '_:b0', 'name', 'Org ' || (doc_id % 40), TRUE, 'ldjson' FROM u
+            UNION ALL SELECT url, ent, 'affiliation',
+                   'https://example.org/org/' || (doc_id % 7), FALSE, 'ldjson' FROM u
+            UNION ALL SELECT url, md, 'rdf:type', 'https://schema.org/Person',
+                   FALSE, 'microdata' FROM u
+            UNION ALL SELECT url, md, 'name', 'Person ' || doc_id, TRUE, 'microdata' FROM u
+            UNION ALL SELECT url, md, 'birthYear', yr, TRUE, 'microdata' FROM u
+            UNION ALL SELECT url, md, 'homepage',
+                   'https://example.org/home/' || (doc_id % 50), FALSE, 'microdata' FROM u
+        """,
+        "structured_stats_pages": """
+            SELECT 'https://example.org/doc/' || doc_id AS url,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)
+                       AS n_ld_blocks,
+                   CAST(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END AS INTEGER)
+                       AS n_ld_malformed,
+                   CAST(7 AS INTEGER) AS n_ld_triples,
+                   CAST(1 AS INTEGER) AS n_md_items,
+                   CAST(4 AS INTEGER) AS n_md_triples
+            FROM documents
+        """,
         # multimodal decode: the oracle NEVER sees container bytes — it
         # re-derives the position-weighted exact-integer checksums
         # (weight 1 + j%10007, each term mod 1e9+7 — media_decode_checksums'

@@ -32,6 +32,11 @@ from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import extract_head_meta, extract_text, extract_triples
+from prase_spark.structured import (
+    extract_structured,
+    structured_stats,
+    structured_to_raw_triples,
+)
 from prase_spark.graphstats import (
     degrees,
     link_candidates,
@@ -114,6 +119,9 @@ __all__ = [
     "to_cdxj",
     "extract_links",
     "extract_head_meta",
+    "extract_structured",
+    "structured_stats",
+    "structured_to_raw_triples",
     "resolve_href",
     "host_link_graph",
     "anchor_text_priors",
