@@ -2997,22 +2997,26 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
         "dag_closure_parts": _q_dag_closure_parts,
-        "type_propagate_customers": _q_type_propagate_customers,
         "ntriples_export_orders": _q_ntriples_export_orders,
+        "incremental_cc_delta_events": _q_incremental_cc_delta_events,
+        "structured_extract_pages": _q_structured_extract_pages,
+        "structured_stats_pages": _q_structured_stats_pages,
+        "link_extract_pages": _q_link_extract_pages,
+        "crawl_chain_pages": _q_crawl_chain_pages,
+        # --- past the driver's 50-record cap behind the rotation
+        #     contract (evidence = tools/check_oracles.py sweep logged
+        #     in BENCH.md + pytest); family siblings of in-window gates
+        #     (bgp_*, ntriples_roundtrip, incremental_cc full-recompute,
+        #     type_propagate) rotate here so the window holds the
+        #     strongest one-per-family representative. ---
+        "ivf_topk": _q_ivf_topk,
+        "temperature_mix_docs": _q_temperature_mix_docs,
+        "bgp_filter_orders": _q_bgp_filter_orders,
+        "bgp_path_parts": _q_bgp_path_parts,
+        "type_propagate_customers": _q_type_propagate_customers,
         "ntriples_roundtrip_orders": _q_ntriples_roundtrip_orders,
         "bgp_star_orders": _q_bgp_star_orders,
         "incremental_cc_events": _q_incremental_cc_events,
-        "incremental_cc_delta_events": _q_incremental_cc_delta_events,
-        "ivf_topk": _q_ivf_topk,
-        "temperature_mix_docs": _q_temperature_mix_docs,
-        "structured_extract_pages": _q_structured_extract_pages,
-        "structured_stats_pages": _q_structured_stats_pages,
-        "bgp_filter_orders": _q_bgp_filter_orders,
-        "bgp_path_parts": _q_bgp_path_parts,
-        # --- newest this session (positions 55+, past the driver's
-        #     50-record cap behind the rotation contract; evidence =
-        #     tools/check_oracles.py sweep logged in BENCH.md + pytest) ---
-        "link_extract_pages": _q_link_extract_pages,
         "host_graph_pages": _q_host_graph_pages,
         "anchor_prior_pages": _q_anchor_prior_pages,
         "surt_cdx_pages": _q_surt_cdx_pages,
@@ -3020,7 +3024,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_minus_orders": _q_bgp_minus_orders,
         "robots_filter_pages": _q_robots_filter_pages,
         "noindex_pages": _q_noindex_pages,
-        "crawl_chain_pages": _q_crawl_chain_pages,
         "sitemap_stale_pages": _q_sitemap_stale_pages,
         "mention_link_pages": _q_mention_link_pages,
         "redirect_resolve_pages": _q_redirect_resolve_pages,
