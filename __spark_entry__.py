@@ -2337,10 +2337,13 @@ def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pages carrying schema.org structured data templated from doc_id:
     one JSON-LD block (Person with a nested Organization, an @id-only
     affiliation link, and literal props), a PLANTED malformed JSON-LD
-    block on every 10th doc (exercising the counted-drop contract), and
-    one microdata item (itemid subject; immediate-text / meta-content /
-    a-href value forms). Every emitted triple is doc_id arithmetic, so
-    the DuckDB twin re-derives the full output in pure SQL."""
+    block on every 10th doc (exercising the counted-drop contract), one
+    microdata item (itemid subject; immediate-text / meta-content /
+    a-href value forms), and one RDFa Lite item (resource subject, a
+    cross-doc knows->ent/{id+1} IRI link, meta-content literal, and a
+    nested typeof+property PostalAddress blank node). Every emitted
+    triple is doc_id arithmetic, so the DuckDB twin re-derives the full
+    output in pure SQL."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
     i = F.col("doc_id").cast("string")
     year = (F.lit(1900) + F.col("doc_id") % 120).cast("string")
@@ -2369,9 +2372,22 @@ def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 50).cast("string"),
         F.lit('">home</a></div>'),
     )
+    ra = F.concat(
+        F.lit('<div vocab="https://schema.org/" typeof="Person" '
+              'resource="https://example.org/rdfa/'), i,
+        F.lit('"><span property="name">Person '), i,
+        F.lit('</span><a property="knows" href="https://example.org/ent/'),
+        (F.col("doc_id") + 1).cast("string"),
+        F.lit('">peer</a><meta property="memberOf" content="Group '),
+        (F.col("doc_id") % 12).cast("string"),
+        F.lit('"><div property="address" typeof="PostalAddress">'
+              '<span property="addressLocality">City '),
+        (F.col("doc_id") % 25).cast("string"),
+        F.lit("</span></div></div>"),
+    )
     html = F.concat(
         F.lit("<html><head>"), ld, bad,
-        F.lit("</head><body>"), md, F.lit("</body></html>"),
+        F.lit("</head><body>"), md, ra, F.lit("</body></html>"),
     )
     return d.select(
         F.concat(F.lit("https://example.org/doc/"), i).alias("url"),
@@ -2380,10 +2396,11 @@ def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_structured_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """JSON-LD + microdata extraction (prase_spark/structured.py) over the
-    templated pages: 11 triples per doc (7 ld, 4 microdata), including a
-    per-page blank node for the nested Organization. The planted malformed
-    block must contribute NOTHING (counted, never raised)."""
+    """JSON-LD + microdata + RDFa extraction (prase_spark/structured.py)
+    over the templated pages: 18 triples per doc (7 ld, 4 microdata,
+    7 rdfa), including per-page blank nodes for the nested Organization
+    (_:b0) and PostalAddress (_:r0) and a cross-doc RDFa knows link. The
+    planted malformed block contributes NOTHING (counted, never raised)."""
     from prase_spark.structured import extract_structured
 
     return extract_structured(_structured_pages(spark, sf_dir))
@@ -2392,7 +2409,8 @@ def _q_structured_extract_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_structured_stats_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url structured-data telemetry over the same pages — the crawl-QA
     counted-drop surface: every 10th doc shows n_ld_blocks=2 with
-    n_ld_malformed=1, and its triple counts are unchanged."""
+    n_ld_malformed=1, and its triple counts are unchanged; every doc
+    carries 2 RDFa items (Person + nested PostalAddress) / 7 triples."""
     from prase_spark.structured import structured_stats
 
     return structured_stats(_structured_pages(spark, sf_dir))
@@ -4737,16 +4755,18 @@ def oracle_sql() -> dict[str, str]:
         """,
         "embedding_neardup": _embedding_neardup_sql(dim=64, n_bits=96, n_bands=8, threshold=0.99),
         "extract_pages": _EXTRACT_PAGES_SQL,
-        # structured-data extraction: the oracle re-derives all 11 triples
+        # structured-data extraction: the oracle re-derives all 18 triples
         # per doc (7 JSON-LD incl. the _:b0 nested-Organization blank node,
-        # 4 microdata) from doc_id arithmetic; the planted malformed block
-        # (every 10th doc) must contribute zero rows.
+        # 4 microdata, 7 RDFa incl. the _:r0 PostalAddress blank node and
+        # the cross-doc knows->ent/{id+1} link) from doc_id arithmetic; the
+        # planted malformed block (every 10th doc) must contribute zero rows.
         "structured_extract_pages": """
             WITH u AS (
                 SELECT doc_id,
                        'https://example.org/doc/' || doc_id AS url,
                        'https://example.org/ent/' || doc_id AS ent,
                        'https://example.org/md/' || doc_id AS md,
+                       'https://example.org/rdfa/' || doc_id AS ra,
                        CAST(1900 + doc_id % 120 AS VARCHAR) AS yr
                 FROM documents
             )
@@ -4765,6 +4785,15 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT url, md, 'birthYear', yr, TRUE, 'microdata' FROM u
             UNION ALL SELECT url, md, 'homepage',
                    'https://example.org/home/' || (doc_id % 50), FALSE, 'microdata' FROM u
+            UNION ALL SELECT url, ra, 'rdf:type', 'Person', FALSE, 'rdfa' FROM u
+            UNION ALL SELECT url, ra, 'name', 'Person ' || doc_id, TRUE, 'rdfa' FROM u
+            UNION ALL SELECT url, ra, 'knows',
+                   'https://example.org/ent/' || (doc_id + 1), FALSE, 'rdfa' FROM u
+            UNION ALL SELECT url, ra, 'memberOf', 'Group ' || (doc_id % 12), TRUE, 'rdfa' FROM u
+            UNION ALL SELECT url, '_:r0', 'rdf:type', 'PostalAddress', FALSE, 'rdfa' FROM u
+            UNION ALL SELECT url, ra, 'address', '_:r0', FALSE, 'rdfa' FROM u
+            UNION ALL SELECT url, '_:r0', 'addressLocality',
+                   'City ' || (doc_id % 25), TRUE, 'rdfa' FROM u
         """,
         "structured_stats_pages": """
             SELECT 'https://example.org/doc/' || doc_id AS url,
@@ -4774,7 +4803,9 @@ def oracle_sql() -> dict[str, str]:
                        AS n_ld_malformed,
                    CAST(7 AS INTEGER) AS n_ld_triples,
                    CAST(1 AS INTEGER) AS n_md_items,
-                   CAST(4 AS INTEGER) AS n_md_triples
+                   CAST(4 AS INTEGER) AS n_md_triples,
+                   CAST(2 AS INTEGER) AS n_rdfa_items,
+                   CAST(7 AS INTEGER) AS n_rdfa_triples
             FROM documents
         """,
         # multimodal decode: the oracle NEVER sees container bytes — it

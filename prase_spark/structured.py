@@ -1,4 +1,4 @@
-"""Structured-data extraction: JSON-LD + HTML microdata -> (subj, pred, obj).
+"""Structured-data extraction: JSON-LD + microdata + RDFa -> (subj, pred, obj).
 
 The canonical web-KG construction source the plain-text pattern bank
 (extract.py) cannot see: schema.org annotations embedded by publishers in
@@ -38,6 +38,17 @@ element's IMMEDIATE text (up to the next ``<``). ``itemscope`` on an
 ``itemprop`` element links parent -> child item. ``itemid`` names the
 subject, else a blank node. itemref is not supported (rare in crawl data;
 requires a second pass keyed on element ids).
+
+RDFa Lite profile (same documented-subset discipline): ``typeof`` opens an
+item whose subject is ``resource`` else ``about`` else a ``_:r{n}`` blank
+node; ``typeof`` terms emit rdf:type. ``property`` binds to the innermost
+open subject; an element carrying both ``property`` and ``typeof`` links
+parent -> child. Property values: ``resource`` (IRI) else ``content``
+(literal) else href/src-family (IRI, same tag table as microdata) else
+``datetime`` (literal) else immediate text. Terms are kept compact —
+``vocab``/``prefix`` IRI expansion is NOT applied, consistent with the
+raw-key treatment of JSON-LD keys and microdata itemprops (canonicalization
+is the KG layer's job, normalize.py).
 """
 
 from __future__ import annotations
@@ -221,6 +232,74 @@ def _prop_value(tag: str, attrs: dict, html: str, text_start: int):
     return (text if text else None), True
 
 
+# --- RDFa Lite ------------------------------------------------------------------
+
+
+def rdfa_triples(html: str) -> tuple[list[tuple[str, str, str, bool]], int]:
+    """RDFa Lite triples + item count, one sequential tag scan.
+
+    Mirrors microdata_triples' stack discipline: (element_depth, subject)
+    frames track open ``typeof`` items, ``property`` binds to the innermost
+    frame. Blank nodes use the ``_:r{n}`` namespace (disjoint from JSON-LD
+    ``_:b`` and microdata ``_:m``). Subset documented in the module header.
+    """
+    out: list[tuple[str, str, str, bool]] = []
+    stack: list[tuple[int, str]] = []
+    depth = 0
+    n_items = 0
+    bn = 0
+    for m in _TAG_RE.finditer(html):
+        closing, tag, raw_attrs, self_close = m.groups()
+        tag = tag.lower()
+        if closing:
+            if tag in _VOID_TAGS:
+                continue
+            if stack and stack[-1][0] == depth:
+                stack.pop()
+            depth = max(0, depth - 1)
+            continue
+        attrs = _attrs(raw_attrs)
+        is_void = bool(self_close) or tag in _VOID_TAGS
+        child_subj = None
+        if "typeof" in attrs:
+            n_items += 1
+            child_subj = attrs.get("resource") or attrs.get("about")
+            if not child_subj:
+                child_subj = f"_:r{bn}"
+                bn += 1
+            for t in attrs["typeof"].split():
+                out.append((child_subj, RDF_TYPE, t, False))
+        if "property" in attrs and stack:
+            parent = stack[-1][1]
+            for prop in attrs["property"].split():
+                if child_subj is not None:
+                    out.append((parent, prop, child_subj, False))
+                else:
+                    value, is_lit = _rdfa_value(tag, attrs, html, m.end())
+                    if value is not None:
+                        out.append((parent, prop, value, is_lit))
+        if "typeof" in attrs and not is_void:
+            stack.append((depth + 1, child_subj))
+        if not is_void:
+            depth += 1
+    return out, n_items
+
+
+def _rdfa_value(tag: str, attrs: dict, html: str, text_start: int):
+    if "resource" in attrs:
+        return attrs["resource"], False
+    if "content" in attrs:
+        return attrs["content"], True
+    if tag in _URL_VALUE_TAGS and _URL_VALUE_TAGS[tag] in attrs:
+        return attrs[_URL_VALUE_TAGS[tag]], False
+    if tag == "time" and "datetime" in attrs:
+        return attrs["datetime"], True
+    end = html.find("<", text_start)
+    text = html[text_start : end if end >= 0 else len(html)]
+    text = re.sub(r"\s+", " ", text).strip()
+    return (text if text else None), True
+
+
 # --- Spark plumbing ---------------------------------------------------------------
 
 _STRUCT_SCHEMA = (
@@ -229,7 +308,8 @@ _STRUCT_SCHEMA = (
 )
 _STATS_SCHEMA = (
     "url STRING, n_ld_blocks INT, n_ld_malformed INT, "
-    "n_ld_triples INT, n_md_items INT, n_md_triples INT"
+    "n_ld_triples INT, n_md_items INT, n_md_triples INT, "
+    "n_rdfa_items INT, n_rdfa_triples INT"
 )
 
 
@@ -243,8 +323,8 @@ def extract_structured(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """(url, html) -> one row per structured-data triple.
 
     Output: (url, subj, pred, obj, obj_is_lit, source) with source in
-    {'ldjson', 'microdata'}; JSON-LD triples precede microdata triples per
-    url, each stream in its own deterministic document order. Single narrow
+    {'ldjson', 'microdata', 'rdfa'}; the three streams emit in that order
+    per url, each in its own deterministic document order. Single narrow
     Arrow map stage; column-pruned to (url, html).
     """
 
@@ -255,7 +335,8 @@ def extract_structured(pages: DataFrame, html_col: str = "html") -> DataFrame:
                 text = _decode(html)
                 ld, _, _ = ldjson_triples(text)
                 md, _ = microdata_triples(text)
-                for src, triples in (("ldjson", ld), ("microdata", md)):
+                ra, _ = rdfa_triples(text)
+                for src, triples in (("ldjson", ld), ("microdata", md), ("rdfa", ra)):
                     for s, p, o, is_lit in triples:
                         rows["url"].append(url)
                         rows["subj"].append(s)
@@ -282,18 +363,22 @@ def structured_stats(pages: DataFrame, html_col: str = "html") -> DataFrame:
                 for k in (
                     "url", "n_ld_blocks", "n_ld_malformed",
                     "n_ld_triples", "n_md_items", "n_md_triples",
+                    "n_rdfa_items", "n_rdfa_triples",
                 )
             }
             for url, html in zip(pdf["url"], pdf[html_col]):
                 text = _decode(html)
                 ld, n_blocks, n_bad = ldjson_triples(text)
                 md, n_items = microdata_triples(text)
+                ra, n_rdfa = rdfa_triples(text)
                 rows["url"].append(url)
                 rows["n_ld_blocks"].append(n_blocks)
                 rows["n_ld_malformed"].append(n_bad)
                 rows["n_ld_triples"].append(len(ld))
                 rows["n_md_items"].append(n_items)
                 rows["n_md_triples"].append(len(md))
+                rows["n_rdfa_items"].append(n_rdfa)
+                rows["n_rdfa_triples"].append(len(ra))
             yield pd.DataFrame(rows)
 
     return pages.select("url", html_col).mapInPandas(run, _STATS_SCHEMA)

@@ -1,4 +1,4 @@
-"""Structured-data extraction (JSON-LD + microdata) — prase_spark/structured.py.
+"""Structured-data extraction (JSON-LD + microdata + RDFa) — prase_spark/structured.py.
 
 Reference analog: the TSV triple loads (test.py:16-47) give the reference its
 triples pre-built; this surface derives the same (subj, pred, obj, is_lit)
@@ -14,6 +14,7 @@ from prase_spark.structured import (
     extract_structured,
     ldjson_triples,
     microdata_triples,
+    rdfa_triples,
     structured_stats,
     structured_to_raw_triples,
 )
@@ -41,6 +42,17 @@ LD_PAGE = """<html><head>
   <time itemprop="born" datetime="1907-01-01">Jan 1</time>
 </div>
 <div itemscope><span itemprop="note">flat blank</span></div>
+<div vocab="https://schema.org/" typeof="Person" resource="https://ex.org/ra/7">
+  <span property="name">Person 7</span>
+  <a property="knows" href="https://ex.org/ent/8">peer</a>
+  <meta property="memberOf" content="Group 7">
+  <time property="born" datetime="1907-01-01">Jan 1</time>
+  <span property="alt" resource="https://ex.org/alias/7">alias</span>
+  <div property="address" typeof="PostalAddress">
+     <span property="locality">City 7</span>
+  </div>
+</div>
+<div typeof="Thing"><span property="note">rdfa blank</span></div>
 </body></html>"""
 
 
@@ -151,6 +163,58 @@ class TestMicrodata:
         assert ("s", "n", "42", True) in out
 
 
+class TestRdfa:
+    def test_full_scan(self):
+        out, n_items = rdfa_triples(LD_PAGE)
+        assert n_items == 3  # Person, nested PostalAddress, trailing Thing
+        s = "https://ex.org/ra/7"
+        assert (s, "rdf:type", "Person", False) in out
+        assert (s, "name", "Person 7", True) in out  # immediate text
+        assert (s, "knows", "https://ex.org/ent/8", False) in out  # a href -> IRI
+        assert (s, "memberOf", "Group 7", True) in out  # meta content
+        assert (s, "born", "1907-01-01", True) in out  # time datetime
+        assert (s, "alt", "https://ex.org/alias/7", False) in out  # resource value
+        # nested typeof+property: child's type precedes the parent link
+        assert ("_:r0", "rdf:type", "PostalAddress", False) in out
+        assert (s, "address", "_:r0", False) in out
+        assert ("_:r0", "locality", "City 7", True) in out
+        # typeof without resource/about: blank subject, props still bind
+        assert ("_:r1", "rdf:type", "Thing", False) in out
+        assert ("_:r1", "note", "rdfa blank", True) in out
+        # no cross-talk: microdata itemprops never emitted as rdfa
+        assert not any(p in ("birthYear", "homepage") for _, p, _, _ in out)
+
+    def test_about_subject(self):
+        html = '<div typeof="T" about="https://ex.org/ab"><span property="p">v</span></div>'
+        out, _ = rdfa_triples(html)
+        assert out == [("https://ex.org/ab", "rdf:type", "T", False),
+                       ("https://ex.org/ab", "p", "v", True)]
+
+    def test_multi_type_and_multi_property(self):
+        html = '<div typeof="T1 T2" resource="s"><span property="a b">v</span></div>'
+        out, _ = rdfa_triples(html)
+        assert ("s", "rdf:type", "T1", False) in out
+        assert ("s", "rdf:type", "T2", False) in out
+        assert ("s", "a", "v", True) in out and ("s", "b", "v", True) in out
+
+    def test_property_outside_scope_ignored(self):
+        out, n_items = rdfa_triples('<span property="x">v</span>')
+        assert out == [] and n_items == 0
+
+    def test_scope_closes(self):
+        html = ('<div typeof="T" resource="a"><span property="p">1</span></div>'
+                '<span property="q">2</span>')
+        out, _ = rdfa_triples(html)
+        assert ("a", "p", "1", True) in out
+        assert not any(p == "q" for _, p, _, _ in out)
+
+    def test_microdata_scan_unaffected_by_rdfa_markup(self):
+        out, n_items = microdata_triples(LD_PAGE)
+        assert n_items == 3
+        assert not any(p in ("knows", "memberOf", "alt", "locality") and s.startswith("_:r")
+                       for s, p, _, _ in out)
+
+
 @pytest.fixture()
 def pages_df(spark):
     rows = [("https://ex.org/p1", LD_PAGE.encode()),
@@ -168,10 +232,13 @@ class TestSpark:
         assert set(by_url) == {"https://ex.org/p1"}
         ld = [r for r in by_url["https://ex.org/p1"] if r.source == "ldjson"]
         md = [r for r in by_url["https://ex.org/p1"] if r.source == "microdata"]
+        ra = [r for r in by_url["https://ex.org/p1"] if r.source == "rdfa"]
         exp_ld, _, _ = ldjson_triples(LD_PAGE)
         exp_md, _ = microdata_triples(LD_PAGE)
+        exp_ra, _ = rdfa_triples(LD_PAGE)
         assert [(r.subj, r.pred, r.obj, r.obj_is_lit) for r in ld] == exp_ld
         assert [(r.subj, r.pred, r.obj, r.obj_is_lit) for r in md] == exp_md
+        assert [(r.subj, r.pred, r.obj, r.obj_is_lit) for r in ra] == exp_ra
 
     def test_parallelism_invariance(self, pages_df):
         one = sorted(map(tuple, extract_structured(pages_df.repartition(1)).collect()))
@@ -186,8 +253,11 @@ class TestSpark:
         exp_md, _ = microdata_triples(LD_PAGE)
         assert s1.n_ld_triples == len(exp_ld)
         assert (s1.n_md_items, s1.n_md_triples) == (3, len(exp_md))
+        exp_ra, _ = rdfa_triples(LD_PAGE)
+        assert (s1.n_rdfa_items, s1.n_rdfa_triples) == (3, len(exp_ra))
         s2 = stats["https://ex.org/p2"]
         assert (s2.n_ld_blocks, s2.n_md_items, s2.n_md_triples) == (0, 0, 0)
+        assert (s2.n_rdfa_items, s2.n_rdfa_triples) == (0, 0)
         s3 = stats["https://ex.org/p3"]  # NULL html -> zeros, never a crash
         assert (s3.n_ld_blocks, s3.n_ld_triples) == (0, 0)
 
