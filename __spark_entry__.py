@@ -2416,6 +2416,70 @@ def _q_structured_stats_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return structured_stats(_structured_pages(spark, sf_dir))
 
 
+def _web_kg_pages(spark: SparkSession, sf_dir: str, site: str) -> DataFrame:
+    """Two publisher 'sites' describing the SAME people + organizations in
+    disjoint URI namespaces and DIFFERENT embedded syntaxes: site 'a'
+    annotates with JSON-LD (name / birthDate / worksFor + nested org),
+    site 'b' with RDFa Lite (name / yearBorn / employer). Predicate
+    vocabularies differ on purpose — PARIS must discover worksFor≡employer
+    and birthDate≡yearBorn from the data, exactly the cross-site schema
+    heterogeneity of real web-KG construction."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    year = (F.lit(1900) + F.col("doc_id") % 120).cast("string")
+    org = (F.col("doc_id") % 40).cast("string")
+    if site == "a":
+        body = F.concat(
+            F.lit('<script type="application/ld+json">'
+                  '{"@type":"Person","@id":"https://a.example/ent/'), i,
+            F.lit('","name":"Person '), i,
+            F.lit('","birthDate":"'), year,
+            F.lit('","worksFor":{"@id":"https://a.example/org/'), org,
+            F.lit('","@type":"Organization","name":"Org '), org,
+            F.lit('"}}</script>'),
+        )
+    else:
+        body = F.concat(
+            F.lit('<div typeof="Person" resource="https://b.example/ent/'), i,
+            F.lit('"><span property="name">Person '), i,
+            F.lit('</span><meta property="yearBorn" content="'), year,
+            F.lit('"><div property="employer" typeof="Organization" '
+                  'resource="https://b.example/org/'), org,
+            F.lit('"><span property="name">Org '), org,
+            F.lit("</span></div></div>"),
+        )
+    html = F.concat(F.lit("<html><body>"), body, F.lit("</body></html>"))
+    return d.select(
+        F.concat(F.lit(f"https://{site}.example/doc/"), i).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def _q_web_kg_align_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE north-star seam as ONE value-oracled query: raw HTML pages
+    (site A JSON-LD, site B RDFa) → structured-data triple extraction →
+    dict-encoded KG pair → full 2-iteration PARIS fixpoint → θ-filtered
+    alignment rows. The DuckDB twin re-derives both raw-triple streams
+    from doc_id arithmetic and replays the identical fixpoint CTEs
+    (_paris_align_sql with web kg sources), so HTML parsing, extraction,
+    KG build AND the probabilistic reasoning share one value hash —
+    the end-to-end contract of the north rule on actual web markup."""
+    from prase_spark.config import ParisConfig
+    from prase_spark.kgbuild import build_kg
+    from prase_spark.paris import materialize_concurrently
+    from prase_spark.pipeline import align, alignment_results
+    from prase_spark.structured import structured_to_raw_triples
+
+    kg1, kg2 = materialize_concurrently(
+        lambda: build_kg(structured_to_raw_triples(_web_kg_pages(spark, sf_dir, "a"))),
+        lambda: build_kg(structured_to_raw_triples(_web_kg_pages(spark, sf_dir, "b"))),
+    )
+    cfg = ParisConfig(iterations=2)
+    run = align(spark, kg1, kg2, cfg, checkpoint=False)
+    res = alignment_results(run.state, kg1, kg2, cfg.theta)
+    return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
+
+
 def _q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL codec-free media decode, value-verified: per document, five
     container payloads are synthesized from doc_id arithmetic (PNG with
@@ -3018,7 +3082,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ntriples_export_orders": _q_ntriples_export_orders,
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "structured_extract_pages": _q_structured_extract_pages,
-        "structured_stats_pages": _q_structured_stats_pages,
+        "web_kg_align_pages": _q_web_kg_align_pages,
         "link_extract_pages": _q_link_extract_pages,
         "crawl_chain_pages": _q_crawl_chain_pages,
         # --- past the driver's 50-record cap behind the rotation
@@ -3027,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     (bgp_*, ntriples_roundtrip, incremental_cc full-recompute,
         #     type_propagate) rotate here so the window holds the
         #     strongest one-per-family representative. ---
+        "structured_stats_pages": _q_structured_stats_pages,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -3265,15 +3330,55 @@ def _paris_iter_ctes(i: int, fusion: bool = False) -> str:
             )"""
 
 
+# DuckDB twins of the _web_kg_pages extraction output: per page, the six
+# triples each site's markup carries (org rows repeat per page — duplicate
+# multiplicity is part of the contract, the KG builder preserves dupes for
+# frequency counts and both engines must see the same ones).
+_WEB_KG1_SQL = """
+    SELECT 'https://a.example/ent/' || doc_id AS subj, 'rdf:type' AS pred,
+           'Person' AS obj, FALSE AS is_attr FROM documents
+    UNION ALL SELECT 'https://a.example/ent/' || doc_id, 'name',
+           'Person ' || doc_id, TRUE FROM documents
+    UNION ALL SELECT 'https://a.example/ent/' || doc_id, 'birthDate',
+           CAST(1900 + doc_id % 120 AS VARCHAR), TRUE FROM documents
+    UNION ALL SELECT 'https://a.example/ent/' || doc_id, 'worksFor',
+           'https://a.example/org/' || (doc_id % 40), FALSE FROM documents
+    UNION ALL SELECT 'https://a.example/org/' || (doc_id % 40), 'rdf:type',
+           'Organization', FALSE FROM documents
+    UNION ALL SELECT 'https://a.example/org/' || (doc_id % 40), 'name',
+           'Org ' || (doc_id % 40), TRUE FROM documents
+"""
+_WEB_KG2_SQL = """
+    SELECT 'https://b.example/ent/' || doc_id AS subj, 'rdf:type' AS pred,
+           'Person' AS obj, FALSE AS is_attr FROM documents
+    UNION ALL SELECT 'https://b.example/ent/' || doc_id, 'name',
+           'Person ' || doc_id, TRUE FROM documents
+    UNION ALL SELECT 'https://b.example/ent/' || doc_id, 'yearBorn',
+           CAST(1900 + doc_id % 120 AS VARCHAR), TRUE FROM documents
+    UNION ALL SELECT 'https://b.example/org/' || (doc_id % 40), 'rdf:type',
+           'Organization', FALSE FROM documents
+    UNION ALL SELECT 'https://b.example/ent/' || doc_id, 'employer',
+           'https://b.example/org/' || (doc_id % 40), FALSE FROM documents
+    UNION ALL SELECT 'https://b.example/org/' || (doc_id % 40), 'name',
+           'Org ' || (doc_id % 40), TRUE FROM documents
+"""
+
+
 def _paris_align_sql(
     iterations: int = 2,
     fusion: bool = False,
     seed_customers: bool = False,
     reset_customers: bool = False,
+    kg1_sql: str | None = None,
+    kg2_sql: str | None = None,
 ) -> str:
     """The flagship align() + alignment_results() as one DuckDB query:
     literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
-    result rows (kind, name_l, name_r, prob). ``fusion`` adds the
+    result rows (kind, name_l, name_r, prob). ``kg1_sql``/``kg2_sql``
+    override the raw-triple sources (default: the TPC-H pair) — any SQL
+    yielding (subj, pred, obj, is_attr) plugs into the same fixpoint
+    CTEs, which is how the web-pages E2E gate reuses the whole
+    machinery. ``fusion`` adds the
     deterministic name-derived embeddings (poly-hash components, ~2/3
     entity coverage) and fuses 0.8·score + 0.2·cosine on the non-init
     iterations — the twin of _q_paris_fusion_tpch. ``seed_customers``
@@ -3286,6 +3391,8 @@ def _paris_align_sql(
     from prase_spark.datapipe.hashing import POLY_SQL
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL
 
+    kg1_sql = kg1_sql or KG1_SQL
+    kg2_sql = kg2_sql or KG2_SQL
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     iter_blocks = ",".join(
@@ -3386,7 +3493,7 @@ def _paris_align_sql(
             m_sup_0 AS MATERIALIZED (SELECT * FROM m_sup_base),"""
     n = iterations
     return f"""
-            WITH kg1_raw AS ({KG1_SQL}), kg2_raw AS ({KG2_SQL}),{emb_blocks}
+            WITH kg1_raw AS ({kg1_sql}), kg2_raw AS ({kg2_sql}),{emb_blocks}
             t1 AS MATERIALIZED ({kg1_inv}), t2 AS MATERIALIZED ({kg2_inv}),
             f1 AS (SELECT pred, count(DISTINCT subj) * 1.0 / count(*) AS fun
                    FROM t1 GROUP BY pred),
@@ -4795,6 +4902,13 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT url, '_:r0', 'addressLocality',
                    'City ' || (doc_id % 25), TRUE, 'rdfa' FROM u
         """,
+        # north-star E2E: raw HTML -> structured extraction -> KG pair ->
+        # full 2-iteration PARIS fixpoint. kg{1,2}_raw re-derive the web
+        # triple streams (duplicate org triples per page and all); the
+        # fixpoint CTEs are the SAME generator every TPC-H PARIS gate uses.
+        "web_kg_align_pages": _paris_align_sql(
+            iterations=2, kg1_sql=_WEB_KG1_SQL, kg2_sql=_WEB_KG2_SQL
+        ),
         "structured_stats_pages": """
             SELECT 'https://example.org/doc/' || doc_id AS url,
                    CAST(CASE WHEN doc_id % 10 = 0 THEN 2 ELSE 1 END AS INTEGER)

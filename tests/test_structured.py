@@ -280,3 +280,32 @@ class TestSpark:
     def test_plan_is_single_map_stage(self, pages_df):
         plan = extract_structured(pages_df)._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan
+
+
+class TestWebKgE2E:
+    SF = "/root/testdata/sf0.001"
+
+    def test_pages_to_paris_alignment_pr(self, spark):
+        """North-star P/R on actual web markup: raw pages (JSON-LD site vs
+        RDFa site, disjoint namespaces, different predicate vocabularies)
+        -> extraction -> KG pair -> 2-iteration PARIS; entity alignment
+        must recover the by-construction gold ent/i <-> ent/i at
+        P/R >= 0.95 (the BASELINE.json bar)."""
+        import __spark_entry__ as e
+
+        res = e._q_web_kg_align_pages(spark, self.SF)
+        ours = {
+            (r.name_l, r.name_r)
+            for r in res.filter("kind = 'entity'").collect()
+            if "/ent/" in r.name_l
+        }
+        n = spark.read.parquet(f"{self.SF}/documents.parquet").count()
+        gold = {
+            (f"https://a.example/ent/{i}", f"https://b.example/ent/{i}")
+            for i in range(n)
+        }
+        inter = len(ours & gold)
+        precision = inter / len(ours) if ours else 0.0
+        recall = inter / len(gold)
+        assert precision >= 0.95, (precision, recall, len(ours))
+        assert recall >= 0.95, (precision, recall, len(ours))
