@@ -2455,6 +2455,54 @@ def _web_kg_pages(spark: SparkSession, sf_dir: str, site: str) -> DataFrame:
     )
 
 
+def _table_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages carrying two templated HTML tables: a th-headed people table
+    (one clean row with an anchor-wrapped name cell + one RAGGED 2-cell
+    row exercising the NULL pad + counted-drop contract) and a headerless
+    2-cell table (col{j} naming). All cell values are doc_id arithmetic."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id").cast("string")
+    year = (F.lit(1900) + F.col("doc_id") % 120).cast("string")
+    org = (F.col("doc_id") % 40).cast("string")
+    y2 = (F.lit(1950) + F.col("doc_id") % 50).cast("string")
+    v = (F.col("doc_id") % 9).cast("string")
+    html = F.concat(
+        F.lit("<html><body><table>"
+              "<tr><th>name</th><th>born</th><th>employer</th></tr>"
+              '<tr><td><a href="/e/'), i, F.lit('">Person '), i,
+        F.lit("</a></td><td>"), year, F.lit("</td><td>Org "), org,
+        F.lit("</td></tr><tr><td>Alt "), i, F.lit("</td><td>"), y2,
+        F.lit("</td></tr></table><table><tr><td>plain "), i,
+        F.lit("</td><td>v"), v, F.lit("</td></tr></table></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://t.example/doc/"), i).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def _q_table_cells_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables relational view (prase_spark/htmltables.py): 8 cells per
+    doc — 2×3 from the headed table (ragged row 1 padded with a NULL
+    employer) + 1×2 from the headerless table. Single Arrow map stage."""
+    from prase_spark.htmltables import table_cells
+
+    return table_cells(_table_pages(spark, sf_dir))
+
+
+def _q_table_triples_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WebTables triple mining end-to-end: key-column subjects, header
+    predicates — 4 triples per doc (the ragged row's NULL employer cell
+    contributes nothing; anchor markup inside the subject cell is
+    stripped to its text). The oracle re-derives all rows from doc_id
+    arithmetic without seeing a byte of HTML."""
+    from prase_spark.htmltables import tables_to_triples
+
+    return tables_to_triples(_table_pages(spark, sf_dir)).select(
+        "url", "subj", "pred", "obj"
+    )
+
+
 def _q_web_kg_align_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """THE north-star seam as ONE value-oracled query: raw HTML pages
     (site A JSON-LD, site B RDFa) → structured-data triple extraction →
@@ -3083,7 +3131,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "structured_extract_pages": _q_structured_extract_pages,
         "web_kg_align_pages": _q_web_kg_align_pages,
-        "link_extract_pages": _q_link_extract_pages,
+        "table_triples_pages": _q_table_triples_pages,
         "crawl_chain_pages": _q_crawl_chain_pages,
         # --- past the driver's 50-record cap behind the rotation
         #     contract (evidence = tools/check_oracles.py sweep logged
@@ -3092,6 +3140,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         #     type_propagate) rotate here so the window holds the
         #     strongest one-per-family representative. ---
         "structured_stats_pages": _q_structured_stats_pages,
+        "table_cells_pages": _q_table_cells_pages,
+        "link_extract_pages": _q_link_extract_pages,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -4901,6 +4951,42 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL SELECT url, ra, 'address', '_:r0', FALSE, 'rdfa' FROM u
             UNION ALL SELECT url, '_:r0', 'addressLocality',
                    'City ' || (doc_id % 25), TRUE, 'rdfa' FROM u
+        """,
+        # WebTables: the oracle re-derives the 8 cells / 4 triples per doc
+        # from doc_id arithmetic (ragged-row NULL pad included); it never
+        # parses HTML, so tag stripping, header detection and the
+        # counted-drop padding are all in the value hash.
+        "table_cells_pages": """
+            WITH u AS (
+                SELECT doc_id, 'https://t.example/doc/' || doc_id AS url,
+                       CAST(1900 + doc_id % 120 AS VARCHAR) AS yr,
+                       CAST(1950 + doc_id % 50 AS VARCHAR) AS y2
+                FROM documents
+            )
+            SELECT url, CAST(0 AS INTEGER) AS table_idx,
+                   CAST(0 AS INTEGER) AS row_idx, CAST(0 AS INTEGER) AS col_idx,
+                   'name' AS header, 'Person ' || doc_id AS value FROM u
+            UNION ALL SELECT url, 0, 0, 1, 'born', yr FROM u
+            UNION ALL SELECT url, 0, 0, 2, 'employer', 'Org ' || (doc_id % 40) FROM u
+            UNION ALL SELECT url, 0, 1, 0, 'name', 'Alt ' || doc_id FROM u
+            UNION ALL SELECT url, 0, 1, 1, 'born', y2 FROM u
+            UNION ALL SELECT url, 0, 1, 2, 'employer', NULL FROM u
+            UNION ALL SELECT url, 1, 0, 0, 'col0', 'plain ' || doc_id FROM u
+            UNION ALL SELECT url, 1, 0, 1, 'col1', 'v' || (doc_id % 9) FROM u
+        """,
+        "table_triples_pages": """
+            WITH u AS (
+                SELECT doc_id, 'https://t.example/doc/' || doc_id AS url
+                FROM documents
+            )
+            SELECT url, 'Person ' || doc_id AS subj, 'born' AS pred,
+                   CAST(1900 + doc_id % 120 AS VARCHAR) AS obj FROM u
+            UNION ALL SELECT url, 'Person ' || doc_id, 'employer',
+                   'Org ' || (doc_id % 40) FROM u
+            UNION ALL SELECT url, 'Alt ' || doc_id, 'born',
+                   CAST(1950 + doc_id % 50 AS VARCHAR) FROM u
+            UNION ALL SELECT url, 'plain ' || doc_id, 'col1',
+                   'v' || (doc_id % 9) FROM u
         """,
         # north-star E2E: raw HTML -> structured extraction -> KG pair ->
         # full 2-iteration PARIS fixpoint. kg{1,2}_raw re-derive the web

@@ -32,8 +32,17 @@ from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import extract_head_meta, extract_text, extract_triples
+from prase_spark.htmltables import (
+    parse_tables,
+    table_cells,
+    table_stats,
+    tables_to_triples,
+)
 from prase_spark.structured import (
     extract_structured,
+    ldjson_triples,
+    microdata_triples,
+    rdfa_triples,
     structured_stats,
     structured_to_raw_triples,
 )
@@ -120,6 +129,13 @@ __all__ = [
     "extract_links",
     "extract_head_meta",
     "extract_structured",
+    "ldjson_triples",
+    "microdata_triples",
+    "rdfa_triples",
+    "parse_tables",
+    "table_cells",
+    "table_stats",
+    "tables_to_triples",
     "structured_stats",
     "structured_to_raw_triples",
     "resolve_href",
