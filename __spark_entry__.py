@@ -2345,6 +2345,12 @@ def _structured_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     triple is doc_id arithmetic, so the DuckDB twin re-derives the full
     output in pure SQL."""
     d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _structured_pages_from(d)
+
+
+def _structured_pages_from(d: DataFrame) -> DataFrame:
+    """Template body over any (doc_id) frame — shared by the gate (parquet
+    doc_ids) and bench.py (spark.range synthesis at volume)."""
     i = F.col("doc_id").cast("string")
     year = (F.lit(1900) + F.col("doc_id") % 120).cast("string")
     ld = F.concat(

@@ -365,6 +365,27 @@ def main():
         timings["link_extract_pages_per_sec"] = round(n_lp / elapsed, 1)
         timings["link_extract_links"] = n_links
 
+    # extra metric (round 5): embedded structured-data extraction (JSON-LD
+    # + microdata + RDFa, the web-KG triple source) over executor-side
+    # synthesized annotated pages — 18 triples/page across all three
+    # syntaxes, same Arrow kernel the gates hash-verify
+    def q_structured():
+        from __spark_entry__ import _structured_pages_from
+
+        from prase_spark.structured import extract_structured
+
+        n_sp = int(os.environ.get("PRASE_BENCH_STRUCT_PAGES", "100000"))
+        d = spark.range(n_sp, numPartitions=cpus * 2).withColumnRenamed("id", "doc_id")
+        pages = _structured_pages_from(d).persist()
+        pages.count()
+        extract_structured(pages.limit(2000)).count()  # warmup workers
+        t0 = time.time()
+        n_triples = extract_structured(pages).count()
+        elapsed = time.time() - t0
+        timings["structured_extract_pages_per_sec"] = round(n_sp / elapsed, 1)
+        timings["structured_extract_triples"] = n_triples
+        pages.unpersist()
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -380,6 +401,8 @@ def main():
     q_graph()
     spark.catalog.clearCache()
     q_linkgraph()
+    spark.catalog.clearCache()
+    q_structured()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
