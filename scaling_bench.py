@@ -273,9 +273,42 @@ spark.stop()
 """
 
 
+STRUCTURED_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark
+
+cpus = int(sys.argv[1])
+n_pages = int(sys.argv[2])
+spark = get_spark("scaling_structured", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from __spark_entry__ import _structured_pages_from
+from prase_spark.structured import extract_structured
+
+# executor-side annotated-page synthesis (JSON-LD + microdata + RDFa,
+# 18 triples/page), materialized outside the window
+parts_mult = int(os.environ.get("PRASE_SCALE_PARTS_MULT", "2"))
+d = spark.range(n_pages, numPartitions=cpus * parts_mult).withColumnRenamed("id", "doc_id")
+pages = _structured_pages_from(d).persist()
+pages.count()
+
+extract_structured(pages).count()  # warmup (worker spawn, codegen, heap)
+t0 = time.time()
+n_triples = extract_structured(pages).count()
+elapsed = time.time() - t0
+print(json.dumps({{"cpus": cpus, "pages": n_pages, "triples": n_triples,
+                   "sec": round(elapsed, 3),
+                   "docs_per_sec": round(n_pages / elapsed, 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
     if workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
+    elif workload == "structured":
+        script, arg2 = STRUCTURED_WORKLOAD.format(repo=repo), str(pages)
     elif workload == "lm":
         script, arg2 = LM_WORKLOAD.format(repo=repo), str(pages)
     elif workload == "substr":
@@ -330,7 +363,7 @@ def main():
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
         "--workload",
-        choices=["extract", "lm", "substr", "paris", "paris-kernel", "paris-iters", "both"],
+        choices=["extract", "structured", "lm", "substr", "paris", "paris-kernel", "paris-iters", "both"],
         default="extract",
     )
     ap.add_argument("--kg-ents", type=int, default=400000)
@@ -410,9 +443,11 @@ def main():
             lo_runs, hi_runs, median_eff = [lo], [hi], None
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
-        unit = "docs_per_sec" if wl in ("extract", "lm", "substr") else "facts_per_sec"
+        unit = "docs_per_sec" if wl in ("extract", "structured", "lm", "substr") else "facts_per_sec"
         if wl == "extract":
             title = f"extraction+stats (pages={args.pages})"
+        elif wl == "structured":
+            title = f"structured-data extraction JSON-LD+microdata+RDFa (pages={args.pages})"
         elif wl == "substr":
             title = f"exact substring-dup detection k=16 (pages={args.pages})"
         elif wl == "lm":
