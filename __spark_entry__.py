@@ -12,7 +12,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
@@ -2670,6 +2670,73 @@ def _q_anchor_prior_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return anchor_text_priors(extract_links(_link_pages(spark, sf_dir)), k=3)
 
 
+def _hreflang_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages in language-variant groups of three (g = doc_id div 3, lang
+    = [en,fr,de][doc_id % 3]), each head carrying the full cross-language
+    ``<link rel="alternate" hreflang=...>`` set publishers emit: one link
+    per variant (origin-rooted relative hrefs, so resolution is
+    exercised) plus an x-default to the en variant, plus two must-drop
+    elements (an RSS alternate with no hreflang; a stylesheet link that
+    is out of grammar). Even doc_ids plant the hreflang value UPPERCASED
+    — the extractor's BCP-47 case fold must erase the difference or the
+    oracle hash diverges. The oracles re-derive everything from doc_id
+    arithmetic; they never parse HTML."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    g = F.expr("doc_id div 3").cast("string")
+    langs = F.array(F.lit("en"), F.lit("fr"), F.lit("de"))
+    mylang = F.element_at(langs, (i % 3 + 1).cast("int"))
+    url = F.concat(
+        F.lit("https://h"), F.expr("(doc_id div 3) % 10").cast("string"),
+        F.lit(".example.org/"), mylang, F.lit("/p"), g, F.lit(".html"),
+    )
+
+    def alt(lang_lit: str, tag: Column | None = None) -> Column:
+        val = F.lit(lang_lit) if tag is None else tag
+        shown = F.when(i % 2 == 0, F.upper(val)).otherwise(val)
+        return F.concat(
+            F.lit('<link rel="alternate" hreflang="'), shown,
+            F.lit('" href="/'), F.lit(lang_lit), F.lit("/p"), g,
+            F.lit('.html">'),
+        )
+
+    html = F.concat(
+        F.lit("<html><head>"),
+        alt("en"), alt("fr"), alt("de"),
+        alt("en", F.lit("x-default")),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/f'),
+        (i % 5).cast("string"), F.lit('.xml">'),
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+
+
+def _q_hreflang_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL hreflang-alternate extraction (linkgraph.extract_hreflang:
+    decode + per-element second-pass grammar + case fold + href
+    resolution, one codegen projection, zero exchanges): 4 rows/page
+    survive (en/fr/de/x-default), the hreflang-less RSS alternate and
+    the stylesheet link drop."""
+    from prase_spark.linkgraph import extract_hreflang
+
+    return extract_hreflang(_hreflang_pages(spark, sf_dir))
+
+
+def _q_hreflang_cluster_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-language same-document clusters: connected components over
+    the extracted alternate graph (linkgraph.hreflang_clusters). Every
+    variant group collapses to one cluster labeled by its min url (the
+    de variant — 'de' < 'en' < 'fr' at the path position); partial tail
+    groups still produce all three variant nodes because every member
+    declares the full set. The oracle emits 3 rows per distinct group
+    from arithmetic alone — agreement proves extraction, resolution, AND
+    the CC merge."""
+    from prase_spark.linkgraph import extract_hreflang, hreflang_clusters
+
+    return hreflang_clusters(extract_hreflang(_hreflang_pages(spark, sf_dir)))
+
+
 def _q_surt_cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL SURT + CDX record build (cdx.build_cdx) over pages whose URLs
     are templated hostile: mixed case, www. prefix, :443 port, query,
@@ -3158,6 +3225,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_events": _q_incremental_cc_events,
         "host_graph_pages": _q_host_graph_pages,
         "anchor_prior_pages": _q_anchor_prior_pages,
+        "hreflang_pages": _q_hreflang_pages,
+        "hreflang_cluster_pages": _q_hreflang_cluster_pages,
         "surt_cdx_pages": _q_surt_cdx_pages,
         "bgp_agg_orders": _q_bgp_agg_orders,
         "bgp_minus_orders": _q_bgp_minus_orders,
@@ -6262,6 +6331,36 @@ def oracle_sql() -> dict[str, str]:
                 PARTITION BY dst_url ORDER BY n DESC, anchor ASC
             ) AS rk FROM c
         ) WHERE rk <= 3
+    """
+    # hreflang gates: rows re-derived from doc_id arithmetic (groups of
+    # 3, lang = [en,fr,de][doc_id % 3]); the planted-uppercase variants
+    # and the two must-drop head links exist only in the HTML bytes, so
+    # a case-fold or filter failure diverges the hash. DuckDB list
+    # indexing is 1-based; `//` is integer division.
+    out["hreflang_pages"] = """
+        WITH v(j) AS (VALUES (1), (2), (3), (4)),
+        base AS (
+            SELECT doc_id // 3 AS g,
+                   ['en','fr','de'][CAST(doc_id % 3 AS INT) + 1] AS mylang
+            FROM documents
+        )
+        SELECT 'https://h' || (g % 10) || '.example.org/' || mylang
+                   || '/p' || g || '.html' AS url,
+               CASE WHEN j = 4 THEN 'x-default'
+                    ELSE ['en','fr','de'][j] END AS hreflang,
+               'https://h' || (g % 10) || '.example.org/'
+                   || (CASE WHEN j = 4 THEN 'en' ELSE ['en','fr','de'][j] END)
+                   || '/p' || g || '.html' AS href
+        FROM base, v
+    """
+    out["hreflang_cluster_pages"] = """
+        WITH grp AS (SELECT DISTINCT doc_id // 3 AS g FROM documents),
+        v(j) AS (VALUES (1), (2), (3))
+        SELECT 'https://h' || (g % 10) || '.example.org/'
+                   || ['en','fr','de'][j] || '/p' || g || '.html' AS url,
+               'https://h' || (g % 10) || '.example.org/de/p' || g
+                   || '.html' AS cluster
+        FROM grp, v
     """
     out["mention_link_pages"] = f"""
         WITH {_LINKS_CTE},

@@ -91,6 +91,9 @@ def _scaling_leg() -> dict:
         "extract_1m_pages_4_16_single_shot": 0.823,   # commit 96a2b0c, 4.05x/4.10x window
         "extract_600k_pages_4_16_interleaved_min": 0.845,  # commit b1dd307, 4.25x window
         "substr_dedup_30k_pages_4_16": 0.896,         # BENCH.md r5, 3.93x window
+        # structured-data extraction (JSON-LD+microdata+RDFa), interleaved
+        # x2 order-alternated min-per-level, probe 3.58x at loadavg 0.1
+        "structured_400k_pages_4_16_interleaved_min": 0.898,  # BENCH.md r5, median 0.91
         "extract_1800k_pages_8_32_vs_hw_ceiling": 0.755,  # commit 3c37226, raw 0.663 / 3.51x ceiling
         # best raw 8->32 read: watcher-fired in a 3.84x sustained window,
         # interleaved x2 order-alternated, min-per-level 3.146x/4

@@ -57,8 +57,10 @@ from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.linkgraph import (
     anchor_text_priors,
+    extract_hreflang,
     extract_links,
     host_link_graph,
+    hreflang_clusters,
     link_mentions,
     resolve_href,
 )
@@ -127,6 +129,8 @@ __all__ = [
     "mark_revisits",
     "to_cdxj",
     "extract_links",
+    "extract_hreflang",
+    "hreflang_clusters",
     "extract_head_meta",
     "extract_structured",
     "ldjson_triples",

@@ -196,3 +196,56 @@ def link_mentions(
         )
         .drop("__m")
     )
+
+
+# --- hreflang alternates -----------------------------------------------------
+
+_ALT_ELEM_RE = (
+    r'(?i)<link\s[^>]*rel="alternate"[^>]*>'
+)
+_HREFLANG_RE = r'(?i)hreflang="([^"]*)"'
+_LINK_HREF_RE = r'(?i)href="([^"]*)"'
+
+
+def extract_hreflang(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, hreflang, href) — one row per ``<link rel="alternate"
+    hreflang=...>`` element, the cross-language same-document declaration
+    publishers emit for translated page sets.
+
+    Same pinned RE2-replayable grammar discipline as :func:`extract_links`
+    (double-quoted attributes, any attribute order via the per-element
+    second pass); one codegen projection + Generate, zero Python, zero
+    shuffles. Elements missing either attribute resolve to empty strings
+    and are dropped. hreflang values are lowercased (BCP-47 is
+    case-insensitive); hrefs are resolved against the page url with the
+    shared :func:`resolve_href` grammar."""
+    h = F.decode(F.col(html_col), "utf-8")
+    elems = F.regexp_extract_all(h, F.lit(_ALT_ELEM_RE), 0)
+    pair = lambda e: F.struct(  # noqa: E731
+        F.lower(F.regexp_extract(e, _HREFLANG_RE, 1)).alias("hreflang"),
+        F.regexp_extract(e, _LINK_HREF_RE, 1).alias("raw_href"),
+    )
+    out = (
+        pages.select("url", F.explode(F.transform(elems, pair)).alias("alt"))
+        .select("url", "alt.hreflang", "alt.raw_href")
+        .filter((F.col("hreflang") != "") & (F.col("raw_href") != ""))
+    )
+    return out.select(
+        "url", "hreflang", resolve_href(F.col("url"), F.col("raw_href")).alias("href")
+    )
+
+
+def hreflang_clusters(alts: DataFrame, stats_out: dict | None = None) -> DataFrame:
+    """(url, cluster) — group pages declared as language variants of one
+    logical document via connected components over the alternate graph
+    (cluster = min url, the :func:`matching.connected_components`
+    convention). Self-referential alternates (the x-default/self link
+    publishers emit) are kept as self-loops so single-variant pages still
+    receive a cluster row. Cross-language entity-page grouping is the
+    crawl-side analog of the reference's cross-lingual DBP15K alignment
+    inputs — clusters feed the KG layer as same-entity evidence."""
+    from prase_spark.matching import connected_components
+
+    edges = alts.select(F.col("url").alias("src"), F.col("href").alias("dst"))
+    comp = connected_components(edges, stats_out=stats_out)
+    return comp.select(F.col("node").alias("url"), F.col("component").alias("cluster"))

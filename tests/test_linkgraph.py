@@ -131,3 +131,67 @@ def test_extract_links_parallelism_invariant(spark):
     one = sorted(map(tuple, extract_links(pages.coalesce(1)).collect()))
     many = sorted(map(tuple, extract_links(pages.repartition(7)).collect()))
     assert one == many and len(one) == 80
+
+
+def test_extract_hreflang_grammar(spark):
+    from prase_spark.linkgraph import extract_hreflang
+
+    html = (
+        "<html><head>"
+        '<link rel="alternate" hreflang="EN" href="/en/p1.html">'
+        # attribute order flipped: href first, rel last
+        '<link hreflang="fr" href="/fr/p1.html" rel="alternate">'
+        # x-default convention
+        '<link rel="alternate" hreflang="x-default" href="https://h.org/en/p1.html">'
+        # rel=alternate but no hreflang (RSS feed) -> dropped
+        '<link rel="alternate" type="application/rss+xml" href="/feed.xml">'
+        # not rel=alternate -> out of grammar entirely
+        '<link rel="stylesheet" href="/s.css">'
+        "</head><body>x</body></html>"
+    )
+    pages = _pages(spark, [("https://h.org/en/p1.html", html)])
+    got = sorted(
+        map(tuple, extract_hreflang(pages).collect())
+    )
+    assert got == [
+        ("https://h.org/en/p1.html", "en", "https://h.org/en/p1.html"),
+        ("https://h.org/en/p1.html", "fr", "https://h.org/fr/p1.html"),
+        ("https://h.org/en/p1.html", "x-default", "https://h.org/en/p1.html"),
+    ]
+
+
+def test_hreflang_clusters_min_url_and_selfloop(spark):
+    from prase_spark.linkgraph import hreflang_clusters
+
+    # group 1: en+fr pages cross-declare (plus self rows); group 2: a
+    # lone page whose only alternate is itself -> still gets a cluster
+    alts = spark.createDataFrame(
+        [
+            ("https://h.org/en/g1", "fr", "https://h.org/fr/g1"),
+            ("https://h.org/en/g1", "en", "https://h.org/en/g1"),
+            ("https://h.org/fr/g1", "en", "https://h.org/en/g1"),
+            ("https://h.org/fr/g1", "fr", "https://h.org/fr/g1"),
+            ("https://h.org/en/g2", "en", "https://h.org/en/g2"),
+        ],
+        "url string, hreflang string, href string",
+    )
+    got = {r.url: r.cluster for r in hreflang_clusters(alts).collect()}
+    assert got == {
+        "https://h.org/en/g1": "https://h.org/en/g1",
+        "https://h.org/fr/g1": "https://h.org/en/g1",
+        "https://h.org/en/g2": "https://h.org/en/g2",
+    }
+
+
+def test_extract_hreflang_parallelism_invariant(spark):
+    from prase_spark.linkgraph import extract_hreflang
+
+    html = (
+        '<link rel="alternate" hreflang="en" href="/en/x">'
+        '<link rel="alternate" hreflang="de" href="/de/x">'
+    )
+    rows = [("https://h%d.org/en/x" % (i % 3), html) for i in range(30)]
+    pages = _pages(spark, rows)
+    one = sorted(map(tuple, extract_hreflang(pages.coalesce(1)).collect()))
+    many = sorted(map(tuple, extract_hreflang(pages.repartition(7)).collect()))
+    assert one == many and len(one) == 60
