@@ -3123,6 +3123,69 @@ def _q_head_meta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_head_meta(pages)
 
 
+def _og_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pages whose heads carry OpenGraph entity-card declarations
+    templated from doc_id arithmetic: og:title always, og:type cycling
+    a 3-value class set, og:url pointing at a PAIR-collapsing canonical
+    (doc_id div 2 — two crawl urls per declared identity), og:image on
+    doc_id%4==0 only. Even doc_ids plant the property name UPPERCASED
+    (the case fold must erase it); three must-drop plants exist only in
+    the HTML bytes: an article: namespace property, a plain name= meta,
+    and an empty-content og:locale."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+
+    def og(prop: str, content: Column) -> Column:
+        shown = F.when(i % 2 == 0, F.lit(prop.upper())).otherwise(F.lit(prop))
+        return F.concat(
+            F.lit('<meta property="'), shown, F.lit('" content="'),
+            content, F.lit('">'),
+        )
+
+    types = F.array(F.lit("website"), F.lit("article"), F.lit("video.movie"))
+    html = F.concat(
+        F.lit("<html><head>"),
+        og("og:title", F.concat(F.lit("Title "), s)),
+        og("og:type", F.element_at(types, (i % 3 + 1).cast("int"))),
+        og("og:url", F.concat(F.lit("https://s"), (i % 6).cast("string"),
+                              F.lit(".example.org/canon/"),
+                              F.expr("doc_id div 2").cast("string"))),
+        F.when(i % 4 == 0,
+               og("og:image", F.concat(F.lit("https://img.example/i"), s,
+                                       F.lit(".png")))).otherwise(F.lit("")),
+        F.lit('<meta property="article:author" content="A. Writer">'),
+        F.lit('<meta name="description" content="plain meta">'),
+        F.lit('<meta property="og:locale" content="">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    return d.select(
+        F.concat(F.lit("https://s"), (i % 6).cast("string"),
+                 F.lit(".example.org/p"), s).alias("url"),
+        F.encode(html, "utf-8").alias("html"),
+    )
+
+
+def _q_og_properties_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL OpenGraph extraction (extract.extract_og_properties: decode
+    + per-element second-pass grammar + case fold, one codegen
+    projection, zero exchanges): 3-4 rows/page survive; the article:
+    property, the name= meta, and the empty og:locale drop."""
+    from prase_spark.extract import extract_og_properties
+
+    return extract_og_properties(_og_pages(spark, sf_dir))
+
+
+def _q_og_cards_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page OG entity cards (extract.og_cards): the fixed 4-column
+    conditional aggregate over the property stream; og_image NULL on 3
+    of 4 pages. Proves extraction AND the deterministic min-pivot in one
+    value hash."""
+    from prase_spark.extract import extract_og_properties, og_cards
+
+    return og_cards(extract_og_properties(_og_pages(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3237,6 +3300,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "redirect_resolve_pages": _q_redirect_resolve_pages,
         "cdx_revisit_pages": _q_cdx_revisit_pages,
         "head_meta_pages": _q_head_meta_pages,
+        "og_properties_pages": _q_og_properties_pages,
+        "og_cards_pages": _q_og_cards_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6497,5 +6562,46 @@ def oracle_sql() -> dict[str, str]:
                CASE WHEN doc_id % 4 = 0
                     THEN 'https://c.org/' || doc_id END AS canonical_url
         FROM documents
+    """
+    # OG gates: rows re-derived from doc_id arithmetic; the uppercase
+    # property plants and the three must-drop metas (article: namespace,
+    # plain name=, empty og:locale) exist only in the HTML bytes, so a
+    # case-fold or filter failure diverges the hash.
+    _OG_CTE = """
+        og AS (
+            SELECT 'https://s' || (doc_id % 6) || '.example.org/p' || doc_id
+                       AS url,
+                   'og:title' AS prop, 'Title ' || doc_id AS content
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || (doc_id % 6) || '.example.org/p' || doc_id,
+                   'og:type',
+                   ['website','article','video.movie']
+                       [CAST(doc_id % 3 AS INT) + 1]
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || (doc_id % 6) || '.example.org/p' || doc_id,
+                   'og:url',
+                   'https://s' || (doc_id % 6) || '.example.org/canon/'
+                       || (doc_id // 2)
+            FROM documents
+            UNION ALL
+            SELECT 'https://s' || (doc_id % 6) || '.example.org/p' || doc_id,
+                   'og:image', 'https://img.example/i' || doc_id || '.png'
+            FROM documents WHERE doc_id % 4 = 0
+        )
+    """
+    out["og_properties_pages"] = f"""
+        WITH {_OG_CTE}
+        SELECT url, prop, content FROM og
+    """
+    out["og_cards_pages"] = f"""
+        WITH {_OG_CTE}
+        SELECT url,
+               min(CASE WHEN prop = 'og:title' THEN content END) AS og_title,
+               min(CASE WHEN prop = 'og:type' THEN content END) AS og_type,
+               min(CASE WHEN prop = 'og:url' THEN content END) AS og_url,
+               min(CASE WHEN prop = 'og:image' THEN content END) AS og_image
+        FROM og GROUP BY url
     """
     return out

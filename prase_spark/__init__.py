@@ -31,7 +31,13 @@ from prase_spark.checkpoint import load_state, save_state
 from prase_spark.closure import propagate_types, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
-from prase_spark.extract import extract_head_meta, extract_text, extract_triples
+from prase_spark.extract import (
+    extract_head_meta,
+    extract_og_properties,
+    extract_text,
+    extract_triples,
+    og_cards,
+)
 from prase_spark.htmltables import (
     parse_tables,
     table_cells,
@@ -132,6 +138,8 @@ __all__ = [
     "extract_hreflang",
     "hreflang_clusters",
     "extract_head_meta",
+    "extract_og_properties",
+    "og_cards",
     "extract_structured",
     "ldjson_triples",
     "microdata_triples",

@@ -163,3 +163,62 @@ def route_by_http(triples: DataFrame) -> DataFrame:
     """S2's self-classifying router (test.py:49-52): object containing
     'http' -> relation triple, else attribute triple."""
     return triples.withColumn("is_attr", ~F.col("obj").contains("http"))
+
+
+# --- OpenGraph protocol metadata ---------------------------------------------
+
+_OG_ELEM_RE = r'(?i)<meta\s[^>]*property="og:[^"]*"[^>]*>'
+_OG_PROP_RE = r'(?i)property="(og:[^"]*)"'
+_OG_CONTENT_RE = r'(?i)content="([^"]*)"'
+
+#: the entity-card core of the OG protocol (ogp.me "basic metadata")
+OG_CARD_PROPS = ("og:title", "og:type", "og:url", "og:image")
+
+
+def extract_og_properties(pages: DataFrame, html_col: str = "html") -> DataFrame:
+    """(url, prop, content) — one row per ``<meta property="og:..."
+    content="...">`` element, the OpenGraph entity-card declarations
+    (ogp.me) that make a crawl page a typed entity description: og:title
+    is the page's self-declared entity name, og:type its class, og:url
+    its canonical identity — directly subject/predicate/object shaped,
+    the fourth embedded-syntax stream next to JSON-LD / microdata /
+    RDFa Lite (``structured.extract_structured``).
+
+    Same pinned RE2-replayable grammar discipline as the other head
+    extractors (double-quoted attributes, any attribute order via the
+    per-element second pass); one codegen projection + Generate, zero
+    Python, zero shuffles. Property names are lowercased (publishers
+    uppercase them; the protocol is case-insensitive); elements with an
+    empty/absent content, and meta tags outside the ``og:`` namespace
+    (plain ``name=`` metas, ``article:``/``twitter:`` properties), are
+    dropped."""
+    h = F.decode(F.col(html_col), "utf-8")
+    elems = F.regexp_extract_all(h, F.lit(_OG_ELEM_RE), 0)
+    pair = lambda e: F.struct(  # noqa: E731
+        F.lower(F.regexp_extract(e, _OG_PROP_RE, 1)).alias("prop"),
+        F.regexp_extract(e, _OG_CONTENT_RE, 1).alias("content"),
+    )
+    return (
+        pages.select("url", F.explode(F.transform(elems, pair)).alias("m"))
+        .select("url", "m.prop", "m.content")
+        .filter((F.col("prop") != "") & (F.col("content") != ""))
+    )
+
+
+def og_cards(props: DataFrame) -> DataFrame:
+    """(url, og_title, og_type, og_url, og_image) — one entity-card row
+    per page from the extracted OG property stream; absent properties
+    are NULL. Duplicate declarations of one property resolve to
+    min(content) so the card is deterministic at any partitioning
+    (the protocol says first-declared wins, but document order does not
+    survive a distributed explode — min is the pinned, engine-replayable
+    convention). One hash aggregation with map-side partial combine;
+    the pivot is a fixed 4-column conditional aggregate, never a
+    wide-pivot shuffle."""
+    aggs = [
+        F.min(F.when(F.col("prop") == p, F.col("content"))).alias(
+            "og_" + p.split(":", 1)[1]
+        )
+        for p in OG_CARD_PROPS
+    ]
+    return props.groupBy("url").agg(*aggs)

@@ -84,3 +84,63 @@ def test_extract_head_meta(spark):
     assert got["u2"].meta_description == "rev desc"
     assert got["u2"].canonical_url == "https://c.org/y"
     assert got["u3"].title is None and got["u3"].canonical_url is None
+
+
+def test_extract_og_properties_grammar(spark):
+    from prase_spark.extract import extract_og_properties
+
+    html = (
+        "<html><head>"
+        '<meta property="og:title" content="The Rock">'
+        # uppercase property + flipped attribute order -> folds + matches
+        '<meta content="video.movie" property="OG:TYPE">'
+        '<meta property="og:url" content="https://x.org/rock">'
+        # non-og namespace -> dropped
+        '<meta property="article:author" content="A. Writer">'
+        # plain name= meta -> out of grammar
+        '<meta name="description" content="a movie">'
+        # empty content -> dropped
+        '<meta property="og:image" content="">'
+        "</head><body>x</body></html>"
+    )
+    pages = spark.createDataFrame(
+        [("https://x.org/rock?r=1", html.encode())], "url string, html binary"
+    )
+    got = sorted(map(tuple, extract_og_properties(pages).collect()))
+    assert got == [
+        ("https://x.org/rock?r=1", "og:title", "The Rock"),
+        ("https://x.org/rock?r=1", "og:type", "video.movie"),
+        ("https://x.org/rock?r=1", "og:url", "https://x.org/rock"),
+    ]
+
+
+def test_og_cards_pivot_min_and_nulls(spark):
+    from prase_spark.extract import og_cards
+
+    props = spark.createDataFrame(
+        [
+            ("u1", "og:title", "B title"),
+            ("u1", "og:title", "A title"),  # duplicate -> min wins
+            ("u1", "og:type", "article"),
+            ("u2", "og:image", "https://i.org/p.png"),
+        ],
+        "url string, prop string, content string",
+    )
+    got = {r.url: r for r in og_cards(props).collect()}
+    assert got["u1"].og_title == "A title" and got["u1"].og_type == "article"
+    assert got["u1"].og_url is None and got["u1"].og_image is None
+    assert got["u2"].og_image == "https://i.org/p.png" and got["u2"].og_title is None
+
+
+def test_extract_og_parallelism_invariant(spark):
+    from prase_spark.extract import extract_og_properties, og_cards
+
+    html = (
+        '<meta property="og:title" content="T">'
+        '<meta property="og:type" content="website">'
+    ).encode()
+    rows = [("https://h%d.org/p%d" % (i % 3, i), html) for i in range(40)]
+    pages = spark.createDataFrame(rows, "url string, html binary")
+    one = sorted(map(tuple, og_cards(extract_og_properties(pages.coalesce(1))).collect()))
+    many = sorted(map(tuple, og_cards(extract_og_properties(pages.repartition(7))).collect()))
+    assert one == many and len(one) == 40
