@@ -3186,6 +3186,62 @@ def _q_og_cards_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return og_cards(extract_og_properties(_og_pages(spark, sf_dir)))
 
 
+def _q_page_identity_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END page-identity resolution: pages carrying cosmetic URL
+    plants (?utm_source on odd docs, #f on doc%3==0) and same-document
+    declarations in their HTML — rel=canonical on doc%4==0, og:url
+    always, both pointing at the PAIR target c.org/g(doc div 2) — plus
+    arithmetic redirect edges (doc%10==2 → doc-2) welding every 5th
+    pair-group to its predecessor. The chain under test:
+    extract_head_meta + extract_og_properties (real HTML parsing) →
+    urlnorm.page_identity (canonicalization + CC merge). The oracle
+    derives (original url, group-min identity) purely from doc_id
+    arithmetic: page_id = c.org/g(k) with k = doc div 2, minus 1 when
+    k%5==1 (the weld; g(5m) < g(5m+1) lexicographically — no carry)."""
+    from prase_spark.datapipe.urlnorm import page_identity
+    from prase_spark.extract import extract_head_meta, extract_og_properties
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    g = F.expr("doc_id div 2").cast("string")
+
+    def page_url(idx: Column) -> Column:
+        return F.concat(
+            F.lit("https://s"), (idx % 6).cast("string"),
+            F.lit(".example.org/p"), idx.cast("string"),
+        )
+
+    url = F.concat(
+        page_url(i),
+        F.when(i % 2 == 1, F.lit("?utm_source=x")).otherwise(F.lit("")),
+        F.when(i % 3 == 0, F.lit("#f")).otherwise(F.lit("")),
+    )
+    target = F.concat(F.lit("https://c.org/g"), g)
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.when(
+            i % 4 == 0,
+            F.concat(F.lit('<link rel="canonical" href="'), target,
+                     F.lit('">')),
+        ).otherwise(F.lit("")),
+        F.lit('<meta property="og:url" content="'), target, F.lit('">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    hm = extract_head_meta(pages).select(
+        "url", F.col("canonical_url").alias("target")
+    )
+    og = (
+        extract_og_properties(pages)
+        .where(F.col("prop") == "og:url")
+        .select("url", F.col("content").alias("target"))
+    )
+    redirects = d.where(i % 10 == 2).select(
+        page_url(i).alias("src"), page_url(i - 2).alias("dst")
+    )
+    return page_identity(pages, hm, og, redirects=redirects)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3302,6 +3358,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "head_meta_pages": _q_head_meta_pages,
         "og_properties_pages": _q_og_properties_pages,
         "og_cards_pages": _q_og_cards_pages,
+        "page_identity_pages": _q_page_identity_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6603,5 +6660,18 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN prop = 'og:url' THEN content END) AS og_url,
                min(CASE WHEN prop = 'og:image' THEN content END) AS og_image
         FROM og GROUP BY url
+    """
+    # page identity: the weld arithmetic (pair k joins k-1 when k%5==1)
+    # and the cosmetic plants live only in the HTML/URL bytes; a failure
+    # anywhere in extract -> canonicalize -> CC diverges the hash.
+    out["page_identity_pages"] = """
+        SELECT 'https://s' || (doc_id % 6) || '.example.org/p' || doc_id
+                   || CASE WHEN doc_id % 2 = 1 THEN '?utm_source=x'
+                           ELSE '' END
+                   || CASE WHEN doc_id % 3 = 0 THEN '#f' ELSE '' END AS url,
+               'https://c.org/g' ||
+                   CASE WHEN (doc_id // 2) % 5 = 1 THEN doc_id // 2 - 1
+                        ELSE doc_id // 2 END AS page_id
+        FROM documents
     """
     return out

@@ -57,7 +57,12 @@ from prase_spark.datapipe.sampling import (
     temperature_sample,
     temperature_weights,
 )
-from prase_spark.datapipe.urlnorm import canonical_url, dedup_by_url, resolve_redirects
+from prase_spark.datapipe.urlnorm import (
+    canonical_url,
+    dedup_by_url,
+    page_identity,
+    resolve_redirects,
+)
 from prase_spark.datapipe.classify import (
     LogisticModel,
     classifier_score,
@@ -143,6 +148,7 @@ __all__ = [
     "canonical_url",
     "resolve_redirects",
     "dedup_by_url",
+    "page_identity",
     "hash_sample",
     "stratified_sample",
     "cap_per_group",

@@ -138,3 +138,72 @@ def dedup_by_url(
         )
         .select("canonical_url", "w.*", "n_captures")
     )
+
+
+def page_identity(
+    pages: DataFrame,
+    *hint_frames: DataFrame,
+    redirects: DataFrame | None = None,
+    url_col: str = "url",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(url, page_id) — one canonical page identity per crawled URL, by
+    merging every same-document signal a crawl emits into one connected-
+    components pass over CANONICALIZED endpoints:
+
+    - cosmetic URL variants (tracking params, fragments, default ports)
+      collapse for free because every endpoint passes through
+      :func:`canonical_url` before becoming a graph node;
+    - ``hint_frames``: any number of (url, target) declaration streams —
+      rel=canonical from ``extract.extract_head_meta``, og:url rows from
+      ``extract.extract_og_properties``, sitemap <loc> hints — NULL or
+      empty targets are skipped;
+    - ``redirects``: raw 3xx (src, dst) edges; chains weld transitively
+      through CC, so no pointer-doubling resolution is needed here (a
+      redirect CYCLE welds into one identity too — for crawl-policy
+      verdicts on cycles use :func:`resolve_redirects`, which flags
+      them).
+
+    ``page_id`` = min canonical URL in the identity group (the
+    :func:`prase_spark.matching.connected_components` convention);
+    pages with no signals keep their own canonical URL via self-loops.
+    Scale shape: edge streams are unions of one-projection scans; the
+    only shuffles are CC's, which runs on the (tiny relative to the
+    corpus) declared-identity subgraph plus self-loops. ``stats_out``
+    receives n_pages / n_hint_edges / n_redirect_edges telemetry."""
+    from prase_spark.matching import connected_components
+
+    base = pages.select(
+        F.col(url_col).alias("url"), canonical_url(url_col).alias("__cu")
+    )
+    edges = base.select(F.col("__cu").alias("src"), F.col("__cu").alias("dst"))
+    n_hints = 0
+    for hf in hint_frames:
+        u, t = hf.columns[0], hf.columns[1]
+        h = (
+            hf.filter(F.col(t).isNotNull() & (F.col(t) != ""))
+            .select(
+                canonical_url(u).alias("src"), canonical_url(t).alias("dst")
+            )
+        )
+        if stats_out is not None:
+            n_hints += h.count()
+        edges = edges.unionByName(h)
+    if redirects is not None:
+        r = redirects.select(
+            canonical_url(redirects.columns[0]).alias("src"),
+            canonical_url(redirects.columns[1]).alias("dst"),
+        )
+        if stats_out is not None:
+            stats_out["n_redirect_edges"] = r.count()
+        edges = edges.unionByName(r)
+    if stats_out is not None:
+        stats_out["n_pages"] = base.count()
+        stats_out["n_hint_edges"] = n_hints
+    comp = connected_components(edges, stats_out=stats_out)
+    return (
+        base.join(comp, base["__cu"] == comp["node"], "left")
+        .select(
+            "url", F.coalesce("component", "__cu").alias("page_id")
+        )
+    )

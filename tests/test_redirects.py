@@ -43,3 +43,49 @@ def test_overlong_chain_flagged(spark):
     # ceil(log2(4)) = 2 rounds resolve chains up to 4 hops; the 5-hop
     # head still points at a source -> flagged
     assert got["u5"] is True and got["u4"] is False
+
+
+def test_page_identity_merges_all_signals(spark):
+    from prase_spark.datapipe.urlnorm import page_identity
+
+    pages = spark.createDataFrame(
+        [
+            ("https://A.org/p1?utm_source=x",),   # cosmetic variant of p1
+            ("https://a.org/p1#frag",),           # same page, other variant
+            ("https://a.org/p2",),                # og:url -> shared target
+            ("https://b.org/q",),                 # redirect chain into p2's group
+            ("https://lone.org/z?fbclid=1",),     # no signals -> own id
+        ],
+        "url string",
+    )
+    canon_hints = spark.createDataFrame(
+        [("https://a.org/p1", "https://c.org/T")], "url string, target string"
+    )
+    og_hints = spark.createDataFrame(
+        [
+            ("https://a.org/p2", "https://c.org/T"),
+            ("https://b.org/q", None),            # NULL target skipped
+        ],
+        "url string, target string",
+    )
+    redirects = spark.createDataFrame(
+        [("https://b.org/q", "https://a.org/p2#x")], "src string, dst string"
+    )
+    stats = {}
+    got = {
+        r.url: r.page_id
+        for r in page_identity(
+            pages, canon_hints, og_hints, redirects=redirects, stats_out=stats
+        ).collect()
+    }
+    # p1 variants, p2, q all weld through https://c.org/T; the group id
+    # is the min CANONICAL url in the component = https://a.org/p1
+    assert got == {
+        "https://A.org/p1?utm_source=x": "https://a.org/p1",
+        "https://a.org/p1#frag": "https://a.org/p1",
+        "https://a.org/p2": "https://a.org/p1",
+        "https://b.org/q": "https://a.org/p1",
+        "https://lone.org/z?fbclid=1": "https://lone.org/z",
+    }
+    assert stats["n_pages"] == 5 and stats["n_hint_edges"] == 2
+    assert stats["n_redirect_edges"] == 1
