@@ -2737,6 +2737,43 @@ def _q_hreflang_cluster_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hreflang_clusters(extract_hreflang(_hreflang_pages(spark, sf_dir)))
 
 
+def _q_hreflang_seed_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-lingual seed alignment mined from the crawl: REAL hreflang
+    extraction → CC variant clusters → cross-KG entity pairing
+    (seed.seed_from_page_clusters), where the en page of group g
+    describes KG-1 entity E<g> and the fr page KG-2 entity F<g> (de
+    pages deliberately unmapped — clusters tolerate unlinked members).
+    Output is exactly the reference's external-seed shape
+    (ent1, ent2, prob) ready for load_seed_alignment's max-merge. The
+    oracle joins the en/fr group sets from doc_id arithmetic alone —
+    extraction, resolution, clustering and the pairing join all sit
+    inside one value hash."""
+    from prase_spark.linkgraph import extract_hreflang, hreflang_clusters
+    from prase_spark.seed import seed_from_page_clusters
+
+    clusters = hreflang_clusters(
+        extract_hreflang(_hreflang_pages(spark, sf_dir))
+    )
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    g = F.expr("doc_id div 3").cast("string")
+    langs = F.array(F.lit("en"), F.lit("fr"), F.lit("de"))
+    url = F.concat(
+        F.lit("https://h"), F.expr("(doc_id div 3) % 10").cast("string"),
+        F.lit(".example.org/"),
+        F.element_at(langs, (i % 3 + 1).cast("int")),
+        F.lit("/p"), g, F.lit(".html"),
+    )
+    ents = d.select(
+        url.alias("url"),
+        F.when(i % 3 == 0, F.concat(F.lit("E"), g))
+        .when(i % 3 == 1, F.concat(F.lit("F"), g))
+        .alias("ent"),
+        F.when(i % 3 == 0, F.lit(1)).when(i % 3 == 1, F.lit(2)).alias("kg"),
+    ).where(F.col("ent").isNotNull())
+    return seed_from_page_clusters(clusters, ents)
+
+
 def _q_surt_cdx_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL SURT + CDX record build (cdx.build_cdx) over pages whose URLs
     are templated hostile: mixed case, www. prefix, :443 port, query,
@@ -3346,6 +3383,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "anchor_prior_pages": _q_anchor_prior_pages,
         "hreflang_pages": _q_hreflang_pages,
         "hreflang_cluster_pages": _q_hreflang_cluster_pages,
+        "hreflang_seed_pairs": _q_hreflang_seed_pairs,
         "surt_cdx_pages": _q_surt_cdx_pages,
         "bgp_agg_orders": _q_bgp_agg_orders,
         "bgp_minus_orders": _q_bgp_minus_orders,
@@ -6483,6 +6521,14 @@ def oracle_sql() -> dict[str, str]:
                'https://h' || (g % 10) || '.example.org/de/p' || g
                    || '.html' AS cluster
         FROM grp, v
+    """
+    out["hreflang_seed_pairs"] = """
+        WITH en AS (SELECT doc_id // 3 AS g FROM documents
+                    WHERE doc_id % 3 = 0),
+        fr AS (SELECT doc_id // 3 AS g FROM documents WHERE doc_id % 3 = 1)
+        SELECT 'E' || en.g AS ent1, 'F' || fr.g AS ent2,
+               CAST(1.0 AS DOUBLE) AS prob
+        FROM en JOIN fr ON en.g = fr.g
     """
     out["mention_link_pages"] = f"""
         WITH {_LINKS_CTE},

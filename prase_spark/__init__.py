@@ -83,6 +83,7 @@ from prase_spark.warc import (
     warc_to_pages,
     wet_to_pages,
 )
+from prase_spark.seed import seed_from_page_clusters
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -110,6 +111,7 @@ __all__ = [
     "prase_feedback_align",
     "alignment_results",
     "bootstrap_seed",
+    "seed_from_page_clusters",
     "bipartite_match",
     "canonical_entity_ids",
     "connected_components",

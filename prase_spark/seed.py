@@ -229,3 +229,43 @@ def name_seed_matches(
     sub = one_side(ents_l, "name_l", "name_r", min_r)
     sup = one_side(ents_r, "name_r", "name_l", min_l)
     return sub, sup
+
+
+def seed_from_page_clusters(
+    clusters: DataFrame,
+    page_entities: DataFrame,
+    url_col: str = "url",
+    cluster_col: str = "cluster",
+    ent_col: str = "ent",
+    kg_col: str = "kg",
+) -> DataFrame:
+    """(ent1, ent2, prob=1.0) — cross-KG seed alignment mined from
+    same-document page clusters: if a KG-1 entity's page and a KG-2
+    entity's page sit in one cluster (hreflang language variants via
+    :func:`prase_spark.linkgraph.hreflang_clusters`, or page-identity
+    groups via :func:`prase_spark.datapipe.urlnorm.page_identity`), the
+    entities are declared equivalent by the publisher — exactly the
+    trust level of the reference's external seed file
+    (objects/KGs.py:481-512), so the pairs feed
+    :func:`load_seed_alignment`'s max-merge unchanged.
+
+    ``page_entities``: (url, ent, kg∈{1,2}) — which entity each crawled
+    page describes (from extraction subjects or mention linking).
+    Scale shape: two broadcast-sized projections joined on cluster id;
+    a legitimate cluster is a handful of language variants, so the
+    within-cluster pairing never blows up — cap cluster size upstream
+    (the hreflang/page-identity DEPLOY guard) before trusting a
+    template-bug mega-cluster as seed evidence."""
+    m = clusters.join(page_entities, url_col)
+    left = m.where(F.col(kg_col) == 1).select(
+        F.col(cluster_col).alias("__c"), F.col(ent_col).alias("ent1")
+    )
+    right = m.where(F.col(kg_col) == 2).select(
+        F.col(cluster_col).alias("__c"), F.col(ent_col).alias("ent2")
+    )
+    return (
+        left.join(right, "__c")
+        .select("ent1", "ent2")
+        .distinct()
+        .withColumn("prob", F.lit(1.0))
+    )

@@ -193,3 +193,30 @@ def test_align_seed_mode_auto_falls_back_to_names(spark):
 
     with pytest.raises(ValueError, match="seed_mode"):
         bootstrap_seed(kg_l, kg_r, seed_mode="fuzzy")
+
+
+def test_seed_from_page_clusters(spark):
+    from prase_spark.seed import seed_from_page_clusters
+
+    clusters = spark.createDataFrame(
+        [
+            ("u_en1", "c1"), ("u_fr1", "c1"), ("u_de1", "c1"),
+            ("u_en2", "c2"), ("u_fr2a", "c2"), ("u_fr2b", "c2"),
+            ("u_en3", "c3"),  # no KG-2 member -> no pair
+        ],
+        "url string, cluster string",
+    )
+    ents = spark.createDataFrame(
+        [
+            ("u_en1", "E1", 1), ("u_fr1", "F1", 2),
+            # u_de1 unmapped on purpose
+            ("u_en2", "E2", 1), ("u_fr2a", "F2", 2),
+            ("u_fr2b", "F2", 2),  # duplicate entity on 2 urls -> 1 pair
+            ("u_en3", "E3", 1),
+        ],
+        "url string, ent string, kg int",
+    )
+    got = sorted(
+        map(tuple, seed_from_page_clusters(clusters, ents).collect())
+    )
+    assert got == [("E1", "F1", 1.0), ("E2", "F2", 1.0)]
