@@ -3279,6 +3279,79 @@ def _q_page_identity_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return page_identity(pages, hm, og, redirects=redirects)
 
 
+def _q_feed_entries_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL RSS/Atom feed parsing (datapipe.feeds.parse_feeds): even
+    docs are RSS 2.0 bodies (one full item + one link-only item with
+    whitespace padding + one linkless item that must drop, &amp;
+    unescape in the title), odd docs Atom (one full entry + one
+    linkless entry that must drop). The oracle re-derives every
+    (host, kind, link, title, entry_id, published) row from doc_id
+    arithmetic — kind classification, both element grammars, trim,
+    entity unescape and the link-required filter all inside one hash."""
+    from prase_spark.datapipe.feeds import parse_feeds
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    host = F.concat(F.lit("h"), (i % 10).cast("string"), F.lit(".org"))
+    day = (1 + i % 9).cast("string")
+    rss = F.concat(
+        F.lit('<rss version="2.0"><channel><title>C</title>'),
+        F.lit("<item><title>T "), s, F.lit(" &amp; more</title><link>"),
+        F.lit("https://h"), (i % 10).cast("string"), F.lit(".org/a"), s,
+        F.lit("</link><guid>g"), s, F.lit("</guid><pubDate>Mon, 0"), day,
+        F.lit(" Jan 2024 00:00:00 GMT</pubDate></item>"),
+        F.lit("<item><link> https://h"), (i % 10).cast("string"),
+        F.lit(".org/b"), s, F.lit(" </link></item>"),
+        F.lit("<item><title>dropme</title></item>"),
+        F.lit("</channel></rss>"),
+    )
+    atom = F.concat(
+        F.lit('<feed xmlns="http://www.w3.org/2005/Atom"><title>F</title>'),
+        F.lit("<entry><title>E "), s, F.lit("</title>"),
+        F.lit('<link rel="alternate" href="https://h'),
+        (i % 10).cast("string"), F.lit(".org/e"), s, F.lit('"/>'),
+        F.lit("<id>tag:"), s, F.lit("</id><updated>2024-01-0"), day,
+        F.lit("T00:00:00Z</updated></entry>"),
+        F.lit("<entry><id>tag:x"), s, F.lit("</id></entry>"),
+        F.lit("</feed>"),
+    )
+    feeds = d.select(
+        host.alias("host"),
+        F.when(i % 2 == 0, rss).otherwise(atom).alias("body"),
+    )
+    return parse_feeds(feeds)
+
+
+def _q_feed_discover_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feed autodiscovery from page heads (datapipe.feeds.discover_feeds):
+    every page declares one origin-rooted RSS link and one
+    relative-path Atom link with FLIPPED attribute order, next to an
+    hreflang alternate and a stylesheet that must drop; hrefs resolve
+    through the shared linkgraph grammar. Oracle from doc_id arithmetic."""
+    from prase_spark.datapipe.feeds import discover_feeds
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    url = F.concat(
+        F.lit("https://s"), (i % 6).cast("string"),
+        F.lit(".example.org/d/p"), s, F.lit(".html"),
+    )
+    html = F.concat(
+        F.lit("<html><head>"),
+        F.lit('<link rel="alternate" type="application/rss+xml" href="/feed'),
+        (i % 4).cast("string"), F.lit('.xml">'),
+        F.lit('<link href="a'), (i % 3).cast("string"),
+        F.lit('.xml" type="application/atom+xml" rel="alternate">'),
+        F.lit('<link rel="alternate" hreflang="fr" href="/fr/p.html">'),
+        F.lit('<link rel="stylesheet" href="/s.css">'),
+        F.lit("</head><body><p>"), F.col("text"), F.lit("</p></body></html>"),
+    )
+    pages = d.select(url.alias("url"), F.encode(html, "utf-8").alias("html"))
+    return discover_feeds(pages)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3397,6 +3470,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_properties_pages": _q_og_properties_pages,
         "og_cards_pages": _q_og_cards_pages,
         "page_identity_pages": _q_page_identity_pages,
+        "feed_entries_docs": _q_feed_entries_docs,
+        "feed_discover_pages": _q_feed_discover_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6706,6 +6781,44 @@ def oracle_sql() -> dict[str, str]:
                min(CASE WHEN prop = 'og:url' THEN content END) AS og_url,
                min(CASE WHEN prop = 'og:image' THEN content END) AS og_image
         FROM og GROUP BY url
+    """
+    # feed gates: rows re-derived from doc_id arithmetic; the linkless
+    # items/entries and the non-feed head links exist only in the bodies.
+    out["feed_entries_docs"] = """
+        SELECT 'h' || (doc_id % 10) || '.org' AS host, 'rss' AS kind,
+               'https://h' || (doc_id % 10) || '.org/a' || doc_id AS link,
+               'T ' || doc_id || ' & more' AS title,
+               'g' || doc_id AS entry_id,
+               'Mon, 0' || (1 + doc_id % 9)
+                   || ' Jan 2024 00:00:00 GMT' AS published
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'h' || (doc_id % 10) || '.org', 'rss',
+               'https://h' || (doc_id % 10) || '.org/b' || doc_id,
+               CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+               CAST(NULL AS VARCHAR)
+        FROM documents WHERE doc_id % 2 = 0
+        UNION ALL
+        SELECT 'h' || (doc_id % 10) || '.org', 'atom',
+               'https://h' || (doc_id % 10) || '.org/e' || doc_id,
+               'E ' || doc_id, 'tag:' || doc_id,
+               '2024-01-0' || (1 + doc_id % 9) || 'T00:00:00Z'
+        FROM documents WHERE doc_id % 2 = 1
+    """
+    out["feed_discover_pages"] = """
+        SELECT 'https://s' || (doc_id % 6) || '.example.org/d/p' || doc_id
+                   || '.html' AS url,
+               'https://s' || (doc_id % 6) || '.example.org/feed'
+                   || (doc_id % 4) || '.xml' AS feed_url,
+               'rss' AS feed_kind
+        FROM documents
+        UNION ALL
+        SELECT 'https://s' || (doc_id % 6) || '.example.org/d/p' || doc_id
+                   || '.html',
+               'https://s' || (doc_id % 6) || '.example.org/d/a'
+                   || (doc_id % 3) || '.xml',
+               'atom'
+        FROM documents
     """
     # page identity: the weld arithmetic (pair k joins k-1 when k%5==1)
     # and the cosmetic plants live only in the HTML/URL bytes; a failure

@@ -57,6 +57,7 @@ from prase_spark.datapipe.sampling import (
     temperature_sample,
     temperature_weights,
 )
+from prase_spark.datapipe.feeds import discover_feeds, parse_feeds
 from prase_spark.datapipe.urlnorm import (
     canonical_url,
     dedup_by_url,
@@ -149,6 +150,8 @@ __all__ = [
     "resolve_redirects",
     "dedup_by_url",
     "page_identity",
+    "parse_feeds",
+    "discover_feeds",
     "hash_sample",
     "stratified_sample",
     "cap_per_group",
