@@ -3352,6 +3352,44 @@ def _q_feed_discover_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return discover_feeds(pages)
 
 
+def _fact_captures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Capture-stamped fact stream from doc_id arithmetic: 150 fact keys
+    (subj=S(doc%50), pred=p(doc%3)), capture time = doc_id (epoch-minute
+    integers — the ts column is any orderable type), value v(doc div
+    300) so every key sees its value change mid-stream and re-captures
+    assert unchanged values that must COLLAPSE into open intervals."""
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    return d.select(
+        F.concat(F.lit("S"), (i % 50).cast("string")).alias("subj"),
+        F.concat(F.lit("p"), (i % 3).cast("string")).alias("pred"),
+        F.concat(F.lit("v"), F.expr("doc_id div 300").cast("string"))
+        .alias("obj"),
+        i.cast("long").alias("ts"),
+    )
+
+
+def _q_fact_history_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temporal fact versioning (temporal.fact_history): the capture
+    stream collapses to value runs with valid_from/valid_to intervals;
+    the DuckDB twin replays the gaps-and-islands formulation (null-safe
+    lag flag → cumulative island id → per-island min → lead) over the
+    identical arithmetic stream — interval boundaries, unchanged-value
+    collapse and the open current version all inside one hash."""
+    from prase_spark.temporal import fact_history
+
+    return fact_history(_fact_captures(spark, sf_dir))
+
+
+def _q_fact_asof_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time KG snapshot (temporal.facts_asof at ts=310): keys
+    whose second version started at/before 310 show v1, later keys
+    still v0, keys with no capture ≤ 310 absent."""
+    from prase_spark.temporal import fact_history, facts_asof
+
+    return facts_asof(fact_history(_fact_captures(spark, sf_dir)), 310)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3472,6 +3510,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "page_identity_pages": _q_page_identity_pages,
         "feed_entries_docs": _q_feed_entries_docs,
         "feed_discover_pages": _q_feed_discover_pages,
+        "fact_history_docs": _q_fact_history_docs,
+        "fact_asof_docs": _q_fact_asof_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6819,6 +6859,51 @@ def oracle_sql() -> dict[str, str]:
                    || (doc_id % 3) || '.xml',
                'atom'
         FROM documents
+    """
+    # temporal gates: the DuckDB twin replays gaps-and-islands over the
+    # identical arithmetic capture stream.
+    _FACT_HIST_CTE = """
+        caps AS (
+            SELECT 'S' || (doc_id % 50) AS subj, 'p' || (doc_id % 3) AS pred,
+                   'v' || (doc_id // 300) AS obj,
+                   CAST(doc_id AS BIGINT) AS ts
+            FROM documents
+        ),
+        flg AS (
+            SELECT subj, pred, obj, ts,
+                   CASE WHEN lag(obj) OVER (PARTITION BY subj, pred
+                                            ORDER BY ts)
+                             IS DISTINCT FROM obj THEN 1 ELSE 0 END AS chg
+            FROM caps
+        ),
+        isl AS (
+            SELECT subj, pred, obj, ts,
+                   sum(chg) OVER (PARTITION BY subj, pred ORDER BY ts) AS g
+            FROM flg
+        ),
+        per AS (
+            SELECT subj, pred, g, min(obj) AS obj,
+                   min(ts) AS valid_from
+            FROM isl GROUP BY subj, pred, g
+        ),
+        hist AS (
+            SELECT subj, pred, obj, valid_from,
+                   lead(valid_from) OVER (PARTITION BY subj, pred
+                                          ORDER BY valid_from) AS valid_to
+            FROM per
+        )
+    """
+    out["fact_history_docs"] = f"""
+        WITH {_FACT_HIST_CTE}
+        SELECT subj, pred, obj, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM hist
+    """
+    out["fact_asof_docs"] = f"""
+        WITH {_FACT_HIST_CTE}
+        SELECT subj, pred, obj, valid_from, valid_to
+        FROM hist
+        WHERE valid_from <= 310 AND (valid_to IS NULL OR valid_to > 310)
     """
     # page identity: the weld arithmetic (pair k joins k-1 when k%5==1)
     # and the cosmetic plants live only in the HTML/URL bytes; a failure

@@ -84,6 +84,7 @@ from prase_spark.warc import (
     wet_to_pages,
 )
 from prase_spark.seed import seed_from_page_clusters
+from prase_spark.temporal import fact_history, facts_asof
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -112,6 +113,8 @@ __all__ = [
     "alignment_results",
     "bootstrap_seed",
     "seed_from_page_clusters",
+    "fact_history",
+    "facts_asof",
     "bipartite_match",
     "canonical_entity_ids",
     "connected_components",
