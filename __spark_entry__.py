@@ -3390,6 +3390,48 @@ def _q_fact_asof_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return facts_asof(fact_history(_fact_captures(spark, sf_dir)), 310)
 
 
+def _q_robots_sitemaps_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sitemap declarations mined from robots.txt
+    (datapipe.robots.robots_sitemaps): per host one always-present
+    directive (lowercase field name on odd docs — case fold), an extra
+    on even docs, plus three must-drop lines that exist only in the
+    body bytes (a commented-out directive, a relative URL, an exact
+    duplicate)."""
+    from prase_spark.datapipe.robots import robots_sitemaps
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    s = i.cast("string")
+    host = F.concat(F.lit("h"), s, F.lit(".org"))
+    sm = F.concat(F.lit("https://h"), s, F.lit(".org/sm"),
+                  (i % 3).cast("string"), F.lit(".xml"))
+    body = F.concat(
+        F.lit("User-agent: *\nDisallow: /private\n"),
+        F.when(i % 2 == 1, F.lit("sitemap: ")).otherwise(F.lit("Sitemap: ")),
+        sm, F.lit("\n"),
+        F.when(
+            i % 2 == 0,
+            F.concat(F.lit("Sitemap: https://h"), s,
+                     F.lit(".org/extra.xml\n")),
+        ).otherwise(F.lit("")),
+        F.lit("# Sitemap: https://commented.example/x.xml\n"),
+        F.lit("Sitemap: /relative.xml\n"),
+        F.lit("Sitemap: "), sm, F.lit("\n"),
+    )
+    robots = d.select(host.alias("host"), body.alias("body"))
+    return robots_sitemaps(robots)
+
+
+def _q_og_triples_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OG stream → KG raw triples (extract.og_to_raw_triples over the
+    REAL extractor output): subjects rebase onto the declared og:url
+    identity, og:image stays a relation, the (crawl url, og:url,
+    identity) link is emitted — ready for kgbuild.build_kg."""
+    from prase_spark.extract import extract_og_properties, og_to_raw_triples
+
+    return og_to_raw_triples(extract_og_properties(_og_pages(spark, sf_dir)))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3512,6 +3554,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "feed_discover_pages": _q_feed_discover_pages,
         "fact_history_docs": _q_fact_history_docs,
         "fact_asof_docs": _q_fact_asof_docs,
+        "robots_sitemaps_docs": _q_robots_sitemaps_docs,
+        "og_triples_pages": _q_og_triples_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6859,6 +6903,40 @@ def oracle_sql() -> dict[str, str]:
                    || (doc_id % 3) || '.xml',
                'atom'
         FROM documents
+    """
+    out["robots_sitemaps_docs"] = """
+        SELECT 'h' || doc_id || '.org' AS host,
+               'https://h' || doc_id || '.org/sm' || (doc_id % 3)
+                   || '.xml' AS sitemap_url
+        FROM documents
+        UNION ALL
+        SELECT 'h' || doc_id || '.org',
+               'https://h' || doc_id || '.org/extra.xml'
+        FROM documents WHERE doc_id % 2 = 0
+    """
+    out["og_triples_pages"] = """
+        WITH canon AS (
+            SELECT doc_id,
+                   'https://s' || (doc_id % 6) || '.example.org/p' || doc_id
+                       AS url,
+                   'https://s' || (doc_id % 6) || '.example.org/canon/'
+                       || (doc_id // 2) AS subj
+            FROM documents
+        )
+        SELECT subj, 'og:title' AS pred, 'Title ' || doc_id AS obj,
+               TRUE AS is_attr
+        FROM canon
+        UNION ALL
+        SELECT subj, 'og:type',
+               ['website','article','video.movie']
+                   [CAST(doc_id % 3 AS INT) + 1], TRUE
+        FROM canon
+        UNION ALL
+        SELECT subj, 'og:image',
+               'https://img.example/i' || doc_id || '.png', FALSE
+        FROM canon WHERE doc_id % 4 = 0
+        UNION ALL
+        SELECT url, 'og:url', subj, FALSE FROM canon
     """
     # temporal gates: the DuckDB twin replays gaps-and-islands over the
     # identical arithmetic capture stream.

@@ -37,6 +37,7 @@ from prase_spark.extract import (
     extract_text,
     extract_triples,
     og_cards,
+    og_to_raw_triples,
 )
 from prase_spark.htmltables import (
     parse_tables,
@@ -145,6 +146,7 @@ __all__ = [
     "extract_head_meta",
     "extract_og_properties",
     "og_cards",
+    "og_to_raw_triples",
     "extract_structured",
     "ldjson_triples",
     "microdata_triples",

@@ -18,7 +18,12 @@ from prase_spark.datapipe.hoststats import (
     registrable_domain,
 )
 from prase_spark.datapipe.pii import add_pii_counts, redact_corpus, redact_pii
-from prase_spark.datapipe.robots import drop_noindex, parse_robots, robots_allowed
+from prase_spark.datapipe.robots import (
+    drop_noindex,
+    parse_robots,
+    robots_allowed,
+    robots_sitemaps,
+)
 from prase_spark.datapipe.sitemaps import (
     parse_sitemaps,
     sitemap_index,
@@ -151,6 +156,7 @@ __all__ = [
     "dedup_by_url",
     "page_identity",
     "parse_feeds",
+    "robots_sitemaps",
     "discover_feeds",
     "hash_sample",
     "stratified_sample",

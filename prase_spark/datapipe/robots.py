@@ -161,3 +161,36 @@ def drop_noindex(pages: DataFrame, html_col: str = "html") -> DataFrame:
     """Pages minus those tagged ``<meta name="robots" ... noindex>`` in
     either attribute order. One codegen regexp filter on the scan."""
     return pages.where(~F.decode(F.col(html_col), "utf-8").rlike(_NOINDEX_RE))
+
+
+def robots_sitemaps(
+    robots: DataFrame, host_col: str = "host", body_col: str = "body"
+) -> DataFrame:
+    """(host, sitemap_url) — ``Sitemap:`` directives from robots.txt
+    bodies, the discovery hand-off the REP defines: robots is where a
+    host DECLARES its sitemaps, so this feeds
+    :func:`prase_spark.datapipe.sitemaps.parse_sitemaps` (and from
+    there CDX staleness scoring) without any out-of-band configuration.
+
+    Same line grammar as :func:`parse_robots` (comments stripped,
+    field names case-insensitive); Sitemap directives are
+    group-independent per the REP, so no group machinery — one
+    exchange-free projection plus the per-host dedup aggregate.
+    Relative sitemap URLs are out of spec and dropped (the REP requires
+    absolute URLs here)."""
+    lines = robots.select(
+        F.col(host_col).alias("host"),
+        F.explode(F.split(F.col(body_col), "\n")).alias("raw"),
+    ).select(
+        "host",
+        F.trim(F.regexp_replace("raw", r"#.*$", "")).alias("line"),
+    )
+    field = F.lower(F.regexp_extract("line", r"^([A-Za-z-]+)\s*:", 1))
+    value = F.trim(F.regexp_extract("line", r"^[A-Za-z-]+\s*:(.*)$", 1))
+    return (
+        lines.select("host", field.alias("f"), value.alias("sitemap_url"))
+        .where((F.col("f") == "sitemap")
+               & F.col("sitemap_url").rlike(r"(?i)^https?://"))
+        .select("host", "sitemap_url")
+        .distinct()
+    )

@@ -222,3 +222,39 @@ def og_cards(props: DataFrame) -> DataFrame:
         for p in OG_CARD_PROPS
     ]
     return props.groupBy("url").agg(*aggs)
+
+
+def og_to_raw_triples(props: DataFrame) -> DataFrame:
+    """RAW_TRIPLES adapter for the OpenGraph stream (composes with
+    ``kgbuild.build_kg`` exactly like
+    ``structured.structured_to_raw_triples``): the page's declared
+    identity — its og:url content when present, else the crawl url —
+    becomes the subject; every other og property becomes a triple with
+    ``is_attr`` by value shape (og:image objects are URIs → relation;
+    title/type/locale etc. → attribute); pages that declare an og:url
+    additionally emit the identity relation (crawl url, og:url,
+    subject) so the KG keeps the crawl-to-canonical link.
+
+    One self-join on url against the (at most one after the min-dedup)
+    og:url row — broadcast-sized relative to the corpus only when the
+    OG-bearing subset is; at crawl scale both sides are the same
+    filtered stream, co-partitioned on url."""
+    ogu = (
+        props.where(F.col("prop") == "og:url")
+        .groupBy("url")
+        .agg(F.min("content").alias("__subj"))
+    )
+    rest = props.where(F.col("prop") != "og:url")
+    j = rest.join(ogu, "url", "left").select(
+        F.coalesce("__subj", "url").alias("subj"),
+        F.col("prop").alias("pred"),
+        F.col("content").alias("obj"),
+        (F.col("prop") != "og:image").alias("is_attr"),
+    )
+    ident = ogu.select(
+        F.col("url").alias("subj"),
+        F.lit("og:url").alias("pred"),
+        F.col("__subj").alias("obj"),
+        F.lit(False).alias("is_attr"),
+    )
+    return j.unionByName(ident)

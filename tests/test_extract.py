@@ -144,3 +144,26 @@ def test_extract_og_parallelism_invariant(spark):
     one = sorted(map(tuple, og_cards(extract_og_properties(pages.coalesce(1))).collect()))
     many = sorted(map(tuple, og_cards(extract_og_properties(pages.repartition(7))).collect()))
     assert one == many and len(one) == 40
+
+
+def test_og_to_raw_triples(spark):
+    from prase_spark.extract import og_to_raw_triples
+
+    props = spark.createDataFrame(
+        [
+            ("u1", "og:title", "T1"),
+            ("u1", "og:type", "article"),
+            ("u1", "og:url", "https://c.org/1"),
+            ("u1", "og:image", "https://i.org/1.png"),
+            ("u2", "og:title", "T2"),   # no og:url -> subject = crawl url
+        ],
+        "url string, prop string, content string",
+    )
+    got = sorted(map(tuple, og_to_raw_triples(props).collect()))
+    assert got == [
+        ("https://c.org/1", "og:image", "https://i.org/1.png", False),
+        ("https://c.org/1", "og:title", "T1", True),
+        ("https://c.org/1", "og:type", "article", True),
+        ("u1", "og:url", "https://c.org/1", False),
+        ("u2", "og:title", "T2", True),
+    ]

@@ -93,3 +93,20 @@ def test_drop_noindex_both_orders(spark):
     pages = spark.createDataFrame(rows, "url string, html binary")
     kept = sorted(r.url for r in drop_noindex(pages).collect())
     assert kept == ["u3", "u4"]
+
+
+def test_robots_sitemaps_directives(spark):
+    from prase_spark.datapipe.robots import robots_sitemaps
+
+    body = (
+        "User-agent: *\n"
+        "Disallow: /private\n"
+        "Sitemap: https://h.org/sm1.xml\n"
+        "sitemap: https://h.org/sm2.xml  # trailing comment\n"
+        "# Sitemap: https://h.org/commented.xml\n"
+        "Sitemap: /relative.xml\n"          # out of spec -> dropped
+        "Sitemap: https://h.org/sm1.xml\n"  # duplicate -> one row
+    )
+    robots = spark.createDataFrame([("h.org", body)], "host string, body string")
+    got = sorted(r.sitemap_url for r in robots_sitemaps(robots).collect())
+    assert got == ["https://h.org/sm1.xml", "https://h.org/sm2.xml"]
