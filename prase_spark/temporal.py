@@ -33,28 +33,30 @@ def fact_history(
 ) -> DataFrame:
     """(key..., val, valid_from, valid_to, is_current) — one row per
     VALUE RUN of each fact key, gaps-and-islands over the capture
-    stream: a change flag (null-safe lag comparison) cumulated into an
-    island id, islands collapsed to (value, min ts), ``valid_to`` = the
-    next island's start (NULL while current). Re-captures asserting an
-    unchanged value extend the open interval instead of minting a
-    version — the property that keeps history size proportional to
-    CHANGE volume, not crawl volume."""
+    stream: a null-safe lag comparison marks island STARTS (a capture
+    whose value differs from the key's previous capture); start rows
+    carry (value, valid_from=ts) directly, and ``valid_to`` = the next
+    start (NULL while current). Re-captures asserting an unchanged
+    value extend the open interval instead of minting a version — the
+    property that keeps history size proportional to CHANGE volume, not
+    crawl volume.
+
+    Plan shape: both windows partition on the fact key and the
+    island-start filter preserves that partitioning, so the whole
+    operator runs behind ONE hash exchange (pinned in
+    tests/test_plan_hygiene.py)."""
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(val_col).over(w)
-    chg = (~F.col(val_col).eqNullSafe(prev)).cast("long")
-    isl = F.sum(chg).over(w.rowsBetween(Window.unboundedPreceding, 0))
-    runs = facts.withColumn("__isl", isl)
-    per = runs.groupBy(*keys, "__isl").agg(
-        F.min(val_col).alias(val_col),
-        F.min(ts_col).alias("valid_from"),
+    starts = (
+        facts.withColumn("__chg", ~F.col(val_col).eqNullSafe(prev))
+        .where("__chg")
+        .select(*keys, val_col, F.col(ts_col).alias("valid_from"))
     )
     w2 = Window.partitionBy(*keys).orderBy("valid_from")
-    return (
-        per.withColumn("valid_to", F.lead("valid_from").over(w2))
-        .drop("__isl")
-        .withColumn("is_current", F.col("valid_to").isNull())
-    )
+    return starts.withColumn(
+        "valid_to", F.lead("valid_from").over(w2)
+    ).withColumn("is_current", F.col("valid_to").isNull())
 
 
 def facts_asof(history: DataFrame, ts) -> DataFrame:

@@ -137,3 +137,46 @@ def test_redirect_doubling_join_count(spark):
     )
     plan = _plan(resolve_redirects(edges))
     assert "CartesianProduct" not in plan
+
+
+def test_round5_crawl_surface_plan_hygiene(spark):
+    """The round-5 head-declaration / feed scans must stay exchange-free
+    map stages (they ride the corpus scan at 10^12 pages), and
+    fact_history must reuse ONE hash exchange across both windows and
+    the island collapse (all keyed on subj, pred)."""
+    from prase_spark.datapipe.feeds import discover_feeds, parse_feeds
+    from prase_spark.extract import extract_og_properties
+    from prase_spark.linkgraph import extract_hreflang
+    from prase_spark.temporal import fact_history
+
+    pages = spark.createDataFrame(
+        [("https://h.org/p", b"<html><head></head><body>x</body></html>")] * 8,
+        "url string, html binary",
+    )
+    for df in (
+        extract_hreflang(pages),
+        extract_og_properties(pages),
+        discover_feeds(pages),
+    ):
+        assert "Exchange" not in _plan(df)
+
+    feeds = spark.createDataFrame(
+        [("h.org", "<rss><channel></channel></rss>")] * 8,
+        "host string, body string",
+    )
+    # the rss/atom branches are a union of two map stages — still no
+    # exchange anywhere in the plan
+    assert "Exchange" not in _plan(parse_feeds(feeds))
+
+    facts = spark.createDataFrame(
+        [("S%d" % (i % 5), "p", "v%d" % (i // 10), i) for i in range(40)],
+        "subj string, pred string, obj string, ts long",
+    )
+    fh = fact_history(facts)
+    fh.collect()
+    # AQE plan strings carry a "== Initial Plan ==" echo — count the
+    # FINAL plan only; both windows plus the start filter must share a
+    # single hash exchange (and a single sort) on (subj, pred)
+    final = _plan(fh).split("== Initial Plan ==")[0]
+    assert final.count("Exchange") == 1
+    assert final.count("Sort ") == 1
