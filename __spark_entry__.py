@@ -3432,6 +3432,34 @@ def _q_og_triples_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return og_to_raw_triples(extract_og_properties(_og_pages(spark, sf_dir)))
 
 
+def _q_kg_diff_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-to-snapshot KG diff (temporal.kg_diff): old = one triple
+    per doc; new = same stream with planted edits — value change on
+    doc%5==0 (one removed + one added for the key), deletion on
+    doc%9==0 (unless changed), plus a brand-new triple on doc%7==0.
+    The unchanged majority must emit NOTHING; the oracle enumerates the
+    edit set from the arithmetic alone."""
+    from prase_spark.temporal import kg_diff
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    subj = F.concat(F.lit("S"), (i % 100).cast("string"))
+    pred = F.concat(F.lit("p"), (i % 4).cast("string"))
+    obj_v = F.concat(F.lit("v"), (i % 11).cast("string"))
+    obj_w = F.concat(F.lit("w"), (i % 11).cast("string"))
+    old = d.select(subj.alias("subj"), pred.alias("pred"),
+                   obj_v.alias("obj"))
+    kept = d.where(~((i % 9 == 0) & (i % 5 != 0))).select(
+        subj.alias("subj"), pred.alias("pred"),
+        F.when(i % 5 == 0, obj_w).otherwise(obj_v).alias("obj"),
+    )
+    brand = d.where(i % 7 == 0).select(
+        subj.alias("subj"), F.lit("q").alias("pred"),
+        F.concat(F.lit("n"), i.cast("string")).alias("obj"),
+    )
+    return kg_diff(old, kept.unionByName(brand))
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3556,6 +3584,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fact_asof_docs": _q_fact_asof_docs,
         "robots_sitemaps_docs": _q_robots_sitemaps_docs,
         "og_triples_pages": _q_og_triples_pages,
+        "kg_diff_docs": _q_kg_diff_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -6982,6 +7011,22 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, pred, obj, valid_from, valid_to
         FROM hist
         WHERE valid_from <= 310 AND (valid_to IS NULL OR valid_to > 310)
+    """
+    out["kg_diff_docs"] = """
+        SELECT 'S' || (doc_id % 100) AS subj, 'p' || (doc_id % 4) AS pred,
+               'v' || (doc_id % 11) AS obj, 'removed' AS change
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'S' || (doc_id % 100), 'p' || (doc_id % 4),
+               'w' || (doc_id % 11), 'added'
+        FROM documents WHERE doc_id % 5 = 0
+        UNION ALL
+        SELECT 'S' || (doc_id % 100), 'p' || (doc_id % 4),
+               'v' || (doc_id % 11), 'removed'
+        FROM documents WHERE doc_id % 9 = 0 AND doc_id % 5 <> 0
+        UNION ALL
+        SELECT 'S' || (doc_id % 100), 'q', 'n' || doc_id, 'added'
+        FROM documents WHERE doc_id % 7 = 0
     """
     # page identity: the weld arithmetic (pair k joins k-1 when k%5==1)
     # and the cosmetic plants live only in the HTML/URL bytes; a failure

@@ -85,7 +85,7 @@ from prase_spark.warc import (
     wet_to_pages,
 )
 from prase_spark.seed import seed_from_page_clusters
-from prase_spark.temporal import fact_history, facts_asof
+from prase_spark.temporal import fact_history, facts_asof, kg_diff
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -116,6 +116,7 @@ __all__ = [
     "seed_from_page_clusters",
     "fact_history",
     "facts_asof",
+    "kg_diff",
     "bipartite_match",
     "canonical_entity_ids",
     "connected_components",

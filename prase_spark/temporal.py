@@ -70,3 +70,32 @@ def facts_asof(history: DataFrame, ts) -> DataFrame:
         (F.col("valid_from") <= t)
         & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
     ).drop("is_current")
+
+
+def kg_diff(
+    old: DataFrame,
+    new: DataFrame,
+    key_cols: Sequence[str] = ("subj", "pred", "obj"),
+) -> DataFrame:
+    """(key..., change ∈ {added, removed}) — multiset difference between
+    two KG snapshots (successive crawls): a triple is ``added`` when the
+    new snapshot carries more copies than the old, ``removed`` when
+    fewer; equal multiplicity (the overwhelmingly common case) emits
+    nothing, so the output is change-volume-sized. ONE hash aggregation
+    over the union of ±1-tagged rows — map-side combinable, no join, no
+    window; the 100-TB cost is the two scans plus a shuffle of
+    (triple-key, ±count) rows. A value CHANGE surfaces as one removed +
+    one added row for the same (subj, pred); feed successive diffs to
+    :func:`fact_history` via capture stamps for interval semantics."""
+    keys = list(key_cols)
+    tagged = (
+        old.select(*keys).withColumn("__s", F.lit(-1))
+        .unionByName(new.select(*keys).withColumn("__s", F.lit(1)))
+    )
+    d = tagged.groupBy(*keys).agg(F.sum("__s").alias("__d"))
+    return d.where(F.col("__d") != 0).select(
+        *keys,
+        F.when(F.col("__d") > 0, F.lit("added"))
+        .otherwise(F.lit("removed"))
+        .alias("change"),
+    )

@@ -58,3 +58,34 @@ def test_fact_history_parallelism_invariant(spark):
     one = sorted(map(tuple, fact_history(facts.coalesce(1)).collect()))
     many = sorted(map(tuple, fact_history(facts.repartition(9)).collect()))
     assert one == many
+
+
+def test_kg_diff_multiset(spark):
+    from prase_spark.temporal import kg_diff
+
+    old = spark.createDataFrame(
+        [
+            ("S1", "p", "a"),            # unchanged
+            ("S2", "p", "x"),            # value change -> removed
+            ("S3", "p", "gone"),         # removed
+            ("S4", "p", "dup"), ("S4", "p", "dup"),  # 2 copies -> 1 in new
+        ],
+        "subj string, pred string, obj string",
+    )
+    new = spark.createDataFrame(
+        [
+            ("S1", "p", "a"),
+            ("S2", "p", "y"),            # value change -> added
+            ("S4", "p", "dup"),          # one copy fewer -> removed
+            ("S5", "p", "brand"),        # added
+        ],
+        "subj string, pred string, obj string",
+    )
+    got = sorted(map(tuple, kg_diff(old, new).collect()))
+    assert got == [
+        ("S2", "p", "x", "removed"),
+        ("S2", "p", "y", "added"),
+        ("S3", "p", "gone", "removed"),
+        ("S4", "p", "dup", "removed"),
+        ("S5", "p", "brand", "added"),
+    ]
