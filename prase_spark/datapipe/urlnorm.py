@@ -145,6 +145,7 @@ def page_identity(
     *hint_frames: DataFrame,
     redirects: DataFrame | None = None,
     url_col: str = "url",
+    hashed: bool = False,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(url, page_id) — one canonical page identity per crawled URL, by
@@ -170,7 +171,15 @@ def page_identity(
     Scale shape: edge streams are unions of one-projection scans; the
     only shuffles are CC's, which runs on the (tiny relative to the
     corpus) declared-identity subgraph plus self-loops. ``stats_out``
-    receives n_pages / n_hint_edges / n_redirect_edges telemetry."""
+    receives n_pages / n_hint_edges / n_redirect_edges telemetry.
+
+    ``hashed=True`` is the 10^12-URL path (the DEPLOY.md doctrine): CC
+    iterates over ``xxhash64`` node keys — 8-byte shuffle rows instead
+    of URL strings — and the min-URL representative is recovered with
+    one node-table join + one per-component min afterwards. Output is
+    IDENTICAL to the string mode (pytest-pinned) unless two distinct
+    canonical URLs collide in 64 bits (P ≈ n²·2⁻⁶⁴ — audit with
+    ``stats_out['n_nodes']`` against distinct page_id count)."""
     from prase_spark.matching import connected_components
 
     base = pages.select(
@@ -200,10 +209,35 @@ def page_identity(
     if stats_out is not None:
         stats_out["n_pages"] = base.count()
         stats_out["n_hint_edges"] = n_hints
-    comp = connected_components(edges, stats_out=stats_out)
-    return (
-        base.join(comp, base["__cu"] == comp["node"], "left")
-        .select(
-            "url", F.coalesce("component", "__cu").alias("page_id")
+    if not hashed:
+        comp = connected_components(edges, stats_out=stats_out)
+        return (
+            base.join(comp, base["__cu"] == comp["node"], "left")
+            .select(
+                "url", F.coalesce("component", "__cu").alias("page_id")
+            )
         )
+    # hashed path: 8-byte CC keys, strings recovered once at the end
+    nodes = (
+        edges.select(F.col("src").alias("u"))
+        .unionByName(edges.select(F.col("dst").alias("u")))
+        .distinct()
+        .select("u", F.xxhash64("u").alias("h"))
+    )
+    if stats_out is not None:
+        stats_out["n_nodes"] = nodes.count()
+    h_edges = edges.select(
+        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
+    )
+    comp = connected_components(h_edges, stats_out=stats_out)
+    rep = (
+        nodes.join(comp, nodes["h"] == comp["node"])
+        .groupBy("component")
+        .agg(F.min("u").alias("page_id"))
+    )
+    labeled = comp.join(rep, "component").select("node", "page_id")
+    return (
+        base.withColumn("__h", F.xxhash64("__cu"))
+        .join(labeled, F.col("__h") == F.col("node"), "left")
+        .select("url", F.coalesce("page_id", "__cu").alias("page_id"))
     )

@@ -89,3 +89,35 @@ def test_page_identity_merges_all_signals(spark):
     }
     assert stats["n_pages"] == 5 and stats["n_hint_edges"] == 2
     assert stats["n_redirect_edges"] == 1
+
+
+def test_page_identity_hashed_parity(spark):
+    from prase_spark.datapipe.urlnorm import page_identity
+
+    pages = spark.createDataFrame(
+        [("https://h%d.org/p%d?utm_source=x" % (i % 9, i),) for i in range(60)],
+        "url string",
+    )
+    hints = spark.createDataFrame(
+        [
+            ("https://h%d.org/p%d" % (i % 9, i),
+             "https://c.org/T%d" % (i // 4))
+            for i in range(60)
+        ],
+        "url string, target string",
+    )
+    redirects = spark.createDataFrame(
+        [("https://h%d.org/p%d" % (i % 9, i),
+          "https://h%d.org/p%d" % ((i - 4) % 9, i - 4))
+         for i in range(4, 60, 20)],
+        "src string, dst string",
+    )
+    s_stats, h_stats = {}, {}
+    s = sorted(map(tuple, page_identity(
+        pages, hints, redirects=redirects, stats_out=s_stats).collect()))
+    h = sorted(map(tuple, page_identity(
+        pages, hints, redirects=redirects, hashed=True,
+        stats_out=h_stats).collect()))
+    assert s == h and len(s) == 60
+    # the collision audit surface exists and is plausible
+    assert h_stats["n_nodes"] >= 60
