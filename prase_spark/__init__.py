@@ -74,6 +74,7 @@ from prase_spark.linkgraph import (
 from prase_spark.matching import (
     bipartite_match,
     canonical_entity_ids,
+    components_min_label,
     connected_components,
     incremental_components,
 )
@@ -120,6 +121,7 @@ __all__ = [
     "bipartite_match",
     "canonical_entity_ids",
     "connected_components",
+    "components_min_label",
     "evaluate_alignment",
     "extract_text",
     "extract_triples",

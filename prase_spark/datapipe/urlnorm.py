@@ -146,6 +146,7 @@ def page_identity(
     redirects: DataFrame | None = None,
     url_col: str = "url",
     hashed: bool = False,
+    max_target_indegree: int | None = None,
     stats_out: dict | None = None,
 ) -> DataFrame:
     """(url, page_id) — one canonical page identity per crawled URL, by
@@ -179,8 +180,15 @@ def page_identity(
     one node-table join + one per-component min afterwards. Output is
     IDENTICAL to the string mode (pytest-pinned) unless two distinct
     canonical URLs collide in 64 bits (P ≈ n²·2⁻⁶⁴ — audit with
-    ``stats_out['n_nodes']`` against distinct page_id count)."""
-    from prase_spark.matching import connected_components
+    ``stats_out['n_nodes']`` against distinct page_id count).
+
+    ``max_target_indegree`` is the mega-cluster guard: hint/redirect
+    edges into a target exceeding the cap are dropped (with
+    ``n_hot_targets``/``n_edges_dropped`` telemetry) before CC — a
+    legitimate identity group is the variants+redirects of ONE
+    document, so a super-capacity target is a template bug, not
+    evidence."""
+    from prase_spark.matching import components_min_label
 
     base = pages.select(
         F.col(url_col).alias("url"), canonical_url(url_col).alias("__cu")
@@ -206,38 +214,31 @@ def page_identity(
         if stats_out is not None:
             stats_out["n_redirect_edges"] = r.count()
         edges = edges.unionByName(r)
+    if max_target_indegree is not None:
+        # mega-cluster guard (the DEPLOY doctrine): a template bug that
+        # points a whole site at ONE canonical/og:url target would weld
+        # the site into a single identity. A legitimate identity group
+        # is variants+redirects of one document, so its target in-degree
+        # is small; drop hint edges into super-capacity targets, with
+        # telemetry. Self-loops are exempt (they only label the page
+        # itself).
+        hint_e = edges.where(F.col("src") != F.col("dst"))
+        deg = hint_e.groupBy("dst").count()
+        hot = deg.where(F.col("count") > max_target_indegree).select("dst")
+        if stats_out is not None:
+            stats_out["n_hot_targets"] = hot.count()
+            stats_out["n_edges_dropped"] = (
+                hint_e.join(hot, "dst", "left_semi").count()
+            )
+        edges = (
+            edges.where(F.col("src") == F.col("dst"))
+            .unionByName(hint_e.join(hot, "dst", "left_anti"))
+        )
     if stats_out is not None:
         stats_out["n_pages"] = base.count()
         stats_out["n_hint_edges"] = n_hints
-    if not hashed:
-        comp = connected_components(edges, stats_out=stats_out)
-        return (
-            base.join(comp, base["__cu"] == comp["node"], "left")
-            .select(
-                "url", F.coalesce("component", "__cu").alias("page_id")
-            )
-        )
-    # hashed path: 8-byte CC keys, strings recovered once at the end
-    nodes = (
-        edges.select(F.col("src").alias("u"))
-        .unionByName(edges.select(F.col("dst").alias("u")))
-        .distinct()
-        .select("u", F.xxhash64("u").alias("h"))
-    )
-    if stats_out is not None:
-        stats_out["n_nodes"] = nodes.count()
-    h_edges = edges.select(
-        F.xxhash64("src").alias("src"), F.xxhash64("dst").alias("dst")
-    )
-    comp = connected_components(h_edges, stats_out=stats_out)
-    rep = (
-        nodes.join(comp, nodes["h"] == comp["node"])
-        .groupBy("component")
-        .agg(F.min("u").alias("page_id"))
-    )
-    labeled = comp.join(rep, "component").select("node", "page_id")
+    lab = components_min_label(edges, hashed=hashed, stats_out=stats_out)
     return (
-        base.withColumn("__h", F.xxhash64("__cu"))
-        .join(labeled, F.col("__h") == F.col("node"), "left")
-        .select("url", F.coalesce("page_id", "__cu").alias("page_id"))
+        base.join(lab, base["__cu"] == lab["node"], "left")
+        .select("url", F.coalesce("label", "__cu").alias("page_id"))
     )

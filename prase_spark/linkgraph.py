@@ -235,7 +235,12 @@ def extract_hreflang(pages: DataFrame, html_col: str = "html") -> DataFrame:
     )
 
 
-def hreflang_clusters(alts: DataFrame, stats_out: dict | None = None) -> DataFrame:
+def hreflang_clusters(
+    alts: DataFrame,
+    hashed: bool = False,
+    max_target_indegree: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """(url, cluster) — group pages declared as language variants of one
     logical document via connected components over the alternate graph
     (cluster = min url, the :func:`matching.connected_components`
@@ -243,9 +248,31 @@ def hreflang_clusters(alts: DataFrame, stats_out: dict | None = None) -> DataFra
     publishers emit) are kept as self-loops so single-variant pages still
     receive a cluster row. Cross-language entity-page grouping is the
     crawl-side analog of the reference's cross-lingual DBP15K alignment
-    inputs — clusters feed the KG layer as same-entity evidence."""
-    from prase_spark.matching import connected_components
+    inputs — clusters feed the KG layer as same-entity evidence.
+
+    Scale options (shared with ``urlnorm.page_identity``):
+    ``hashed=True`` iterates CC over xxhash64 keys (8-byte shuffle
+    rows, min-url labels recovered once at the end — identical output
+    modulo 2⁻⁶⁴ collisions, ``stats_out['n_nodes']`` is the audit
+    denominator); ``max_target_indegree`` drops alternates pointing at
+    super-capacity targets (a template bug welding a site into one
+    cluster — a legitimate variant set is bounded by the number of
+    languages), with ``n_hot_targets``/``n_edges_dropped`` telemetry."""
+    from prase_spark.matching import components_min_label
 
     edges = alts.select(F.col("url").alias("src"), F.col("href").alias("dst"))
-    comp = connected_components(edges, stats_out=stats_out)
-    return comp.select(F.col("node").alias("url"), F.col("component").alias("cluster"))
+    if max_target_indegree is not None:
+        hint_e = edges.where(F.col("src") != F.col("dst"))
+        deg = hint_e.groupBy("dst").count()
+        hot = deg.where(F.col("count") > max_target_indegree).select("dst")
+        if stats_out is not None:
+            stats_out["n_hot_targets"] = hot.count()
+            stats_out["n_edges_dropped"] = (
+                hint_e.join(hot, "dst", "left_semi").count()
+            )
+        edges = (
+            edges.where(F.col("src") == F.col("dst"))
+            .unionByName(hint_e.join(hot, "dst", "left_anti"))
+        )
+    lab = components_min_label(edges, hashed=hashed, stats_out=stats_out)
+    return lab.select(F.col("node").alias("url"), F.col("label").alias("cluster"))

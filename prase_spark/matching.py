@@ -372,3 +372,47 @@ def incremental_components(
         )
     )
     return full, delta
+
+
+def components_min_label(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    hashed: bool = False,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(node, label) — connected components where the label is the MIN
+    NODE VALUE of each component, with an optional hashed execution
+    mode: ``hashed=True`` runs the CC iterations over ``xxhash64(node)``
+    8-byte keys (the shuffle-payload win at 10^9+ string nodes — URL
+    identity graphs, hreflang clusters) and recovers the min-value
+    label afterwards with one node-table join + one per-component min.
+    Output is identical to the direct mode unless two distinct node
+    values collide in 64 bits (P ≈ n²·2⁻⁶⁴); ``stats_out['n_nodes']``
+    is the audit denominator. Direct mode delegates straight to
+    :func:`connected_components` (labels ARE min values there)."""
+    if not hashed:
+        comp = connected_components(edges, src=src, dst=dst, stats_out=stats_out)
+        return comp.select("node", F.col("component").alias("label"))
+    nodes = (
+        edges.select(F.col(src).alias("u"))
+        .unionByName(edges.select(F.col(dst).alias("u")))
+        .distinct()
+        .select("u", F.xxhash64("u").alias("h"))
+    )
+    if stats_out is not None:
+        stats_out["n_nodes"] = nodes.count()
+    h_edges = edges.select(
+        F.xxhash64(src).alias("src"), F.xxhash64(dst).alias("dst")
+    )
+    comp = connected_components(h_edges, stats_out=stats_out)
+    rep = (
+        nodes.join(comp, nodes["h"] == comp["node"])
+        .groupBy("component")
+        .agg(F.min("u").alias("label"))
+    )
+    return (
+        nodes.join(comp, nodes["h"] == comp["node"])
+        .join(rep, "component")
+        .select(F.col("u").alias("node"), "label")
+    )

@@ -195,3 +195,32 @@ def test_extract_hreflang_parallelism_invariant(spark):
     one = sorted(map(tuple, extract_hreflang(pages.coalesce(1)).collect()))
     many = sorted(map(tuple, extract_hreflang(pages.repartition(7)).collect()))
     assert one == many and len(one) == 60
+
+
+def test_hreflang_clusters_hashed_parity_and_cap(spark):
+    from prase_spark.linkgraph import hreflang_clusters
+
+    alts = spark.createDataFrame(
+        [("https://h.org/%s/g%d" % (l, i), l2, "https://h.org/%s/g%d" % (l2, i))
+         for i in range(20) for l in ("en", "fr") for l2 in ("en", "fr")],
+        "url string, hreflang string, href string",
+    )
+    s = sorted(map(tuple, hreflang_clusters(alts).collect()))
+    h = sorted(map(tuple, hreflang_clusters(alts, hashed=True).collect()))
+    assert s == h and len(s) == 40
+
+    # mega-cluster guard: one template target welding every page
+    bug = alts.unionByName(
+        spark.createDataFrame(
+            [("https://h.org/en/g%d" % i, "x-default", "https://h.org/BUG")
+             for i in range(20)],
+            "url string, hreflang string, href string",
+        )
+    )
+    stats = {}
+    capped = hreflang_clusters(bug, max_target_indegree=3, stats_out=stats)
+    # the weld edges drop; the per-group clusters survive intact
+    got = {r.url: r.cluster for r in capped.collect()}
+    assert got["https://h.org/fr/g7"] == "https://h.org/en/g7"
+    assert got["https://h.org/fr/g3"] == "https://h.org/en/g3"
+    assert stats["n_hot_targets"] == 1 and stats["n_edges_dropped"] == 20

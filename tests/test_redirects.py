@@ -121,3 +121,29 @@ def test_page_identity_hashed_parity(spark):
     assert s == h and len(s) == 60
     # the collision audit surface exists and is plausible
     assert h_stats["n_nodes"] >= 60
+
+
+def test_page_identity_indegree_cap(spark):
+    from prase_spark.datapipe.urlnorm import page_identity
+
+    pages = spark.createDataFrame(
+        [("https://h.org/p%d" % i,) for i in range(30)], "url string"
+    )
+    # template bug: every page declares the same canonical target
+    hints = spark.createDataFrame(
+        [("https://h.org/p%d" % i, "https://h.org/BUG") for i in range(30)]
+        + [("https://h.org/p1", "https://h.org/p2")],  # one legit pair
+        "url string, target string",
+    )
+    stats = {}
+    got = {
+        r.url: r.page_id
+        for r in page_identity(
+            pages, hints, max_target_indegree=5, stats_out=stats
+        ).collect()
+    }
+    # the BUG weld is dropped; pages keep their own identity except the
+    # legit pair
+    assert got["https://h.org/p7"] == "https://h.org/p7"
+    assert got["https://h.org/p2"] == "https://h.org/p1"
+    assert stats["n_hot_targets"] == 1 and stats["n_edges_dropped"] == 30
