@@ -3514,6 +3514,44 @@ def _q_crawl_delta_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kg_diff(old_t, new_t, key_cols=keys)
 
 
+def _q_temporal_kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TEMPORAL KG from crawl captures E2E: 100 urls × 5 captures each
+    (warc_ts = doc_id), the JSON-LD status value flipping mid-stream
+    (v(doc div 200)) — REAL structured extraction per capture, capture
+    time joined back by capture-unique url, then temporal.fact_history
+    keyed (subj, pred). The rdf:type fact stays one OPEN interval per
+    entity; status yields the v0/v1/v2 interval chain. The oracle
+    replays islands over the arithmetic capture stream — extraction,
+    ts propagation and the interval algebra in one hash."""
+    from prase_spark.structured import extract_structured
+    from prase_spark.temporal import fact_history
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    i = F.col("doc_id")
+    ent = F.concat(F.lit("https://a.example/ent/"), (i % 100).cast("string"))
+    url = F.concat(
+        F.lit("https://a.example/doc/"), (i % 100).cast("string"),
+        F.lit("?cap="), F.expr("doc_id div 100").cast("string"),
+    )
+    body = F.concat(
+        F.lit('<script type="application/ld+json">'
+              '{"@type":"Person","@id":"'), ent,
+        F.lit('","status":"v'), F.expr("doc_id div 200").cast("string"),
+        F.lit('"}</script>'),
+    )
+    caps = d.select(
+        url.alias("url"), i.cast("long").alias("warc_ts"),
+        F.encode(F.concat(F.lit("<html><body>"), body,
+                          F.lit("</body></html>")), "utf-8").alias("html"),
+    )
+    facts = (
+        extract_structured(caps.select("url", "html"))
+        .join(caps.select("url", "warc_ts"), "url")
+        .select("subj", "pred", "obj", F.col("warc_ts").alias("ts"))
+    )
+    return fact_history(facts)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3644,6 +3682,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "og_triples_pages": _q_og_triples_pages,
         "kg_diff_docs": _q_kg_diff_docs,
         "crawl_delta_pages": _q_crawl_delta_pages,
+        "temporal_kg_pages": _q_temporal_kg_pages,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7070,6 +7109,35 @@ def oracle_sql() -> dict[str, str]:
         SELECT subj, pred, obj, valid_from, valid_to
         FROM hist
         WHERE valid_from <= 310 AND (valid_to IS NULL OR valid_to > 310)
+    """
+    out["temporal_kg_pages"] = """
+        WITH caps AS (
+            SELECT 'https://a.example/ent/' || (doc_id % 100) AS subj,
+                   'rdf:type' AS pred, 'Person' AS obj,
+                   CAST(doc_id AS BIGINT) AS ts
+            FROM documents
+            UNION ALL
+            SELECT 'https://a.example/ent/' || (doc_id % 100), 'status',
+                   'v' || (doc_id // 200), CAST(doc_id AS BIGINT)
+            FROM documents
+        ),
+        flg AS (
+            SELECT subj, pred, obj, ts,
+                   lag(obj) OVER (PARTITION BY subj, pred ORDER BY ts) AS p
+            FROM caps
+        ),
+        st AS (
+            SELECT subj, pred, obj, ts AS valid_from
+            FROM flg WHERE p IS DISTINCT FROM obj
+        )
+        SELECT subj, pred, obj, valid_from, valid_to,
+               valid_to IS NULL AS is_current
+        FROM (
+            SELECT subj, pred, obj, valid_from,
+                   lead(valid_from) OVER (PARTITION BY subj, pred
+                                          ORDER BY valid_from) AS valid_to
+            FROM st
+        )
     """
     out["crawl_delta_pages"] = """
         WITH u AS (SELECT doc_id AS i FROM documents),
