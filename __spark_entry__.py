@@ -2884,6 +2884,74 @@ def _q_bgp_minus_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_union_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL UNION over the TPC-H triple table (bgp.bgp_union): the
+    solutions of { ?o ownedBy ?c . ?o status F } merged with
+    { ?c inNation n3 } — the second branch never binds ?o, so its
+    solutions carry a NULL ?o (SPARQL unbound-variable padding), and
+    SELECT DISTINCT collapses cross-branch repeats (a nation-3 customer
+    with an F order appears through both branches as DIFFERENT rows —
+    one bound, one NULL-padded — both of which must survive). The
+    DuckDB twin is the literal two-SELECT UNION with an explicit NULL
+    column."""
+    from prase_spark.bgp import bgp_union
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    tr = (
+        o.select(
+            F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+            F.lit("ownedBy").alias("pred"),
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("obj"),
+        )
+        .unionByName(
+            o.select(
+                F.concat(F.lit("o"), F.col("o_orderkey")).alias("subj"),
+                F.lit("status").alias("pred"),
+                F.col("o_orderstatus").alias("obj"),
+            )
+        )
+        .unionByName(
+            c.select(
+                F.concat(F.lit("c"), F.col("c_custkey")).alias("subj"),
+                F.lit("inNation").alias("pred"),
+                F.concat(F.lit("n"), F.col("c_nationkey")).alias("obj"),
+            )
+        )
+    )
+    return bgp_union(
+        tr,
+        [
+            [("?o", "ownedBy", "?c"), ("?o", "status", "F")],
+            [("?c", "inNation", "n3")],
+        ],
+    )
+
+
+def _q_label_prop_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic synchronous label propagation
+    (graphstats.label_propagation, 3 iterations) over a 41-community
+    caveman graph templated from events — community c = event_id % 41,
+    member slots (event_id DIV 41) % 20 and a 7-multiplied mixed slot,
+    node id = c*100 + slot, so edges NEVER cross communities and LPA
+    must converge each cave toward its min member while the hash pins
+    the exact per-iteration majority/tie dynamics. The DuckDB twin
+    unrolls all 3 synchronous rounds as CTEs (vote count -> row_number
+    argmax with the (cnt DESC, label ASC) total order -> coalesce
+    carry)."""
+    from prase_spark.graphstats import label_propagation
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        ((F.col("event_id") % 41) * 100 + F.expr("(event_id DIV 41) % 20")).alias("src"),
+        (
+            (F.col("event_id") % 41) * 100
+            + F.expr("((event_id DIV 41) * 7 + (event_id DIV 820) + 3) % 20")
+        ).alias("dst"),
+    )
+    return label_propagation(edges, iterations=3)
+
+
 def _q_robots_filter_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL robots.txt parse + REP longest-match evaluation
     (datapipe.robots): ten hosts share a policy body (comments, a
@@ -3664,6 +3732,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "surt_cdx_pages": _q_surt_cdx_pages,
         "bgp_agg_orders": _q_bgp_agg_orders,
         "bgp_minus_orders": _q_bgp_minus_orders,
+        "bgp_union_orders": _q_bgp_union_orders,
+        "label_prop_events": _q_label_prop_events,
         "robots_filter_pages": _q_robots_filter_pages,
         "noindex_pages": _q_noindex_pages,
         "sitemap_stale_pages": _q_sitemap_stale_pages,
@@ -6877,6 +6947,54 @@ def oracle_sql() -> dict[str, str]:
         WHERE o.o_orderstatus <> 'F'
           AND ('n' || c.c_nationkey) IN ('n0', 'n1', 'n2')
     """
+    out["bgp_union_orders"] = """
+        SELECT 'c' || o.o_custkey AS c, 'o' || o.o_orderkey AS o
+        FROM orders o WHERE o.o_orderstatus = 'F'
+        UNION
+        SELECT 'c' || c_custkey AS c, CAST(NULL AS VARCHAR) AS o
+        FROM customer WHERE c_nationkey = 3
+    """
+    # label propagation twin: the 3 synchronous rounds unrolled as CTEs;
+    # majority vote = row_number over (cnt DESC, label ASC), the same
+    # total order as Spark's min_by(struct(-cnt, label))
+    _lpa_iter = """
+        v{i} AS (
+            SELECT e.b AS node, l.label, count(*) AS cnt
+            FROM und e JOIN lab{p} l ON e.a = l.node GROUP BY 1, 2
+        ),
+        w{i} AS (
+            SELECT node, label AS nl FROM (
+                SELECT node, label,
+                       row_number() OVER (
+                           PARTITION BY node ORDER BY cnt DESC, label
+                       ) AS rn
+                FROM v{i}
+            ) WHERE rn = 1
+        ),
+        lab{i} AS (
+            SELECT l.node, coalesce(w.nl, l.label) AS label
+            FROM lab{p} l LEFT JOIN w{i} w USING (node)
+        )"""
+    out["label_prop_events"] = (
+        """
+        WITH raw AS (
+            SELECT (event_id % 41) * 100 + (event_id // 41) % 20 AS a,
+                   (event_id % 41) * 100
+                       + ((event_id // 41) * 7 + (event_id // 820) + 3) % 20 AS b
+            FROM events
+        ),
+        und AS (
+            SELECT DISTINCT a, b FROM (
+                SELECT a, b FROM raw UNION ALL SELECT b, a FROM raw
+            ) WHERE a <> b
+        ),
+        lab0 AS (SELECT DISTINCT a AS node, a AS label FROM und),
+        """
+        + ",".join(_lpa_iter.format(i=i, p=i - 1) for i in (1, 2, 3))
+        + """
+        SELECT node, label FROM lab3
+    """
+    )
     # robots gates: verdicts derived from doc_id arithmetic only — the
     # oracle never parses a robots.txt line or an HTML byte.
     out["robots_filter_pages"] = """

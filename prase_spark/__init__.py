@@ -18,7 +18,7 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
 """
 
 from prase_spark.asof import asof_join
-from prase_spark.bgp import bgp_aggregate, bgp_match
+from prase_spark.bgp import bgp_aggregate, bgp_match, bgp_union
 from prase_spark.cdx import (
     build_cdx,
     cdx_lookup,
@@ -55,6 +55,7 @@ from prase_spark.structured import (
 )
 from prase_spark.graphstats import (
     degrees,
+    label_propagation,
     link_candidates,
     node_triangles,
     pagerank,
@@ -131,12 +132,14 @@ __all__ = [
     "save_state",
     "degrees",
     "pagerank",
+    "label_propagation",
     "triangle_count",
     "node_triangles",
     "link_candidates",
     "asof_join",
     "bgp_match",
     "bgp_aggregate",
+    "bgp_union",
     "surt_key",
     "build_cdx",
     "write_cdx_index",

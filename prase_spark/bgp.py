@@ -296,3 +296,49 @@ def bgp_aggregate(
     if limit is not None:
         out = out.limit(limit)
     return out
+
+
+def bgp_union(
+    triples: DataFrame,
+    groups,
+    distinct: bool = True,
+    **shared_kwargs,
+) -> DataFrame:
+    """SPARQL UNION — ``{ group1 } UNION { group2 } ...`` — the solution
+    bag of every group, merged.
+
+    ``groups`` is a sequence where each element is either a pattern
+    list (a plain BGP) or a dict of :func:`bgp_match` keyword arguments
+    (``{"patterns": [...], "optional": [...], "filters": [...]}``) for
+    a group carrying its own OPTIONAL/FILTER/MINUS/VALUES clauses.
+    ``shared_kwargs`` (``subj``/``pred``/``obj`` column names,
+    ``path_max_hops``) apply to every group.
+
+    Per SPARQL set semantics, variables bound in one branch but not
+    another are UNBOUND (NULL) in the other branch's solutions — the
+    union schema is the sorted union of all branches' variables,
+    NULL-padded (``unionByName(allowMissingColumns=True)``).
+    ``distinct=True`` collapses duplicate solutions ACROSS branches
+    (SELECT DISTINCT over the union); False keeps the bag.
+
+    Scale shape: a UNION is a plan-level concatenation — each branch
+    keeps its own pushed-down scans and join order, no extra exchange
+    is introduced, and the optional final distinct is one hash
+    aggregation over the union's output (change-volume-sized when the
+    branches are selective)."""
+    gs = list(groups)
+    if len(gs) < 2:
+        raise ValueError("UNION needs >= 2 groups")
+    sols = []
+    for g in gs:
+        kw = dict(g) if isinstance(g, dict) else {"patterns": g}
+        pats = kw.pop("patterns")
+        # branch-level distinct is pointless work when the union dedups
+        sols.append(
+            bgp_match(triples, pats, distinct=False, **kw, **shared_kwargs)
+        )
+    out = sols[0]
+    for s in sols[1:]:
+        out = out.unionByName(s, allowMissingColumns=True)
+    out = out.select(*sorted(out.columns))
+    return out.distinct() if distinct else out

@@ -291,3 +291,89 @@ def link_candidates(
             ).alias("jaccard_e6"),
         )
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    iterations: int = 3,
+    src: str = "src",
+    dst: str = "dst",
+    seeds: DataFrame | None = None,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Deterministic synchronous label propagation returning
+    (node, label) — community detection over the canonical-entity /
+    host link graph (Raghavan et al. 2007, made gate-hashable).
+
+    The reference never clusters its graph; at crawl scale communities
+    are how mirror farms, topic silos and same-site entity clouds are
+    found before alignment (a PARIS candidate pair across two tight
+    communities is prior-suspect).
+
+    Semantics (the documented deterministic variant):
+    - edges are treated as undirected; every endpoint starts labeled
+      with itself, unless ``seeds`` (node, label) pins starting labels
+      (semi-supervised typing: labeled seeds + ``iterations`` hops);
+    - each iteration EVERY node simultaneously takes the most frequent
+      label among its neighbors' current labels, ties -> MIN label
+      (total order, so the update is a pure function of the previous
+      state — no update-order dependence, unlike asynchronous LPA);
+    - isolated nodes (and seeds-only nodes with no edges) keep their
+      label.
+
+    Iterations are fixed, not convergence-tested: synchronous LPA can
+    2-cycle on bipartite regions, so a fixed horizon is both the
+    termination guarantee and what makes the result value-hashable.
+
+    Scale shape: one groupBy(dst, label) count (map-side combinable —
+    the fan-in of a hub collapses per partition before the shuffle) +
+    one min_by argmax per iteration, both on the same ``dst`` key so
+    the exchange is reused; lineage truncated every
+    ``checkpoint_every`` iterations (pagerank doctrine). No windows,
+    no per-node state larger than one label.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+    und = (
+        e.union(e.select(F.col("b"), F.col("a")))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .persist()
+    )
+    nodes = und.select(F.col("a").alias("node")).distinct()
+    if seeds is not None:
+        s = seeds.select("node", "label")
+        nodes = nodes.unionByName(s.select("node")).distinct()
+        lab = (
+            nodes.join(s, "node", "left")
+            .select("node", F.coalesce("label", F.col("node")).alias("label"))
+        )
+    else:
+        lab = nodes.select("node", F.col("node").alias("label"))
+    lab = lab.persist()
+    lab.count()
+
+    for i in range(iterations):
+        votes = (
+            und.join(lab, und["a"] == lab["node"])
+            .groupBy(F.col("b").alias("node"), "label")
+            .agg(F.count("*").alias("cnt"))
+        )
+        winner = votes.groupBy("node").agg(
+            # most frequent label, ties -> min label: min_by over the
+            # (-cnt, label) struct (cnt is a long, negation exact)
+            F.min_by(
+                "label", F.struct((-F.col("cnt")).alias("o"), F.col("label"))
+            ).alias("new_label")
+        )
+        lab = (
+            lab.join(winner, "node", "left")
+            .select(
+                "node",
+                F.coalesce("new_label", F.col("label")).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            lab = lab.localCheckpoint()
+    return lab

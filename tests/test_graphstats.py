@@ -239,3 +239,112 @@ def test_link_candidates_python_oracle(spark):
         for r in link_candidates(e, min_common=3).collect()
     }
     assert got == want
+
+
+# ---- label propagation ----
+
+
+def _py_lpa(edges, iterations, seeds=None):
+    """Pure-python synchronous LPA oracle: undirected simple graph,
+    majority label with min-label ties, isolated nodes keep labels."""
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((a, b))
+            und.add((b, a))
+    nodes = sorted({a for a, _ in und} | set(seeds or {}))
+    lab = {n: (seeds or {}).get(n, n) for n in nodes}
+    adj = {}
+    for a, b in und:
+        adj.setdefault(b, []).append(a)
+    for _ in range(iterations):
+        new = {}
+        for n in nodes:
+            votes = Counter(lab[m] for m in adj.get(n, []))
+            if votes:
+                best = max(votes.values())
+                new[n] = min(l for l, c in votes.items() if c == best)
+            else:
+                new[n] = lab[n]
+        lab = new
+    return lab
+
+
+def test_label_propagation_two_cliques(spark):
+    from prase_spark.graphstats import label_propagation
+
+    # two triangles joined by one bridge edge: after 3 sync iterations
+    # each triangle converges on its min member's label
+    edges = [
+        ("a1", "a2"), ("a2", "a3"), ("a1", "a3"),
+        ("b1", "b2"), ("b2", "b3"), ("b1", "b3"),
+        ("a3", "b1"),
+    ]
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(_edge_df(spark, edges), iterations=3).collect()
+    }
+    assert got == _py_lpa(edges, 3)
+    # the two cliques carry distinct labels (community structure found)
+    assert got["a1"] == got["a2"] and got["b2"] == got["b3"]
+
+
+def test_label_propagation_python_oracle_random(spark):
+    from prase_spark.graphstats import label_propagation
+    import random
+
+    rnd = random.Random(7)
+    nodes = [f"n{i:02d}" for i in range(30)]
+    edges = sorted({
+        tuple(sorted(rnd.sample(nodes, 2))) for _ in range(60)
+    })
+    for its in (0, 1, 4):
+        got = {
+            r["node"]: r["label"]
+            for r in label_propagation(
+                _edge_df(spark, edges), iterations=its
+            ).collect()
+        }
+        assert got == _py_lpa(edges, its), f"iterations={its}"
+    # partitioning invariance (the determinism contract)
+    df = _edge_df(spark, edges)
+    a = sorted(map(tuple, label_propagation(df, 3).collect()))
+    b = sorted(map(tuple, label_propagation(df.repartition(13), 3).collect()))
+    assert a == b
+
+
+def test_label_propagation_seeds_and_isolated(spark):
+    from prase_spark.graphstats import label_propagation
+
+    # path x-y-z with seed labels on the endpoints; w is seeds-only
+    # (no edges) and must keep its seeded label through every iteration
+    edges = [("x", "y"), ("y", "z")]
+    seeds = spark.createDataFrame(
+        [("x", "L"), ("z", "R"), ("w", "W")], "node STRING, label STRING"
+    )
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _edge_df(spark, edges), iterations=2, seeds=seeds
+        ).collect()
+    }
+    assert got == _py_lpa(edges, 2, seeds={"x": "L", "z": "R", "w": "W"})
+    assert got["w"] == "W"
+    # y's vote at iteration 1 is {L, R} tied -> min label L (synchronous
+    # semantics: at iteration 2 both endpoints hold y's OLD label, so y
+    # flips back — the 2-cycle the fixed horizon is documented to allow)
+    got1 = {
+        r["node"]: r["label"]
+        for r in label_propagation(
+            _edge_df(spark, edges), iterations=1, seeds=seeds
+        ).collect()
+    }
+    assert got1["y"] == "L"
+    assert got["y"] == "y"
+
+
+def test_label_propagation_rejects_negative_iterations(spark):
+    from prase_spark.graphstats import label_propagation
+
+    with pytest.raises(ValueError):
+        label_propagation(_edge_df(spark, [("a", "b")]), iterations=-1)

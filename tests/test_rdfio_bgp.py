@@ -365,3 +365,92 @@ def test_bgp_malformed_path_atom_rejected(spark):
         bgp_match(t, [("?x", "knows|", "?y")])
     with pytest.raises(ValueError, match="malformed path atom"):
         bgp_match(t, [("?x", "^", "?y")])
+
+
+# ---- UNION ----
+
+
+def test_bgp_union_basic_and_bag(spark):
+    from prase_spark.bgp import bgp_union
+
+    t, _ = _triples_df(spark)
+    # { ?x worksAt acme } UNION { ?x type City }
+    groups = [
+        [("?x", "worksAt", "acme")],
+        [("?x", "type", "City")],
+    ]
+    got = sorted(r["x"] for r in bgp_union(t, groups).collect())
+    assert got == ["a", "b", "c"]
+    # bag semantics keeps per-branch duplicates AND cross-branch repeats
+    groups_dup = [
+        [("?x", "worksAt", "?w")],   # a, b, b (bag of solutions projects)
+        [("?x", "type", "Person")],  # a, b
+    ]
+    bag = sorted(
+        r["x"]
+        for r in bgp_union(
+            t, [[("?x", "worksAt", "?w")], [("?x", "type", "Person")]],
+            distinct=False,
+        ).select("x").collect()
+    )
+    assert bag == ["a", "a", "b", "b", "b"]
+    del groups_dup
+
+
+def test_bgp_union_null_pads_branch_only_vars(spark):
+    from prase_spark.bgp import bgp_union
+
+    t, _ = _triples_df(spark)
+    # branch 2 binds ?w, branch 1 does not -> NULL w on branch-1 rows
+    got = sorted(
+        (r["x"], r["w"])
+        for r in bgp_union(
+            t,
+            [[("?x", "type", "City")], [("?x", "worksAt", "?w")]],
+        ).collect()
+    )
+    assert got == [
+        ("a", "acme"), ("b", "acme"), ("b", "initech"), ("c", None)
+    ]
+
+
+def test_bgp_union_with_branch_filters_matches_duckdb(spark):
+    from prase_spark.bgp import bgp_union
+
+    t, rows = _triples_df(spark)
+    got = sorted(
+        (r["x"], r["y"])
+        for r in bgp_union(
+            t,
+            [
+                {"patterns": [("?x", "worksAt", "?y")],
+                 "filters": ["y <> 'acme'"]},
+                {"patterns": [("?x", "knows", "?y")],
+                 "filters": ["x <> y"]},
+            ],
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.sql(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ",".join(f"('{a}','{b}','{c}')" for a, b, c in rows)
+        + ") v(subj, pred, obj)"
+    )
+    want = sorted(
+        tuple(r)
+        for r in con.sql(
+            "SELECT subj AS x, obj AS y FROM t"
+            " WHERE pred='worksAt' AND obj <> 'acme'"
+            " UNION"
+            " SELECT subj, obj FROM t WHERE pred='knows' AND subj <> obj"
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_bgp_union_rejects_single_group(spark):
+    from prase_spark.bgp import bgp_union
+
+    t, _ = _triples_df(spark)
+    with pytest.raises(ValueError, match="UNION"):
+        bgp_union(t, [[("?x", "type", "Person")]])
