@@ -3620,6 +3620,53 @@ def _q_temporal_kg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fact_history(facts)
 
 
+def _truth_claims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared claims synthesis for the truth-discovery gates: five
+    sources s0..s4 each assert every order's status; source i corrupts
+    keys divisible by i+2 with its OWN wrong value 'Z'||i (so wrong
+    claims never collude and reliability grades from 1/2 wrong (s0)
+    down to 1/6 wrong (s4)). Pure doc-arithmetic — the oracle rebuilds
+    the identical claim stream without touching the operator."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    srcs = spark.range(5).select(F.col("id").alias("i"))
+    return o.crossJoin(F.broadcast(srcs)).select(
+        F.concat(F.lit("s"), F.col("i").cast("string")).alias("source"),
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("status").alias("pred"),
+        F.when(
+            F.col("o_orderkey") % (F.col("i") + F.lit(2)) == 0,
+            F.concat(F.lit("Z"), F.col("i").cast("string")),
+        ).otherwise(F.col("o_orderstatus")).alias("obj"),
+    )
+
+
+def _q_truth_resolve_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truth discovery + conflict resolution (prase_spark.truth): three
+    proportional-share iterations over the five-source claim stream,
+    then per-(subj, pred) argmax with the (conf DESC, obj ASC) total
+    order. Every trust/belief value is an exact scaled BIGINT, so the
+    DuckDB twin unrolls the same three iterations as CTEs and the hash
+    pins the full trust dynamics, not just the winners."""
+    from prase_spark.truth import resolve_facts, truth_discovery
+
+    belief, _trust = truth_discovery(
+        _truth_claims(spark, sf_dir), iterations=3
+    )
+    return resolve_facts(belief)
+
+
+def _q_truth_trust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The source-trust surface of the same run: five rows whose exact
+    trust_e12 values must reproduce the floor-mean share recurrence
+    bit-for-bit (s4 most trusted, s0 least)."""
+    from prase_spark.truth import truth_discovery
+
+    _belief, trust = truth_discovery(
+        _truth_claims(spark, sf_dir), iterations=3
+    )
+    return trust
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3753,6 +3800,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff_docs": _q_kg_diff_docs,
         "crawl_delta_pages": _q_crawl_delta_pages,
         "temporal_kg_pages": _q_temporal_kg_pages,
+        "truth_resolve_orders": _q_truth_resolve_orders,
+        "truth_trust_orders": _q_truth_trust_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -4409,6 +4458,50 @@ def _pagerank_ctes(iterations: int, scale: int, damping_e2: int) -> str:
             f"FROM nodes n LEFT JOIN m{i} m USING (node))"
         )
     return ",\n            ".join(ctes)
+
+
+def _truth_ctes(iterations: int, scale: int, quantum: int) -> str:
+    """Chained-CTE DuckDB twin of prase_spark.truth.truth_discovery's
+    proportional-share recurrence. Expects a CTE ``votes(source, subj,
+    pred, obj)`` (already distinct) in scope; emits ``t0..t{n}`` trust
+    tables and ``b1..b{n}`` belief tables. All arithmetic is BIGINT
+    with ``//`` truncating division on non-negative operands —
+    identical to Spark's ``DIV`` — including the overflow-free share
+    quantizer ``(braw // d) * scale // (tot // d)``, d = 1 + tot//q."""
+    ctes = [
+        f"t0 AS (SELECT source, CAST({scale} AS BIGINT) AS trust_e12 "
+        f"FROM (SELECT DISTINCT source FROM votes))"
+    ]
+    for i in range(1, iterations + 1):
+        d = f"(CAST(1 AS BIGINT) + tot // {quantum})"
+        share = (
+            f"CASE WHEN tot = 0 THEN CAST(0 AS BIGINT) "
+            f"ELSE ((braw // {d}) * CAST({scale} AS BIGINT)) "
+            f"// (tot // {d}) END"
+        )
+        ctes.append(
+            f"braw{i} AS MATERIALIZED (SELECT v.subj, v.pred, v.obj, "
+            f"CAST(sum(t.trust_e12) AS BIGINT) AS braw "
+            f"FROM votes v JOIN t{i - 1} t USING (source) "
+            f"GROUP BY v.subj, v.pred, v.obj)"
+        )
+        ctes.append(
+            f"tot{i} AS (SELECT subj, pred, CAST(sum(braw) AS BIGINT) AS tot "
+            f"FROM braw{i} GROUP BY subj, pred)"
+        )
+        ctes.append(
+            f"b{i} AS MATERIALIZED (SELECT b.subj, b.pred, b.obj, "
+            f"{share} AS conf_e12 "
+            f"FROM braw{i} b JOIN tot{i} USING (subj, pred))"
+        )
+        ctes.append(
+            f"t{i} AS (SELECT v.source, "
+            f"CAST(sum(b.conf_e12) AS BIGINT) // CAST(count(*) AS BIGINT) "
+            f"AS trust_e12 "
+            f"FROM votes v JOIN b{i} b USING (subj, pred, obj) "
+            f"GROUP BY v.source)"
+        )
+    return ",\n        ".join(ctes)
 
 
 def _bpe_ctes(n_merges: int) -> str:
@@ -7315,5 +7408,41 @@ def oracle_sql() -> dict[str, str]:
                    CASE WHEN (doc_id // 2) % 5 = 1 THEN doc_id // 2 - 1
                         ELSE doc_id // 2 END AS page_id
         FROM documents
+    """
+    # truth discovery: the claim stream is rebuilt from orders with the
+    # identical corruption arithmetic; the three-iteration recurrence is
+    # unrolled as exact-BIGINT CTEs, so the hash pins the full trust
+    # dynamics (a quantizer, join, or floor-division divergence anywhere
+    # in the fixpoint flips it).
+    from prase_spark.truth import SHARE_QUANTUM, TRUST_SCALE
+
+    _truth_claims_sql = """
+        votes AS MATERIALIZED (
+            SELECT DISTINCT
+                   's' || CAST(i AS VARCHAR) AS source,
+                   'o' || CAST(o_orderkey AS VARCHAR) AS subj,
+                   'status' AS pred,
+                   CASE WHEN o_orderkey % (i + 2) = 0
+                        THEN 'Z' || CAST(i AS VARCHAR)
+                        ELSE o_orderstatus END AS obj
+            FROM orders,
+                 (SELECT unnest(generate_series(0, 4)) AS i)
+        )"""
+    _truth_iter = _truth_ctes(3, TRUST_SCALE, SHARE_QUANTUM)
+    out["truth_resolve_orders"] = f"""
+        WITH {_truth_claims_sql},
+        {_truth_iter}
+        SELECT subj, pred, obj, conf_e12
+        FROM (
+            SELECT subj, pred, obj, conf_e12,
+                   row_number() OVER (PARTITION BY subj, pred
+                                      ORDER BY conf_e12 DESC, obj) AS rn
+            FROM b3
+        ) WHERE rn = 1
+    """
+    out["truth_trust_orders"] = f"""
+        WITH {_truth_claims_sql},
+        {_truth_iter}
+        SELECT source, trust_e12 FROM t3
     """
     return out
