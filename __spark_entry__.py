@@ -3752,7 +3752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "incremental_cc_delta_events": _q_incremental_cc_delta_events,
         "structured_extract_pages": _q_structured_extract_pages,
         "web_kg_align_pages": _q_web_kg_align_pages,
-        "table_triples_pages": _q_table_triples_pages,
+        "truth_resolve_orders": _q_truth_resolve_orders,
         "crawl_chain_pages": _q_crawl_chain_pages,
         # --- past the driver's 50-record cap behind the rotation
         #     contract (evidence = tools/check_oracles.py sweep logged
@@ -3800,7 +3800,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_diff_docs": _q_kg_diff_docs,
         "crawl_delta_pages": _q_crawl_delta_pages,
         "temporal_kg_pages": _q_temporal_kg_pages,
-        "truth_resolve_orders": _q_truth_resolve_orders,
+        "table_triples_pages": _q_table_triples_pages,
         "truth_trust_orders": _q_truth_trust_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
