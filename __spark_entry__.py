@@ -3667,6 +3667,68 @@ def _q_truth_trust_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trust
 
 
+def _rule_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared KG synthesis for the rule-mining gate: five relations over
+    orders/customer keys with planted regularities — memberOf subsumes
+    inNation on custkey % 3 != 0, servedBy inverts it on even custkeys,
+    and shipNation composes placedBy ∘ inNation with 10% corruption
+    (orderkey % 10 == 0 rotates the nation by 7). Pure key arithmetic —
+    the oracle rebuilds the identical KG without touching the miner."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def _id(prefix: str, col) -> Column:
+        return F.concat(F.lit(prefix), col.cast("string"))
+
+    placed = o.select(
+        _id("o", F.col("o_orderkey")).alias("subj"),
+        F.lit("placedBy").alias("pred"),
+        _id("c", F.col("o_custkey")).alias("obj"),
+    )
+    in_nat = c.select(
+        _id("c", F.col("c_custkey")).alias("subj"),
+        F.lit("inNation").alias("pred"),
+        _id("n", F.col("c_nationkey")).alias("obj"),
+    )
+    member = c.filter(F.col("c_custkey") % 3 != 0).select(
+        _id("c", F.col("c_custkey")).alias("subj"),
+        F.lit("memberOf").alias("pred"),
+        _id("n", F.col("c_nationkey")).alias("obj"),
+    )
+    served = c.filter(F.col("c_custkey") % 2 == 0).select(
+        _id("n", F.col("c_nationkey")).alias("subj"),
+        F.lit("servedBy").alias("pred"),
+        _id("c", F.col("c_custkey")).alias("obj"),
+    )
+    ship = o.join(c, o["o_custkey"] == c["c_custkey"]).select(
+        _id("o", F.col("o_orderkey")).alias("subj"),
+        F.lit("shipNation").alias("pred"),
+        _id(
+            "n",
+            F.when(
+                F.col("o_orderkey") % 10 == 0,
+                (F.col("c_nationkey") + 7) % 25,
+            ).otherwise(F.col("c_nationkey")),
+        ).alias("obj"),
+    )
+    return (
+        placed.unionByName(in_nat).unionByName(member)
+        .unionByName(served).unionByName(ship)
+    )
+
+
+def _q_rule_mine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMIE-style rule mining (prase_spark.rulemine): equiv / inverse /
+    chain rules with exact integer support, PCA confidence, and head
+    coverage over the planted five-relation KG. The DuckDB twin
+    replicates the WHOLE mining computation generically (distinct
+    triples -> degree guard -> family joins -> PCA denominators), so the
+    hash pins every measure of every discovered rule."""
+    from prase_spark.rulemine import mine_rules
+
+    return mine_rules(_rule_kg(spark, sf_dir), min_support=2)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3745,7 +3807,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # its only r5 change (search-side unpersist) cannot alter values.
         "canonical_export_tpch": _q_canonical_export_tpch,
         "bpe_merges_docs": _q_bpe_merges_docs,
-        "bpe_token_counts_docs": _q_bpe_token_counts_docs,
+        "rule_mine_orders": _q_rule_mine_orders,
         "decontaminate_fuzzy_docs": _q_decontaminate_fuzzy_docs,
         "dag_closure_parts": _q_dag_closure_parts,
         "ntriples_export_orders": _q_ntriples_export_orders,
@@ -3801,6 +3863,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_delta_pages": _q_crawl_delta_pages,
         "temporal_kg_pages": _q_temporal_kg_pages,
         "table_triples_pages": _q_table_triples_pages,
+        "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "truth_trust_orders": _q_truth_trust_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -7444,5 +7507,90 @@ def oracle_sql() -> dict[str, str]:
         WITH {_truth_claims_sql},
         {_truth_iter}
         SELECT source, trust_e12 FROM t3
+    """
+    # rule mining: the twin rebuilds the planted KG from the same key
+    # arithmetic and replicates the WHOLE AMIE computation generically —
+    # distinct triples, degree guard, per-family body joins, PCA
+    # denominators restricted to min-support survivors — so the hash
+    # pins support/conf_e6/hc_e6 of every discovered rule.
+    _rm_families = []
+    for rule, body_cte, keys in (
+        ("equiv", "body_e", ["body1"]),
+        ("inverse", "body_i", ["body1"]),
+        ("chain", "body_c", ["body1", "body2"]),
+    ):
+        ks = ", ".join(keys)
+        bks = ", ".join(f"b.{k}" for k in keys)
+        neq = "WHERE b.body1 <> h.hpred" if rule == "equiv" else ""
+        b2 = "body2" if rule == "chain" else "CAST(NULL AS VARCHAR) AS body2"
+        _rm_families.append(f"""
+        sup_{rule} AS MATERIALIZED (
+            SELECT {bks}, h.hpred, CAST(count(*) AS BIGINT) AS support
+            FROM {body_cte} b JOIN heads h USING (x, y) {neq}
+            GROUP BY {bks}, h.hpred HAVING count(*) >= 2
+        ),
+        pca_{rule} AS (
+            SELECT {bks}, s.hpred, CAST(count(*) AS BIGINT) AS pca_body
+            FROM body_{rule[0]} b
+            JOIN (SELECT DISTINCT {ks}, hpred FROM sup_{rule}) s USING ({ks})
+            JOIN hx ON hx.hpred = s.hpred AND hx.x = b.x
+            GROUP BY {bks}, s.hpred
+        )""")
+        _rm_families.append(f"""
+        m_{rule} AS (
+            SELECT '{rule}' AS rule, body1, {b2}, hpred AS head,
+                   support, pca_body, head_size,
+                   (support * 1000000) // pca_body AS conf_e6,
+                   (support * 1000000) // head_size AS hc_e6
+            FROM sup_{rule}
+            JOIN pca_{rule} USING ({ks}, hpred)
+            JOIN hsize USING (hpred)
+        )""")
+    _rm_family_sql = ",".join(_rm_families)
+    out["rule_mine_orders"] = f"""
+        WITH kg AS (
+            SELECT 'o' || o_orderkey AS subj, 'placedBy' AS pred,
+                   'c' || o_custkey AS obj
+            FROM orders
+            UNION ALL
+            SELECT 'c' || c_custkey, 'inNation', 'n' || c_nationkey
+            FROM customer
+            UNION ALL
+            SELECT 'c' || c_custkey, 'memberOf', 'n' || c_nationkey
+            FROM customer WHERE c_custkey % 3 <> 0
+            UNION ALL
+            SELECT 'n' || c_nationkey, 'servedBy', 'c' || c_custkey
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'shipNation',
+                   'n' || CASE WHEN o_orderkey % 10 = 0
+                               THEN (c_nationkey + 7) % 25
+                               ELSE c_nationkey END
+            FROM orders JOIN customer ON o_custkey = c_custkey
+        ),
+        t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+        heads AS (SELECT subj AS x, obj AS y, pred AS hpred FROM t),
+        hx AS MATERIALIZED (SELECT DISTINCT pred AS hpred, subj AS x FROM t),
+        hsize AS (SELECT pred AS hpred, CAST(count(*) AS BIGINT) AS head_size
+                  FROM t GROUP BY pred),
+        deg AS (SELECT node, count(*) AS d
+                FROM (SELECT subj AS node FROM t
+                      UNION ALL SELECT obj FROM t)
+                GROUP BY node),
+        hot AS (SELECT node FROM deg WHERE d > 10000),
+        ct AS (SELECT t.subj, t.pred, t.obj FROM t
+               WHERE t.subj NOT IN (SELECT node FROM hot)
+                 AND t.obj NOT IN (SELECT node FROM hot)),
+        body_e AS (SELECT pred AS body1, subj AS x, obj AS y FROM t),
+        body_i AS (SELECT pred AS body1, obj AS x, subj AS y FROM t),
+        body_c AS MATERIALIZED (
+            SELECT DISTINCT p.pred AS body1, q.pred AS body2,
+                   p.subj AS x, q.obj AS y
+            FROM ct p JOIN ct q ON p.obj = q.subj
+        ),
+        {_rm_family_sql}
+        SELECT * FROM m_equiv
+        UNION ALL SELECT * FROM m_inverse
+        UNION ALL SELECT * FROM m_chain
     """
     return out
