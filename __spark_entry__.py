@@ -3729,6 +3729,85 @@ def _q_rule_mine_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return mine_rules(_rule_kg(spark, sf_dir), min_support=2)
 
 
+def _q_char_sets_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Characteristic sets (Neumann & Moerkotte, prase_spark.shapes)
+    over the planted five-relation KG: subjects grouped by their exact
+    distinct-predicate set with exact subject/triple counts — the
+    star-join cardinality statistic a 10^12-triple planner keeps."""
+    from prase_spark.shapes import characteristic_sets
+
+    return characteristic_sets(_rule_kg(spark, sf_dir))
+
+
+def _q_void_partitions_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VoID property partitions (prase_spark.shapes): per predicate,
+    void:triples / distinctSubjects / distinctObjects over the same
+    planted KG — the dataset-description block published with a dump."""
+    from prase_spark.shapes import property_partitions
+
+    return property_partitions(_rule_kg(spark, sf_dir))
+
+
+def _shape_kg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The rule-mining KG plus rdf:type assertions for orders and
+    customers (nations stay deliberately untyped) — the SHACL gate's
+    fixture. Type rows are pure key arithmetic, so the oracle rebuilds
+    the identical graph."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    types = o.select(
+        F.concat(F.lit("o"), F.col("o_orderkey").cast("string")).alias("subj"),
+        F.lit("rdf:type").alias("pred"),
+        F.lit("Order").alias("obj"),
+    ).unionByName(
+        c.select(
+            F.concat(F.lit("c"), F.col("c_custkey").cast("string")).alias(
+                "subj"
+            ),
+            F.lit("rdf:type").alias("pred"),
+            F.lit("Customer").alias("obj"),
+        )
+    )
+    return _rule_kg(spark, sf_dir).unionByName(types)
+
+
+def _q_shacl_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-core validation report (prase_spark.shapes) over the typed
+    planted KG. The plants guarantee real violations: customers with
+    custkey % 3 == 0 lack memberOf (minCount), odd custkeys are never
+    servedBy (inverse minCount), and nations 20-24 fail the value
+    pattern; the clean constraints (inNation maxCount, placedBy
+    cardinality + sh:class) prove conformance stays silent. Every
+    n_bad is an exact BIGINT, so the twin hashes the full report."""
+    from prase_spark.shapes import shacl_validate
+
+    shapes = [
+        {
+            "shape": "CustomerShape",
+            "target_class": ("rdf:type", "Customer"),
+            "constraints": [
+                {"path": "memberOf", "min_count": 1},
+                {"path": "servedBy", "inverse": True, "min_count": 1},
+                {"path": "inNation", "max_count": 1},
+                {"path": "inNation", "pattern": "^n1?[0-9]$"},
+            ],
+        },
+        {
+            "shape": "OrderShape",
+            "target_class": ("rdf:type", "Order"),
+            "constraints": [
+                {"path": "placedBy", "min_count": 1, "max_count": 1},
+                {
+                    "path": "placedBy",
+                    "class": "Customer",
+                    "class_pred": "rdf:type",
+                },
+            ],
+        },
+    ]
+    return shacl_validate(_shape_kg(spark, sf_dir), shapes)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3825,6 +3904,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "structured_stats_pages": _q_structured_stats_pages,
         "table_cells_pages": _q_table_cells_pages,
         "link_extract_pages": _q_link_extract_pages,
+        # late-round-5 KG-statistics/validation surface — past the
+        # driver's 50-record cap like the crawl gates above it;
+        # check_oracles is the recorded evidence
+        "char_sets_orders": _q_char_sets_orders,
+        "void_partitions_orders": _q_void_partitions_orders,
+        "shacl_validate_orders": _q_shacl_validate_orders,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -7592,5 +7677,118 @@ def oracle_sql() -> dict[str, str]:
         SELECT * FROM m_equiv
         UNION ALL SELECT * FROM m_inverse
         UNION ALL SELECT * FROM m_chain
+    """
+    _kg5_sql = """
+            SELECT 'o' || o_orderkey AS subj, 'placedBy' AS pred,
+                   'c' || o_custkey AS obj
+            FROM orders
+            UNION ALL
+            SELECT 'c' || c_custkey, 'inNation', 'n' || c_nationkey
+            FROM customer
+            UNION ALL
+            SELECT 'c' || c_custkey, 'memberOf', 'n' || c_nationkey
+            FROM customer WHERE c_custkey % 3 <> 0
+            UNION ALL
+            SELECT 'n' || c_nationkey, 'servedBy', 'c' || c_custkey
+            FROM customer WHERE c_custkey % 2 = 0
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'shipNation',
+                   'n' || CASE WHEN o_orderkey % 10 = 0
+                               THEN (c_nationkey + 7) % 25
+                               ELSE c_nationkey END
+            FROM orders JOIN customer ON o_custkey = c_custkey
+    """
+    out["char_sets_orders"] = f"""
+        WITH kg AS ({_kg5_sql}),
+        t AS (SELECT DISTINCT subj, pred, obj FROM kg),
+        per AS (SELECT subj,
+                       array_to_string(list_sort(list(DISTINCT pred)), '|')
+                           AS preds,
+                       count(*) AS nt
+                FROM t GROUP BY subj)
+        SELECT preds,
+               CAST(count(*) AS BIGINT) AS n_subjects,
+               CAST(sum(nt) AS BIGINT) AS n_triples
+        FROM per GROUP BY preds
+    """
+    out["void_partitions_orders"] = f"""
+        WITH kg AS ({_kg5_sql}),
+        t AS (SELECT DISTINCT subj, pred, obj FROM kg)
+        SELECT pred,
+               CAST(count(*) AS BIGINT) AS n_triples,
+               CAST(count(DISTINCT subj) AS BIGINT) AS n_subjects,
+               CAST(count(DISTINCT obj) AS BIGINT) AS n_objects
+        FROM t GROUP BY pred
+    """
+    out["shacl_validate_orders"] = f"""
+        WITH kg AS ({_kg5_sql}
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'rdf:type', 'Order' FROM orders
+            UNION ALL
+            SELECT 'c' || c_custkey, 'rdf:type', 'Customer' FROM customer
+        ),
+        t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+        cust AS (SELECT DISTINCT subj AS focus FROM t
+                 WHERE pred = 'rdf:type' AND obj = 'Customer'),
+        ord_f AS (SELECT DISTINCT subj AS focus FROM t
+                  WHERE pred = 'rdf:type' AND obj = 'Order'),
+        member_n AS (SELECT subj AS focus, count(*) AS n FROM t
+                     WHERE pred = 'memberOf' GROUP BY subj),
+        served_n AS (SELECT obj AS focus, count(*) AS n FROM t
+                     WHERE pred = 'servedBy' GROUP BY obj),
+        innation_n AS (SELECT subj AS focus, count(*) AS n FROM t
+                       WHERE pred = 'inNation' GROUP BY subj),
+        placed_n AS (SELECT subj AS focus, count(*) AS n FROM t
+                     WHERE pred = 'placedBy' GROUP BY subj),
+        v1 AS (SELECT 'CustomerShape' AS shape, f.focus,
+                      'memberOf' AS path, 'minCount' AS "constraint",
+                      CAST(COALESCE(e.n, 0) AS BIGINT) AS n_bad
+               FROM cust f LEFT JOIN member_n e USING (focus)
+               WHERE COALESCE(e.n, 0) < 1),
+        v2 AS (SELECT 'CustomerShape' AS shape, f.focus,
+                      '^servedBy' AS path, 'minCount' AS "constraint",
+                      CAST(COALESCE(e.n, 0) AS BIGINT) AS n_bad
+               FROM cust f LEFT JOIN served_n e USING (focus)
+               WHERE COALESCE(e.n, 0) < 1),
+        v3 AS (SELECT 'CustomerShape' AS shape, f.focus,
+                      'inNation' AS path, 'maxCount' AS "constraint",
+                      CAST(COALESCE(e.n, 0) AS BIGINT) AS n_bad
+               FROM cust f LEFT JOIN innation_n e USING (focus)
+               WHERE COALESCE(e.n, 0) > 1),
+        v4 AS (SELECT 'CustomerShape' AS shape, b.focus,
+                      'inNation' AS path, 'pattern' AS "constraint", b.n_bad
+               FROM (SELECT subj AS focus,
+                            CAST(count(DISTINCT obj) AS BIGINT) AS n_bad
+                     FROM t
+                     WHERE pred = 'inNation'
+                       AND NOT regexp_matches(obj, '^n1?[0-9]$')
+                     GROUP BY subj) b JOIN cust USING (focus)),
+        v5 AS (SELECT 'OrderShape' AS shape, f.focus,
+                      'placedBy' AS path, 'minCount' AS "constraint",
+                      CAST(COALESCE(e.n, 0) AS BIGINT) AS n_bad
+               FROM ord_f f LEFT JOIN placed_n e USING (focus)
+               WHERE COALESCE(e.n, 0) < 1),
+        v6 AS (SELECT 'OrderShape' AS shape, f.focus,
+                      'placedBy' AS path, 'maxCount' AS "constraint",
+                      CAST(COALESCE(e.n, 0) AS BIGINT) AS n_bad
+               FROM ord_f f LEFT JOIN placed_n e USING (focus)
+               WHERE COALESCE(e.n, 0) > 1),
+        v7 AS (SELECT 'OrderShape' AS shape, b.focus,
+                      'placedBy' AS path, 'class' AS "constraint", b.n_bad
+               FROM (SELECT p.subj AS focus,
+                            CAST(count(DISTINCT p.obj) AS BIGINT) AS n_bad
+                     FROM t p
+                     WHERE p.pred = 'placedBy'
+                       AND p.obj NOT IN (SELECT subj FROM t
+                                         WHERE pred = 'rdf:type'
+                                           AND obj = 'Customer')
+                     GROUP BY p.subj) b JOIN ord_f USING (focus))
+        SELECT * FROM v1
+        UNION ALL SELECT * FROM v2
+        UNION ALL SELECT * FROM v3
+        UNION ALL SELECT * FROM v4
+        UNION ALL SELECT * FROM v5
+        UNION ALL SELECT * FROM v6
+        UNION ALL SELECT * FROM v7
     """
     return out

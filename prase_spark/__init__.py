@@ -80,6 +80,11 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.rdfio import from_ntriples, to_ntriples
+from prase_spark.shapes import (
+    characteristic_sets,
+    property_partitions,
+    shacl_validate,
+)
 from prase_spark.warc import (
     read_warc,
     warc_file_metrics,
@@ -172,6 +177,9 @@ __all__ = [
     "incremental_components",
     "to_ntriples",
     "from_ntriples",
+    "characteristic_sets",
+    "property_partitions",
+    "shacl_validate",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",
