@@ -3808,6 +3808,39 @@ def _q_shacl_validate_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return shacl_validate(_shape_kg(spark, sf_dir), shapes)
 
 
+def _q_rdfs_entail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ρdf entailment materialization (prase_spark.closure.rdfs_entail)
+    over the typed planted KG under a 14-row ontology: two-hop property
+    chain (memberOf/inNation ⊑ affiliatedWith ⊑ relatedTo), domain/range
+    declarations deriving types for otherwise-untyped nations, and a
+    three-class two-hop hierarchy the derived types inherit through.
+    One pass, schema closures broadcast; the DuckDB twin closes the
+    same DAGs with recursive CTEs and derives the identical triple set,
+    so the hash pins the full entailment."""
+    from prase_spark.closure import rdfs_entail
+
+    schema = spark.createDataFrame(
+        [
+            ("memberOf", "rdfs:subPropertyOf", "affiliatedWith"),
+            ("inNation", "rdfs:subPropertyOf", "affiliatedWith"),
+            ("affiliatedWith", "rdfs:subPropertyOf", "relatedTo"),
+            ("placedBy", "rdfs:domain", "Order"),
+            ("placedBy", "rdfs:range", "Customer"),
+            ("inNation", "rdfs:range", "Nation"),
+            ("servedBy", "rdfs:domain", "Nation"),
+            ("shipNation", "rdfs:range", "Nation"),
+            ("Customer", "rdfs:subClassOf", "Agent"),
+            ("Agent", "rdfs:subClassOf", "Thing"),
+            ("Order", "rdfs:subClassOf", "Document"),
+            ("Document", "rdfs:subClassOf", "Thing"),
+            ("Nation", "rdfs:subClassOf", "Place"),
+            ("Place", "rdfs:subClassOf", "Thing"),
+        ],
+        "subj string, pred string, obj string",
+    )
+    return rdfs_entail(_shape_kg(spark, sf_dir), schema)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3910,6 +3943,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_sets_orders": _q_char_sets_orders,
         "void_partitions_orders": _q_void_partitions_orders,
         "shacl_validate_orders": _q_shacl_validate_orders,
+        "rdfs_entail_orders": _q_rdfs_entail_orders,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -7790,5 +7824,67 @@ def oracle_sql() -> dict[str, str]:
         UNION ALL SELECT * FROM v5
         UNION ALL SELECT * FROM v6
         UNION ALL SELECT * FROM v7
+    """
+    out["rdfs_entail_orders"] = f"""
+        WITH RECURSIVE
+        sch AS (SELECT * FROM (VALUES
+            ('memberOf', 'rdfs:subPropertyOf', 'affiliatedWith'),
+            ('inNation', 'rdfs:subPropertyOf', 'affiliatedWith'),
+            ('affiliatedWith', 'rdfs:subPropertyOf', 'relatedTo'),
+            ('placedBy', 'rdfs:domain', 'Order'),
+            ('placedBy', 'rdfs:range', 'Customer'),
+            ('inNation', 'rdfs:range', 'Nation'),
+            ('servedBy', 'rdfs:domain', 'Nation'),
+            ('shipNation', 'rdfs:range', 'Nation'),
+            ('Customer', 'rdfs:subClassOf', 'Agent'),
+            ('Agent', 'rdfs:subClassOf', 'Thing'),
+            ('Order', 'rdfs:subClassOf', 'Document'),
+            ('Document', 'rdfs:subClassOf', 'Thing'),
+            ('Nation', 'rdfs:subClassOf', 'Place'),
+            ('Place', 'rdfs:subClassOf', 'Thing')
+        ) v(s, p, o)),
+        clos_p(src, anc) AS (
+            SELECT s, o FROM sch WHERE p = 'rdfs:subPropertyOf'
+            UNION
+            SELECT c.src, x.o FROM clos_p c
+            JOIN sch x ON x.p = 'rdfs:subPropertyOf' AND x.s = c.anc
+        ),
+        clos_c(src, anc) AS (
+            SELECT s, o FROM sch WHERE p = 'rdfs:subClassOf'
+            UNION
+            SELECT c.src, x.o FROM clos_c c
+            JOIN sch x ON x.p = 'rdfs:subClassOf' AND x.s = c.anc
+        ),
+        kg AS ({_kg5_sql}
+            UNION ALL
+            SELECT 'o' || o_orderkey, 'rdf:type', 'Order' FROM orders
+            UNION ALL
+            SELECT 'c' || c_custkey, 'rdf:type', 'Customer' FROM customer
+        ),
+        t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+        expanded AS MATERIALIZED (
+            SELECT subj, pred, obj FROM t
+            UNION
+            SELECT t.subj, c.anc, t.obj FROM t JOIN clos_p c ON t.pred = c.src
+        ),
+        typed(e, c) AS (
+            SELECT subj, obj FROM expanded WHERE pred = 'rdf:type'
+            UNION
+            SELECT e.subj, x.o FROM expanded e
+            JOIN sch x ON x.p = 'rdfs:domain' AND x.s = e.pred
+            UNION
+            SELECT e.obj, x.o FROM expanded e
+            JOIN sch x ON x.p = 'rdfs:range' AND x.s = e.pred
+        ),
+        alltypes AS (
+            SELECT e, c FROM typed
+            UNION
+            SELECT t2.e, cl.anc FROM typed t2 JOIN clos_c cl ON t2.c = cl.src
+        )
+        SELECT DISTINCT subj, pred, obj FROM (
+            SELECT subj, pred, obj FROM expanded
+            UNION ALL
+            SELECT e AS subj, 'rdf:type' AS pred, c AS obj FROM alltypes
+        )
     """
     return out

@@ -28,7 +28,7 @@ from prase_spark.cdx import (
     write_cdx_index,
 )
 from prase_spark.checkpoint import load_state, save_state
-from prase_spark.closure import propagate_types, transitive_closure
+from prase_spark.closure import propagate_types, rdfs_entail, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
 from prase_spark.evaluate import evaluate_alignment
 from prase_spark.extract import (
@@ -174,6 +174,7 @@ __all__ = [
     "link_mentions",
     "transitive_closure",
     "propagate_types",
+    "rdfs_entail",
     "incremental_components",
     "to_ntriples",
     "from_ntriples",

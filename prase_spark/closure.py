@@ -1,4 +1,5 @@
-"""Transitive closure over ontology DAGs + broadcast type propagation.
+"""Transitive closure over ontology DAGs, broadcast type propagation,
+and ρdf (minimal-RDFS) entailment materialization.
 
 KG construction needs two closure shapes the rest of the package does not
 cover: `matching.connected_components` closes UNDIRECTED equivalence
@@ -139,4 +140,121 @@ def propagate_types(
         asserted.unionByName(inherited)
         .groupBy("entity", "type")
         .agg(F.min("depth").alias("depth"))
+    )
+
+
+def rdfs_entail(
+    triples: DataFrame,
+    schema: DataFrame,
+    subj: str = "subj",
+    pred: str = "pred",
+    obj: str = "obj",
+    type_pred: str = "rdf:type",
+    subclass_pred: str = "rdfs:subClassOf",
+    subprop_pred: str = "rdfs:subPropertyOf",
+    domain_pred: str = "rdfs:domain",
+    range_pred: str = "rdfs:range",
+    max_hops: int = 64,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Materialize the ρdf entailment (Muñoz, Pérez & Gutierrez 2009 —
+    the minimal RDFS fragment) of instance ``triples`` under ``schema``:
+    the asserted triples plus everything rules rdfs2/3/5/7/9/11 derive.
+
+    ``schema`` is a triple DataFrame holding the ontology —
+    ``subClassOf`` / ``subPropertyOf`` edges and per-property
+    ``domain`` / ``range`` declarations. Returned is the DISTINCT
+    (subj, pred, obj) set of the entailment.
+
+    The ρdf rules stratify, so the fixpoint is ONE pass with no
+    instance-scale iteration (the posture that survives 10^12 rows):
+
+    1. close the subPropertyOf and subClassOf DAGs (rdfs5/11) with
+       :func:`transitive_closure` — schema-sized, iterated, broadcast;
+    2. expand instance triples through the property closure (rdfs7):
+       one broadcast join over the triple scan;
+    3. derive types from domain/range declarations over the EXPANDED
+       triples (rdfs2/3 — so a domain on a superproperty fires for its
+       subproperties' instances) plus asserted rdf:type rows;
+    4. propagate all types through the class closure (rdfs9): one more
+       broadcast join.
+
+    No derived instance triple can produce a new SCHEMA triple (schema
+    and instance streams are disjoint inputs here), so one pass IS the
+    fixpoint. The only instance-scale exchange is the final distinct —
+    a single hash aggregation; every join in the pass broadcasts a
+    schema-closure-sized table.
+    """
+    t = (
+        triples.select(
+            F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+        )
+        .distinct()
+    )
+    sch = schema.select(
+        F.col(subj).alias("s"), F.col(pred).alias("p"), F.col(obj).alias("o")
+    ).distinct()
+
+    def _edges(marker):
+        return sch.where(F.col("p") == marker).select(
+            F.col("s").alias("src"), F.col("o").alias("dst")
+        )
+
+    p_stats: dict = {}
+    c_stats: dict = {}
+    clos_p = transitive_closure(
+        _edges(subprop_pred), max_hops=max_hops, stats_out=p_stats
+    ).select("src", "anc")
+    clos_c = transitive_closure(
+        _edges(subclass_pred), max_hops=max_hops, stats_out=c_stats
+    ).select("src", "anc")
+    if stats_out is not None:
+        stats_out["subprop_levels"] = p_stats.get("levels", 0)
+        stats_out["subclass_levels"] = c_stats.get("levels", 0)
+        stats_out["truncated_frontier_rows"] = p_stats.get(
+            "truncated_frontier_rows", 0
+        ) + c_stats.get("truncated_frontier_rows", 0)
+
+    expanded = t.unionByName(
+        t.join(F.broadcast(clos_p.withColumnRenamed("src", "p")), "p").select(
+            "s", F.col("anc").alias("p"), "o"
+        )
+    )
+    dom = sch.where(F.col("p") == domain_pred).select(
+        F.col("s").alias("p"), F.col("o").alias("c")
+    )
+    rng = sch.where(F.col("p") == range_pred).select(
+        F.col("s").alias("p"), F.col("o").alias("c")
+    )
+    typed = (
+        expanded.where(F.col("p") == type_pred)
+        .select(F.col("s").alias("e"), F.col("o").alias("c"))
+        .unionByName(
+            expanded.join(F.broadcast(dom), "p").select(
+                F.col("s").alias("e"), "c"
+            )
+        )
+        .unionByName(
+            expanded.join(F.broadcast(rng), "p").select(
+                F.col("o").alias("e"), "c"
+            )
+        )
+    )
+    all_types = typed.unionByName(
+        typed.join(F.broadcast(clos_c.withColumnRenamed("src", "c")), "c").select(
+            "e", F.col("anc").alias("c")
+        )
+    )
+    return (
+        expanded.unionByName(
+            all_types.select(
+                F.col("e").alias("s"),
+                F.lit(type_pred).alias("p"),
+                F.col("c").alias("o"),
+            )
+        )
+        .distinct()
+        .select(
+            F.col("s").alias(subj), F.col("p").alias(pred), F.col("o").alias(obj)
+        )
     )
