@@ -3841,6 +3841,35 @@ def _q_rdfs_entail_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rdfs_entail(_shape_kg(spark, sf_dir), schema)
 
 
+def _q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deletion-neighborhood fuzzy join (prase_spark.fuzzy.fuzzy_join,
+    FastSS) between part names and a deterministically corrupted copy:
+    partkey % 3 == 0 drops the first character (distance 1), % 3 == 1
+    stays exact (distance 0), % 3 == 2 appends three characters (out of
+    range). The DuckDB twin is an INDEPENDENT brute-force quadratic
+    levenshtein join (length-difference prefilter only, which the
+    metric itself guarantees), so the hash proves the neighborhood
+    blocking is lossless — not merely that two implementations agree."""
+    from prase_spark.fuzzy import fuzzy_join
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    left = p.select(
+        F.concat(F.lit("L"), F.col("p_partkey").cast("string")).alias("l_id"),
+        F.col("p_name").alias("value"),
+    )
+    right = p.select(
+        F.concat(F.lit("R"), F.col("p_partkey").cast("string")).alias("r_id"),
+        F.when(
+            F.col("p_partkey") % 3 == 0,
+            F.expr("substring(p_name, 2, length(p_name))"),
+        )
+        .when(F.col("p_partkey") % 3 == 1, F.col("p_name"))
+        .otherwise(F.concat(F.col("p_name"), F.lit("zzz")))
+        .alias("value"),
+    )
+    return fuzzy_join(left, right, max_edits=1)
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3944,6 +3973,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "void_partitions_orders": _q_void_partitions_orders,
         "shacl_validate_orders": _q_shacl_validate_orders,
         "rdfs_entail_orders": _q_rdfs_entail_orders,
+        "fuzzy_match_parts": _q_fuzzy_match_parts,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -7886,5 +7916,19 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT e AS subj, 'rdf:type' AS pred, c AS obj FROM alltypes
         )
+    """
+    out["fuzzy_match_parts"] = """
+        WITH l AS (SELECT 'L' || p_partkey AS l_id, p_name AS l_value
+                   FROM part),
+        r AS (SELECT 'R' || p_partkey AS r_id,
+                     CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 2)
+                          WHEN p_partkey % 3 = 1 THEN p_name
+                          ELSE p_name || 'zzz' END AS r_value
+              FROM part)
+        SELECT l_id, l_value, r_id, r_value,
+               CAST(levenshtein(l_value, r_value) AS INT) AS edits
+        FROM l JOIN r
+          ON abs(length(l_value) - length(r_value)) <= 1
+         AND levenshtein(l_value, r_value) <= 1
     """
     return out

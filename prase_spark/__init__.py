@@ -79,6 +79,7 @@ from prase_spark.matching import (
     connected_components,
     incremental_components,
 )
+from prase_spark.fuzzy import fuzzy_join
 from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.shapes import (
     characteristic_sets,
@@ -181,6 +182,7 @@ __all__ = [
     "characteristic_sets",
     "property_partitions",
     "shacl_validate",
+    "fuzzy_join",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",
