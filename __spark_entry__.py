@@ -3870,6 +3870,25 @@ def _q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fuzzy_join(left, right, max_edits=1)
 
 
+def _q_khop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source 3-hop neighborhood (graphstats.k_hop_distances)
+    from nations n0/n1 over the UNDIRECTED planted KG: depth 1 reaches
+    their customers, depth 2 their orders, depth 3 the rotated
+    shipNation targets (the 10% corruption is what makes depth 3
+    non-trivial). The DuckDB twin is a depth-bounded recursive-CTE BFS
+    reduced by min(depth), so the hash pins the full distance map."""
+    from prase_spark.graphstats import k_hop_distances
+
+    kg = _rule_kg(spark, sf_dir)
+    seeds = spark.createDataFrame([("n0",), ("n1",)], "node string")
+    return k_hop_distances(
+        kg.select(F.col("subj").alias("src"), F.col("obj").alias("dst")),
+        seeds,
+        max_hops=3,
+        directed=False,
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -3974,6 +3993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shacl_validate_orders": _q_shacl_validate_orders,
         "rdfs_entail_orders": _q_rdfs_entail_orders,
         "fuzzy_match_parts": _q_fuzzy_match_parts,
+        "khop_orders": _q_khop_orders,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -7930,5 +7950,24 @@ def oracle_sql() -> dict[str, str]:
         FROM l JOIN r
           ON abs(length(l_value) - length(r_value)) <= 1
          AND levenshtein(l_value, r_value) <= 1
+    """
+    out["khop_orders"] = f"""
+        WITH RECURSIVE
+        kg AS ({_kg5_sql}),
+        t AS (SELECT DISTINCT subj, pred, obj FROM kg),
+        e AS MATERIALIZED (
+            SELECT subj AS src, obj AS dst FROM t
+            UNION
+            SELECT obj, subj FROM t
+        ),
+        bfs(node, depth) AS (
+            SELECT * FROM (VALUES ('n0', 0), ('n1', 0)) v(node, depth)
+            UNION ALL
+            SELECT e.dst, b.depth + 1
+            FROM bfs b JOIN e ON e.src = b.node
+            WHERE b.depth < 3
+        )
+        SELECT node, CAST(min(depth) AS INT) AS depth
+        FROM bfs GROUP BY node
     """
     return out

@@ -377,3 +377,76 @@ def label_propagation(
         if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
             lab = lab.localCheckpoint()
     return lab
+
+
+def k_hop_distances(
+    edges: DataFrame,
+    seeds: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    max_hops: int = 3,
+    directed: bool = True,
+    checkpoint_every: int = 1,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Multi-source BFS: DataFrame[node, depth] with depth the MINIMUM
+    hop count (0 = seed) from any seed node, truncated at ``max_hops``
+    — the "k-hop neighborhood of these entities" query every KG
+    consumer runs (subgraph extraction around aligned entities,
+    crawl-frontier scoping, GNN sampling fan-out).
+
+    Frontier BFS over the node set: level d's frontier is exactly the
+    nodes first reached at depth d (earlier-reached nodes are
+    anti-joined out), so first discovery IS the min depth — the same
+    invariant as `closure.transitive_closure`, but over NODES from a
+    seed set rather than all reachability pairs, which is what makes it
+    safe on an INSTANCE-scale graph: the working set is one frontier
+    (change-volume-sized), never O(V * ancestors). Each level is one
+    equi-join frontier->edges plus one distinct and one anti-join; AQE
+    broadcasts the frontier while it is small. ``directed=False``
+    unions the reversed edge set (plan-level, no second scan of the
+    source). Levels localCheckpoint to keep lineage flat.
+
+    ``stats_out``: ``levels`` (deepest populated depth) and
+    ``frontier_sizes`` (list, index = depth).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d")).where(
+        F.col("s").isNotNull() & F.col("d").isNotNull()
+    )
+    if not directed:
+        e = e.unionByName(
+            edges.select(F.col(dst).alias("s"), F.col(src).alias("d"))
+        )
+    visited = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .select("node", F.lit(0).cast("int").alias("depth"))
+        .localCheckpoint()
+    )
+    frontier = visited
+    sizes = [visited.count()]
+    depth = 0
+    while depth < max_hops:
+        nxt = (
+            frontier.join(e, frontier["node"] == e["s"])
+            .select(F.col("d").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .select(
+                "node", F.lit(depth + 1).cast("int").alias("depth")
+            )
+        )
+        if (depth + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint()
+        n = nxt.count()
+        if n == 0:
+            break
+        sizes.append(n)
+        depth += 1
+        visited = visited.unionByName(nxt)
+        frontier = nxt
+    if stats_out is not None:
+        stats_out["levels"] = depth
+        stats_out["frontier_sizes"] = sizes
+    return visited
