@@ -3852,6 +3852,14 @@ def _q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     blocking is lossless — not merely that two implementations agree."""
     from prase_spark.fuzzy import fuzzy_join
 
+    left, right = _fuzzy_parts_inputs(spark, sf_dir)
+    return fuzzy_join(left, right, max_edits=1)
+
+
+def _fuzzy_parts_inputs(spark: SparkSession, sf_dir: str):
+    """Shared fixture for the fuzzy-join and blocking-eval gates: part
+    names vs a deterministically corrupted copy (see
+    _q_fuzzy_match_parts for the corruption plan)."""
     p = spark.read.parquet(f"{sf_dir}/part.parquet")
     left = p.select(
         F.concat(F.lit("L"), F.col("p_partkey").cast("string")).alias("l_id"),
@@ -3867,7 +3875,28 @@ def _q_fuzzy_match_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.concat(F.col("p_name"), F.lit("zzz")))
         .alias("value"),
     )
-    return fuzzy_join(left, right, max_edits=1)
+    return left, right
+
+
+def _q_blocking_eval_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocking-quality report (evaluate.blocking_metrics, Christen
+    metrics) for the deletion-neighborhood fuzzy blocker against the
+    identity gold links: pairs completeness lands near 2/3 by
+    construction (the %3==2 three-edit corruption is out of range),
+    reduction ratio near 1. Every number an exact BIGINT / integer-div
+    micro-unit; the twin recomputes candidates brute-force AND the
+    metric arithmetic independently."""
+    from prase_spark.evaluate import blocking_metrics
+    from prase_spark.fuzzy import fuzzy_join
+
+    left, right = _fuzzy_parts_inputs(spark, sf_dir)
+    cands = fuzzy_join(left, right, max_edits=1).select("l_id", "r_id")
+    p = spark.read.parquet(f"{sf_dir}/part.parquet")
+    gold = p.select(
+        F.concat(F.lit("L"), F.col("p_partkey").cast("string")).alias("l_id"),
+        F.concat(F.lit("R"), F.col("p_partkey").cast("string")).alias("r_id"),
+    )
+    return blocking_metrics(cands, gold, left, right)
 
 
 def _q_khop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3994,6 +4023,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rdfs_entail_orders": _q_rdfs_entail_orders,
         "fuzzy_match_parts": _q_fuzzy_match_parts,
         "khop_orders": _q_khop_orders,
+        "blocking_eval_parts": _q_blocking_eval_parts,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -7969,5 +7999,38 @@ def oracle_sql() -> dict[str, str]:
         )
         SELECT node, CAST(min(depth) AS INT) AS depth
         FROM bfs GROUP BY node
+    """
+    out["blocking_eval_parts"] = """
+        WITH l AS (SELECT 'L' || p_partkey AS l_id, p_name AS l_value
+                   FROM part),
+        r AS (SELECT 'R' || p_partkey AS r_id,
+                     CASE WHEN p_partkey % 3 = 0 THEN substring(p_name, 2)
+                          WHEN p_partkey % 3 = 1 THEN p_name
+                          ELSE p_name || 'zzz' END AS r_value
+              FROM part),
+        c AS (SELECT DISTINCT l_id, r_id
+              FROM l JOIN r
+                ON abs(length(l_value) - length(r_value)) <= 1
+               AND levenshtein(l_value, r_value) <= 1),
+        g AS (SELECT DISTINCT 'L' || p_partkey AS l_id,
+                              'R' || p_partkey AS r_id
+              FROM part),
+        nums AS (SELECT
+            (SELECT CAST(count(DISTINCT l_id) AS BIGINT) FROM l) AS n_left,
+            (SELECT CAST(count(DISTINCT r_id) AS BIGINT) FROM r) AS n_right,
+            (SELECT CAST(count(*) AS BIGINT) FROM c) AS n_candidates,
+            (SELECT CAST(count(*) AS BIGINT) FROM g) AS n_gold,
+            (SELECT CAST(count(*) AS BIGINT)
+             FROM c JOIN g USING (l_id, r_id)) AS n_true_candidates)
+        SELECT n_left, n_right,
+               CAST(n_left * n_right AS BIGINT) AS total_pairs,
+               n_candidates, n_gold, n_true_candidates,
+               CAST(1000000 - (1000000 * n_candidates)
+                    // (n_left * n_right) AS BIGINT) AS rr_e6,
+               CAST((1000000 * n_true_candidates) // n_gold
+                    AS BIGINT) AS pc_e6,
+               CAST((1000000 * n_true_candidates) // n_candidates
+                    AS BIGINT) AS pq_e6
+        FROM nums
     """
     return out

@@ -30,7 +30,7 @@ from prase_spark.cdx import (
 from prase_spark.checkpoint import load_state, save_state
 from prase_spark.closure import propagate_types, rdfs_entail, transitive_closure
 from prase_spark.config import ParisConfig, get_spark
-from prase_spark.evaluate import evaluate_alignment
+from prase_spark.evaluate import blocking_metrics, evaluate_alignment
 from prase_spark.extract import (
     extract_head_meta,
     extract_og_properties,
@@ -130,6 +130,7 @@ __all__ = [
     "connected_components",
     "components_min_label",
     "evaluate_alignment",
+    "blocking_metrics",
     "extract_text",
     "extract_triples",
     "materialize",

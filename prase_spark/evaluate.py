@@ -87,3 +87,66 @@ def embed_align_split(
     visited = predicted.select("ent_l").distinct()
     test = gold.join(visited, "ent_l", "left_anti")
     return predicted, test
+
+
+def blocking_metrics(
+    candidates: DataFrame,
+    gold: DataFrame,
+    left: DataFrame,
+    right: DataFrame,
+    id_left: str = "l_id",
+    id_right: str = "r_id",
+) -> DataFrame:
+    """Blocking-quality report (Christen 2012) for ANY candidate
+    generator in the package (name blocking, LSH/minhash bands,
+    deletion-neighborhood fuzzy join): one row with
+
+    - ``n_left`` / ``n_right`` / ``total_pairs`` — the cross-product a
+      blocker avoids (total_pairs = n_left*n_right as BIGINT; at
+      >3x10^9 rows per side widen to DECIMAL before multiplying);
+    - ``n_candidates`` / ``n_gold`` / ``n_true_candidates`` — exact
+      distinct-pair counts;
+    - ``rr_e6`` reduction ratio, ``pc_e6`` pairs completeness (blocking
+      recall), ``pq_e6`` pairs quality (blocking precision) — each an
+      exact integer-division micro-unit, so the whole report value-hashes.
+
+    Plan: three distinct-count aggregations plus one semi-join count,
+    assembled by one-row cross joins (no data-scale exchange beyond
+    the distincts the inputs require). Zero denominators report 0 —
+    "found nothing" beats a divide error mid-report.
+    """
+    c = candidates.select(id_left, id_right).distinct()
+    g = gold.select(id_left, id_right).distinct()
+    nc = c.agg(F.count("*").cast("bigint").alias("n_candidates"))
+    ng = g.agg(F.count("*").cast("bigint").alias("n_gold"))
+    nt = (
+        c.join(g, [id_left, id_right], "left_semi")
+        .agg(F.count("*").cast("bigint").alias("n_true_candidates"))
+    )
+    nl = left.agg(F.countDistinct(id_left).cast("bigint").alias("n_left"))
+    nr = right.agg(F.countDistinct(id_right).cast("bigint").alias("n_right"))
+    row = nl.crossJoin(nr).crossJoin(nc).crossJoin(ng).crossJoin(nt)
+    # SQL `div` = exact integer division (the package's scaled-integer
+    # sink doctrine); CASE guards report 0 on empty denominators
+    return row.select(
+        "n_left",
+        "n_right",
+        F.expr("CAST(n_left * n_right AS BIGINT)").alias("total_pairs"),
+        "n_candidates",
+        "n_gold",
+        "n_true_candidates",
+        F.expr(
+            "CAST(CASE WHEN n_left * n_right > 0 THEN "
+            "1000000 - (1000000 * n_candidates) div (n_left * n_right) "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("rr_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_gold > 0 THEN "
+            "(1000000 * n_true_candidates) div n_gold ELSE 0 END AS BIGINT)"
+        ).alias("pc_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_candidates > 0 THEN "
+            "(1000000 * n_true_candidates) div n_candidates "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("pq_e6"),
+    )
