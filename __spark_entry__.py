@@ -3918,6 +3918,21 @@ def _q_khop_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_bgp_construct_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPARQL CONSTRUCT (bgp.bgp_construct): build a derived graph —
+    customers with at least one order become (c, livesIn, n) plus the
+    inverse (n, hosts, c) — from a two-pattern WHERE over the planted
+    KG. The twin evaluates the WHERE as a join and the template as a
+    projection union, so the hash pins the constructed triple set."""
+    from prase_spark.bgp import bgp_construct
+
+    return bgp_construct(
+        _rule_kg(spark, sf_dir),
+        [("?c", "inNation", "?n"), ("?o", "placedBy", "?c")],
+        [("?c", "livesIn", "?n"), ("?n", "hosts", "?c")],
+    )
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
     return _q_paris_align_tpch(spark, "/root/testdata/sf0.001")
@@ -4024,6 +4039,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fuzzy_match_parts": _q_fuzzy_match_parts,
         "khop_orders": _q_khop_orders,
         "blocking_eval_parts": _q_blocking_eval_parts,
+        "bgp_construct_orders": _q_bgp_construct_orders,
         "ivf_topk": _q_ivf_topk,
         "temperature_mix_docs": _q_temperature_mix_docs,
         "bgp_filter_orders": _q_bgp_filter_orders,
@@ -8032,5 +8048,17 @@ def oracle_sql() -> dict[str, str]:
                CAST((1000000 * n_true_candidates) // n_candidates
                     AS BIGINT) AS pq_e6
         FROM nums
+    """
+    out["bgp_construct_orders"] = f"""
+        WITH kg AS ({_kg5_sql}),
+        t AS MATERIALIZED (SELECT DISTINCT subj, pred, obj FROM kg),
+        sol AS (SELECT DISTINCT i.subj AS c, i.obj AS n
+                FROM t i JOIN t p ON p.pred = 'placedBy' AND p.obj = i.subj
+                WHERE i.pred = 'inNation')
+        SELECT DISTINCT subj, pred, obj FROM (
+            SELECT c AS subj, 'livesIn' AS pred, n AS obj FROM sol
+            UNION ALL
+            SELECT n, 'hosts', c FROM sol
+        )
     """
     return out

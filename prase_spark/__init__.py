@@ -18,7 +18,7 @@ embedding-similarity fusion, re-expressed as Spark DataFrame dataflow:
 """
 
 from prase_spark.asof import asof_join
-from prase_spark.bgp import bgp_aggregate, bgp_match, bgp_union
+from prase_spark.bgp import bgp_aggregate, bgp_construct, bgp_match, bgp_union
 from prase_spark.cdx import (
     build_cdx,
     cdx_lookup,
@@ -147,6 +147,7 @@ __all__ = [
     "bgp_match",
     "bgp_aggregate",
     "bgp_union",
+    "bgp_construct",
     "surt_key",
     "build_cdx",
     "write_cdx_index",

@@ -342,3 +342,59 @@ def bgp_union(
         out = out.unionByName(s, allowMissingColumns=True)
     out = out.select(*sorted(out.columns))
     return out.distinct() if distinct else out
+
+
+def bgp_construct(
+    triples: DataFrame,
+    patterns,
+    template,
+    distinct: bool = True,
+    **bgp_kwargs,
+) -> DataFrame:
+    """SPARQL CONSTRUCT — ``CONSTRUCT { template } WHERE { patterns }``
+    — build a NEW triple set from the solution bindings: the
+    graph-to-graph transformation form (vocabulary mapping, edge
+    reification, materializing a derived relation back into the store).
+
+    ``template`` is a list of (s, p, o) terms: ``?var`` pulls the
+    binding, anything else is a constant. Solutions with an UNBOUND
+    variable in a template position (possible via OPTIONAL) drop that
+    template triple only — SPARQL's incomplete-triple rule. Result
+    columns are (subj, pred, obj); ``distinct=True`` gives RDF set
+    semantics (a CONSTRUCT graph has no duplicate triples).
+
+    Scale shape: the solution is computed ONCE (bag semantics — no
+    distinct before the template fan-out); each template triple is a
+    projection of it, unioned plan-level, and the final distinct is
+    the single output-scale exchange. All bgp_match clauses (OPTIONAL /
+    FILTER / MINUS / VALUES / property paths) pass through."""
+    tpl = list(template)
+    if not tpl:
+        raise ValueError("empty CONSTRUCT template")
+    sol = bgp_match(triples, patterns, distinct=False, **bgp_kwargs)
+    bound = set(sol.columns)
+    for t in tpl:
+        for term in t:
+            if _is_var(term) and term[1:] not in bound:
+                raise ValueError(
+                    f"template variable {term!r} not bound by the WHERE "
+                    f"patterns (bound: {sorted(bound)})"
+                )
+
+    def _term(term):
+        return F.col(term[1:]) if _is_var(term) else F.lit(term)
+
+    outs = []
+    for s, p, o in tpl:
+        df = sol.select(
+            _term(s).alias("subj"), _term(p).alias("pred"), _term(o).alias("obj")
+        ).where(
+            F.col("subj").isNotNull()
+            & F.col("pred").isNotNull()
+            & F.col("obj").isNotNull()
+        )
+        outs.append(df)
+    out = outs[0]
+    for df in outs[1:]:
+        out = out.unionByName(df)
+    return out.distinct() if distinct else out
