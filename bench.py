@@ -390,6 +390,70 @@ def main():
         timings["structured_extract_triples"] = n_triples
         pages.unpersist()
 
+    # extra metric (round 5): rho-df entailment materialization rate over
+    # a synthesized 2M-triple instance set under a 3-level schema — the
+    # ontology-reasoning scan rate (one pass, broadcast closures)
+    def q_entail():
+        from prase_spark.closure import rdfs_entail
+
+        n_t = int(os.environ.get("PRASE_BENCH_ENTAIL_TRIPLES", "2000000"))
+        t = (
+            spark.range(n_t, numPartitions=cpus * 2)
+            .selectExpr(
+                "concat('e', id % 500000) AS subj",
+                "element_at(array('p0','p1','p2','p3','p4'), "
+                "cast(id % 5 AS INT) + 1) AS pred",
+                "concat('v', pmod(xxhash64(id), 500000)) AS obj",
+            )
+            .persist()
+        )
+        t.count()
+        schema = spark.createDataFrame(
+            [
+                ("p0", "rdfs:subPropertyOf", "pp"),
+                ("pp", "rdfs:subPropertyOf", "ppp"),
+                ("p1", "rdfs:domain", "C1"),
+                ("p1", "rdfs:range", "C2"),
+                ("p2", "rdfs:domain", "C1"),
+                ("C1", "rdfs:subClassOf", "B"),
+                ("B", "rdfs:subClassOf", "A"),
+            ],
+            "subj string, pred string, obj string",
+        )
+        t0 = time.time()
+        n_out = rdfs_entail(t, schema).count()
+        elapsed = time.time() - t0
+        timings["rdfs_entail_triples_per_sec"] = round(n_t / elapsed, 1)
+        timings["rdfs_entail_out_triples"] = n_out
+        t.unpersist()
+
+    # extra metric (round 5): deletion-neighborhood fuzzy join rate over
+    # synthesized 12-char names with planted 1-edit corruptions — the
+    # lossless edit-distance blocking scan rate
+    def q_fuzzy():
+        from prase_spark.fuzzy import fuzzy_join
+
+        n_f = int(os.environ.get("PRASE_BENCH_FUZZY_ROWS", "200000"))
+        base = spark.range(n_f, numPartitions=cpus * 2)
+        left = base.selectExpr(
+            "concat('L', id) AS l_id",
+            "substr(md5(cast(id AS STRING)), 1, 12) AS value",
+        ).persist()
+        right = base.selectExpr(
+            "concat('R', id) AS r_id",
+            "CASE WHEN id % 3 = 0 THEN substr(md5(cast(id AS STRING)), 2, 11) "
+            "WHEN id % 3 = 1 THEN substr(md5(cast(id AS STRING)), 1, 12) "
+            "ELSE concat(substr(md5(cast(id AS STRING)), 1, 12), 'zzz') "
+            "END AS value",
+        ).persist()
+        left.count(), right.count()
+        t0 = time.time()
+        n_pairs = fuzzy_join(left, right, max_edits=1).count()
+        elapsed = time.time() - t0
+        timings["fuzzy_join_rows_per_sec"] = round(2 * n_f / elapsed, 1)
+        timings["fuzzy_join_pairs"] = n_pairs
+        left.unpersist(), right.unpersist()
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -407,6 +471,10 @@ def main():
     q_linkgraph()
     spark.catalog.clearCache()
     q_structured()
+    spark.catalog.clearCache()
+    q_entail()
+    spark.catalog.clearCache()
+    q_fuzzy()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
