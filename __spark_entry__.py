@@ -169,6 +169,16 @@ def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(_kg1_rel_edges(spark, sf_dir))
 
 
+def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph analytics: 2-iteration exact-integer HITS hubs/authorities
+    (graphstats.hits) over KG1's relation edges — auth_e12/hub_e12 are
+    scaled BIGINTs (max-based integer rescale instead of the L2 norm),
+    so the value hash is bit-exact against the DuckDB chained-CTE twin."""
+    from prase_spark.graphstats import hits
+
+    return hits(_kg1_rel_edges(spark, sf_dir), iterations=2)
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics: 3-iteration exact-integer PageRank over KG1's
     relation edges — rank_e12 is a scaled BIGINT so the value hash is
@@ -4097,6 +4107,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup": _q_embedding_neardup,
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
+        "kg_hits": _q_kg_hits,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -4715,6 +4726,44 @@ def _shingle_cte(n: int) -> str:
 """
 
 
+def _hits_ctes(iterations: int, scale: int) -> str:
+    """Chained-CTE DuckDB twin of graphstats.hits's recurrence. Expects
+    CTEs ``nodes(node)`` and ``e(src, dst)`` in scope; emits a0/h0 ..
+    a{n}/h{n}. All arithmetic is BIGINT with ``//`` truncating division
+    — identical to Spark's ``DIV`` on non-negative longs — including the
+    max-based integer rescale k = max(raw) // scale + 1."""
+    s = int(scale)
+    ctes = [f"h0 AS (SELECT node, CAST({s} AS BIGINT) AS hub FROM nodes)"]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"ar{i} AS (SELECT e.dst AS node, CAST(sum(h.hub) AS BIGINT) "
+            f"AS raw FROM e JOIN h{i - 1} h ON e.src = h.node GROUP BY e.dst)"
+        )
+        ctes.append(
+            f"ak{i} AS (SELECT coalesce(max(raw), CAST(0 AS BIGINT)) "
+            f"// {s} + 1 AS k FROM ar{i})"
+        )
+        ctes.append(
+            f"a{i} AS (SELECT n.node, CAST(coalesce(ar.raw, 0) // ak.k "
+            f"AS BIGINT) AS auth FROM nodes n LEFT JOIN ar{i} ar "
+            f"USING (node) CROSS JOIN ak{i} ak)"
+        )
+        ctes.append(
+            f"hr{i} AS (SELECT e.src AS node, CAST(sum(a.auth) AS BIGINT) "
+            f"AS raw FROM e JOIN a{i} a ON e.dst = a.node GROUP BY e.src)"
+        )
+        ctes.append(
+            f"hk{i} AS (SELECT coalesce(max(raw), CAST(0 AS BIGINT)) "
+            f"// {s} + 1 AS k FROM hr{i})"
+        )
+        ctes.append(
+            f"h{i} AS (SELECT n.node, CAST(coalesce(hr.raw, 0) // hk.k "
+            f"AS BIGINT) AS hub FROM nodes n LEFT JOIN hr{i} hr "
+            f"USING (node) CROSS JOIN hk{i} hk)"
+        )
+    return ",\n            ".join(ctes)
+
+
 def _pagerank_ctes(iterations: int, scale: int, damping_e2: int) -> str:
     """Chained-CTE DuckDB twin of graphstats.pagerank's recurrence.
     Expects CTEs ``nodes(node)`` and ``ed(src, dst, out_deg)`` in scope.
@@ -4863,6 +4912,7 @@ def oracle_sql() -> dict[str, str]:
     from prase_spark.graphstats import PAGERANK_SCALE
 
     pr_ctes = _pagerank_ctes(3, PAGERANK_SCALE, 85)
+    hits_ctes = _hits_ctes(2, PAGERANK_SCALE)
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
@@ -5101,6 +5151,18 @@ def oracle_sql() -> dict[str, str]:
             ed AS (SELECT e.src, e.dst, od.out_deg FROM e JOIN od USING (src)),
             {pr_ctes}
             SELECT node, rank_e12 FROM r3
+        """,
+        # kg_hits twin: same KG1 relation-edge template as kg_pagerank;
+        # the chained a{{i}}/h{{i}} CTEs replay the half-step recurrence
+        # and the max-based integer rescale bit-for-bit
+        "kg_hits": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS src, trim(obj) AS dst
+                  FROM kg1_raw WHERE NOT is_attr),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            {hits_ctes}
+            SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
+            FROM a2 a JOIN h2 h USING (node)
         """,
         # node_triangles twin: same edge template, canonical undirected
         # simplification, degree orientation (ties by node id via a < b),

@@ -450,3 +450,86 @@ def k_hop_distances(
         stats_out["levels"] = depth
         stats_out["frontier_sizes"] = sizes
     return visited
+
+
+def hits(
+    edges: DataFrame,
+    iterations: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Fixed-iteration HITS (Kleinberg 1999) returning
+    (node, auth_e12, hub_e12) as scaled BIGINTs, deterministic to the
+    bit — the hubs-and-authorities complement to :func:`pagerank` for
+    the host link graph (linkgraph.host_link_graph): directories and
+    sitemaps score as hubs, canonical content hosts as authorities,
+    which is exactly the split a crawl scheduler and a KG
+    source-trust prior consume.
+
+    Semantics (the documented deterministic variant):
+    - every node starts with hub = ``scale`` (1.0);
+    - each iteration: auth_raw(v) = sum of hub over in-neighbors, then
+      hub_raw(u) = sum of the NEW auth over out-neighbors (the classic
+      half-step ordering);
+    - normalization replaces the L2 norm (irrational, float-only) with
+      an exact integer rescale: k = max(raw) DIV scale + 1 and
+      value = raw DIV k, which pins every score into [0, scale] with
+      pure integer arithmetic. The normalizer is a one-row aggregate
+      broadcast-crossJoined back (no driver collect, no global sort) —
+      the same accepted one-row-broadcast pattern as colloc.py.
+    - nodes with no in-edges get auth 0; no out-edges, hub 0. Parallel
+      edges count once each (same edge semantics as pagerank).
+
+    Scale shape: per half-step one equi-join (scores are node-keyed)
+    + one map-side-combinable groupBy + a one-row aggregate; the edge
+    list is pinned once and reused. Overflow bound: a hub's raw auth
+    mass is <= in_deg * scale; keep max_degree * scale < 2^63 (degrees
+    beyond ~4.6e6: pass scale=10**9, same caveat as PAGERANK_SCALE).
+    Lineage localCheckpoints every ``checkpoint_every`` iterations.
+    """
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst")).persist()
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist()
+    )
+    nodes.count()
+
+    def _rescale(raw: DataFrame, out_col: str) -> DataFrame:
+        # exact integer normalizer: k = max(raw) DIV scale + 1
+        k = raw.selectExpr(
+            f"coalesce(max(raw), CAST(0 AS LONG)) DIV {int(scale)} + 1 AS k"
+        )
+        return (
+            nodes.join(raw, "node", "left")
+            .crossJoin(F.broadcast(k))
+            .selectExpr(
+                "node",
+                f"coalesce(raw, CAST(0 AS LONG)) DIV k AS {out_col}",
+            )
+        )
+
+    hub = nodes.select("node", F.lit(int(scale)).cast("long").alias("hub_e12"))
+    auth = nodes.select("node", F.lit(0).cast("long").alias("auth_e12"))
+    for i in range(iterations):
+        a_raw = (
+            e.join(hub, e["src"] == hub["node"])
+            .groupBy(e["dst"].alias("node"))
+            .agg(F.sum("hub_e12").alias("raw"))
+        )
+        auth = _rescale(a_raw, "auth_e12")
+        h_raw = (
+            e.join(auth, e["dst"] == auth["node"])
+            .groupBy(e["src"].alias("node"))
+            .agg(F.sum("auth_e12").alias("raw"))
+        )
+        hub = _rescale(h_raw, "hub_e12")
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            auth = auth.localCheckpoint()
+            hub = hub.localCheckpoint()
+    return auth.join(hub, "node")

@@ -13,7 +13,7 @@ from collections import Counter
 import pyspark.sql.functions as F
 import pytest
 
-from prase_spark.graphstats import PAGERANK_SCALE, degrees, pagerank
+from prase_spark.graphstats import PAGERANK_SCALE, degrees, hits, pagerank
 
 
 def _py_pagerank(edges, iterations, damping_e2=85, scale=PAGERANK_SCALE):
@@ -348,3 +348,78 @@ def test_label_propagation_rejects_negative_iterations(spark):
 
     with pytest.raises(ValueError):
         label_propagation(_edge_df(spark, [("a", "b")]), iterations=-1)
+
+
+# --- HITS -----------------------------------------------------------------
+
+
+def _py_hits(edges, iterations, scale=PAGERANK_SCALE):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    hub = dict.fromkeys(nodes, scale)
+    auth = dict.fromkeys(nodes, 0)
+
+    def rescale(raw):
+        k = (max(raw.values()) if raw else 0) // scale + 1
+        return {n: raw.get(n, 0) // k for n in nodes}
+
+    for _ in range(iterations):
+        a_raw = {}
+        for a, b in edges:
+            a_raw[b] = a_raw.get(b, 0) + hub[a]
+        auth = rescale(a_raw)
+        h_raw = {}
+        for a, b in edges:
+            h_raw[a] = h_raw.get(a, 0) + auth[b]
+        hub = rescale(h_raw)
+    return {n: (auth[n], hub[n]) for n in nodes}
+
+
+def test_hits_matches_pure_python_exactly(spark):
+    edges = _seeded_graph()
+    want = _py_hits(edges, 2)
+    got = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(_edge_df(spark, edges), iterations=2).collect()
+    }
+    assert got == want
+
+
+def test_hits_star_hub_and_authority(spark):
+    # directory page d links to c1..c3; content pages link back to d only
+    # from c3 -> d. d must be the top hub, the contents the top authorities.
+    edges = [("d", "c1"), ("d", "c2"), ("d", "c3"), ("c3", "d")]
+    got = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(_edge_df(spark, edges), iterations=2).collect()
+    }
+    assert got == _py_hits(edges, 2)
+    top_hub = max(got, key=lambda n: got[n][1])
+    assert top_hub == "d"
+    # d's authority comes only from c3; contents each get d's full hub mass
+    assert got["c1"][0] == got["c2"][0] == got["c3"][0]
+    assert got["c1"][0] > got["d"][0]
+
+
+def test_hits_partitioning_invariant_and_checkpoint(spark):
+    edges = _seeded_graph(n_nodes=25, n_edges=120, seed=11)
+    df = _edge_df(spark, edges)
+    base = {
+        (r["node"], r["auth_e12"], r["hub_e12"])
+        for r in hits(df, iterations=3).collect()
+    }
+    repart = {
+        (r["node"], r["auth_e12"], r["hub_e12"])
+        for r in hits(df.repartition(13), iterations=3, checkpoint_every=1).collect()
+    }
+    assert base == repart
+
+
+def test_hits_zero_iterations_and_negative(spark):
+    edges = [("a", "b")]
+    got = {
+        r["node"]: (r["auth_e12"], r["hub_e12"])
+        for r in hits(_edge_df(spark, edges), iterations=0).collect()
+    }
+    assert got == {"a": (0, PAGERANK_SCALE), "b": (0, PAGERANK_SCALE)}
+    with pytest.raises(ValueError):
+        hits(_edge_df(spark, edges), iterations=-1)
