@@ -179,6 +179,67 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(_kg1_rel_edges(spark, sf_dir), iterations=2)
 
 
+def _q_distsup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distant supervision (distsup.py, Mintz 2009): two entity-bearing
+    sentences are PLANTED per document by doc_id arithmetic ("Alice{a}
+    works at Corp{c}", "Bob{b} lives in Big City{d}" — the base corpus
+    has no sentence punctuation or digits, asserted at both sf dirs),
+    the gazetteer carries both "Big City{d}" and its contained "City{d}"
+    to exercise multi-token matching and the non-overlapping-span rule,
+    and a 50-fact KB labels the co-mention pairs with NA negatives kept.
+    The Spark side runs the REAL pipeline (sentence split -> n-gram
+    gazetteer join -> ordered pair formation -> KB left join); the
+    DuckDB twin re-derives every row by construction — any missed
+    mention, wrong token position, overlap leak, or mislabel diverges
+    the hash."""
+    from prase_spark.distsup import (
+        distant_supervision,
+        find_mentions,
+        split_sentences,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    i = F.col("doc_id")
+    planted = d.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(". Alice"), (i % 37).cast("string"),
+            F.lit(" works at Corp"), (i % 11).cast("string"),
+            F.lit(". Bob"), ((i * 3) % 29).cast("string"),
+            F.lit(" lives in Big City"), ((i * 5) % 13).cast("string"),
+            F.lit("."),
+        ).alias("text"),
+    )
+    names = (
+        spark.range(37).selectExpr("concat('Alice', id) AS name")
+        .unionByName(spark.range(11).selectExpr("concat('Corp', id) AS name"))
+        .unionByName(spark.range(29).selectExpr("concat('Bob', id) AS name"))
+        .unionByName(spark.range(13).selectExpr("concat('Big City', id) AS name"))
+        .unionByName(spark.range(13).selectExpr("concat('City', id) AS name"))
+        .withColumn("entity", F.col("name"))
+    )
+    j = F.col("id")
+    kb = (
+        spark.range(50).select(
+            F.concat(F.lit("Alice"), (j % 37).cast("string")).alias("subj"),
+            F.lit("worksFor").alias("pred"),
+            F.concat(F.lit("Corp"), ((j * j) % 11).cast("string")).alias("obj"),
+        )
+        .unionByName(
+            spark.range(50).select(
+                F.concat(F.lit("Bob"), (j % 29).cast("string")).alias("subj"),
+                F.lit("livesIn").alias("pred"),
+                F.concat(
+                    F.lit("Big City"), ((j * j + 1) % 13).cast("string")
+                ).alias("obj"),
+            )
+        )
+    )
+    mentions = find_mentions(split_sentences(planted), names)
+    return distant_supervision(mentions, kb, include_negatives=True)
+
+
 def _q_kg_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics: 3-iteration exact-integer PageRank over KG1's
     relation edges — rank_e12 is a scaled BIGINT so the value hash is
@@ -4108,6 +4169,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
+        "distsup_pairs_docs": _q_distsup_pairs_docs,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -5163,6 +5225,56 @@ def oracle_sql() -> dict[str, str]:
             {hits_ctes}
             SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
             FROM a2 a JOIN h2 h USING (node)
+        """,
+        # distsup_pairs_docs twin: mentions, spans, ordered non-overlap
+        # pairs and NA labeling re-derived from the planting arithmetic —
+        # the oracle never splits a sentence or matches a gram
+        "distsup_pairs_docs": """
+            WITH docs AS (
+                SELECT doc_id, doc_id % 37 AS a, doc_id % 11 AS c,
+                       (doc_id * 3) % 29 AS b, (doc_id * 5) % 13 AS dd
+                FROM documents WHERE doc_id < 500
+            ),
+            kb1 AS (SELECT DISTINCT
+                        'Alice' || CAST(j % 37 AS VARCHAR) AS subj,
+                        'Corp' || CAST((j * j) % 11 AS VARCHAR) AS obj
+                    FROM range(50) t(j)),
+            kb2 AS (SELECT DISTINCT
+                        'Bob' || CAST(j % 29 AS VARCHAR) AS subj,
+                        'Big City' || CAST((j * j + 1) % 13 AS VARCHAR) AS obj
+                    FROM range(50) t(j)),
+            pairs AS (
+                SELECT doc_id AS key, 1 AS sent_id,
+                       'Alice' || CAST(a AS VARCHAR) AS subj,
+                       'Corp' || CAST(c AS VARCHAR) AS obj,
+                       0 AS subj_pos, 3 AS obj_pos
+                FROM docs
+                UNION ALL
+                SELECT doc_id, 1, 'Corp' || CAST(c AS VARCHAR),
+                       'Alice' || CAST(a AS VARCHAR), 3, 0 FROM docs
+                UNION ALL
+                SELECT doc_id, 2, 'Bob' || CAST(b AS VARCHAR),
+                       'Big City' || CAST(dd AS VARCHAR), 0, 3 FROM docs
+                UNION ALL
+                SELECT doc_id, 2, 'Big City' || CAST(dd AS VARCHAR),
+                       'Bob' || CAST(b AS VARCHAR), 3, 0 FROM docs
+                UNION ALL
+                SELECT doc_id, 2, 'Bob' || CAST(b AS VARCHAR),
+                       'City' || CAST(dd AS VARCHAR), 0, 4 FROM docs
+                UNION ALL
+                SELECT doc_id, 2, 'City' || CAST(dd AS VARCHAR),
+                       'Bob' || CAST(b AS VARCHAR), 4, 0 FROM docs
+            )
+            SELECT p.key, CAST(p.sent_id AS INTEGER) AS sent_id, p.subj,
+                   CASE WHEN k1.subj IS NOT NULL THEN 'worksFor'
+                        WHEN k2.subj IS NOT NULL THEN 'livesIn'
+                        ELSE 'NA' END AS pred,
+                   p.obj,
+                   CAST(p.subj_pos AS INTEGER) AS subj_pos,
+                   CAST(p.obj_pos AS INTEGER) AS obj_pos
+            FROM pairs p
+            LEFT JOIN kb1 k1 ON k1.subj = p.subj AND k1.obj = p.obj
+            LEFT JOIN kb2 k2 ON k2.subj = p.subj AND k2.obj = p.obj
         """,
         # node_triangles twin: same edge template, canonical undirected
         # simplification, degree orientation (ties by node id via a < b),
