@@ -179,6 +179,32 @@ def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return hits(_kg1_rel_edges(spark, sf_dir), iterations=2)
 
 
+def _q_kg_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-corpus generation (walks.random_walks, DeepWalk): two
+    deterministic 3-hop walks per node over KG1's relation edges — every
+    step choice is the shared-arithmetic mix chooser over poly-hashed
+    walk ids, so the whole corpus value-hashes against the DuckDB
+    chained-CTE twin (adjacency lists + unrolled steps)."""
+    from prase_spark.walks import random_walks
+
+    return random_walks(
+        _kg1_rel_edges(spark, sf_dir), walk_length=3, walks_per_node=2
+    )
+
+
+def _q_kg_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram co-occurrence counts (walks.skipgram_pairs, window=2)
+    over the same deterministic walk corpus as kg_walks — the direct
+    word2vec-trainer input, value-hashed end to end (walk generation AND
+    the windowed self-join both replayed by the twin)."""
+    from prase_spark.walks import random_walks, skipgram_pairs
+
+    w = random_walks(
+        _kg1_rel_edges(spark, sf_dir), walk_length=3, walks_per_node=2
+    )
+    return skipgram_pairs(w, window=2)
+
+
 def _q_distsup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (distsup.py, Mintz 2009): two entity-bearing
     sentences are PLANTED per document by doc_id arithmetic ("Alice{a}
@@ -4170,6 +4196,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
         "distsup_pairs_docs": _q_distsup_pairs_docs,
+        "kg_walks": _q_kg_walks,
+        "kg_skipgram": _q_kg_skipgram,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -4788,6 +4816,44 @@ def _shingle_cte(n: int) -> str:
 """
 
 
+def _walk_ctes(walk_length: int, walks_per_node: int) -> str:
+    """Chained-CTE DuckDB twin of walks.random_walks. Expects CTEs
+    ``e(s, d)`` in scope; emits adj/nodes/starts/w1..w{n}/allw. The walk
+    chooser mix((w % P) * M + step * S + A) % P runs in HUGEINT — exact,
+    same values as Spark's DECIMAL(38,0) path — and walk ids are the
+    poly_hash61 of node || '#k' (POLY_SQL twin)."""
+    from prase_spark.datapipe.hashing import POLY_P, POLY_SQL
+    from prase_spark.walks import MIX_ADD, MIX_MULT, MIX_STEP
+
+    starts = "\n                UNION ALL\n                ".join(
+        f"SELECT {POLY_SQL.format(c=f'''node || '#{k}' ''')} AS walk_id, "
+        f"node AS start, CAST(0 AS INTEGER) AS step, node FROM nodes"
+        for k in range(walks_per_node)
+    )
+    ctes = [
+        "adj AS (SELECT s AS cur, list(d ORDER BY d) AS nbrs FROM e GROUP BY s)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        f"starts AS ({starts})",
+    ]
+    prev = "starts"
+    union = ["SELECT * FROM starts"]
+    for step in range(1, walk_length + 1):
+        mix = (
+            f"((CAST(w.walk_id AS HUGEINT) % {POLY_P}) * {MIX_MULT} "
+            f"+ {step} * {MIX_STEP} + {MIX_ADD}) % {POLY_P}"
+        )
+        ctes.append(
+            f"w{step} AS (SELECT w.walk_id, w.start, "
+            f"CAST({step} AS INTEGER) AS step, "
+            f"a.nbrs[CAST(({mix}) % len(a.nbrs) AS INTEGER) + 1] AS node "
+            f"FROM {prev} w JOIN adj a ON a.cur = w.node)"
+        )
+        union.append(f"SELECT * FROM w{step}")
+        prev = f"w{step}"
+    ctes.append("allw AS (" + " UNION ALL ".join(union) + ")")
+    return ",\n            ".join(ctes)
+
+
 def _hits_ctes(iterations: int, scale: int) -> str:
     """Chained-CTE DuckDB twin of graphstats.hits's recurrence. Expects
     CTEs ``nodes(node)`` and ``e(src, dst)`` in scope; emits a0/h0 ..
@@ -4975,6 +5041,7 @@ def oracle_sql() -> dict[str, str]:
 
     pr_ctes = _pagerank_ctes(3, PAGERANK_SCALE, 85)
     hits_ctes = _hits_ctes(2, PAGERANK_SCALE)
+    walk_ctes = _walk_ctes(3, 2)
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
@@ -5225,6 +5292,30 @@ def oracle_sql() -> dict[str, str]:
             {hits_ctes}
             SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
             FROM a2 a JOIN h2 h USING (node)
+        """,
+        # kg_walks twin: adjacency lists + unrolled walk steps over the
+        # same KG1 relation-edge template; poly-hashed walk ids and the
+        # HUGEINT mix chooser are exact twins of the Spark arithmetic
+        "kg_walks": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS s, trim(obj) AS d
+                  FROM kg1_raw WHERE NOT is_attr),
+            {walk_ctes}
+            SELECT walk_id, start, step, node FROM allw
+        """,
+        # kg_skipgram twin: same walk CTEs + the |step delta| <= 2
+        # windowed self-join and count
+        "kg_skipgram": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS s, trim(obj) AS d
+                  FROM kg1_raw WHERE NOT is_attr),
+            {walk_ctes}
+            SELECT a.node AS center, b.node AS context,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM allw a JOIN allw b ON a.walk_id = b.walk_id
+            WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
+              AND a.node <> b.node
+            GROUP BY a.node, b.node
         """,
         # distsup_pairs_docs twin: mentions, spans, ordered non-overlap
         # pairs and NA labeling re-derived from the planting arithmetic —

@@ -1,0 +1,157 @@
+"""Deterministic random-walk corpus generation over the KG
+(DeepWalk, Perozzi et al. 2014) — the sentence factory for graph
+embeddings.
+
+TransE (transe.py) trains on individual triples; walk-based methods
+(DeepWalk/node2vec) instead feed truncated random walks to a skip-gram
+model as if they were sentences. This module generates that corpus
+in-engine: fixed-length first-order walks whose every "random" choice is
+a pure arithmetic function of (walk_id, step), so the corpus is
+bit-identical at any partitioning/cluster size and the driver gate can
+value-hash it against a DuckDB twin (the same no-RNG-state doctrine as
+DSIR's hash-seeded Gumbel top-k). Second-order node2vec bias (p/q) needs
+the previous node joined in — an extension point, not implemented.
+
+Scale shape:
+- adjacency builds ONCE: groupBy(src) -> sorted neighbor array (ties and
+  multi-edges kept — multiplicity IS the classic edge-weighted sampling
+  bias), then every step is one equi-join of the frontier against the
+  pinned adjacency plus a pure projection. No windows, no collects.
+- the frontier carries (walk_id, step, cur) — 3 columns, never the
+  accumulated path — and results union step-wise, so shuffle rows stay
+  fixed-width no matter the walk length; lineage localCheckpoints.
+- hub risk: a 10^8-out-degree node makes a 10^8-element neighbor array
+  in one row. ``max_degree`` caps the array (sorted prefix) with a
+  counted-drop in ``stats_out['capped_nodes']``; the cap biases hub
+  sampling toward sort-order-small neighbors, so at web scale prefer
+  capping hub edges upstream (the documented trade, same honesty rule
+  as cap_per_group's skew note).
+
+Determinism contract: the step chooser is
+``mix(w, s) = ((w mod P) * 1000003 + s * 999983 + 12345) mod P`` over
+DECIMAL(38,0) (P = 2^61 - 1 — the poly_hash61 modulus family), and
+``walk_id = poly_hash61(node || '#' || k)`` for k in [0, walks_per_node).
+Both are pure shared-arithmetic expressions with exact HUGEINT twins in
+DuckDB, which is what makes the whole corpus value-verifiable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from prase_spark.datapipe.hashing import POLY_P, poly_hash61
+
+MIX_MULT = 1000003
+MIX_STEP = 999983
+MIX_ADD = 12345
+
+
+def _mix_sql(walk_expr: str, step: int) -> str:
+    """Spark SQL for mix(walk_id, step): DECIMAL(38,0) keeps the
+    ~2^81 intermediate product exact (ANSI-safe); the result is < P so
+    it casts back to BIGINT losslessly."""
+    return (
+        f"CAST(((CAST({walk_expr} AS DECIMAL(38,0)) % {POLY_P}) * {MIX_MULT} "
+        f"+ {int(step)} * {MIX_STEP} + {MIX_ADD}) % {POLY_P} AS BIGINT)"
+    )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    src: str = "src",
+    dst: str = "dst",
+    max_degree: int | None = None,
+    checkpoint_every: int = 4,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(walk_id, start, step, node): ``walks_per_node`` truncated random
+    walks from every node, each up to ``walk_length`` hops (step 0 is
+    the start node; dead-end nodes truncate the walk early). Rows, not
+    arrays, so downstream skip-gram windowing is one self-join on
+    (walk_id, |step diff| <= w) and the gate sink is flat.
+
+    Every choice is shared-arithmetic-deterministic (module doc); the
+    walk over a node's sorted neighbor multiset picks index
+    ``mix(walk_id, step) mod out_deg`` — multi-edges raise a neighbor's
+    multiplicity and therefore its sampling weight, the classic
+    weighted DeepWalk variant.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    adj = e.groupBy(F.col("s").alias("cur")).agg(
+        F.sort_array(F.collect_list("d")).alias("nbrs")
+    )
+    if max_degree is not None:
+        if stats_out is not None:
+            stats_out["capped_nodes"] = adj.filter(
+                F.size("nbrs") > max_degree
+            ).count()
+        adj = adj.withColumn("nbrs", F.slice("nbrs", 1, int(max_degree)))
+    adj = adj.persist()
+    adj.count()
+
+    nodes = e.select(F.col("s").alias("node")).union(
+        e.select("d")
+    ).distinct()
+    starts = None
+    for k in range(walks_per_node):
+        sk = nodes.select(
+            poly_hash61(
+                F.concat(F.col("node"), F.lit(f"#{k}"))
+            ).alias("walk_id"),
+            F.col("node").alias("start"),
+            F.lit(0).cast("int").alias("step"),
+            F.col("node").alias("node"),
+        )
+        starts = sk if starts is None else starts.unionByName(sk)
+
+    out = starts.localCheckpoint()
+    frontier = out
+    for step in range(1, walk_length + 1):
+        nxt = (
+            frontier.join(adj, frontier["node"] == adj["cur"])
+            .select(
+                "walk_id",
+                "start",
+                F.lit(step).cast("int").alias("step"),
+                F.element_at(
+                    "nbrs",
+                    F.expr(
+                        f"CAST({_mix_sql('walk_id', step)} % size(nbrs) AS INT) + 1"
+                    ),
+                ).alias("node"),
+            )
+        )
+        if step % checkpoint_every == 0 and step < walk_length:
+            nxt = nxt.localCheckpoint()
+        out = out.unionByName(nxt)
+        frontier = nxt
+    return out
+
+
+def skipgram_pairs(
+    walks: DataFrame, window: int = 2, drop_self: bool = True
+) -> DataFrame:
+    """(center, context, cnt): skip-gram co-occurrence counts over the
+    walk corpus — the direct input of a word2vec-family trainer (and a
+    useful KG-proximity statistic by itself). One self-join on walk_id
+    with a |step delta| band (band size <= 2*window, never a cross
+    join) plus one map-side-combinable count."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    a = walks.select("walk_id", F.col("step").alias("s1"), F.col("node").alias("center"))
+    b = walks.select("walk_id", F.col("step").alias("s2"), F.col("node").alias("context"))
+    pairs = a.join(b, "walk_id").filter(
+        (F.abs(F.col("s1") - F.col("s2")) <= window) & (F.col("s1") != F.col("s2"))
+    )
+    if drop_self:
+        pairs = pairs.filter(F.col("center") != F.col("context"))
+    return pairs.groupBy("center", "context").agg(
+        F.count("*").cast("long").alias("cnt")
+    )

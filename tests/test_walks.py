@@ -1,0 +1,150 @@
+"""walks: deterministic DeepWalk corpus + skip-gram pair counts.
+
+Load-bearing claim: every step choice is shared arithmetic
+(poly_hash61 walk ids + the DECIMAL mix chooser), so the Spark corpus
+equals a pure-python simulation EXACTLY and is partitioning-invariant —
+the property the driver gate's DuckDB twin relies on."""
+
+from __future__ import annotations
+
+import pytest
+
+from prase_spark.datapipe.hashing import POLY_INIT, POLY_MULT, POLY_P
+from prase_spark.walks import MIX_ADD, MIX_MULT, MIX_STEP, random_walks, skipgram_pairs
+
+
+def _poly(s):
+    h = POLY_INIT
+    for ch in s:
+        h = (h * POLY_MULT + ord(ch)) % POLY_P
+    return h
+
+
+def _mix(w, s):
+    return ((w % POLY_P) * MIX_MULT + s * MIX_STEP + MIX_ADD) % POLY_P
+
+
+def _py_walks(edges, walk_length, walks_per_node):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a].sort()
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    rows = set()
+    for node in nodes:
+        for k in range(walks_per_node):
+            wid = _poly(f"{node}#{k}")
+            cur = node
+            rows.add((wid, node, 0, node))
+            for step in range(1, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                cur = nbrs[_mix(wid, step) % len(nbrs)]
+                rows.add((wid, node, step, cur))
+    return rows
+
+
+def _edge_df(spark, edges):
+    return spark.createDataFrame(edges, "src STRING, dst STRING")
+
+
+EDGES = [
+    ("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("c", "d"),
+    ("d", "a"), ("d", "b"), ("b", "a"), ("a", "b"),  # multi-edge a->b
+]
+
+
+def test_walks_match_pure_python_exactly(spark):
+    got = {
+        (r["walk_id"], r["start"], r["step"], r["node"])
+        for r in random_walks(
+            _edge_df(spark, EDGES), walk_length=5, walks_per_node=2
+        ).collect()
+    }
+    assert got == _py_walks(EDGES, 5, 2)
+
+
+def test_walks_dead_end_truncates(spark):
+    # z has no out-edges: its walk is just step 0, and any walk reaching
+    # z stops there
+    edges = [("a", "z")]
+    got = {
+        (r["start"], r["step"], r["node"])
+        for r in random_walks(_edge_df(spark, edges), walk_length=3).collect()
+    }
+    assert got == {("a", 0, "a"), ("a", 1, "z"), ("z", 0, "z")}
+
+
+def test_walks_partitioning_invariant_and_checkpoint(spark):
+    df = _edge_df(spark, EDGES)
+    a = {
+        tuple(r)
+        for r in random_walks(df, walk_length=6, walks_per_node=2).collect()
+    }
+    b = {
+        tuple(r)
+        for r in random_walks(
+            df.repartition(7), walk_length=6, walks_per_node=2, checkpoint_every=1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_walks_max_degree_cap_and_telemetry(spark):
+    stats = {}
+    got = random_walks(
+        _edge_df(spark, EDGES),
+        walk_length=2,
+        max_degree=1,
+        stats_out=stats,
+    )
+    # a (3 out-edges incl. multi), b (2), c (2), d (2) all capped to 1
+    assert stats["capped_nodes"] == 4
+    # with every neighbor list cut to its sorted head, walks are
+    # deterministic chains: a->b->a, b->a->b, c->a->b, d->a->b
+    rows = {(r["start"], r["step"], r["node"]) for r in got.collect()}
+    assert ("a", 1, "b") in rows and ("c", 1, "a") in rows and ("d", 1, "a") in rows
+
+
+def test_walks_rejects_bad_params(spark):
+    df = _edge_df(spark, EDGES)
+    with pytest.raises(ValueError):
+        random_walks(df, walk_length=-1)
+    with pytest.raises(ValueError):
+        random_walks(df, walks_per_node=0)
+
+
+def test_skipgram_pairs_small(spark):
+    walks = spark.createDataFrame(
+        [(1, "a", 0, "x"), (1, "a", 1, "y"), (1, "a", 2, "x"), (2, "b", 0, "y")],
+        "walk_id LONG, start STRING, step INT, node STRING",
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=1).collect()
+    }
+    # (x@0,y@1), (y@1,x@0), (y@1,x@2), (x@2,y@1); x@0/x@2 outside window=1
+    assert got == {("x", "y"): 2, ("y", "x"): 2}
+    with pytest.raises(ValueError):
+        skipgram_pairs(walks, window=0)
+
+
+def test_skipgram_window_and_self_drop(spark):
+    walks = spark.createDataFrame(
+        [(1, "a", 0, "x"), (1, "a", 1, "x"), (1, "a", 2, "z")],
+        "walk_id LONG, start STRING, step INT, node STRING",
+    )
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=2, drop_self=False).collect()
+    }
+    assert got == {
+        ("x", "x"): 2, ("x", "z"): 2, ("z", "x"): 2,
+    }
+    got_drop = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got_drop == {("x", "z"): 2, ("z", "x"): 2}
