@@ -349,6 +349,44 @@ def main():
         timings["pagerank_nodes"] = n_nodes
         edges.unpersist()
 
+    # extra metric (round 5): HITS kernel throughput on the same
+    # synthetic graph — two half-steps per iteration, exact-integer
+    # max-rescale normalization
+    def q_hits():
+        from prase_spark.graphstats import hits
+
+        n_edges = int(os.environ.get("PRASE_BENCH_GRAPH_EDGES", "2000000"))
+        edges = spark.range(n_edges, numPartitions=cpus * 2).selectExpr(
+            "id % 500000 AS src", "pmod(xxhash64(id), 500000) AS dst"
+        ).persist()
+        edges.count()
+        t0 = time.time()
+        n_nodes = hits(edges, iterations=2).count()
+        elapsed = time.time() - t0
+        timings["hits_edges_per_sec"] = round(n_edges * 2 / elapsed, 1)
+        timings["hits_nodes"] = n_nodes
+        edges.unpersist()
+
+    # extra metric (round 5): DeepWalk corpus generation rate — one
+    # 4-hop deterministic walk per node over a 200k-node graph; the
+    # number that sizes the skip-gram training corpus a 100-TB KG yields
+    def q_walks():
+        from prase_spark.walks import random_walks
+
+        n_edges = int(os.environ.get("PRASE_BENCH_WALK_EDGES", "800000"))
+        n_nodes = n_edges // 4
+        edges = spark.range(n_edges, numPartitions=cpus * 2).selectExpr(
+            f"concat('n', id % {n_nodes}) AS src",
+            f"concat('n', pmod(xxhash64(id), {n_nodes})) AS dst",
+        ).persist()
+        edges.count()
+        t0 = time.time()
+        n_steps = random_walks(edges, walk_length=4, walks_per_node=1).count()
+        elapsed = time.time() - t0
+        timings["walk_steps_per_sec"] = round(n_steps / elapsed, 1)
+        timings["walk_steps"] = n_steps
+        edges.unpersist()
+
     # extra metric (round 5): <a href> link extraction throughput over
     # natively-synthesized anchor-rich pages (tools/linkgraph_bench.py
     # synthesizer) — the crawl-side link-graph scan rate
@@ -475,6 +513,10 @@ def main():
     q_entail()
     spark.catalog.clearCache()
     q_fuzzy()
+    spark.catalog.clearCache()
+    q_hits()
+    spark.catalog.clearCache()
+    q_walks()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
