@@ -2758,6 +2758,21 @@ def _q_host_graph_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return host_link_graph(extract_links(_link_pages(spark, sf_dir)))
 
 
+def _q_web_rank_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Crawl-to-graph-analytics seam END-TO-END in one hash: REAL <a
+    href> extraction (decode + anchor grammar + RFC-3986-subset
+    resolution) -> host-level graph (self-host drop) -> 2-iteration
+    exact-integer HITS. Directory-ish crawl hosts score as hubs, the
+    ext/cdn targets as authorities; a leak at any stage (grammar,
+    resolution, self-host filter, rescale arithmetic) diverges the
+    value hash."""
+    from prase_spark.graphstats import hits
+    from prase_spark.linkgraph import extract_links, host_link_graph
+
+    hg = host_link_graph(extract_links(_link_pages(spark, sf_dir)))
+    return hits(hg, iterations=2, src="src_host", dst="dst_host")
+
+
 def _q_anchor_prior_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Anchor-text priors (mention→target table for entity linking):
     top-3 non-empty anchors per link target via the salted two-phase
@@ -4146,6 +4161,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bgp_star_orders": _q_bgp_star_orders,
         "incremental_cc_events": _q_incremental_cc_events,
         "host_graph_pages": _q_host_graph_pages,
+        "web_rank_pages": _q_web_rank_pages,
         "anchor_prior_pages": _q_anchor_prior_pages,
         "hreflang_pages": _q_hreflang_pages,
         "hreflang_cluster_pages": _q_hreflang_cluster_pages,
@@ -7470,6 +7486,22 @@ def oracle_sql() -> dict[str, str]:
         FROM hosted
         WHERE src_host <> dst_host
         GROUP BY src_host, dst_host
+    """
+    out["web_rank_pages"] = f"""
+        WITH {_LINKS_CTE},
+        hosted AS (
+            SELECT regexp_extract(src_url, '^https?://([^/]+)', 1) AS src_host,
+                   regexp_extract(dst_url, '^https?://([^/]+)', 1) AS dst_host
+            FROM links
+        ),
+        e AS (
+            SELECT DISTINCT src_host AS src, dst_host AS dst
+            FROM hosted WHERE src_host <> dst_host
+        ),
+        nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        {hits_ctes}
+        SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
+        FROM a2 a JOIN h2 h USING (node)
     """
     out["anchor_prior_pages"] = f"""
         WITH {_LINKS_CTE},
