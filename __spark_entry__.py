@@ -205,6 +205,20 @@ def _q_kg_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(w, window=2)
 
 
+def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Personalized PageRank (graphstats.personalized_pagerank): 3
+    iterations from the deterministic seed set {nodes ending in '7'}
+    over KG1's relation edges — proximity-to-seeds as scaled BIGINTs,
+    unreachable nodes exactly 0, bit-exact vs the seeded chained-CTE
+    twin."""
+    from prase_spark.graphstats import personalized_pagerank
+
+    e = _kg1_rel_edges(spark, sf_dir)
+    nodes = e.selectExpr("src AS node").union(e.selectExpr("dst")).distinct()
+    seeds = nodes.filter(F.expr("right(node, 1) = '7'"))
+    return personalized_pagerank(e, seeds, iterations=3)
+
+
 def _q_distsup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (distsup.py, Mintz 2009): two entity-bearing
     sentences are PLANTED per document by doc_id arithmetic ("Alice{a}
@@ -4214,6 +4228,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distsup_pairs_docs": _q_distsup_pairs_docs,
         "kg_walks": _q_kg_walks,
         "kg_skipgram": _q_kg_skipgram,
+        "kg_ppr": _q_kg_ppr,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -4870,6 +4885,35 @@ def _walk_ctes(walk_length: int, walks_per_node: int) -> str:
     return ",\n            ".join(ctes)
 
 
+def _ppr_ctes(iterations: int, scale: int, damping_e2: int) -> str:
+    """Chained-CTE DuckDB twin of graphstats.personalized_pagerank.
+    Expects CTEs ``nodes(node)``, ``ed(src, dst, out_deg)`` and
+    ``seeds(node)`` in scope; emits r0..r{n} with the restart mass
+    confined to the seed set (seed flag as an integer multiplier on the
+    base term). BIGINT `//` arithmetic, bit-exact vs Spark's DIV."""
+    base = ((100 - damping_e2) * scale) // 100
+    d = int(damping_e2)
+    ctes = [
+        "sf AS (SELECT n.node, CASE WHEN s.node IS NOT NULL THEN 1 ELSE 0 "
+        "END AS is_seed FROM nodes n LEFT JOIN seeds s USING (node))",
+        f"r0 AS (SELECT node, CAST({scale} AS BIGINT) * is_seed AS rank_e12 "
+        "FROM sf)",
+    ]
+    for i in range(1, iterations + 1):
+        mass = "CAST(coalesce(m.in_mass, 0) AS BIGINT)"
+        ctes.append(
+            f"m{i} AS (SELECT ed.dst AS node, "
+            f"CAST(sum(r.rank_e12 // ed.out_deg) AS BIGINT) AS in_mass "
+            f"FROM ed JOIN r{i - 1} r ON ed.src = r.node GROUP BY ed.dst)"
+        )
+        ctes.append(
+            f"r{i} AS (SELECT n.node, CAST({base} AS BIGINT) * n.is_seed + "
+            f"({mass} // 100) * {d} + (({mass} % 100) * {d}) // 100 AS rank_e12 "
+            f"FROM sf n LEFT JOIN m{i} m USING (node))"
+        )
+    return ",\n            ".join(ctes)
+
+
 def _hits_ctes(iterations: int, scale: int) -> str:
     """Chained-CTE DuckDB twin of graphstats.hits's recurrence. Expects
     CTEs ``nodes(node)`` and ``e(src, dst)`` in scope; emits a0/h0 ..
@@ -5058,6 +5102,7 @@ def oracle_sql() -> dict[str, str]:
     pr_ctes = _pagerank_ctes(3, PAGERANK_SCALE, 85)
     hits_ctes = _hits_ctes(2, PAGERANK_SCALE)
     walk_ctes = _walk_ctes(3, 2)
+    ppr_ctes = _ppr_ctes(3, PAGERANK_SCALE, 85)
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
     toks = _TOKS_SQL.format(c="text")
@@ -5308,6 +5353,19 @@ def oracle_sql() -> dict[str, str]:
             {hits_ctes}
             SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
             FROM a2 a JOIN h2 h USING (node)
+        """,
+        # kg_ppr twin: pagerank's edge template + the seeded restart-mass
+        # CTE chain (seeds = nodes ending in '7')
+        "kg_ppr": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS src, trim(obj) AS dst
+                  FROM kg1_raw WHERE NOT is_attr),
+            nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+            seeds AS (SELECT node FROM nodes WHERE right(node, 1) = '7'),
+            od AS (SELECT src, count(*) AS out_deg FROM e GROUP BY src),
+            ed AS (SELECT e.src, e.dst, od.out_deg FROM e JOIN od USING (src)),
+            {ppr_ctes}
+            SELECT node, rank_e12 FROM r3
         """,
         # kg_walks twin: adjacency lists + unrolled walk steps over the
         # same KG1 relation-edge template; poly-hashed walk ids and the

@@ -533,3 +533,81 @@ def hits(
             auth = auth.localCheckpoint()
             hub = hub.localCheckpoint()
     return auth.join(hub, "node")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    seeds: DataFrame,
+    iterations: int = 3,
+    damping_e2: int = 85,
+    src: str = "src",
+    dst: str = "dst",
+    node: str = "node",
+    scale: int = PAGERANK_SCALE,
+    checkpoint_every: int = 5,
+) -> DataFrame:
+    """Personalized PageRank (node, rank_e12): :func:`pagerank` with the
+    teleport mass restricted to ``seeds`` — the KG-proximity scorer
+    ("which entities are close to THESE?") behind related-entity
+    panels, candidate expansion around aligned seed pairs, and
+    crawl-frontier prioritization from trusted hosts.
+
+    Same exact-integer doctrine as :func:`pagerank` (scaled-BIGINT
+    ranks, truncating shares, overflow-free damping), same per-iteration
+    shape (one join on ``src`` + one shuffle on ``dst``); the only
+    change is the base term: seeds start at ``scale`` and receive the
+    ``(100 - damping_e2)%`` restart mass every iteration, non-seeds
+    start at 0 and receive none — so all rank mass is reachability from
+    the seed set and far-away nodes stay exactly 0 (they never enter
+    the rank frame at all until mass reaches them; the output left-join
+    restores them as explicit zeros)."""
+    if iterations < 0:
+        raise ValueError(f"iterations must be >= 0, got {iterations}")
+    base = ((100 - damping_e2) * scale) // 100
+
+    e = edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
+    nodes = (
+        e.select(F.col("src").alias("node"))
+        .union(e.select("dst"))
+        .distinct()
+        .persist()
+    )
+    seed_nodes = (
+        seeds.select(F.col(node).alias("node"))
+        .distinct()
+        .join(nodes, "node")  # seeds outside the graph carry no edges
+        .persist()
+    )
+    out_deg = e.groupBy("src").agg(F.count("*").alias("out_deg"))
+    ed = e.join(out_deg, "src").persist()
+    ed.count()
+
+    rank = seed_nodes.select(
+        "node", F.lit(int(scale)).cast("long").alias("rank_e12")
+    )
+    for i in range(iterations):
+        contrib = (
+            ed.join(rank, ed["src"] == rank["node"])
+            .selectExpr("dst AS node", "rank_e12 DIV out_deg AS share")
+            .groupBy("node")
+            .agg(F.sum("share").alias("in_mass"))
+        )
+        rank = (
+            contrib.join(seed_nodes.withColumn("__s", F.lit(1)), "node", "full")
+            .selectExpr(
+                "node",
+                "coalesce(in_mass, CAST(0 AS LONG)) AS in_mass",
+                "coalesce(__s, 0) AS __s",
+            )
+            .selectExpr(
+                "node",
+                f"CAST({base} AS LONG) * __s + "
+                f"{_damp_sql('in_mass', damping_e2)} AS rank_e12",
+            )
+        )
+        if (i + 1) % checkpoint_every == 0 and i + 1 < iterations:
+            rank = rank.localCheckpoint()
+    return (
+        nodes.join(rank, "node", "left")
+        .selectExpr("node", "coalesce(rank_e12, CAST(0 AS LONG)) AS rank_e12")
+    )

@@ -13,7 +13,13 @@ from collections import Counter
 import pyspark.sql.functions as F
 import pytest
 
-from prase_spark.graphstats import PAGERANK_SCALE, degrees, hits, pagerank
+from prase_spark.graphstats import (
+    PAGERANK_SCALE,
+    degrees,
+    hits,
+    pagerank,
+    personalized_pagerank,
+)
 
 
 def _py_pagerank(edges, iterations, damping_e2=85, scale=PAGERANK_SCALE):
@@ -423,3 +429,82 @@ def test_hits_zero_iterations_and_negative(spark):
     assert got == {"a": (0, PAGERANK_SCALE), "b": (0, PAGERANK_SCALE)}
     with pytest.raises(ValueError):
         hits(_edge_df(spark, edges), iterations=-1)
+
+
+# --- personalized PageRank ---------------------------------------------------
+
+
+def _py_ppr(edges, seeds, iterations, damping_e2=85, scale=PAGERANK_SCALE):
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    seeds = {s for s in seeds if s in set(nodes)}
+    out = Counter(a for a, _ in edges)
+    base = ((100 - damping_e2) * scale) // 100
+    rank = {n: (scale if n in seeds else 0) for n in nodes}
+    for _ in range(iterations):
+        mass = dict.fromkeys(nodes, 0)
+        for a, b in edges:
+            if rank[a]:
+                mass[b] += rank[a] // out[a]
+        rank = {
+            n: (base if n in seeds else 0)
+            + (mass[n] // 100) * damping_e2
+            + ((mass[n] % 100) * damping_e2) // 100
+            for n in nodes
+        }
+    return rank
+
+
+def _seed_df(spark, names):
+    return spark.createDataFrame([(n,) for n in names], "node STRING")
+
+
+def test_ppr_matches_pure_python_exactly(spark):
+    edges = _seeded_graph()
+    seeds = ["n1", "n5", "n13"]
+    want = _py_ppr(edges, seeds, 3)
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in personalized_pagerank(
+            _edge_df(spark, edges), _seed_df(spark, seeds), iterations=3
+        ).collect()
+    }
+    assert got == want
+
+
+def test_ppr_mass_stays_near_seeds(spark):
+    # a -> b -> c -> d chain, seed at a: once the initial pulse washes
+    # out (restart mass dominates after ~5 hops) rank decays along the
+    # chain, and unreachable z stays exactly 0
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("z", "a")]
+    got = {
+        r["node"]: r["rank_e12"]
+        for r in personalized_pagerank(
+            _edge_df(spark, edges), _seed_df(spark, ["a"]), iterations=8
+        ).collect()
+    }
+    assert got == _py_ppr(edges, ["a"], 8)
+    assert got["a"] > got["b"] > got["c"] > got["d"]
+    assert got["z"] == 0
+
+
+def test_ppr_unknown_seed_ignored_and_partitioning(spark):
+    edges = _seeded_graph(n_nodes=20, n_edges=80, seed=3)
+    df = _edge_df(spark, edges)
+    seeds = _seed_df(spark, ["n0", "nope"])
+    a = {tuple(r) for r in personalized_pagerank(df, seeds, iterations=4).collect()}
+    b = {
+        tuple(r)
+        for r in personalized_pagerank(
+            df.repartition(9), seeds, iterations=4, checkpoint_every=1
+        ).collect()
+    }
+    assert a == b == {
+        (n, v) for n, v in _py_ppr(edges, ["n0"], 4).items()
+    }
+
+
+def test_ppr_rejects_negative_iterations(spark):
+    with pytest.raises(ValueError):
+        personalized_pagerank(
+            _edge_df(spark, [("a", "b")]), _seed_df(spark, ["a"]), iterations=-1
+        )
