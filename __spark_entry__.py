@@ -205,6 +205,24 @@ def _q_kg_skipgram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return skipgram_pairs(w, window=2)
 
 
+def _q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Second-order node2vec walks (walks.node2vec_walks): one 3-hop
+    biased walk per node over KG1's relation edges, integer p/q weights
+    (return 1, common 3, far 2) — the whole biased-sampling fold
+    (weights, cumulative sums, interval pick) value-hashes against the
+    DuckDB window-formulation twin."""
+    from prase_spark.walks import node2vec_walks
+
+    return node2vec_walks(
+        _kg1_rel_edges(spark, sf_dir),
+        walk_length=3,
+        walks_per_node=1,
+        return_w=1,
+        common_w=3,
+        far_w=2,
+    )
+
+
 def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (graphstats.personalized_pagerank): 3
     iterations from the deterministic seed set {nodes ending in '7'}
@@ -4229,6 +4247,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_walks": _q_kg_walks,
         "kg_skipgram": _q_kg_skipgram,
         "kg_ppr": _q_kg_ppr,
+        "kg_node2vec": _q_kg_node2vec,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -4885,6 +4904,76 @@ def _walk_ctes(walk_length: int, walks_per_node: int) -> str:
     return ",\n            ".join(ctes)
 
 
+def _n2v_ctes(walk_length: int, wr: int, wc: int, wf: int) -> str:
+    """Chained-CTE DuckDB twin of walks.node2vec_walks (one walk per
+    node). Expects ``e(s, d)`` in scope. Step 1 is the uniform chooser;
+    steps >= 2 unnest the candidate list, weight each candidate by its
+    relation to the previous node, and pick the row whose cumulative-
+    weight interval contains mix(walk_id, step) mod total — a window
+    formulation of the same fold Spark runs inside codegen (duplicate
+    candidates tie in ORDER BY cand, but their intervals partition the
+    range and carry the same cand value, so the pick is order-free)."""
+    from prase_spark.datapipe.hashing import POLY_P, POLY_SQL
+    from prase_spark.walks import MIX_ADD, MIX_MULT, MIX_STEP
+
+    def mix(step: int) -> str:
+        return (
+            f"((CAST(walk_id AS HUGEINT) % {POLY_P}) * {MIX_MULT} "
+            f"+ {step} * {MIX_STEP} + {MIX_ADD}) % {POLY_P}"
+        )
+
+    ctes = [
+        "adj AS (SELECT s AS cur, list(d ORDER BY d) AS nbrs FROM e GROUP BY s)",
+        "nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e)",
+        "starts AS (SELECT "
+        + POLY_SQL.format(c="node || '#0'")
+        + " AS walk_id, node AS start, CAST(0 AS INTEGER) AS step, "
+        "node FROM nodes)",
+    ]
+    union = ["SELECT walk_id, start, step, node FROM starts"]
+    if walk_length >= 1:
+        mix1 = (
+            f"((CAST(w.walk_id AS HUGEINT) % {POLY_P}) * {MIX_MULT} "
+            f"+ 1 * {MIX_STEP} + {MIX_ADD}) % {POLY_P}"
+        )
+        ctes.append(
+            "f1 AS (SELECT w.walk_id, w.start, CAST(1 AS INTEGER) AS step, "
+            f"a.nbrs[CAST(({mix1}) % len(a.nbrs) AS INTEGER) + 1] AS node, "
+            "w.node AS prev FROM starts w JOIN adj a ON a.cur = w.node)"
+        )
+        union.append("SELECT walk_id, start, step, node FROM f1")
+    prev = "f1"
+    for step in range(2, walk_length + 1):
+        ctes.append(
+            f"c{step} AS (SELECT w.walk_id, w.start, w.node AS cur, w.prev, "
+            f"unnest(a.nbrs) AS cand, ap.nbrs AS pnbrs "
+            f"FROM {prev} w JOIN adj a ON a.cur = w.node "
+            f"JOIN adj ap ON ap.cur = w.prev)"
+        )
+        ctes.append(
+            f"p{step} AS (SELECT walk_id, start, cur, cand, "
+            f"CASE WHEN cand = prev THEN {wr} "
+            f"WHEN list_contains(pnbrs, cand) THEN {wc} "
+            f"ELSE {wf} END AS wt FROM c{step})"
+        )
+        ctes.append(
+            f"q{step} AS (SELECT *, "
+            "sum(wt) OVER (PARTITION BY walk_id ORDER BY cand "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS tot FROM p{step})"
+        )
+        ctes.append(
+            f"f{step} AS (SELECT walk_id, start, CAST({step} AS INTEGER) "
+            f"AS step, cand AS node, cur AS prev FROM q{step} "
+            f"WHERE cum > ({mix(step)}) % tot "
+            f"AND cum - wt <= ({mix(step)}) % tot)"
+        )
+        union.append(f"SELECT walk_id, start, step, node FROM f{step}")
+        prev = f"f{step}"
+    ctes.append("allw AS (" + " UNION ALL ".join(union) + ")")
+    return ",\n            ".join(ctes)
+
+
 def _ppr_ctes(iterations: int, scale: int, damping_e2: int) -> str:
     """Chained-CTE DuckDB twin of graphstats.personalized_pagerank.
     Expects CTEs ``nodes(node)``, ``ed(src, dst, out_deg)`` and
@@ -5102,6 +5191,7 @@ def oracle_sql() -> dict[str, str]:
     pr_ctes = _pagerank_ctes(3, PAGERANK_SCALE, 85)
     hits_ctes = _hits_ctes(2, PAGERANK_SCALE)
     walk_ctes = _walk_ctes(3, 2)
+    n2v_ctes = _n2v_ctes(3, 1, 3, 2)
     ppr_ctes = _ppr_ctes(3, PAGERANK_SCALE, 85)
     kg1_inv = INV_SQL.format(src="kg1_raw")
     kg2_inv = INV_SQL.format(src="kg2_raw")
@@ -5353,6 +5443,15 @@ def oracle_sql() -> dict[str, str]:
             {hits_ctes}
             SELECT a.node, a.auth AS auth_e12, h.hub AS hub_e12
             FROM a2 a JOIN h2 h USING (node)
+        """,
+        # kg_node2vec twin: same edge template; the biased-walk steps as
+        # unnest + window cum-sum interval picks
+        "kg_node2vec": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS s, trim(obj) AS d
+                  FROM kg1_raw WHERE NOT is_attr),
+            {n2v_ctes}
+            SELECT walk_id, start, step, node FROM allw
         """,
         # kg_ppr twin: pagerank's edge template + the seeded restart-mass
         # CTE chain (seeds = nodes ending in '7')

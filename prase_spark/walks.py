@@ -9,8 +9,8 @@ in-engine: fixed-length first-order walks whose every "random" choice is
 a pure arithmetic function of (walk_id, step), so the corpus is
 bit-identical at any partitioning/cluster size and the driver gate can
 value-hash it against a DuckDB twin (the same no-RNG-state doctrine as
-DSIR's hash-seeded Gumbel top-k). Second-order node2vec bias (p/q) needs
-the previous node joined in — an extension point, not implemented.
+DSIR's hash-seeded Gumbel top-k). :func:`node2vec_walks` adds the
+second-order p/q bias with integer weights, same determinism contract.
 
 Scale shape:
 - adjacency builds ONCE: groupBy(src) -> sorted neighbor array (ties and
@@ -155,3 +155,122 @@ def skipgram_pairs(
     return pairs.groupBy("center", "context").agg(
         F.count("*").cast("long").alias("cnt")
     )
+
+
+def node2vec_walks(
+    edges: DataFrame,
+    walk_length: int = 8,
+    walks_per_node: int = 1,
+    return_w: int = 1,
+    common_w: int = 4,
+    far_w: int = 2,
+    src: str = "src",
+    dst: str = "dst",
+    checkpoint_every: int = 4,
+) -> DataFrame:
+    """Second-order biased walks (node2vec, Grover & Leskovec 2016),
+    same output contract and determinism doctrine as
+    :func:`random_walks`. The step-2+ chooser weights each candidate
+    next node by its relation to the PREVIOUS node: ``return_w`` when it
+    IS the previous node (node2vec's 1/p), ``common_w`` when it is a
+    neighbor of the previous node (distance 1 — BFS-ish, community
+    exploring), ``far_w`` otherwise (1/q — DFS-ish). Integer weights
+    replace node2vec's float p/q so sampling stays exact shared
+    arithmetic: the pick is the first index whose cumulative weight
+    exceeds ``mix(walk_id, step) mod total_weight``. With all three
+    weights equal the chooser degenerates to exactly
+    :func:`random_walks`'s uniform pick (pytest-pinned).
+
+    Scale shape: each step is TWO equi-joins against the pinned
+    adjacency (cur's neighbors + prev's neighbors) and one pure array
+    projection — the weight/cumsum/pick fold runs inside codegen over
+    the neighbor array, no explode, no window, no shuffle beyond the
+    joins. The prev-neighbor membership probe is a linear array scan:
+    cost O(deg(cur) * deg(prev)) per step-row, the standard node2vec
+    trade (alias tables precompute the same product); cap hub degrees
+    upstream as with random_walks.
+    """
+    if walk_length < 0:
+        raise ValueError(f"walk_length must be >= 0, got {walk_length}")
+    if walks_per_node < 1:
+        raise ValueError(f"walks_per_node must be >= 1, got {walks_per_node}")
+    for nm, w in (("return_w", return_w), ("common_w", common_w), ("far_w", far_w)):
+        if int(w) < 1:
+            raise ValueError(f"{nm} must be >= 1, got {w}")
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    adj = (
+        e.groupBy(F.col("s").alias("cur"))
+        .agg(F.sort_array(F.collect_list("d")).alias("nbrs"))
+        .persist()
+    )
+    adj.count()
+    nodes = e.select(F.col("s").alias("node")).union(e.select("d")).distinct()
+
+    starts = None
+    for k in range(walks_per_node):
+        sk = nodes.select(
+            poly_hash61(F.concat(F.col("node"), F.lit(f"#{k}"))).alias("walk_id"),
+            F.col("node").alias("start"),
+            F.lit(0).cast("int").alias("step"),
+            F.col("node").alias("node"),
+        )
+        starts = sk if starts is None else starts.unionByName(sk)
+    out = starts.localCheckpoint()
+
+    # step 1: uniform (no previous node yet) — identical to random_walks
+    frontier = None
+    if walk_length >= 1:
+        f1 = starts.join(adj, starts["node"] == adj["cur"]).select(
+            "walk_id",
+            "start",
+            F.lit(1).cast("int").alias("step"),
+            F.col("node").alias("prev"),
+            F.element_at(
+                "nbrs",
+                F.expr(f"CAST({_mix_sql('walk_id', 1)} % size(nbrs) AS INT) + 1"),
+            ).alias("node"),
+        )
+        out = out.unionByName(f1.drop("prev"))
+        frontier = f1
+
+    wr, wc, wf = int(return_w), int(common_w), int(far_w)
+    for step in range(2, walk_length + 1):
+        a = adj.select(F.col("cur").alias("__c"), F.col("nbrs").alias("__nbrs"))
+        ap = adj.select(F.col("cur").alias("__p"), F.col("nbrs").alias("__pnbrs"))
+        joined = (
+            frontier.join(a, frontier["node"] == a["__c"])
+            .join(ap, frontier["prev"] == ap["__p"])
+        )
+        # cum is 0-seeded ([0, c1, .., cn]) so the running-sum lambda
+        # never probes an empty array; the picked neighbor index is then
+        # exactly |{c in cum : c <= r}| (the leading 0 supplies the +1)
+        pick = F.expr(
+            f"""element_at(__nbrs, CAST(size(filter(
+                  aggregate(
+                    transform(__nbrs, x -> CAST(CASE
+                        WHEN x = prev THEN {wr}
+                        WHEN array_contains(__pnbrs, x) THEN {wc}
+                        ELSE {wf} END AS BIGINT)),
+                    array(CAST(0 AS BIGINT)),
+                    (acc, w) -> array_append(acc, element_at(acc, -1) + w)
+                  ),
+                  c -> c <= {_mix_sql('walk_id', step)} % aggregate(
+                    transform(__nbrs, x -> CAST(CASE
+                        WHEN x = prev THEN {wr}
+                        WHEN array_contains(__pnbrs, x) THEN {wc}
+                        ELSE {wf} END AS BIGINT)),
+                    CAST(0 AS BIGINT), (acc, w) -> acc + w)
+                ) ) AS INT))"""
+        )
+        nxt = joined.select(
+            "walk_id",
+            "start",
+            F.lit(step).cast("int").alias("step"),
+            F.col("node").alias("prev"),
+            pick.alias("node"),
+        )
+        if step % checkpoint_every == 0 and step < walk_length:
+            nxt = nxt.localCheckpoint()
+        out = out.unionByName(nxt.drop("prev"))
+        frontier = nxt
+    return out

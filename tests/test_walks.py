@@ -148,3 +148,97 @@ def test_skipgram_window_and_self_drop(spark):
         for r in skipgram_pairs(walks, window=2).collect()
     }
     assert got_drop == {("x", "z"): 2, ("z", "x"): 2}
+
+
+# --- node2vec ---------------------------------------------------------------
+
+
+def _py_node2vec(edges, walk_length, walks_per_node, wr, wc, wf):
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, []).append(b)
+    for a in adj:
+        adj[a].sort()
+    nodes = sorted({a for a, _ in edges} | {b for _, b in edges})
+    rows = set()
+    for node in nodes:
+        for k in range(walks_per_node):
+            wid = _poly(f"{node}#{k}")
+            rows.add((wid, node, 0, node))
+            nbrs = adj.get(node)
+            if not nbrs:
+                continue
+            prev, cur = node, nbrs[_mix(wid, 1) % len(nbrs)]
+            rows.add((wid, node, 1, cur))
+            for step in range(2, walk_length + 1):
+                nbrs = adj.get(cur)
+                if not nbrs:
+                    break
+                pn = set(adj.get(prev, []))
+                ws = [
+                    wr if x == prev else (wc if x in pn else wf) for x in nbrs
+                ]
+                r = _mix(wid, step) % sum(ws)
+                acc, idx = 0, 0
+                for j, w in enumerate(ws):
+                    acc += w
+                    if r < acc:
+                        idx = j
+                        break
+                prev, cur = cur, nbrs[idx]
+                rows.add((wid, node, step, cur))
+    return rows
+
+
+def test_node2vec_matches_pure_python_exactly(spark):
+    from prase_spark.walks import node2vec_walks
+
+    got = {
+        (r["walk_id"], r["start"], r["step"], r["node"])
+        for r in node2vec_walks(
+            _edge_df(spark, EDGES), walk_length=5, walks_per_node=2,
+            return_w=1, common_w=4, far_w=2,
+        ).collect()
+    }
+    assert got == _py_node2vec(EDGES, 5, 2, 1, 4, 2)
+
+
+def test_node2vec_equal_weights_degenerates_to_first_order(spark):
+    from prase_spark.walks import node2vec_walks
+
+    df = _edge_df(spark, EDGES)
+    uni = {
+        tuple(r) for r in random_walks(df, walk_length=4, walks_per_node=2).collect()
+    }
+    n2v = {
+        tuple(r)
+        for r in node2vec_walks(
+            df, walk_length=4, walks_per_node=2,
+            return_w=1, common_w=1, far_w=1,
+        ).collect()
+    }
+    assert n2v == uni
+
+
+def test_node2vec_partitioning_invariant(spark):
+    from prase_spark.walks import node2vec_walks
+
+    df = _edge_df(spark, EDGES)
+    a = {
+        tuple(r)
+        for r in node2vec_walks(df, walk_length=6, walks_per_node=1).collect()
+    }
+    b = {
+        tuple(r)
+        for r in node2vec_walks(
+            df.repartition(11), walk_length=6, walks_per_node=1, checkpoint_every=1
+        ).collect()
+    }
+    assert a == b
+
+
+def test_node2vec_rejects_bad_weights(spark):
+    from prase_spark.walks import node2vec_walks
+
+    with pytest.raises(ValueError):
+        node2vec_walks(_edge_df(spark, EDGES), return_w=0)
