@@ -237,6 +237,20 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(e, seeds, iterations=3)
 
 
+def _q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV bottom-k distinct-count sketch (datapipe/sketches.py): per
+    source, the 16 smallest finalized poly hashes of the document texts
+    and the integer estimator (k-1)*P DIV h_k — the value-verifiable
+    alternative to HyperLogLog (whose registers can never cross-engine
+    hash). Every source holds > k distinct texts at both sf dirs, so
+    the ESTIMATOR branch (not the exact fallback) is what the twin
+    hash-checks."""
+    from prase_spark.datapipe.sketches import kmv_distinct
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 2000")
+    return kmv_distinct(d, "source", "text", k=16)
+
+
 def _q_distsup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (distsup.py, Mintz 2009): two entity-bearing
     sentences are PLANTED per document by doc_id arithmetic ("Alice{a}
@@ -4248,6 +4262,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram": _q_kg_skipgram,
         "kg_ppr": _q_kg_ppr,
         "kg_node2vec": _q_kg_node2vec,
+        "kmv_distinct_docs": _q_kmv_distinct_docs,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -5182,7 +5197,8 @@ def _bpe_ctes(n_merges: int) -> str:
 
 def oracle_sql() -> dict[str, str]:
     from prase_spark.datapipe.dedup import _MERSENNE, minhash_params
-    from prase_spark.datapipe.hashing import POLY_SQL
+    from prase_spark.datapipe.hashing import POLY_P, POLY_SQL
+    from prase_spark.datapipe.sketches import KMV_FIN_ADD
     from prase_spark.tpch_kg import INV_SQL, KG1_SQL, KG2_SQL, NORM_LIT_SQL, NORM_URI_SQL
 
     from prase_spark.datapipe.textstats import BPE_RE
@@ -5490,6 +5506,34 @@ def oracle_sql() -> dict[str, str]:
               AND a.node <> b.node
             GROUP BY a.node, b.node
         """,
+        # kmv_distinct_docs twin: same poly hash + quadratic finalizer
+        # (HUGEINT keeps h^2 ~ 2^122 exact), bottom-16 via row_number,
+        # same integer estimator
+        "kmv_distinct_docs": f"""
+            WITH ph AS (
+                SELECT source, {{poly_text}} AS p
+                FROM documents WHERE doc_id < 2000
+            ),
+            pairs AS (
+                SELECT DISTINCT source AS "group",
+                       CAST((CAST(p AS HUGEINT) * p + {KMV_FIN_ADD})
+                            % {POLY_P} AS BIGINT) AS h
+                FROM ph
+            ),
+            kept AS (
+                SELECT * FROM (
+                    SELECT "group", h, row_number() OVER (
+                        PARTITION BY "group" ORDER BY h) AS rn
+                    FROM pairs
+                ) WHERE rn <= 16
+            )
+            SELECT "group", CAST(count(*) AS BIGINT) AS n_kept,
+                   max(h) AS kth_hash,
+                   CASE WHEN count(*) < 16 THEN CAST(count(*) AS BIGINT)
+                        ELSE CAST((CAST(15 AS HUGEINT) * {POLY_P})
+                                  // max(h) AS BIGINT) END AS distinct_est
+            FROM kept GROUP BY "group"
+        """.format(poly_text=POLY_SQL.format(c="text")),
         # distsup_pairs_docs twin: mentions, spans, ordered non-overlap
         # pairs and NA labeling re-derived from the planting arithmetic —
         # the oracle never splits a sentence or matches a gram

@@ -1,0 +1,88 @@
+"""KMV distinct-count sketch: exact equality vs a pure-python replica,
+small-group exact fallback, mergeability-by-construction, partitioning
+invariance, and estimator sanity at k=64."""
+
+from __future__ import annotations
+
+import pytest
+
+from prase_spark.datapipe.hashing import POLY_INIT, POLY_MULT, POLY_P
+from prase_spark.datapipe.sketches import KMV_FIN_ADD, kmv_distinct
+
+
+def _poly(s):
+    h = POLY_INIT
+    for ch in s:
+        h = (h * POLY_MULT + ord(ch)) % POLY_P
+    return h
+
+
+def _fin(h):
+    return (h * h + KMV_FIN_ADD) % POLY_P
+
+
+def _py_kmv(rows, k):
+    groups = {}
+    for g, v in rows:
+        groups.setdefault(g, set()).add(_fin(_poly(str(v))))
+    out = {}
+    for g, hs in groups.items():
+        kept = sorted(hs)[:k]
+        kth = kept[-1]
+        est = len(kept) if len(kept) < k else ((k - 1) * POLY_P) // kth
+        out[g] = (len(kept), kth, est)
+    return out
+
+
+def _df(spark, rows):
+    return spark.createDataFrame(rows, "g STRING, v STRING")
+
+
+def test_kmv_matches_python_replica_exactly(spark):
+    rows = [(f"g{i % 3}", f"v{(i * 7) % 40}") for i in range(200)]
+    got = {
+        r["group"]: (r["n_kept"], r["kth_hash"], r["distinct_est"])
+        for r in kmv_distinct(_df(spark, rows), "g", "v", k=8).collect()
+    }
+    assert got == _py_kmv(rows, 8)
+
+
+def test_kmv_small_group_is_exact(spark):
+    rows = [("a", "x"), ("a", "y"), ("a", "x"), ("b", "z")]
+    got = {
+        r["group"]: r["distinct_est"]
+        for r in kmv_distinct(_df(spark, rows), "g", "v", k=64).collect()
+    }
+    assert got == {"a": 2, "b": 1}
+
+
+def test_kmv_partitioning_and_salt_invariance(spark):
+    rows = [(f"g{i % 2}", f"u{i % 97}") for i in range(300)]
+    df = _df(spark, rows)
+    a = {tuple(r) for r in kmv_distinct(df, "g", "v", k=16).collect()}
+    b = {
+        tuple(r)
+        for r in kmv_distinct(
+            df.repartition(13), "g", "v", k=16, salt_buckets=7
+        ).collect()
+    }
+    assert a == b
+
+
+def test_kmv_estimator_accuracy_k64(spark):
+    # 5000 distinct values in one group: the k=64 estimate must land
+    # within a loose +-50% band — deterministic, so this is a
+    # fixed value pinned loosely for robustness to hash quirks
+    rows = [("g", f"item-{i}") for i in range(5000)]
+    est = kmv_distinct(_df(spark, rows), "g", "v", k=64).collect()[0][
+        "distinct_est"
+    ]
+    assert 2500 <= est <= 7500
+
+
+def test_kmv_rejects_bad_params(spark):
+    df = _df(spark, [("a", "x")])
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "g", "v", k=1)
+    with pytest.raises(ValueError):
+        kmv_distinct(df, "g", "v", salt_buckets=0)
