@@ -237,6 +237,22 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(e, seeds, iterations=3)
 
 
+def _q_cluster_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clustering-quality metrics (evaluate.cluster_metrics): pairwise
+    precision/recall/F1 + B-cubed in exact integer micro-units, over a
+    deterministic pred/gold clustering pair templated from orders
+    (pred = o_orderkey % 97, gold = o_orderkey % 89 — overlapping but
+    different partitions, so every cell of the contingency table is
+    exercised). The twin replays contingency, marginals, pair counts
+    and the floor-per-cell B-cubed convention."""
+    from prase_spark.evaluate import cluster_metrics
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pred = o.selectExpr("o_orderkey AS id", "CAST(o_orderkey % 97 AS STRING) AS cluster")
+    gold = o.selectExpr("o_orderkey AS id", "CAST(o_orderkey % 89 AS STRING) AS cluster")
+    return cluster_metrics(pred, gold)
+
+
 def _q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """KMV bottom-k distinct-count sketch (datapipe/sketches.py): per
     source, the 16 smallest finalized poly hashes of the document texts
@@ -4263,6 +4279,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_ppr": _q_kg_ppr,
         "kg_node2vec": _q_kg_node2vec,
         "kmv_distinct_docs": _q_kmv_distinct_docs,
+        "cluster_eval_orders": _q_cluster_eval_orders,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -5505,6 +5522,52 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
               AND a.node <> b.node
             GROUP BY a.node, b.node
+        """,
+        # cluster_eval_orders twin: contingency/marginal replay with the
+        # same floor conventions (n*(n-1)//2 pairs, floor-per-cell then
+        # floor-over-items B-cubed)
+        "cluster_eval_orders": """
+            WITH j AS (
+                SELECT o_orderkey AS id,
+                       CAST(o_orderkey % 97 AS VARCHAR) AS pc,
+                       CAST(o_orderkey % 89 AS VARCHAR) AS gc
+                FROM orders
+            ),
+            cont AS (SELECT pc, gc, count(*) AS n_ij FROM j GROUP BY pc, gc),
+            psz AS (SELECT pc, sum(n_ij) AS n_p FROM cont GROUP BY pc),
+            gsz AS (SELECT gc, sum(n_ij) AS n_g FROM cont GROUP BY gc),
+            agg AS (
+                SELECT
+                    (SELECT count(*) FROM j) AS n_items,
+                    (SELECT sum((n_ij * (n_ij - 1)) // 2) FROM cont) AS tp_pairs,
+                    (SELECT sum((n_p * (n_p - 1)) // 2) FROM psz) AS pred_pairs,
+                    (SELECT sum((n_g * (n_g - 1)) // 2) FROM gsz) AS gold_pairs,
+                    (SELECT sum((1000000 * n_ij * n_ij) // n_p)
+                     FROM cont JOIN psz USING (pc)) AS bp_sum,
+                    (SELECT sum((1000000 * n_ij * n_ij) // n_g)
+                     FROM cont JOIN gsz USING (gc)) AS br_sum
+            )
+            SELECT CAST(n_items AS BIGINT) AS n_items,
+                   CAST(tp_pairs AS BIGINT) AS tp_pairs,
+                   CAST(pred_pairs AS BIGINT) AS pred_pairs,
+                   CAST(gold_pairs AS BIGINT) AS gold_pairs,
+                   CAST(CASE WHEN pred_pairs > 0 THEN (1000000 * tp_pairs)
+                        // pred_pairs ELSE 0 END AS BIGINT) AS pair_prec_e6,
+                   CAST(CASE WHEN gold_pairs > 0 THEN (1000000 * tp_pairs)
+                        // gold_pairs ELSE 0 END AS BIGINT) AS pair_rec_e6,
+                   CAST(CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND
+                        (1000000 * tp_pairs) // pred_pairs
+                        + (1000000 * tp_pairs) // gold_pairs > 0 THEN
+                        (2 * ((1000000 * tp_pairs) // pred_pairs)
+                           * ((1000000 * tp_pairs) // gold_pairs))
+                        // ((1000000 * tp_pairs) // pred_pairs
+                            + (1000000 * tp_pairs) // gold_pairs)
+                        ELSE 0 END AS BIGINT) AS pair_f1_e6,
+                   CAST(CASE WHEN n_items > 0 THEN bp_sum // n_items
+                        ELSE 0 END AS BIGINT) AS bcubed_prec_e6,
+                   CAST(CASE WHEN n_items > 0 THEN br_sum // n_items
+                        ELSE 0 END AS BIGINT) AS bcubed_rec_e6
+            FROM agg
         """,
         # kmv_distinct_docs twin: same poly hash + quadratic finalizer
         # (HUGEINT keeps h^2 ~ 2^122 exact), bottom-16 via row_number,

@@ -150,3 +150,99 @@ def blocking_metrics(
             "ELSE 0 END AS BIGINT)"
         ).alias("pq_e6"),
     )
+
+
+def cluster_metrics(
+    pred: DataFrame,
+    gold: DataFrame,
+    id_col: str = "id",
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Clustering-quality report for the canonicalization layer: compare
+    a predicted clustering (e.g. connected-components canonical ids,
+    label-propagation communities, dedup clusters) against a gold
+    clustering of the SAME items. One row with exact-integer surfaces:
+
+    - pairwise counts (Menestrina et al. 2010): ``tp_pairs`` (item pairs
+      co-clustered in both), ``pred_pairs`` / ``gold_pairs``, and
+      ``pair_prec_e6`` / ``pair_rec_e6`` / ``pair_f1_e6`` micro-units;
+    - B-cubed (Bagga & Baldwin 1998): per-item precision n_ij/|P_j| and
+      recall n_ij/|G_i| averaged over items —
+      ``bcubed_prec_e6`` = (sum over cells of (10^6*n_ij^2) div |P_j|)
+      div N, same shape for recall. Floor-per-cell-then-floor is the
+      pinned convention (documented so the DuckDB twin is exact).
+
+    Items are matched on ``id_col`` with an INNER join: both sides must
+    cluster the same universe (evaluate coverage separately — silently
+    scoring half-covered predictions hides deletion bugs).
+
+    Plan: one equi-join, one contingency groupBy (map-side combinable),
+    two marginal groupBys REUSING the contingency table (never re-scan
+    the items), assembled by one-row cross joins. Counts use
+    ``n*(n-1) DIV 2`` on BIGINT — exact to 3x10^9 items per cell."""
+    p = pred.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("pc"))
+    g = gold.select(F.col(id_col).alias("id"), F.col(cluster_col).alias("gc"))
+    j = p.join(g, "id")
+    cont = j.groupBy("pc", "gc").agg(F.count("*").alias("n_ij")).persist()
+
+    psz = cont.groupBy("pc").agg(F.sum("n_ij").alias("n_p"))
+    gsz = cont.groupBy("gc").agg(F.sum("n_ij").alias("n_g"))
+
+    tp = cont.agg(
+        F.expr("CAST(sum((n_ij * (n_ij - 1)) DIV 2) AS BIGINT)").alias("tp_pairs")
+    )
+    pp = psz.agg(
+        F.expr("CAST(sum((n_p * (n_p - 1)) DIV 2) AS BIGINT)").alias("pred_pairs")
+    )
+    gp = gsz.agg(
+        F.expr("CAST(sum((n_g * (n_g - 1)) DIV 2) AS BIGINT)").alias("gold_pairs")
+    )
+    n = j.agg(F.count("*").cast("bigint").alias("n_items"))
+    bp = (
+        cont.join(psz, "pc")
+        .agg(
+            F.expr(
+                "CAST(sum((1000000 * n_ij * n_ij) DIV n_p) AS BIGINT)"
+            ).alias("__bp_sum")
+        )
+    )
+    br = (
+        cont.join(gsz, "gc")
+        .agg(
+            F.expr(
+                "CAST(sum((1000000 * n_ij * n_ij) DIV n_g) AS BIGINT)"
+            ).alias("__br_sum")
+        )
+    )
+    row = n.crossJoin(tp).crossJoin(pp).crossJoin(gp).crossJoin(bp).crossJoin(br)
+    return row.select(
+        "n_items",
+        "tp_pairs",
+        "pred_pairs",
+        "gold_pairs",
+        F.expr(
+            "CAST(CASE WHEN pred_pairs > 0 THEN (1000000 * tp_pairs) DIV "
+            "pred_pairs ELSE 0 END AS BIGINT)"
+        ).alias("pair_prec_e6"),
+        F.expr(
+            "CAST(CASE WHEN gold_pairs > 0 THEN (1000000 * tp_pairs) DIV "
+            "gold_pairs ELSE 0 END AS BIGINT)"
+        ).alias("pair_rec_e6"),
+        F.expr(
+            "CAST(CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND "
+            "(1000000 * tp_pairs) DIV pred_pairs + (1000000 * tp_pairs) "
+            "DIV gold_pairs > 0 THEN "
+            "(2 * ((1000000 * tp_pairs) DIV pred_pairs) * "
+            "((1000000 * tp_pairs) DIV gold_pairs)) DIV "
+            "((1000000 * tp_pairs) DIV pred_pairs + "
+            "(1000000 * tp_pairs) DIV gold_pairs) ELSE 0 END AS BIGINT)"
+        ).alias("pair_f1_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_items > 0 THEN __bp_sum DIV n_items "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("bcubed_prec_e6"),
+        F.expr(
+            "CAST(CASE WHEN n_items > 0 THEN __br_sum DIV n_items "
+            "ELSE 0 END AS BIGINT)"
+        ).alias("bcubed_rec_e6"),
+    )
