@@ -237,6 +237,38 @@ def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return personalized_pagerank(e, seeds, iterations=3)
 
 
+def _q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encoding (datapipe/pq.py): the 64-dim
+    embedding table against an arithmetic-constructed 4x16x16 codebook
+    on the exact-binary 1/16 grid — per-subspace argmin of left-fold
+    squared L2 (same-fold doctrine, ties code-ASC), sunk as four INT
+    codes plus the base-16-packed BIGINT key. The twin replays
+    slice/zip-fold/argmin/packing; training itself is pytest-verified
+    (transcendental discipline, like TransE)."""
+    import numpy as np
+
+    from prase_spark.datapipe.pq import pq_codebook_df, pq_encode
+
+    books = np.array(
+        [
+            [[((k * 7 + j * 3 + s) % 16) / 16.0 for j in range(16)]
+             for k in range(16)]
+            for s in range(4)
+        ]
+    )
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    codes = pq_encode(emb, pq_codebook_df(spark, books), m=4, dsub=16)
+    return codes.selectExpr(
+        "vec_id",
+        "codes[0] AS c0",
+        "codes[1] AS c1",
+        "codes[2] AS c2",
+        "codes[3] AS c3",
+        "CAST(codes[0] + 16 * codes[1] + 256 * codes[2] "
+        "+ 4096 * codes[3] AS BIGINT) AS code_key",
+    )
+
+
 def _q_cluster_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality metrics (evaluate.cluster_metrics): pairwise
     precision/recall/F1 + B-cubed in exact integer micro-units, over a
@@ -4280,6 +4312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_node2vec": _q_kg_node2vec,
         "kmv_distinct_docs": _q_kmv_distinct_docs,
         "cluster_eval_orders": _q_cluster_eval_orders,
+        "pq_codes_embeddings": _q_pq_codes_embeddings,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -5522,6 +5555,54 @@ def oracle_sql() -> dict[str, str]:
             WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
               AND a.node <> b.node
             GROUP BY a.node, b.node
+        """,
+        # pq_codes_embeddings twin: arithmetic codebook + slice +
+        # left-fold squared-L2 + row_number argmin + base-16 packing
+        "pq_codes_embeddings": """
+            WITH ss AS (SELECT unnest(generate_series(0, 3)) AS subspace),
+            kk AS (SELECT unnest(generate_series(0, 15)) AS code),
+            cb AS (
+                SELECT subspace, code,
+                       list_transform(generate_series(0, 15), j ->
+                           CAST((code * 7 + j * 3 + subspace) % 16
+                                AS DOUBLE) / 16.0) AS c
+                FROM ss, kk
+            ),
+            subs AS (
+                SELECT vec_id, subspace,
+                       embedding[subspace * 16 + 1 : subspace * 16 + 16] AS sv
+                FROM embeddings, ss
+            ),
+            dists AS (
+                SELECT vec_id, subspace, code,
+                       list_reduce(list_prepend(CAST(0 AS DOUBLE),
+                           list_transform(list_zip(sv, c), p ->
+                               (CAST(p[1] AS DOUBLE) - p[2])
+                               * (CAST(p[1] AS DOUBLE) - p[2]))),
+                           (acc, x) -> acc + x) AS dist
+                FROM subs JOIN cb USING (subspace)
+            ),
+            best AS (
+                SELECT vec_id, subspace, code FROM (
+                    SELECT *, row_number() OVER (
+                        PARTITION BY vec_id, subspace
+                        ORDER BY dist, code) AS rn
+                    FROM dists
+                ) WHERE rn = 1
+            ),
+            packed AS (
+                SELECT vec_id,
+                       max(CASE WHEN subspace = 0 THEN code END) AS c0,
+                       max(CASE WHEN subspace = 1 THEN code END) AS c1,
+                       max(CASE WHEN subspace = 2 THEN code END) AS c2,
+                       max(CASE WHEN subspace = 3 THEN code END) AS c3
+                FROM best GROUP BY vec_id
+            )
+            SELECT vec_id, CAST(c0 AS INT) AS c0, CAST(c1 AS INT) AS c1,
+                   CAST(c2 AS INT) AS c2, CAST(c3 AS INT) AS c3,
+                   CAST(c0 + 16 * c1 + 256 * c2 + 4096 * c3 AS BIGINT)
+                       AS code_key
+            FROM packed
         """,
         # cluster_eval_orders twin: contingency/marginal replay with the
         # same floor conventions (n*(n-1)//2 pairs, floor-per-cell then
