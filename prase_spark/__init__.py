@@ -55,12 +55,17 @@ from prase_spark.structured import (
 )
 from prase_spark.graphstats import (
     degrees,
+    hits,
     label_propagation,
     link_candidates,
     node_triangles,
     pagerank,
+    personalized_pagerank,
     triangle_count,
 )
+from prase_spark.walks import node2vec_walks, random_walks, skipgram_pairs
+from prase_spark.distsup import distant_supervision, find_mentions, split_sentences
+from prase_spark.evaluate import cluster_metrics
 from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.linkgraph import (
@@ -139,6 +144,15 @@ __all__ = [
     "save_state",
     "degrees",
     "pagerank",
+    "personalized_pagerank",
+    "hits",
+    "random_walks",
+    "node2vec_walks",
+    "skipgram_pairs",
+    "distant_supervision",
+    "find_mentions",
+    "split_sentences",
+    "cluster_metrics",
     "label_propagation",
     "triangle_count",
     "node_triangles",

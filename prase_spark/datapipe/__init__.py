@@ -77,6 +77,13 @@ from prase_spark.datapipe.classify import (
 )
 from prase_spark.datapipe.dsir import bucket_model, dsir_sample, dsir_weights, hashed_grams
 from prase_spark.datapipe.substrdedup import kgram_fingerprints, substring_dup_stats
+from prase_spark.datapipe.sketches import kmv_distinct
+from prase_spark.datapipe.pq import (
+    pq_adc_topk,
+    pq_codebook_df,
+    pq_encode,
+    train_pq_codebooks,
+)
 from prase_spark.datapipe.simsearch import (
     build_ivf_index,
     cosine_topk,
@@ -174,4 +181,9 @@ __all__ = [
     "dedup_paragraphs",
     "corpus_profile",
     "sessionize",
+    "kmv_distinct",
+    "pq_adc_topk",
+    "pq_codebook_df",
+    "pq_encode",
+    "train_pq_codebooks",
 ]
