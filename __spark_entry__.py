@@ -1293,6 +1293,30 @@ def _q_name_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name_l", "name_r")
 
 
+def _q_hard_negatives_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for embedding training: the name-blocked
+    candidate pairs (LSH + exact jaccard >= 0.6) ANTI-JOINED against
+    the by-construction gold variant pairs — similar-surface-but-
+    distinct entity pairs, exactly the margin-loss negatives a TransE/
+    alignment trainer wants (random negatives are too easy; these sit
+    on the decision boundary). Pure composition of audited operators:
+    nameblock candidates + one broadcast left-anti join."""
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.nameblock import name_candidates
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    left = p.select(F.col("p_name").alias("name"))
+    right = p.select(F.concat(F.col("p_name"), F.lit(" v2")).alias("name"))
+    cands = name_candidates(
+        left, right, threshold=0.6, num_hashes=32, bands=16, hash_fn=poly_hash61
+    ).select("name_l", "name_r")
+    gold = p.select(
+        F.col("p_name").alias("name_l"),
+        F.concat(F.col("p_name"), F.lit(" v2")).alias("name_r"),
+    ).distinct()
+    return cands.join(F.broadcast(gold), ["name_l", "name_r"], "left_anti")
+
+
 def _q_name_seed_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Name-similarity seed bootstrap (seed.name_seed_matches) between two
     KGs with DISJOINT literal vocabularies, built from part names: KG_L
@@ -4179,6 +4203,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "name_block_parts": _q_name_block_parts,
+        "hard_negatives_parts": _q_hard_negatives_parts,
         "name_seed_parts": _q_name_seed_parts,
         "decontaminate_docs": _q_decontaminate_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
@@ -6773,6 +6798,17 @@ def oracle_sql() -> dict[str, str]:
             named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
             {_name_pairs_chain}
             SELECT name_l, name_r FROM pairs
+        """
+    # hard_negatives_parts twin: the full nameblock chain minus the
+    # by-construction gold variant pairs
+    out["hard_negatives_parts"] = f"""
+            WITH named_l AS (SELECT DISTINCT p_name AS name FROM part WHERE p_partkey < 300),
+            named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
+            {_name_pairs_chain}
+            SELECT name_l, name_r FROM pairs
+            EXCEPT
+            SELECT DISTINCT p_name, p_name || ' v2'
+            FROM part WHERE p_partkey < 300
         """
     # seed.name_seed_matches over the same fixture: per-entity best
     # counterpart (max prob, tie -> min counterpart_id). Among entities
