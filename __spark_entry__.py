@@ -169,6 +169,26 @@ def _q_kg_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(_kg1_rel_edges(spark, sf_dir))
 
 
+def _q_link_ra_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resource-allocation-index link prediction
+    (graphstats.link_candidates_ra): same events-templated sparse graph
+    as link_candidates, but each shared middle contributes
+    10^6 DIV deg(middle) — rare middles weigh more (the exact-integer
+    Adamic-Adar stand-in). min_common=5 keeps the pair set
+    change-volume-sized."""
+    from prase_spark.graphstats import link_candidates_ra
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    m = max(97, ev.count() // 20)
+    edges = ev.select(
+        (F.col("event_id") % m).alias("src"),
+        F.expr(
+            f"(101 * (event_id DIV {m}) + 7 * (event_id % {m}) + 13) % {m}"
+        ).alias("dst"),
+    )
+    return link_candidates_ra(edges, min_common=5)
+
+
 def _q_kg_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph analytics: 2-iteration exact-integer HITS hubs/authorities
     (graphstats.hits) over KG1's relation edges — auth_e12/hub_e12 are
@@ -4330,6 +4350,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
+        "link_ra_events": _q_link_ra_events,
         "distsup_pairs_docs": _q_distsup_pairs_docs,
         "kg_walks": _q_kg_walks,
         "kg_skipgram": _q_kg_skipgram,
@@ -5836,6 +5857,48 @@ def oracle_sql() -> dict[str, str]:
             FROM non_edges n
             JOIN deg dx ON dx.node = n.x
             JOIN deg dy ON dy.node = n.y
+        """,
+        # link_ra_events twin: the link_candidates graph template with
+        # the per-middle 10^6 // deg weight summed through the wedge join
+        "link_ra_events": """
+            WITH mm AS (
+                SELECT greatest(97, count(*) // 20) AS m FROM events
+            ),
+            raw AS (
+                SELECT event_id % m AS a,
+                       (101 * (event_id // m) + 7 * (event_id % m) + 13) % m AS b
+                FROM events, mm
+            ),
+            und AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT node, count(*) AS d
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node
+            ),
+            adj AS (
+                SELECT a AS m, b AS n FROM und
+                UNION ALL SELECT b AS m, a AS n FROM und
+            ),
+            adjw AS (
+                SELECT adj.m, adj.n, CAST(1000000 AS BIGINT) // deg.d AS w
+                FROM adj JOIN deg ON deg.node = adj.m
+            ),
+            pairs AS (
+                SELECT e1.n AS x, e2.n AS y,
+                       count(*) AS common, sum(e1.w) AS ra
+                FROM adjw e1 JOIN adj e2 ON e1.m = e2.m AND e1.n < e2.n
+                GROUP BY e1.n, e2.n
+                HAVING count(*) >= 5
+            )
+            SELECT p.x AS a, p.y AS b, CAST(p.common AS BIGINT) AS common,
+                   CAST(p.ra AS BIGINT) AS ra_e6
+            FROM pairs p
+            LEFT JOIN und u ON u.a = p.x AND u.b = p.y
+            WHERE u.a IS NULL
         """,
         "graph_partition_metrics": f"""
             WITH kg1_raw AS ({KG1_SQL}),

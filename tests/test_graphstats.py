@@ -508,3 +508,65 @@ def test_ppr_rejects_negative_iterations(spark):
         personalized_pagerank(
             _edge_df(spark, [("a", "b")]), _seed_df(spark, ["a"]), iterations=-1
         )
+
+
+# --- resource-allocation link prediction ------------------------------------
+
+
+def _py_ra(edges, min_common=2, max_mid=10_000):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    nbrs = {}
+    for a, b in und:
+        nbrs.setdefault(a, set()).add(b)
+        nbrs.setdefault(b, set()).add(a)
+    out = {}
+    nodes = sorted(nbrs)
+    for i, x in enumerate(nodes):
+        for y in nodes[i + 1 :]:
+            if (x, y) in und:
+                continue
+            com = [
+                m for m in nbrs[x] & nbrs[y] if len(nbrs[m]) <= max_mid
+            ]
+            if len(com) >= min_common:
+                out[(x, y)] = (
+                    len(com),
+                    sum(1000000 // len(nbrs[m]) for m in com),
+                )
+    return out
+
+
+def test_link_ra_matches_python_and_partitioning(spark):
+    from prase_spark.graphstats import link_candidates_ra
+
+    edges = _seeded_graph(n_nodes=18, n_edges=60, seed=9)
+    df = _edge_df(spark, edges)
+    got = {
+        (r["a"], r["b"]): (r["common"], r["ra_e6"])
+        for r in link_candidates_ra(df, min_common=2).collect()
+    }
+    assert got == _py_ra(edges)
+    rep = {
+        (r["a"], r["b"]): (r["common"], r["ra_e6"])
+        for r in link_candidates_ra(df.repartition(5), min_common=2).collect()
+    }
+    assert rep == got
+
+
+def test_link_ra_weights_rare_middles_higher(spark):
+    from prase_spark.graphstats import link_candidates_ra
+
+    # x and y share two middles: m1 (degree 2, rare) and m2 (degree 4,
+    # hub-ish) -> ra = 10^6/2 + 10^6/4
+    edges = [
+        ("x", "m1"), ("y", "m1"),
+        ("x", "m2"), ("y", "m2"), ("p", "m2"), ("q", "m2"),
+    ]
+    got = {
+        (r["a"], r["b"]): r["ra_e6"]
+        for r in link_candidates_ra(_edge_df(spark, edges), min_common=2).collect()
+    }
+    assert got[("x", "y")] == 1000000 // 2 + 1000000 // 4
