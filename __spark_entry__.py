@@ -4223,7 +4223,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_multiprobe_topk": _q_lsh_multiprobe_topk,
         "ngram_jaccard_docs": _q_ngram_jaccard_docs,
         "name_block_parts": _q_name_block_parts,
-        "hard_negatives_parts": _q_hard_negatives_parts,
         "name_seed_parts": _q_name_seed_parts,
         "decontaminate_docs": _q_decontaminate_docs,
         "simhash_pairs_docs": _q_simhash_pairs_docs,
@@ -4350,6 +4349,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_degrees": _q_kg_degrees,
         "kg_pagerank": _q_kg_pagerank,
         "kg_hits": _q_kg_hits,
+        "hard_negatives_parts": _q_hard_negatives_parts,
         "link_ra_events": _q_link_ra_events,
         "distsup_pairs_docs": _q_distsup_pairs_docs,
         "kg_walks": _q_kg_walks,
