@@ -387,6 +387,35 @@ def main():
         timings["walk_steps"] = n_steps
         edges.unpersist()
 
+    # extra metric (round 5): PQ encode rate — the join-argmin kernel
+    # that compresses an embedding corpus to m-byte codes (64-dim
+    # synthetic vectors, 4x16 codebook)
+    def q_pq():
+        import numpy as np
+
+        from prase_spark.datapipe.pq import pq_codebook_df, pq_encode
+
+        n_v = int(os.environ.get("PRASE_BENCH_PQ_VECS", "200000"))
+        vecs = spark.range(n_v, numPartitions=cpus * 2).selectExpr(
+            "id AS vec_id",
+            "transform(sequence(0, 63), j -> CAST(pmod(xxhash64(id, j), 997) "
+            "AS DOUBLE) / 997.0) AS embedding",
+        ).persist()
+        vecs.count()
+        books = np.array(
+            [
+                [[((k * 7 + j * 3 + s) % 16) / 16.0 for j in range(16)]
+                 for k in range(16)]
+                for s in range(4)
+            ]
+        )
+        cb = pq_codebook_df(spark, books)
+        t0 = time.time()
+        n_out = pq_encode(vecs, cb, m=4, dsub=16).count()
+        elapsed = time.time() - t0
+        timings["pq_encode_vecs_per_sec"] = round(n_out / elapsed, 1)
+        vecs.unpersist()
+
     # extra metric (round 5): <a href> link extraction throughput over
     # natively-synthesized anchor-rich pages (tools/linkgraph_bench.py
     # synthesizer) — the crawl-side link-graph scan rate
@@ -517,6 +546,8 @@ def main():
     q_hits()
     spark.catalog.clearCache()
     q_walks()
+    spark.catalog.clearCache()
+    q_pq()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)
