@@ -243,6 +243,20 @@ def _q_kg_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_kg_context_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributional node similarity END-TO-END (walks.random_walks ->
+    skipgram_pairs -> context_similarity): histogram-intersection
+    min-sum over shared skip-gram contexts, top-5 per node via the
+    two-phase salted partial top-k — float-free graph-embedding
+    similarity, the whole three-stage chain in one value hash."""
+    from prase_spark.walks import context_similarity, random_walks, skipgram_pairs
+
+    w = random_walks(
+        _kg1_rel_edges(spark, sf_dir), walk_length=3, walks_per_node=2
+    )
+    return context_similarity(skipgram_pairs(w, window=2), min_shared=2, k=5)
+
+
 def _q_kg_ppr(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Personalized PageRank (graphstats.personalized_pagerank): 3
     iterations from the deterministic seed set {nodes ending in '7'}
@@ -4356,6 +4370,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_skipgram": _q_kg_skipgram,
         "kg_ppr": _q_kg_ppr,
         "kg_node2vec": _q_kg_node2vec,
+        "kg_context_sim": _q_kg_context_sim,
         "kmv_distinct_docs": _q_kmv_distinct_docs,
         "cluster_eval_orders": _q_cluster_eval_orders,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
@@ -5564,6 +5579,41 @@ def oracle_sql() -> dict[str, str]:
                   FROM kg1_raw WHERE NOT is_attr),
             {n2v_ctes}
             SELECT walk_id, start, step, node FROM allw
+        """,
+        # kg_context_sim twin: the kg_skipgram chain + context df-cap +
+        # min-sum self-join + top-5 window (same total order)
+        "kg_context_sim": f"""
+            WITH kg1_raw AS ({KG1_SQL}),
+            e AS (SELECT trim(subj) AS s, trim(obj) AS d
+                  FROM kg1_raw WHERE NOT is_attr),
+            {walk_ctes},
+            sg AS (
+                SELECT a.node AS center, b.node AS context,
+                       CAST(count(*) AS BIGINT) AS cnt
+                FROM allw a JOIN allw b ON a.walk_id = b.walk_id
+                WHERE abs(a.step - b.step) <= 2 AND a.step <> b.step
+                  AND a.node <> b.node
+                GROUP BY a.node, b.node
+            ),
+            cdf AS (SELECT context, count(*) AS df FROM sg GROUP BY context),
+            cold AS (
+                SELECT sg.* FROM sg JOIN cdf USING (context)
+                WHERE df <= 10000
+            ),
+            sim AS (
+                SELECT x.center AS a, y.center AS b,
+                       CAST(count(*) AS BIGINT) AS shared,
+                       CAST(sum(least(x.cnt, y.cnt)) AS BIGINT) AS minsum
+                FROM cold x JOIN cold y
+                  ON x.context = y.context AND x.center < y.center
+                GROUP BY x.center, y.center
+                HAVING count(*) >= 2
+            )
+            SELECT a, b, shared, minsum FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY a ORDER BY minsum DESC, shared DESC, b
+                ) AS rn FROM sim
+            ) WHERE rn <= 5
         """,
         # kg_ppr twin: pagerank's edge template + the seeded restart-mass
         # CTE chain (seeds = nodes ending in '7')

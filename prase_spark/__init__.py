@@ -63,7 +63,12 @@ from prase_spark.graphstats import (
     personalized_pagerank,
     triangle_count,
 )
-from prase_spark.walks import node2vec_walks, random_walks, skipgram_pairs
+from prase_spark.walks import (
+    context_similarity,
+    node2vec_walks,
+    random_walks,
+    skipgram_pairs,
+)
 from prase_spark.distsup import distant_supervision, find_mentions, split_sentences
 from prase_spark.evaluate import cluster_metrics
 from prase_spark.io import bucket_metrics
@@ -149,6 +154,7 @@ __all__ = [
     "random_walks",
     "node2vec_walks",
     "skipgram_pairs",
+    "context_similarity",
     "distant_supervision",
     "find_mentions",
     "split_sentences",

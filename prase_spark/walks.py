@@ -274,3 +274,66 @@ def node2vec_walks(
         out = out.unionByName(nxt.drop("prev"))
         frontier = nxt
     return out
+
+
+def context_similarity(
+    pairs: DataFrame,
+    min_shared: int = 2,
+    max_context_df: int = 10_000,
+    k: int | None = 10,
+    salt_buckets: int = 64,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(a, b, shared, minsum): distributional node similarity over a
+    skip-gram co-occurrence table (:func:`skipgram_pairs` output) — two
+    nodes are similar when their context DISTRIBUTIONS overlap, scored
+    by the histogram-intersection kernel sum(min(cnt_a, cnt_b)) over
+    shared contexts. Exact integers end to end: the float-free stand-in
+    for training embeddings and cosining them, and a direct PARIS-seed /
+    related-entity signal by itself (nodes that random walks see in the
+    same company).
+
+    Scale shape (the banded-join doctrine): candidate pairs generate
+    ONLY through shared contexts; a context appearing in more than
+    ``max_context_df`` nodes' rows is dropped first with a counted-drop
+    in ``stats_out['dropped_contexts']`` (a stop-context carries little
+    signal per pair and would alone contribute df^2 pairs). Pairs are
+    ordered a < b; ``k`` keeps the top-k per ``a`` via the two-phase
+    salted partial top-k (minsum DESC, shared DESC, b ASC total order),
+    ``k=None`` returns all pairs above ``min_shared``."""
+    if min_shared < 1:
+        raise ValueError(f"min_shared must be >= 1, got {min_shared}")
+    p = pairs.select("center", "context", F.col("cnt").cast("long").alias("cnt"))
+    df = p.groupBy("context").agg(F.count("*").alias("__df"))
+    hot = df.filter(F.col("__df") > max_context_df)
+    if stats_out is not None:
+        stats_out["dropped_contexts"] = hot.count()
+    p = p.join(hot.select("context"), "context", "left_anti")
+    a = p.select(F.col("center").alias("a"), "context", F.col("cnt").alias("ca"))
+    b = p.select(F.col("center").alias("b"), "context", F.col("cnt").alias("cb"))
+    sim = (
+        a.join(b, "context")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("shared"),
+            F.sum(F.least("ca", "cb")).cast("long").alias("minsum"),
+        )
+        .filter(F.col("shared") >= min_shared)
+    )
+    if k is None:
+        return sim
+    from pyspark.sql import Window
+
+    order = [F.col("minsum").desc(), F.col("shared").desc(), F.col("b").asc()]
+    salt = F.pmod(F.xxhash64(F.col("b").cast("string")), F.lit(int(salt_buckets)))
+    w1 = Window.partitionBy("a", "__salt").orderBy(*order)
+    w2 = Window.partitionBy("a").orderBy(*order)
+    return (
+        sim.withColumn("__salt", salt)
+        .withColumn("__rn", F.row_number().over(w1))
+        .filter(F.col("__rn") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__salt", "__rn")
+    )

@@ -242,3 +242,84 @@ def test_node2vec_rejects_bad_weights(spark):
 
     with pytest.raises(ValueError):
         node2vec_walks(_edge_df(spark, EDGES), return_w=0)
+
+
+# --- distributional context similarity --------------------------------------
+
+
+def _sg_df(spark, rows):
+    return spark.createDataFrame(rows, "center STRING, context STRING, cnt LONG")
+
+
+def test_context_similarity_minsum_kernel(spark):
+    from prase_spark.walks import context_similarity
+
+    rows = [
+        ("a", "x", 3), ("a", "y", 1),
+        ("b", "x", 2), ("b", "y", 4),
+        ("c", "x", 1),
+    ]
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["minsum"])
+        for r in context_similarity(_sg_df(spark, rows), min_shared=1, k=None).collect()
+    }
+    assert got == {
+        ("a", "b"): (2, 2 + 1),   # min(3,2) + min(1,4)
+        ("a", "c"): (1, 1),
+        ("b", "c"): (1, 1),
+    }
+    # min_shared=2 keeps only the (a, b) pair
+    got2 = {
+        (r["a"], r["b"])
+        for r in context_similarity(_sg_df(spark, rows), min_shared=2, k=None).collect()
+    }
+    assert got2 == {("a", "b")}
+
+
+def test_context_similarity_hot_context_cap_and_topk(spark):
+    from prase_spark.walks import context_similarity
+
+    # context 'h' is shared by 4 nodes (df=4): with max_context_df=3 it
+    # must be dropped (counted), leaving only the 'q' pair
+    rows = [(n, "h", 1) for n in "abcd"] + [("a", "q", 2), ("b", "q", 5)]
+    stats = {}
+    got = {
+        (r["a"], r["b"]): (r["shared"], r["minsum"])
+        for r in context_similarity(
+            _sg_df(spark, rows), min_shared=1, max_context_df=3,
+            k=None, stats_out=stats,
+        ).collect()
+    }
+    assert stats["dropped_contexts"] == 1
+    assert got == {("a", "b"): (1, 2)}
+    # top-k: node 'a' shares q with b (minsum 2) and with c (minsum 1);
+    # k=1 keeps the stronger pair only
+    rows2 = [("a", "q", 2), ("b", "q", 5), ("c", "q", 1)]
+    top = {
+        (r["a"], r["b"])
+        for r in context_similarity(_sg_df(spark, rows2), min_shared=1, k=1).collect()
+    }
+    assert top == {("a", "b"), ("b", "c")}
+
+
+def test_context_similarity_partitioning_invariant(spark):
+    from prase_spark.walks import context_similarity
+
+    rows = [
+        (f"n{i % 7}", f"c{(i * 3) % 11}", (i % 4) + 1) for i in range(80)
+    ]
+    # aggregate duplicate (center, context) rows first — the skipgram
+    # contract guarantees uniqueness, so the fixture must too
+    import collections
+
+    agg = collections.Counter()
+    for c, x, n in rows:
+        agg[(c, x)] += n
+    uniq = [(c, x, n) for (c, x), n in agg.items()]
+    df = _sg_df(spark, uniq)
+    a = {tuple(r) for r in context_similarity(df, k=3).collect()}
+    b = {
+        tuple(r)
+        for r in context_similarity(df.repartition(9), k=3, salt_buckets=5).collect()
+    }
+    assert a == b
