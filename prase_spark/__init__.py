@@ -71,6 +71,7 @@ from prase_spark.walks import (
 )
 from prase_spark.distsup import distant_supervision, find_mentions, split_sentences
 from prase_spark.evaluate import cluster_metrics
+from prase_spark.sgns import SGNSModel, sgns_similarity, train_sgns
 from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.linkgraph import (
@@ -159,6 +160,9 @@ __all__ = [
     "find_mentions",
     "split_sentences",
     "cluster_metrics",
+    "SGNSModel",
+    "train_sgns",
+    "sgns_similarity",
     "label_propagation",
     "triangle_count",
     "node_triangles",
