@@ -303,6 +303,22 @@ def _q_pq_codes_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_rand_proj_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random projection
+    (simsearch.random_projection): the 64-dim embedding table cut to 8
+    dims through the deterministic shared-arithmetic Rademacher sign
+    matrix, exploded to (vec_id, j, val) — the same literal zip-fold in
+    both engines, so the doubles hash bit-exact (same-fold doctrine,
+    embed_blend class)."""
+    from prase_spark.datapipe.simsearch import projection_signs, random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = random_projection(emb, projection_signs(64, 8))
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "val")
+    )
+
+
 def _q_cluster_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality metrics (evaluate.cluster_metrics): pairwise
     precision/recall/F1 + B-cubed in exact integer micro-units, over a
@@ -4374,6 +4390,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_docs": _q_kmv_distinct_docs,
         "cluster_eval_orders": _q_cluster_eval_orders,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
+        "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
         "link_candidates": _q_link_candidates,
         "graph_partition_metrics": _q_graph_partition_metrics,
@@ -4990,6 +5007,26 @@ def _shingle_cte(n: int) -> str:
                 SELECT unnest(generate_series(1, greatest(len(t) - {n - 1}, 1))) AS i
             ) g
 """
+
+
+def _rand_proj_sql() -> str:
+    """DuckDB twin of the rand_proj_embeddings gate: one UNION arm per
+    output dim, each the identical literal-sign zip-fold the Spark side
+    runs (projection_signs is the single source of the matrix)."""
+    from prase_spark.datapipe.simsearch import projection_signs
+
+    signs = projection_signs(64, 8)
+    arms = []
+    for j, row in enumerate(signs):
+        lit = "[" + ", ".join(f"{float(s)}" for s in row) + "]"
+        arms.append(
+            f"SELECT vec_id, CAST({j} AS INTEGER) AS j, "
+            f"list_reduce(list_prepend(CAST(0 AS DOUBLE), "
+            f"list_transform(list_zip(embedding, {lit}), p -> "
+            f"CAST(p[1] AS DOUBLE) * p[2])), (acc, x) -> acc + x) AS val "
+            f"FROM embeddings"
+        )
+    return "\n            UNION ALL\n            ".join(arms)
 
 
 def _walk_ctes(walk_length: int, walks_per_node: int) -> str:
@@ -5652,6 +5689,9 @@ def oracle_sql() -> dict[str, str]:
               AND a.node <> b.node
             GROUP BY a.node, b.node
         """,
+        # rand_proj_embeddings twin: the SAME projection_signs literal
+        # matrix, one fold arm per output dim
+        "rand_proj_embeddings": _rand_proj_sql(),
         # pq_codes_embeddings twin: arithmetic codebook + slice +
         # left-fold squared-L2 + row_number argmin + base-16 packing
         "pq_codes_embeddings": """

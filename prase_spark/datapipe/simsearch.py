@@ -409,3 +409,63 @@ def ivf_topk(
     return search_ivf_index(
         cents, assign, queries, k, n_probe, vec_col, query_id_col
     )
+
+
+# --- random projection (JL transform) ----------------------------------------
+
+#: modulus family of the shared-arithmetic sign generator (poly_hash61's
+#: Mersenne prime).
+_RP_P = (1 << 61) - 1
+_RP_FIN = 2654435769
+
+
+def projection_signs(in_dim: int, out_dim: int, seed: int = 42) -> list[list[int]]:
+    """Deterministic Rademacher sign matrix (out_dim x in_dim of +-1)
+    from pure integer arithmetic — the same numbers in any language, so
+    the DuckDB twin can re-derive it (or consume the identical literal).
+    Generator: h = ((i*1000003 + 17 + seed) * (j*999983 + 29)) mod P,
+    then the quadratic finalizer (h^2 + c) mod P, sign = parity. The
+    affine-only / affine-then-square variants collapse to <=2 distinct
+    columns (measured); the cross-term product is what scrambles."""
+    out = []
+    for j in range(out_dim):
+        row = []
+        for i in range(in_dim):
+            h = ((i * 1000003 + 17 + seed) * (j * 999983 + 29)) % _RP_P
+            h = (h * h + _RP_FIN) % _RP_P
+            row.append(1 if h % 2 else -1)
+        out.append(row)
+    return out
+
+
+def random_projection(
+    corpus: DataFrame,
+    signs: list[list[int]],
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    out_col: str = "proj",
+) -> DataFrame:
+    """(id, proj): Johnson-Lindenstrauss random projection to
+    len(signs) dimensions via a +-1 sign matrix — the dimensionality
+    cut in front of LSH/IVF/PQ when the source embeddings are wide
+    (cosine is scale-invariant, so the unscaled +-1 sums preserve
+    angles; multiply by 1/sqrt(k) only if you need norms).
+
+    The matrix rides the PLAN as a literal (out_dim x in_dim doubles —
+    a few KB), so the projection is one whole-stage-codegen projection:
+    per output dim, a zip_with multiply + left-fold sum. No shuffle, no
+    Python, no per-row hashing; the same literal fold is the DuckDB
+    twin, so projected values are bit-identical (same-fold doctrine)."""
+    lit = (
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(s)}" for s in row) + ")"
+            for row in signs
+        )
+        + ")"
+    )
+    proj = F.expr(
+        f"transform({lit}, srow -> aggregate(zip_with({vec_col}, srow, "
+        "(x, s) -> x * s), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))"
+    )
+    return corpus.select(F.col(id_col).alias("vec_id"), proj.alias(out_col))

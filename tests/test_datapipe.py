@@ -1611,3 +1611,67 @@ def test_png_palette_bitdepth_adam7_profiles(spark):
     blob[sig_ihdr + 12] = 16  # depth byte
     with _pytest.raises(NotImplementedError, match="depth=16"):
         decode_png(bytes(blob))
+
+
+# --- random projection (JL) --------------------------------------------------
+
+
+def test_random_projection_matches_python_fold_exactly(spark):
+    from prase_spark.datapipe.simsearch import projection_signs, random_projection
+
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    mat = rng.normal(size=(20, 12))
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in row]) for i, row in enumerate(mat)],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    signs = projection_signs(12, 4, seed=9)
+    got = {
+        r["vec_id"]: list(r["proj"])
+        for r in random_projection(df, signs).collect()
+    }
+    want = {}
+    for i, v in enumerate(mat):
+        out = []
+        for row in signs:
+            acc = 0.0
+            for x, s in zip(v, row):
+                acc = acc + x * float(s)
+            out.append(acc)
+        want[i] = out
+    assert got == want  # bit-exact same-fold sums
+
+
+def test_random_projection_preserves_cosine_approximately(spark):
+    from prase_spark.datapipe.simsearch import projection_signs, random_projection
+
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=64)
+    near = base + rng.normal(scale=0.1, size=64)
+    far = rng.normal(size=64)
+    df = spark.createDataFrame(
+        [(0, [float(x) for x in base]), (1, [float(x) for x in near]),
+         (2, [float(x) for x in far])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>",
+    )
+    signs = projection_signs(64, 16)
+    rows = {r["vec_id"]: np.asarray(r["proj"]) for r in random_projection(df, signs).collect()}
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    assert cos(rows[0], rows[1]) > 0.8
+    assert cos(rows[0], rows[1]) > cos(rows[0], rows[2]) + 0.3
+
+
+def test_projection_signs_balanced_and_distinct():
+    from prase_spark.datapipe.simsearch import projection_signs
+
+    signs = projection_signs(64, 16)
+    ones = sum(1 for row in signs for s in row if s == 1)
+    assert 400 <= ones <= 624  # balanced-ish out of 1024
+    assert len({tuple(r) for r in signs}) == 16  # no column collapse
