@@ -180,3 +180,55 @@ def test_round5_crawl_surface_plan_hygiene(spark):
     final = _plan(fh).split("== Initial Plan ==")[0]
     assert final.count("Exchange") == 1
     assert final.count("Sort ") == 1
+
+
+def test_graph_scoring_plan_hygiene(spark):
+    """HITS / PPR / walks (round 5): the one-row normalizer rides a
+    broadcast nested-loop (never a real cartesian over data-scale
+    frames), the per-iteration joins stay hash joins on node keys, and
+    the walk step is a single equi-join + projection."""
+    from prase_spark.graphstats import hits, personalized_pagerank
+    from prase_spark.walks import random_walks
+
+    edges = spark.range(300).selectExpr(
+        "concat('n', id % 40) AS src", "concat('n', (id * 7) % 40) AS dst"
+    )
+    h = hits(edges, iterations=1)
+    plan = _plan(h)
+    # the k-normalizer is a one-row broadcast: BroadcastNestedLoopJoin is
+    # expected and bounded; an unbounded CartesianProduct is not
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+    seeds = spark.createDataFrame([("n1",)], "node STRING")
+    p = personalized_pagerank(edges, seeds, iterations=1)
+    assert "CartesianProduct" not in _plan(p)
+
+    w = random_walks(edges, walk_length=2)
+    wplan = _plan(w)
+    assert "CartesianProduct" not in wplan
+    # the chooser is pure projection: no window, no sort over the corpus
+    assert "Window" not in wplan
+
+
+def test_projection_and_pq_plan_hygiene(spark):
+    """Random projection must be shuffle-free (one codegen projection);
+    PQ encode's codebook joins must broadcast."""
+    from prase_spark.datapipe.pq import pq_codebook_df, pq_encode
+    from prase_spark.datapipe.simsearch import projection_signs, random_projection
+
+    import numpy as np
+
+    emb = spark.range(200).selectExpr(
+        "id AS vec_id",
+        "transform(sequence(0, 15), j -> CAST(pmod(xxhash64(id, j), 97) "
+        "AS DOUBLE)) AS embedding",
+    )
+    rp = random_projection(emb, projection_signs(16, 4))
+    rplan = _plan(rp)
+    assert "Exchange" not in rplan  # zero shuffles
+    books = np.zeros((2, 4, 8))
+    enc = pq_encode(emb, pq_codebook_df(spark, books), m=2, dsub=8)
+    eplan = _plan(enc)
+    assert "CartesianProduct" not in eplan
+    assert "BroadcastExchange" in eplan or "BroadcastHashJoin" in eplan
