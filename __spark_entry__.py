@@ -319,6 +319,30 @@ def _q_rand_proj_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dedup_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup quality MEASURED in-engine: the full MinHash near-dup chain
+    (LSH bands -> exact-Jaccard verify -> connected components) scored
+    against the planted gold clustering (doc i ~ doc i+100000) with
+    evaluate.cluster_metrics — pairwise P/R/F1 + B-cubed in one row.
+    The twin wraps the minhash oracle (recursive-CTE CC and all) as a
+    CTE and replays the metric arithmetic on top, so clustering AND
+    scoring are one hash."""
+    from prase_spark.datapipe.dedup import minhash_dedup
+    from prase_spark.datapipe.hashing import poly_hash61
+    from prase_spark.evaluate import cluster_metrics
+
+    corpus = _dup_docs(spark, sf_dir, 80, 40)
+    pred = minhash_dedup(corpus, threshold=0.8, hash_fn=poly_hash61).select(
+        F.col("doc_id").alias("id"),
+        F.col("cluster_id").cast("string").alias("cluster"),
+    )
+    gold = corpus.select(
+        F.col("doc_id").alias("id"),
+        (F.col("doc_id") % 100000).cast("string").alias("cluster"),
+    )
+    return cluster_metrics(pred, gold)
+
+
 def _q_cluster_eval_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Clustering-quality metrics (evaluate.cluster_metrics): pairwise
     precision/recall/F1 + B-cubed in exact integer micro-units, over a
@@ -4389,6 +4413,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kg_context_sim": _q_kg_context_sim,
         "kmv_distinct_docs": _q_kmv_distinct_docs,
         "cluster_eval_orders": _q_cluster_eval_orders,
+        "dedup_eval_docs": _q_dedup_eval_docs,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
         "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
@@ -8891,5 +8916,52 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n, 'hosts', c FROM sol
         )
+    """
+    # dedup_eval_docs twin: the COMPLETE minhash oracle (shingles, bands,
+    # exact-jaccard verify, recursive-CTE connected components) wrapped
+    # as a CTE, scored by the cluster_metrics arithmetic on top — the
+    # whole dedup chain AND its evaluation in one value hash
+    out["dedup_eval_docs"] = f"""
+        WITH pred AS ({out["minhash_neardup_docs"]}),
+        j AS (
+            SELECT doc_id AS id, CAST(cluster_id AS VARCHAR) AS pc,
+                   CAST(doc_id % 100000 AS VARCHAR) AS gc
+            FROM pred
+        ),
+        cont AS (SELECT pc, gc, count(*) AS n_ij FROM j GROUP BY pc, gc),
+        psz AS (SELECT pc, sum(n_ij) AS n_p FROM cont GROUP BY pc),
+        gsz AS (SELECT gc, sum(n_ij) AS n_g FROM cont GROUP BY gc),
+        agg AS (
+            SELECT
+                (SELECT count(*) FROM j) AS n_items,
+                (SELECT sum((n_ij * (n_ij - 1)) // 2) FROM cont) AS tp_pairs,
+                (SELECT sum((n_p * (n_p - 1)) // 2) FROM psz) AS pred_pairs,
+                (SELECT sum((n_g * (n_g - 1)) // 2) FROM gsz) AS gold_pairs,
+                (SELECT sum((1000000 * n_ij * n_ij) // n_p)
+                 FROM cont JOIN psz USING (pc)) AS bp_sum,
+                (SELECT sum((1000000 * n_ij * n_ij) // n_g)
+                 FROM cont JOIN gsz USING (gc)) AS br_sum
+        )
+        SELECT CAST(n_items AS BIGINT) AS n_items,
+               CAST(tp_pairs AS BIGINT) AS tp_pairs,
+               CAST(pred_pairs AS BIGINT) AS pred_pairs,
+               CAST(gold_pairs AS BIGINT) AS gold_pairs,
+               CAST(CASE WHEN pred_pairs > 0 THEN (1000000 * tp_pairs)
+                    // pred_pairs ELSE 0 END AS BIGINT) AS pair_prec_e6,
+               CAST(CASE WHEN gold_pairs > 0 THEN (1000000 * tp_pairs)
+                    // gold_pairs ELSE 0 END AS BIGINT) AS pair_rec_e6,
+               CAST(CASE WHEN pred_pairs > 0 AND gold_pairs > 0 AND
+                    (1000000 * tp_pairs) // pred_pairs
+                    + (1000000 * tp_pairs) // gold_pairs > 0 THEN
+                    (2 * ((1000000 * tp_pairs) // pred_pairs)
+                       * ((1000000 * tp_pairs) // gold_pairs))
+                    // ((1000000 * tp_pairs) // pred_pairs
+                        + (1000000 * tp_pairs) // gold_pairs)
+                    ELSE 0 END AS BIGINT) AS pair_f1_e6,
+               CAST(CASE WHEN n_items > 0 THEN bp_sum // n_items
+                    ELSE 0 END AS BIGINT) AS bcubed_prec_e6,
+               CAST(CASE WHEN n_items > 0 THEN br_sum // n_items
+                    ELSE 0 END AS BIGINT) AS bcubed_rec_e6
+        FROM agg
     """
     return out
