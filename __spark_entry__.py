@@ -319,6 +319,18 @@ def _q_rand_proj_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (chunking.cdc_chunks): gear-rule
+    boundaries before tokens whose finalized poly hash is divisible by
+    16 — edit-stable chunk structure for chunk-level dedup. The twin
+    replays tokenization, per-token poly + quadratic finalizer, the
+    running boundary sum, and the ordered string_agg reassembly."""
+    from prase_spark.datapipe.chunking import cdc_chunks
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 400")
+    return cdc_chunks(d, divisor=16)
+
+
 def _q_dedup_eval_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup quality MEASURED in-engine: the full MinHash near-dup chain
     (LSH bands -> exact-Jaccard verify -> connected components) scored
@@ -4414,6 +4426,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kmv_distinct_docs": _q_kmv_distinct_docs,
         "cluster_eval_orders": _q_cluster_eval_orders,
         "dedup_eval_docs": _q_dedup_eval_docs,
+        "cdc_chunks_docs": _q_cdc_chunks_docs,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
         "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
@@ -8916,6 +8929,45 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n, 'hosts', c FROM sol
         )
+    """
+    # cdc_chunks_docs twin: shared tokenizer + per-token poly hash +
+    # quadratic finalizer + running boundary sum + ordered reassembly
+    from prase_spark.datapipe.sketches import KMV_FIN_ADD as _CDC_FIN
+
+    _cdc_toks = _TOKS_SQL.format(c="text")
+    _cdc_poly = POLY_SQL.format(c="w")
+    out["cdc_chunks_docs"] = f"""
+        WITH d AS (
+            SELECT doc_id, {_cdc_toks} AS t
+            FROM documents WHERE doc_id < 400
+        ),
+        nz AS (SELECT * FROM d WHERE len(t) > 0),
+        pos AS (
+            SELECT doc_id, t, unnest(generate_series(1, len(t))) AS i
+            FROM nz
+        ),
+        tok AS (SELECT doc_id, i - 1 AS j, t[i] AS w FROM pos),
+        h AS (
+            SELECT doc_id, j, w,
+                   CAST((CAST({_cdc_poly} AS HUGEINT) * {_cdc_poly}
+                         + {_CDC_FIN}) % {POLY_P} AS BIGINT) AS f
+            FROM tok
+        ),
+        fl AS (
+            SELECT doc_id, j, w,
+                   CASE WHEN j > 0 AND f % 16 = 0 THEN 1 ELSE 0 END AS b
+            FROM h
+        ),
+        ch AS (
+            SELECT doc_id, j, w,
+                   sum(b) OVER (PARTITION BY doc_id ORDER BY j
+                                ROWS UNBOUNDED PRECEDING) AS chunk_id
+            FROM fl
+        )
+        SELECT doc_id AS key, CAST(chunk_id AS BIGINT) AS chunk_id,
+               CAST(count(*) AS BIGINT) AS n_tokens,
+               string_agg(w, ' ' ORDER BY j) AS chunk_text
+        FROM ch GROUP BY doc_id, chunk_id
     """
     # dedup_eval_docs twin: the COMPLETE minhash oracle (shingles, bands,
     # exact-jaccard verify, recursive-CTE connected components) wrapped

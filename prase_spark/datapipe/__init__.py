@@ -4,7 +4,7 @@ decontamination, sampling, multimodal plumbing."""
 
 from prase_spark.datapipe.boilerplate import host_of, remove_boilerplate
 from prase_spark.datapipe.bpetrain import bpe_token_counts, bpe_train, word_table
-from prase_spark.datapipe.chunking import chunk_documents, pack_chunks
+from prase_spark.datapipe.chunking import cdc_chunks, chunk_documents, pack_chunks
 from prase_spark.datapipe.colloc import collocations
 from prase_spark.datapipe.paradedup import dedup_paragraphs
 from prase_spark.datapipe.profile import corpus_profile
@@ -182,6 +182,7 @@ __all__ = [
     "corpus_profile",
     "sessionize",
     "kmv_distinct",
+    "cdc_chunks",
     "pq_adc_topk",
     "pq_codebook_df",
     "pq_encode",

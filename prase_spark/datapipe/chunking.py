@@ -154,3 +154,80 @@ def pack_chunks(
     out = out.localCheckpoint()  # ids must never be recomputed (ids.py note)
     parted.unpersist()
     return out
+
+
+def cdc_chunks(
+    df: DataFrame,
+    divisor: int = 16,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+) -> DataFrame:
+    """(key, chunk_id, n_tokens, chunk_text): content-defined chunking —
+    a boundary opens BEFORE every token whose finalized hash is
+    divisible by ``divisor`` (expected chunk length = ``divisor``
+    tokens), the gear/Rabin rule reduced to its single-token form.
+    Unlike :func:`chunk_documents`' fixed windows, boundaries are a
+    pure function of LOCAL content: inserting or deleting a token
+    reshapes only its own chunk (and at most one boundary), so chunk
+    hashes of the unchanged remainder stay identical — the property
+    that makes chunk-level dedup robust to small edits (the same reason
+    backup systems CDC before hashing).
+
+    Hash: poly_hash61(token) through the quadratic finalizer
+    (h^2 + c mod P — sketches.py measurement: the raw poly is affine in
+    trailing chars and its residues cluster; the finalizer scatters),
+    all shared arithmetic, so the whole boundary structure value-hashes
+    against a DuckDB twin. One narrow map + one explode + one
+    (key, chunk) aggregation whose group size is content-bounded
+    (~divisor tokens); no corpus-sized window anywhere."""
+    if divisor < 2:
+        raise ValueError(f"divisor must be >= 2, got {divisor}")
+    from prase_spark.datapipe.hashing import POLY_P
+    from prase_spark.datapipe.sketches import KMV_FIN_ADD
+
+    toks = df.select(
+        F.col(key_col).alias("key"), tokens(text_col).alias("__t")
+    ).filter(F.size("__t") > 0)
+    h = F.transform(F.col("__t"), lambda w: _poly61(w))
+    fin = (
+        f"transform(__h, x -> CAST((CAST(x AS DECIMAL(38,0)) * x "
+        f"+ {KMV_FIN_ADD}) % {POLY_P} AS BIGINT))"
+    )
+    flags = (
+        f"transform(__f, (x, j) -> CASE WHEN j > 0 AND x % {int(divisor)} = 0 "
+        "THEN 1 ELSE 0 END)"
+    )
+    # 0-seeded running sum: chunk of token j = cum[j + 2] (leading zero)
+    cum = (
+        "aggregate(__b, array(CAST(0 AS INT)), "
+        "(acc, f) -> array_append(acc, element_at(acc, -1) + f))"
+    )
+    rows = (
+        toks.withColumn("__h", h)
+        .withColumn("__f", F.expr(fin))
+        .withColumn("__b", F.expr(flags))
+        .withColumn("__c", F.expr(cum))
+        .select(
+            "key",
+            F.posexplode(
+                F.expr("zip_with(__t, slice(__c, 2, size(__t)), "
+                       "(w, c) -> struct(w AS w, c AS c))")
+            ).alias("j", "s"),
+        )
+        .select("key", "j", "s.w", "s.c")
+    )
+    return rows.groupBy(
+        "key", F.col("c").cast("long").alias("chunk_id")
+    ).agg(
+        F.count("*").cast("long").alias("n_tokens"),
+        F.expr(
+            "array_join(transform(array_sort(collect_list(struct(j, w))), "
+            "s -> s.w), ' ')"
+        ).alias("chunk_text"),
+    )
+
+
+def _poly61(w):
+    from prase_spark.datapipe.hashing import poly_hash61
+
+    return poly_hash61(w)

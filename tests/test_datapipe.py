@@ -1675,3 +1675,87 @@ def test_projection_signs_balanced_and_distinct():
     ones = sum(1 for row in signs for s in row if s == 1)
     assert 400 <= ones <= 624  # balanced-ish out of 1024
     assert len({tuple(r) for r in signs}) == 16  # no column collapse
+
+
+# --- content-defined chunking ------------------------------------------------
+
+
+def _cdc_py(texts, divisor):
+    import re
+
+    from prase_spark.datapipe.hashing import POLY_INIT, POLY_MULT, POLY_P
+    from prase_spark.datapipe.sketches import KMV_FIN_ADD
+
+    def poly(s):
+        h = POLY_INIT
+        for ch in s:
+            h = (h * POLY_MULT + ord(ch)) % POLY_P
+        return h
+
+    out = {}
+    for key, text in texts:
+        toks = [w for w in re.split(r"[^a-z0-9]+", text.lower()) if w]
+        if not toks:
+            continue
+        chunks = {}
+        c = 0
+        for j, w in enumerate(toks):
+            f = (poly(w) ** 2 + KMV_FIN_ADD) % POLY_P
+            if j > 0 and f % divisor == 0:
+                c += 1
+            chunks.setdefault(c, []).append(w)
+        for cid, ws in chunks.items():
+            out[(key, cid)] = (len(ws), " ".join(ws))
+    return out
+
+
+def test_cdc_chunks_match_python_replica(spark):
+    from prase_spark.datapipe.chunking import cdc_chunks
+
+    texts = [
+        (1, "the data table joins the fast data row with key order data"),
+        (2, "window scan merge"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    got = {
+        (r["key"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"])
+        for r in cdc_chunks(df, divisor=16).collect()
+    }
+    assert got == _cdc_py(texts, 16)
+    assert len({k[0] for k in got}) == 2  # empty doc drops
+
+
+def test_cdc_chunks_edit_stability(spark):
+    from prase_spark.datapipe.chunking import cdc_chunks
+
+    base = "alpha beta data gamma delta epsilon data zeta eta theta"
+    edited = base.replace("gamma", "gammaX")  # one token changed
+    df = spark.createDataFrame(
+        [(1, base), (2, edited)], "doc_id LONG, text STRING"
+    )
+    got = {
+        (r["key"], r["chunk_id"]): r["chunk_text"]
+        for r in cdc_chunks(df, divisor=16).collect()
+    }
+    # 'data' is a boundary word at divisor 16: both docs share the same
+    # chunk structure, and the chunks NOT containing the edit are
+    # byte-identical between the two docs
+    c1 = {v for (k, _), v in got.items() if k == 1}
+    c2 = {v for (k, _), v in got.items() if k == 2}
+    assert len(c1 & c2) >= 2  # unchanged chunks survive the edit
+    assert c1 != c2
+
+
+def test_cdc_chunks_partitioning_and_validation(spark):
+    from prase_spark.datapipe.chunking import cdc_chunks
+
+    texts = [(i, f"data w{i} the fast data key w{i * 3} order") for i in range(40)]
+    df = spark.createDataFrame(texts, "doc_id LONG, text STRING")
+    a = {tuple(r) for r in cdc_chunks(df, divisor=8).collect()}
+    b = {tuple(r) for r in cdc_chunks(df.repartition(7), divisor=8).collect()}
+    assert a == b
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cdc_chunks(df, divisor=1)
