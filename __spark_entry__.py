@@ -2451,6 +2451,27 @@ def _q_paris_align_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     return res.select("kind", "name_l", "name_r", F.round("prob", 6).alias("prob"))
 
 
+def _q_align_compose_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-KG composition primitive (matching.compose_alignment): the
+    flagship alignment composed with its own transpose — within-KG1
+    coreference candidates via the KG2 counterpart pivot (two KG1
+    entities claiming one KG2 entity), independence-multiplied probs.
+    Reuses the memoized 2-iter fixpoint; the twin self-joins m_sub_2 on
+    the shared counterpart inside the same fixpoint CTEs."""
+    from prase_spark.matching import compose_alignment
+
+    res = _align_results_2iter(spark, sf_dir).filter(F.col("kind") == "entity")
+    m = res.select("name_l", "name_r", "prob")
+    rev = res.select(
+        F.col("name_r").alias("name_l"),
+        F.col("name_l").alias("name_r"),
+        "prob",
+    )
+    return compose_alignment(m, rev).select(
+        "name_a", "name_c", F.round("prob", 6).alias("prob")
+    )
+
+
 def _q_canonical_export_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     """North-rule closer as ONE value-oracled query: PARIS alignment →
     canonical-entity merge (connected components over the accepted
@@ -4427,6 +4448,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cluster_eval_orders": _q_cluster_eval_orders,
         "dedup_eval_docs": _q_dedup_eval_docs,
         "cdc_chunks_docs": _q_cdc_chunks_docs,
+        "align_compose_tpch": _q_align_compose_tpch,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
         "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
@@ -4671,6 +4693,7 @@ def _paris_align_sql(
     reset_customers: bool = False,
     kg1_sql: str | None = None,
     kg2_sql: str | None = None,
+    final_select: str | None = None,
 ) -> str:
     """The flagship align() + alignment_results() as one DuckDB query:
     literal seeds -> `iterations` full PARIS iterations -> θ-thresholded
@@ -4792,6 +4815,15 @@ def _paris_align_sql(
             m_sub_0 AS MATERIALIZED (SELECT * FROM m_sub_base),
             m_sup_0 AS MATERIALIZED (SELECT * FROM m_sup_base),"""
     n = iterations
+    final = final_select or f"""
+            SELECT CASE WHEN e_lit THEN 'literal' ELSE 'entity' END AS kind,
+                   e AS name_l, cp AS name_r, round(prob, 6) AS prob
+            FROM m_sub_{n}
+            UNION ALL
+            SELECT CASE WHEN pk.is_attr THEN 'attribute' ELSE 'relation' END AS kind,
+                   rl.r AS name_l, rl.r2 AS name_r, round(rl.prob, 6) AS prob
+            FROM rel_l_{n} rl JOIN pred_kinds pk ON pk.pred = rl.r
+            WHERE rl.prob > 0.1"""
     return f"""
             WITH kg1_raw AS ({kg1_sql}), kg2_raw AS ({kg2_sql}),{emb_blocks}
             t1 AS MATERIALIZED ({kg1_inv}), t2 AS MATERIALIZED ({kg2_inv}),
@@ -4825,14 +4857,7 @@ def _paris_align_sql(
             rel_r_0 AS (SELECT '' AS rr, '' AS rl, 0.0 AS prob WHERE FALSE),
             {iter_blocks},
             pred_kinds AS (SELECT DISTINCT pred, is_attr FROM t1)
-            SELECT CASE WHEN e_lit THEN 'literal' ELSE 'entity' END AS kind,
-                   e AS name_l, cp AS name_r, round(prob, 6) AS prob
-            FROM m_sub_{n}
-            UNION ALL
-            SELECT CASE WHEN pk.is_attr THEN 'attribute' ELSE 'relation' END AS kind,
-                   rl.r AS name_l, rl.r2 AS name_r, round(rl.prob, 6) AS prob
-            FROM rel_l_{n} rl JOIN pred_kinds pk ON pk.pred = rl.r
-            WHERE rl.prob > 0.1
+            {final}
         """
 
 
@@ -6634,6 +6659,17 @@ def oracle_sql() -> dict[str, str]:
                   NOT IN ('site2.co.uk', 'site5.org', 'example.com')
         """,
         "paris_align_tpch": _paris_align_sql(iterations=2),
+        # align_compose_tpch twin: the same fixpoint CTEs with a
+        # composition final select (entity rows self-joined on the
+        # shared counterpart, probs independence-multiplied)
+        "align_compose_tpch": _paris_align_sql(
+            iterations=2,
+            final_select="""
+            SELECT a.e AS name_a, b.e AS name_c,
+                   round(a.prob * b.prob, 6) AS prob
+            FROM m_sub_2 a JOIN m_sub_2 b ON a.cp = b.cp
+            WHERE NOT a.e_lit AND NOT b.e_lit""",
+        ),
         # canonical_export_tpch: the full 2-iter fixpoint replay as a CTE,
         # then recursive reachability closure over accepted entity pairs
         # (canonical = min bare IRI) rendered as owl:sameAs N-Triples.

@@ -71,6 +71,7 @@ from prase_spark.walks import (
 )
 from prase_spark.distsup import distant_supervision, find_mentions, split_sentences
 from prase_spark.evaluate import cluster_metrics
+from prase_spark.matching import compose_alignment
 from prase_spark.sgns import SGNSModel, sgns_similarity, train_sgns
 from prase_spark.io import bucket_metrics
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
@@ -160,6 +161,7 @@ __all__ = [
     "find_mentions",
     "split_sentences",
     "cluster_metrics",
+    "compose_alignment",
     "SGNSModel",
     "train_sgns",
     "sgns_similarity",

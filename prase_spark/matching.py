@@ -416,3 +416,36 @@ def components_min_label(
         .join(rep, "component")
         .select(F.col("u").alias("node"), "label")
     )
+
+
+def compose_alignment(
+    m_ab: DataFrame,
+    m_bc: DataFrame,
+    left_col: str = "name_l",
+    right_col: str = "name_r",
+    prob_col: str = "prob",
+) -> DataFrame:
+    """(name_a, name_c, prob): transitive alignment composition across a
+    pivot KG — every a->b match in ``m_ab`` joined with every b->c match
+    in ``m_bc`` on the shared middle, independence-multiplied probs.
+    The multi-source fusion primitive the pairwise reference lacks:
+    align(A,B) and align(B,C) compose to candidate A->C links without
+    ever running A x C; composing an alignment with its own transpose
+    yields within-KG coreference via the counterpart pivot (two A
+    entities claiming one B entity). One equi-join on the pivot name;
+    duplicate (a, c) pairs from multiple pivots are left to the caller
+    (max_by / noisy-OR are both defensible merges and the caller knows
+    which)."""
+    a = m_ab.select(
+        F.col(left_col).alias("name_a"),
+        F.col(right_col).alias("__b"),
+        F.col(prob_col).alias("__p1"),
+    )
+    b = m_bc.select(
+        F.col(left_col).alias("__b"),
+        F.col(right_col).alias("name_c"),
+        F.col(prob_col).alias("__p2"),
+    )
+    return a.join(b, "__b").select(
+        "name_a", "name_c", (F.col("__p1") * F.col("__p2")).alias("prob")
+    )
