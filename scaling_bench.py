@@ -304,8 +304,39 @@ spark.stop()
 """
 
 
+WALKS_WORKLOAD = r"""
+import json, os, sys, time
+sys.path.insert(0, {repo!r})
+from prase_spark.config import get_spark
+
+cpus = int(sys.argv[1])
+n_edges = int(sys.argv[2])
+spark = get_spark("scaling_walks", master=f"local[{{cpus}}]", shuffle_partitions=max(cpus, 8))
+spark.sparkContext.setLogLevel("ERROR")
+
+from prase_spark.walks import random_walks
+
+n_nodes = n_edges // 4
+edges = spark.range(n_edges, numPartitions=cpus * 2).selectExpr(
+    f"concat('n', id % {{n_nodes}}) AS src",
+    f"concat('n', pmod(xxhash64(id), {{n_nodes}})) AS dst",
+).persist()
+edges.count()
+
+random_walks(edges, walk_length=4, walks_per_node=1).count()  # warmup
+t0 = time.time()
+n_steps = random_walks(edges, walk_length=4, walks_per_node=1).count()
+elapsed = time.time() - t0
+print(json.dumps({{"cpus": cpus, "pages": n_steps, "sec": round(elapsed, 3),
+                   "docs_per_sec": round(n_steps / elapsed, 1)}}))
+spark.stop()
+"""
+
+
 def run_level(repo: str, cpus: int, pages: int, workload: str = "extract", kg_ents: int = 400000) -> dict:
-    if workload == "extract":
+    if workload == "walks":
+        script, arg2 = WALKS_WORKLOAD.format(repo=repo), str(pages)
+    elif workload == "extract":
         script, arg2 = WORKLOAD.format(repo=repo), str(pages)
     elif workload == "structured":
         script, arg2 = STRUCTURED_WORKLOAD.format(repo=repo), str(pages)
@@ -363,7 +394,7 @@ def main():
     ap.add_argument("--high", type=int, default=32)
     ap.add_argument(
         "--workload",
-        choices=["extract", "structured", "lm", "substr", "paris", "paris-kernel", "paris-iters", "both"],
+        choices=["extract", "structured", "lm", "substr", "walks", "paris", "paris-kernel", "paris-iters", "both"],
         default="extract",
     )
     ap.add_argument("--kg-ents", type=int, default=400000)
@@ -443,9 +474,11 @@ def main():
             lo_runs, hi_runs, median_eff = [lo], [hi], None
         ratio = args.high / args.low
         efficiency = (lo["sec"] / hi["sec"]) / ratio
-        unit = "docs_per_sec" if wl in ("extract", "structured", "lm", "substr") else "facts_per_sec"
+        unit = "docs_per_sec" if wl in ("extract", "structured", "lm", "substr", "walks") else "facts_per_sec"
         if wl == "extract":
             title = f"extraction+stats (pages={args.pages})"
+        elif wl == "walks":
+            title = f"DeepWalk corpus generation 4-hop (edges={args.pages})"
         elif wl == "structured":
             title = f"structured-data extraction JSON-LD+microdata+RDFa (pages={args.pages})"
         elif wl == "substr":
