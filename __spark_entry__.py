@@ -319,6 +319,47 @@ def _q_rand_proj_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_media_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual image hashing through REAL decode
+    (multimodal.media_ahash): per doc a BMP with doc-varied spatial
+    frequencies (so hashes differ structurally — aHash is
+    brightness-invariant by design, offset-only ramps would collapse)
+    is synthesized, decoded by the actual BMP walker (both
+    orientations), and average-hashed with pure integer arithmetic
+    (nearest-neighbor 8x8 sample, BT.601 integer luma, floor-mean
+    threshold, MSB-first signed pack). The twin re-derives every bit
+    from the generation arithmetic — decode + hash in one value hash.
+    Pair the output with dedup.hamming_pairs for multimodal near-dup."""
+    from prase_spark.datapipe.multimodal import media_ahash
+    from prase_spark.fixtures import synth_bmp
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter("doc_id < 500")
+
+    def build(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                h, w = 8 + doc % 5, 6 + doc % 7
+                fy, fx = doc % 5 + 3, doc % 7 + 2
+                y, x, c = np.meshgrid(
+                    np.arange(h), np.arange(w), np.arange(3), indexing="ij"
+                )
+                img = ((doc * 13 + y * fy + x * fx + c) % 256).astype(np.uint8)
+                payloads.append(bytearray(synth_bmp(img, top_down=doc % 2 == 0)))
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(build, "media_id LONG, payload BINARY")
+    return media_ahash(media)
+
+
 def _q_cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (chunking.cdc_chunks): gear-rule
     boundaries before tokens whose finalized poly hash is divisible by
@@ -4449,6 +4490,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_eval_docs": _q_dedup_eval_docs,
         "cdc_chunks_docs": _q_cdc_chunks_docs,
         "align_compose_tpch": _q_align_compose_tpch,
+        "media_ahash_docs": _q_media_ahash_docs,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
         "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
@@ -8965,6 +9007,46 @@ def oracle_sql() -> dict[str, str]:
             UNION ALL
             SELECT n, 'hosts', c FROM sol
         )
+    """
+    # media_ahash_docs twin: sampled pixels, integer luma, floor-mean
+    # threshold, MSB-first pack — every bit from the arithmetic alone
+    out["media_ahash_docs"] = """
+        WITH d AS (
+            SELECT doc_id, 8 + doc_id % 5 AS h, 6 + doc_id % 7 AS w,
+                   doc_id % 5 + 3 AS fy, doc_id % 7 + 2 AS fx
+            FROM documents WHERE doc_id < 500
+        ),
+        ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+        s AS (
+            SELECT doc_id, h, w, k,
+                   ((k // 8) * h) // 8 AS y, ((k % 8) * w) // 8 AS x, fy, fx
+            FROM d, ks
+        ),
+        lum AS (
+            SELECT doc_id, h, w, k,
+                   (((doc_id*13 + y*fy + x*fx) % 256) * 299
+                    + ((doc_id*13 + y*fy + x*fx + 1) % 256) * 587
+                    + ((doc_id*13 + y*fy + x*fx + 2) % 256) * 114) // 1000 AS l
+            FROM s
+        ),
+        m AS (SELECT doc_id, sum(l) // 64 AS mean FROM lum GROUP BY doc_id),
+        bits AS (
+            SELECT lum.doc_id, lum.h, lum.w, lum.k,
+                   CASE WHEN l > mean THEN 1 ELSE 0 END AS b
+            FROM lum JOIN m USING (doc_id)
+        ),
+        pk AS (
+            SELECT doc_id, h, w,
+                   sum(CAST(b AS HUGEINT)
+                       * CAST(power(2, 63 - k) AS HUGEINT)) AS v
+            FROM bits GROUP BY doc_id, h, w
+        )
+        SELECT doc_id AS media_id, 'bmp' AS fmt,
+               CAST(h AS INT) AS height, CAST(w AS INT) AS width,
+               CAST(CASE WHEN v >= CAST(power(2, 63) AS HUGEINT)
+                    THEN v - CAST(power(2, 64) AS HUGEINT)
+                    ELSE v END AS BIGINT) AS ahash
+        FROM pk
     """
     # cdc_chunks_docs twin: shared tokenizer + per-token poly hash +
     # quadratic finalizer + running boundary sum + ordered reassembly

@@ -42,6 +42,7 @@ from prase_spark.datapipe.lmscore import (
 )
 from prase_spark.datapipe.textindex import document_frequency, inverted_index, rare_term_ratio, term_counts, tfidf_terms
 from prase_spark.datapipe.dedup import (
+    hamming_pairs,
     exact_dedup,
     keep_best,
     minhash_dedup,
@@ -51,6 +52,7 @@ from prase_spark.datapipe.dedup import (
     simhash_pairs_manku,
 )
 from prase_spark.datapipe.multimodal import (
+    media_ahash,
     decode_media_features,
     extract_media_features,
     probe_media_metadata,
@@ -183,6 +185,8 @@ __all__ = [
     "sessionize",
     "kmv_distinct",
     "cdc_chunks",
+    "hamming_pairs",
+    "media_ahash",
     "pq_adc_topk",
     "pq_codebook_df",
     "pq_encode",

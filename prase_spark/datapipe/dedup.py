@@ -635,3 +635,54 @@ def simhash_pairs_manku(
     return cand.withColumn("hamming", hamming).filter(
         F.col("hamming") <= max_hamming
     ).select("key_a", "key_b", "hamming")
+
+
+def hamming_pairs(
+    df: DataFrame,
+    hash_col: str = "ahash",
+    key_col: str = "media_id",
+    max_hamming: int = 3,
+    max_bucket_size: int | None = DEFAULT_MAX_BUCKET,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(key_a, key_b, hamming): near-identical pairs among PRECOMPUTED
+    64-bit hashes (perceptual image hashes from multimodal.media_ahash,
+    or any 64-bit signature) — the banding/verify half of simhash_pairs
+    factored out for hash-valued inputs. Pigeonhole: 4 exact 16-bit
+    bands catch every pair within hamming <= 3; candidates verify with
+    a native ``bit_count(a XOR b)``. Buckets cap at ``max_bucket_size``
+    with counted-drop telemetry (the banded-join doctrine)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError(f"max_hamming must be in [0, 3], got {max_hamming}")
+    h = df.select(F.col(key_col).alias("key"), F.col(hash_col).alias("sig")).where(
+        F.col(hash_col).isNotNull()
+    )
+    bands = None
+    for b in range(4):
+        part = h.select(
+            "key",
+            "sig",
+            F.lit(b).alias("band"),
+            F.expr(f"CAST((sig >> {16 * b}) & 65535 AS INT)").alias("band_key"),
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    bands = cap_band_buckets(
+        bands, max_bucket_size, stats_out=stats_out, label="hamming"
+    )
+    a = bands.select(
+        F.col("key").alias("key_a"), F.col("sig").alias("sig_a"), "band", "band_key"
+    )
+    b2 = bands.select(
+        F.col("key").alias("key_b"), F.col("sig").alias("sig_b"), "band", "band_key"
+    )
+    cand = (
+        a.join(b2, ["band", "band_key"])
+        .filter(F.col("key_a") < F.col("key_b"))
+        .select("key_a", "key_b", "sig_a", "sig_b")
+        .distinct()
+    )
+    return cand.select(
+        "key_a",
+        "key_b",
+        F.expr("CAST(bit_count(sig_a ^ sig_b) AS INT)").alias("hamming"),
+    ).filter(F.col("hamming") <= max_hamming)
