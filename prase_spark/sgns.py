@@ -169,9 +169,13 @@ def train_sgns(
             "__e", lambda x: x / F.greatest(F.col("__n"), F.lit(1e-12))
         ).alias("embedding"),
     )
+    # materialize the deliverable, then release the vocab pin (the r4
+    # IVF-unpersist advisory class: trainers must not leak cached RDDs
+    # into a long-lived session)
     vectors = vocab.join(unit, vocab["nid"] == unit["id"]).select(
         "node", "nid", "embedding"
-    )
+    ).localCheckpoint()
+    vocab.unpersist()
     return SGNSModel(vectors=vectors, context=C, dim=dim)
 
 

@@ -113,6 +113,7 @@ def random_walks(
 
     out = starts.localCheckpoint()
     frontier = out
+    pinned = []
     for step in range(1, walk_length + 1):
         nxt = (
             frontier.join(adj, frontier["node"] == adj["cur"])
@@ -134,10 +135,18 @@ def random_walks(
             # pin every frontier: the output union holds one branch per
             # step, and without a persist each branch would recompute
             # all prior hops — O(L^2) joins instead of O(L) (measured
-            # 0.54 -> 0.8+ 4->16 efficiency on the 8M-edge read)
+            # 24.8 -> 20.9 s / 11.6 -> 8.4 s on the 8M-edge 4->16 read)
             nxt = nxt.persist()
+            pinned.append(nxt)
         out = out.unionByName(nxt)
         frontier = nxt
+    # materialize once, then release every intermediate pin: a
+    # build-once/consume-many walk corpus must not leak cached RDDs into
+    # a long-lived session (the r4 IVF-unpersist advisory class)
+    out = out.localCheckpoint()
+    for df in pinned:
+        df.unpersist()
+    adj.unpersist()
     return out
 
 
@@ -222,6 +231,7 @@ def node2vec_walks(
         )
         starts = sk if starts is None else starts.unionByName(sk)
     out = starts.localCheckpoint()
+    pinned = []
 
     # step 1: uniform (no previous node yet) — identical to random_walks
     frontier = None
@@ -236,6 +246,7 @@ def node2vec_walks(
                 F.expr(f"CAST({_mix_sql('walk_id', 1)} % size(nbrs) AS INT) + 1"),
             ).alias("node"),
         ).persist()
+        pinned.append(f1)
         out = out.unionByName(f1.drop("prev"))
         frontier = f1
 
@@ -279,8 +290,13 @@ def node2vec_walks(
             nxt = nxt.localCheckpoint()
         else:
             nxt = nxt.persist()  # same O(L) pin as random_walks
+            pinned.append(nxt)
         out = out.unionByName(nxt.drop("prev"))
         frontier = nxt
+    out = out.localCheckpoint()
+    for df in pinned:
+        df.unpersist()
+    adj.unpersist()
     return out
 
 
