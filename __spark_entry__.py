@@ -360,6 +360,43 @@ def _q_media_ahash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return media_ahash(media)
 
 
+def _q_media_lhash_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio loudness-profile hashing through REAL PCM decode
+    (multimodal.media_lhash): per doc a 16-bit mono WAV with the
+    multimodal gate's sample arithmetic, decoded by the actual RIFF/PCM
+    parser (int16 recovered exactly — /32768 is a power of two), hashed
+    by 64-segment mean-|amplitude| envelope bits. The twin re-derives
+    every bit from the sample arithmetic; pair outputs with
+    dedup.hamming_pairs for audio near-dup."""
+    import numpy as np
+
+    from prase_spark.datapipe.multimodal import media_lhash
+    from prase_spark.fixtures import synth_wav16_raw
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        "doc_id"
+    ).filter("doc_id < 500")
+
+    def build(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            payloads = []
+            for doc in pdf["doc_id"]:
+                doc = int(doc)
+                n = 64 + doc % 37
+                samples = (doc * 31 + np.arange(n) * 7) % 2001 - 1000
+                payloads.append(
+                    bytearray(synth_wav16_raw(samples.astype(np.int16), 8000))
+                )
+            yield pd.DataFrame(
+                {"media_id": pdf["doc_id"], "payload": payloads}
+            )
+
+    media = d.mapInPandas(build, "media_id LONG, payload BINARY")
+    return media_lhash(media)
+
+
 def _q_cdc_chunks_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Content-defined chunking (chunking.cdc_chunks): gear-rule
     boundaries before tokens whose finalized poly hash is divisible by
@@ -4491,6 +4528,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_chunks_docs": _q_cdc_chunks_docs,
         "align_compose_tpch": _q_align_compose_tpch,
         "media_ahash_docs": _q_media_ahash_docs,
+        "media_lhash_docs": _q_media_lhash_docs,
         "pq_codes_embeddings": _q_pq_codes_embeddings,
         "rand_proj_embeddings": _q_rand_proj_embeddings,
         "node_triangles": _q_node_triangles,
@@ -9046,6 +9084,49 @@ def oracle_sql() -> dict[str, str]:
                CAST(CASE WHEN v >= CAST(power(2, 63) AS HUGEINT)
                     THEN v - CAST(power(2, 64) AS HUGEINT)
                     ELSE v END AS BIGINT) AS ahash
+        FROM pk
+    """
+    # media_lhash_docs twin: 64-segment envelope bits re-derived from
+    # the sample arithmetic (n >= 64 so every segment is non-empty)
+    out["media_lhash_docs"] = """
+        WITH d AS (
+            SELECT doc_id, 64 + doc_id % 37 AS n
+            FROM documents WHERE doc_id < 500
+        ),
+        ks AS (SELECT unnest(generate_series(0, 63)) AS k),
+        seg AS (
+            SELECT doc_id, n, k, (k * n) // 64 AS lo,
+                   ((k + 1) * n) // 64 AS hi
+            FROM d, ks
+        ),
+        sv AS (
+            SELECT doc_id, n, k, hi - lo AS m,
+                   unnest(generate_series(lo, hi - 1)) AS i
+            FROM seg
+        ),
+        sm AS (
+            SELECT doc_id, n, k,
+                   sum(abs((doc_id * 31 + i * 7) % 2001 - 1000)) // max(m)
+                       AS segmean
+            FROM sv GROUP BY doc_id, n, k
+        ),
+        gm AS (SELECT doc_id, sum(segmean) // 64 AS mean
+               FROM sm GROUP BY doc_id),
+        bits AS (
+            SELECT sm.doc_id, sm.n, sm.k,
+                   CASE WHEN segmean > mean THEN 1 ELSE 0 END AS b
+            FROM sm JOIN gm USING (doc_id)
+        ),
+        pk AS (
+            SELECT doc_id, n,
+                   sum(CAST(b AS HUGEINT)
+                       * CAST(power(2, 63 - k) AS HUGEINT)) AS v
+            FROM bits GROUP BY doc_id, n
+        )
+        SELECT doc_id AS media_id, 'wav' AS fmt, CAST(n AS INT) AS n_samples,
+               CAST(CASE WHEN v >= CAST(power(2, 63) AS HUGEINT)
+                    THEN v - CAST(power(2, 64) AS HUGEINT)
+                    ELSE v END AS BIGINT) AS lhash
         FROM pk
     """
     # cdc_chunks_docs twin: shared tokenizer + per-token poly hash +

@@ -53,6 +53,7 @@ from prase_spark.datapipe.dedup import (
 )
 from prase_spark.datapipe.multimodal import (
     media_ahash,
+    media_lhash,
     decode_media_features,
     extract_media_features,
     probe_media_metadata,
@@ -187,6 +188,7 @@ __all__ = [
     "cdc_chunks",
     "hamming_pairs",
     "media_ahash",
+    "media_lhash",
     "pq_adc_topk",
     "pq_codebook_df",
     "pq_encode",

@@ -87,3 +87,59 @@ def test_hamming_pairs_banding(spark):
     assert got == {(1, 2): 2}
     with pytest.raises(ValueError):
         hamming_pairs(df, max_hamming=4)
+
+
+# --- audio loudness hash -----------------------------------------------------
+
+
+def _py_lhash(ints):
+    n = len(ints)
+    if n == 0:
+        return 0
+    absx = [abs(int(v)) for v in ints]
+    bounds = [(k * n) // 64 for k in range(65)]
+    segs = []
+    for k in range(64):
+        lo, hi = bounds[k], bounds[k + 1]
+        if hi <= lo:
+            hi = lo + 1 if lo < n else n
+            lo = min(lo, n - 1)
+        segs.append(sum(absx[lo:hi]) // max(hi - lo, 1))
+    mean = sum(segs) // 64
+    val = 0
+    for k, s in enumerate(segs):
+        if s > mean:
+            val |= 1 << (63 - k)
+    return val - (1 << 64) if val >= (1 << 63) else val
+
+
+def test_lhash64_matches_scalar_replica_and_level_invariance():
+    from prase_spark.datapipe.multimodal import lhash64
+
+    rng = np.random.default_rng(4)
+    ints = (rng.normal(scale=4000, size=500)).astype(np.int64)
+    assert lhash64(ints) == _py_lhash(ints)
+    # halving the level keeps the envelope SHAPE: small hamming drift
+    a, b = lhash64(ints), lhash64(ints // 2)
+    assert bin((a ^ b) & ((1 << 64) - 1)).count("1") <= 6
+    # short clips (n < 64) still hash
+    assert lhash64(ints[:10]) == _py_lhash(ints[:10])
+
+
+def test_media_lhash_through_real_wav_decode(spark):
+    from prase_spark.datapipe.multimodal import media_lhash
+    from prase_spark.fixtures import synth_wav16_raw
+
+    rows = []
+    want = {}
+    for doc in range(4):
+        n = 64 + doc % 37
+        samples = (doc * 31 + np.arange(n) * 7) % 2001 - 1000
+        rows.append((doc, bytearray(synth_wav16_raw(samples.astype(np.int16), 8000))))
+        want[doc] = ("wav", n, _py_lhash(samples))
+    df = spark.createDataFrame(rows, "media_id LONG, payload BINARY")
+    got = {
+        r["media_id"]: (r["fmt"], r["n_samples"], r["lhash"])
+        for r in media_lhash(df).collect()
+    }
+    assert got == want
