@@ -1457,6 +1457,30 @@ def _q_name_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("name_l", "name_r")
 
 
+def _q_meta_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Meta-blocking (metablock.meta_block_candidates, Papadakis TKDE'14)
+    over token blocks of part names: left = p_name keyed by p_partkey,
+    right = ' mk2' variants keyed by p_partkey + 1000000. Block purging
+    at 1000 cross-pairs (TPC-H color tokens repeat across ~1/18 of names,
+    so the generic-color blocks ARE purged here — the stage is live, not
+    decorative), 80% block filtering, CBS integer weights, WNP pruning
+    (edge survives the mean of either endpoint). Output (key_l, key_r, w)
+    is all BIGINTs — engine-exact by construction."""
+    from prase_spark.metablock import meta_block_candidates
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    left = p.select(
+        F.col("p_partkey").cast("long").alias("key"), F.col("p_name").alias("name")
+    )
+    right = p.select(
+        (F.col("p_partkey") + 1000000).cast("long").alias("key"),
+        F.concat(F.col("p_name"), F.lit(" mk2")).alias("name"),
+    )
+    return meta_block_candidates(
+        left, right, scheme="wnp", max_block_pairs=1000, ratio_pct=80
+    )
+
+
 def _q_hard_negatives_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for embedding training: the name-blocked
     candidate pairs (LSH + exact jaccard >= 0.6) ANTI-JOINED against
@@ -4496,6 +4520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "table_triples_pages": _q_table_triples_pages,
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "truth_trust_orders": _q_truth_trust_orders,
+        "meta_block_parts": _q_meta_block_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7105,6 +7130,62 @@ def oracle_sql() -> dict[str, str]:
             named_r AS (SELECT DISTINCT p_name || ' v2' AS name FROM part WHERE p_partkey < 300),
             {_name_pairs_chain}
             SELECT name_l, name_r FROM pairs
+        """
+    # meta_block_parts twin: token blocking -> block purging (cap 1000
+    # cross-pairs) -> 80% block filtering (ceil via exact integer div) ->
+    # CBS count -> WNP union pruning with cross-multiplied means. Every
+    # stage is integer arithmetic over the shared _TOKS_SQL tokenizer.
+    _mb_toks = _TOKS_SQL.format(c="name")
+    out["meta_block_parts"] = f"""
+            WITH pl AS (
+                SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name
+                FROM part WHERE p_partkey < 300
+            ),
+            pr AS (
+                SELECT CAST(p_partkey + 1000000 AS BIGINT) AS key,
+                       p_name || ' mk2' AS name
+                FROM part WHERE p_partkey < 300
+            ),
+            bl AS (SELECT DISTINCT key, unnest({_mb_toks}) AS token FROM pl),
+            br AS (SELECT DISTINCT key, unnest({_mb_toks}) AS token FROM pr),
+            cnt AS (
+                SELECT l.token, l.n_l * r.n_r AS pairs
+                FROM (SELECT token, COUNT(DISTINCT key) AS n_l FROM bl GROUP BY token) l
+                JOIN (SELECT token, COUNT(DISTINCT key) AS n_r FROM br GROUP BY token) r
+                  USING (token)
+                WHERE l.n_l * r.n_r <= 1000
+            ),
+            fl AS (
+                SELECT key, token FROM (
+                    SELECT b.key, b.token,
+                           row_number() OVER (
+                               PARTITION BY b.key ORDER BY c.pairs ASC, b.token ASC
+                           ) AS rn,
+                           COUNT(*) OVER (PARTITION BY b.key) AS nb
+                    FROM bl b JOIN cnt c USING (token)
+                ) WHERE rn <= greatest(1, (80 * nb + 99) // 100)
+            ),
+            fr AS (
+                SELECT key, token FROM (
+                    SELECT b.key, b.token,
+                           row_number() OVER (
+                               PARTITION BY b.key ORDER BY c.pairs ASC, b.token ASC
+                           ) AS rn,
+                           COUNT(*) OVER (PARTITION BY b.key) AS nb
+                    FROM br b JOIN cnt c USING (token)
+                ) WHERE rn <= greatest(1, (80 * nb + 99) // 100)
+            ),
+            edges AS (
+                SELECT l.key AS key_l, r.key AS key_r, COUNT(*) AS w
+                FROM fl l JOIN fr r USING (token)
+                GROUP BY 1, 2
+            ),
+            lm AS (SELECT key_l, SUM(w) AS sl, COUNT(*) AS nl FROM edges GROUP BY 1),
+            rm AS (SELECT key_r, SUM(w) AS sr, COUNT(*) AS nr FROM edges GROUP BY 1)
+            SELECT e.key_l, e.key_r, e.w
+            FROM edges e JOIN lm USING (key_l) JOIN rm USING (key_r)
+            WHERE e.w * lm.nl * 100 >= 100 * lm.sl
+               OR e.w * rm.nr * 100 >= 100 * rm.sr
         """
     # hard_negatives_parts twin: the full nameblock chain minus the
     # by-construction gold variant pairs

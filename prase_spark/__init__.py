@@ -92,6 +92,7 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.fuzzy import fuzzy_join
+from prase_spark.metablock import meta_block_candidates
 from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.shapes import (
     characteristic_sets,
@@ -211,6 +212,7 @@ __all__ = [
     "property_partitions",
     "shacl_validate",
     "fuzzy_join",
+    "meta_block_candidates",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",
