@@ -1481,6 +1481,26 @@ def _q_meta_block_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_scc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strongly connected components (graphstats) over a deterministic
+    directed functional graph derived from orders custkeys: node v =
+    o_custkey % 200, edge v -> (v*17+3) % 200. A functional graph is the
+    redirect-chain shape (every URL has exactly one target), so its SCCs
+    are exactly the redirect LOOPS plus singleton chain nodes — the
+    pathology the crawl-side canonicalizer must detect. Labels are min
+    node ids (exact integers); the DuckDB twin computes the same classes
+    from a recursive-CTE closure, so the whole mutual-reachability
+    formulation is value-verified."""
+    from prase_spark.graphstats import strongly_connected_components
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 200 AS LONG) AS src",
+        "CAST(((o_custkey % 200) * 17 + 3) % 200 AS LONG) AS dst",
+    ).distinct()
+    return strongly_connected_components(edges)
+
+
 def _q_hard_negatives_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for embedding training: the name-blocked
     candidate pairs (LSH + exact jaccard >= 0.6) ANTI-JOINED against
@@ -4521,6 +4541,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_token_counts_docs": _q_bpe_token_counts_docs,
         "truth_trust_orders": _q_truth_trust_orders,
         "meta_block_parts": _q_meta_block_parts,
+        "scc_orders": _q_scc_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7186,6 +7207,29 @@ def oracle_sql() -> dict[str, str]:
             FROM edges e JOIN lm USING (key_l) JOIN rm USING (key_r)
             WHERE e.w * lm.nl * 100 >= 100 * lm.sl
                OR e.w * rm.nr * 100 >= 100 * rm.sr
+        """
+    # scc_orders twin: recursive-CTE reachability closure intersected
+    # with its transpose -> mutual pairs -> min per class; singletons
+    # (no mutual counterpart) label themselves via the LEFT JOIN.
+    out["scc_orders"] = """
+            WITH RECURSIVE e AS (
+                SELECT DISTINCT CAST(o_custkey % 200 AS BIGINT) AS s,
+                       CAST(((o_custkey % 200) * 17 + 3) % 200 AS BIGINT) AS d
+                FROM orders
+            ),
+            nodes AS (SELECT s AS node FROM e UNION SELECT d FROM e),
+            reach AS (
+                SELECT s AS a, d AS b FROM e
+                UNION
+                SELECT r.a, e.d FROM reach r JOIN e ON r.b = e.s
+            ),
+            mutual AS (
+                SELECT r1.a AS v, r1.b AS u
+                FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+            )
+            SELECT n.node, LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+            GROUP BY n.node
         """
     # hard_negatives_parts twin: the full nameblock chain minus the
     # by-construction gold variant pairs

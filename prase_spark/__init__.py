@@ -93,6 +93,7 @@ from prase_spark.matching import (
 )
 from prase_spark.fuzzy import fuzzy_join
 from prase_spark.metablock import meta_block_candidates
+from prase_spark.graphstats import scc_fwbw_min, strongly_connected_components
 from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.shapes import (
     characteristic_sets,
@@ -213,6 +214,8 @@ __all__ = [
     "shacl_validate",
     "fuzzy_join",
     "meta_block_candidates",
+    "strongly_connected_components",
+    "scc_fwbw_min",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",

@@ -653,3 +653,159 @@ def personalized_pagerank(
         nodes.join(rank, "node", "left")
         .selectExpr("node", "coalesce(rank_e12, CAST(0 AS LONG)) AS rank_e12")
     )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_hops: int = 64,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """Exact SCC labels (node, scc) with scc = the MINIMUM node id of the
+    mutual-reachability class — redirect loops, mirror rings and
+    citation cycles in the crawl/link graph, the directed analog of
+    connected_components (which canonicalizes the UNDIRECTED
+    equivalence graph and cannot see direction).
+
+    Formulation: mutual reachability over the audited
+    closure.transitive_closure — ``scc(v) = min({v} ∪ {u : v→*u ∧
+    u→*v})``. One closure, one self-join that intersects the closure
+    with its transpose (pairs reachable BOTH ways), one min-aggregate.
+    Exact for any graph the closure can hold, and every stage is
+    replicable in ANSI SQL (the gate twin is a recursive CTE), so the
+    result is value-hashable.
+
+    Scale posture: inherits the closure's O(V * avg-reach-set) memory —
+    this is the INSTANCE-BOUNDED variant, meant for derived graphs that
+    are small by construction (per-host redirect graphs, site template
+    rings, the canonical-entity graph AFTER alignment collapses
+    mentions), not the raw 10^12-edge web graph. For corpus-scale SCC
+    use :func:`scc_fwbw_min`, which never materializes reach sets.
+    """
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+    )
+    from prase_spark.closure import transitive_closure
+
+    c = transitive_closure(e, "s", "d", max_hops=max_hops, stats_out=stats_out)
+    fwd = c.select(F.col("src").alias("v"), F.col("anc").alias("u"))
+    mutual = fwd.join(
+        fwd.select(F.col("u").alias("v"), F.col("v").alias("u")), ["v", "u"]
+    )
+    nodes = e.select(F.col("s").alias("node")).unionByName(
+        e.select(F.col("d").alias("node"))
+    ).distinct()
+    return (
+        nodes.join(mutual.withColumnRenamed("v", "node"), "node", "left")
+        .groupBy("node")
+        .agg(F.least(F.col("node"), F.coalesce(F.min("u"), F.col("node"))).alias("scc"))
+    )
+
+
+def _min_propagate(labels: DataFrame, e: DataFrame, max_hops: int) -> DataFrame:
+    """Fixpoint of label(v) = min(label(v), min over in-edges u→v of
+    label(u)): after convergence label(v) = min id that reaches v within
+    the subgraph. Loops until an iteration changes nothing (bounded by
+    ``max_hops``); each iteration is one equi-join + one min-groupBy,
+    localCheckpointed to keep lineage flat."""
+    cur = labels.localCheckpoint()
+    for _ in range(max_hops):
+        pushed = (
+            cur.join(e, cur["node"] == e["s"])
+            .select(F.col("d").alias("node"), F.col("label"))
+        )
+        nxt = (
+            cur.unionByName(pushed)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            nxt.join(cur.withColumnRenamed("label", "__old"), "node")
+            .filter(F.col("label") < F.col("__old"))
+            .count()
+        )
+        cur = nxt
+        if changed == 0:
+            break
+    return cur
+
+
+def scc_fwbw_min(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_rounds: int = 30,
+    max_hops: int = 200,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """SCC for graphs too big to close: iterated forward-backward
+    min-label coloring (the FW-BW-MIN family, Slota et al. 2014 /
+    Orzan's coloring). Per outer round, over the still-unassigned
+    subgraph: propagate the min reaching id FORWARD to fixpoint (F) and
+    BACKWARD to fixpoint (B); every node with ``F(v) == B(v)`` is
+    mutually reachable with that common witness, so its SCC label is
+    F(v); assigned nodes (and their edges) leave the graph. Each round
+    settles every SCC whose min in-reach equals its min out-reach — at
+    minimum the SCC of the globally smallest remaining id, so the loop
+    always terminates on ``max_rounds >= number of stubborn SCC layers``
+    (raises if the budget is exhausted with nodes still unassigned,
+    never returns a partial wrong answer).
+
+    Memory is O(V) labels per pass — no reach sets — and every step is
+    the same join+min-groupBy shape as connected_components, so the
+    100-TB posture matches: hash-partitioned label tables, frontier
+    joins AQE-broadcast as the remaining graph shrinks.
+    Results are IDENTICAL to strongly_connected_components (pytest
+    cross-checks both on the same graphs)."""
+    e = (
+        edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+        .where(F.col("s").isNotNull() & F.col("d").isNotNull())
+        .distinct()
+        .localCheckpoint()
+    )
+    nodes = (
+        e.select(F.col("s").alias("node"))
+        .unionByName(e.select(F.col("d").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned = None
+    rounds = 0
+    remaining = nodes
+    while rounds < max_rounds:
+        n_rem = remaining.count()
+        if n_rem == 0:
+            break
+        init = remaining.select("node", F.col("node").alias("label"))
+        fwd = _min_propagate(init, e, max_hops)
+        bwd = _min_propagate(
+            init, e.select(F.col("d").alias("s"), F.col("s").alias("d")), max_hops
+        )
+        done = (
+            fwd.join(bwd.withColumnRenamed("label", "__b"), "node")
+            .filter(F.col("label") == F.col("__b"))
+            .select("node", F.col("label").alias("scc"))
+            .localCheckpoint()
+        )
+        assigned = done if assigned is None else assigned.unionByName(done)
+        remaining = remaining.join(done, "node", "left_anti").localCheckpoint()
+        e = (
+            e.join(remaining.withColumnRenamed("node", "s"), "s", "left_semi")
+            .join(remaining.withColumnRenamed("node", "d"), "d", "left_semi")
+            .localCheckpoint()
+        )
+        rounds += 1
+    leftover = remaining.count()
+    if leftover:
+        raise RuntimeError(
+            f"scc_fwbw_min: {leftover} nodes unassigned after {max_rounds} rounds"
+        )
+    if stats_out is not None:
+        stats_out["scc_rounds"] = rounds
+    return assigned if assigned is not None else nodes.select(
+        "node", F.col("node").alias("scc")
+    )
