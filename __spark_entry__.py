@@ -1501,6 +1501,25 @@ def _q_scc_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(edges)
 
 
+def _q_coreness_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-core decomposition by the h-operator (graphstats.coreness_hindex,
+    Lü 2016) at a FIXED 3 iterations over a deterministic mixing graph on
+    120 nodes (src = o_custkey%120, dst = o_orderkey%120, self-loops and
+    duplicates canonicalized away). Fixed horizon keeps the value
+    hashable; the DuckDB twin unrolls the same three h-index steps with
+    the window formulation (provably equal to the sort_array/zip_with
+    fold — the h-index is order-insensitive given a desc sort). All
+    exact integers."""
+    from prase_spark.graphstats import coreness_hindex
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return coreness_hindex(edges, iterations=3)
+
+
 def _q_hard_negatives_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hard-negative mining for embedding training: the name-blocked
     candidate pairs (LSH + exact jaccard >= 0.6) ANTI-JOINED against
@@ -4542,6 +4561,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truth_trust_orders": _q_truth_trust_orders,
         "meta_block_parts": _q_meta_block_parts,
         "scc_orders": _q_scc_orders,
+        "coreness_orders": _q_coreness_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7230,6 +7250,37 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
             FROM nodes n LEFT JOIN mutual m ON m.v = n.node
             GROUP BY n.node
+        """
+    # coreness_orders twin: three unrolled h-operator steps; the window
+    # (rn over desc values) MAX(LEAST(v, rn)) per node IS the h-index.
+    _hstep = """
+            SELECT node, MAX(LEAST(v, rn)) AS core FROM (
+                SELECT adj.node, {prev}.core AS v,
+                       row_number() OVER (
+                           PARTITION BY adj.node ORDER BY {prev}.core DESC
+                       ) AS rn
+                FROM adj JOIN {prev} ON {prev}.node = adj.nbr
+            ) GROUP BY node
+    """
+    out["coreness_orders"] = f"""
+            WITH e0 AS (
+                SELECT CAST(o_custkey % 120 AS BIGINT) AS a,
+                       CAST(o_orderkey % 120 AS BIGINT) AS b
+                FROM orders
+            ),
+            und AS (
+                SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+                FROM e0 WHERE a <> b
+            ),
+            adj AS (
+                SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            v0 AS (SELECT node, COUNT(*) AS core FROM adj GROUP BY node),
+            v1 AS ({_hstep.format(prev='v0')}),
+            v2 AS ({_hstep.format(prev='v1')}),
+            v3 AS ({_hstep.format(prev='v2')})
+            SELECT node, core FROM v3
         """
     # hard_negatives_parts twin: the full nameblock chain minus the
     # by-construction gold variant pairs

@@ -93,7 +93,7 @@ from prase_spark.matching import (
 )
 from prase_spark.fuzzy import fuzzy_join
 from prase_spark.metablock import meta_block_candidates
-from prase_spark.graphstats import scc_fwbw_min, strongly_connected_components
+from prase_spark.graphstats import coreness_hindex, scc_fwbw_min, strongly_connected_components
 from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.shapes import (
     characteristic_sets,
@@ -216,6 +216,7 @@ __all__ = [
     "meta_block_candidates",
     "strongly_connected_components",
     "scc_fwbw_min",
+    "coreness_hindex",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",

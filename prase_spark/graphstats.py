@@ -809,3 +809,91 @@ def scc_fwbw_min(
     return assigned if assigned is not None else nodes.select(
         "node", F.col("node").alias("scc")
     )
+
+
+def coreness_hindex(
+    edges: DataFrame,
+    iterations: int | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    max_iterations: int = 100,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(node, core): k-core decomposition via the h-operator iteration
+    (Lü et al. 2016, "The H-index of a network node"): start every node
+    at its simple degree, then repeatedly replace each node's value with
+    the H-INDEX of its neighbors' values — the sequence is monotone
+    non-increasing and converges exactly to the node's coreness, the
+    largest k such that the node survives in the k-core. Coreness is the
+    standard density rank for crawl graphs: the deep cores are link
+    farms and template rings, the 1-core fringe is the long tail a
+    curation pass keeps.
+
+    Why this formulation and not direct peeling: peeling ("repeatedly
+    delete all nodes of degree < k") mutates the graph sequentially per
+    k and needs O(k_max) full passes with a shrinking-but-global
+    frontier; the h-operator is a PURE per-node function of the
+    neighbors' previous values — each iteration is one equi-join
+    (adjacency x values) plus one per-node aggregate, the same
+    Jacobi-style shape as pagerank/hits, and partitioning never affects
+    the result (exact integers, order-free max/least aggregates).
+
+    ``iterations`` fixed (value-hashable, the gate mode: the DuckDB twin
+    unrolls the same count) or None = run to the exact coreness
+    fixpoint, detected by a changed-count that costs one lightweight job
+    per iteration (bounded by ``max_iterations``; converges in at most
+    graph-diameter-ish steps in practice — O(sqrt(V)) proven bound).
+
+    The per-node h-index is computed WITHOUT a window: sort_array over a
+    collect_list of neighbor values + one codegen transform/array_max.
+    Memory per node is its degree (the same bound any neighbor
+    aggregation pays); a 10^7-degree crawl hub should be degree-capped
+    upstream (hoststats block rules) before any per-node neighborhood
+    op, this one included.
+    """
+    und, deg = _simple_undirected(edges, src, dst)
+    adj = (
+        und.select(F.col("a").alias("node"), F.col("b").alias("nbr"))
+        .unionByName(und.select(F.col("b").alias("node"), F.col("a").alias("nbr")))
+        .localCheckpoint()
+    )
+    val = deg.select("node", F.col("d").cast("long").alias("core")).localCheckpoint()
+
+    def _step(cur: DataFrame) -> DataFrame:
+        nb = adj.join(
+            cur.select(F.col("node").alias("nbr"), F.col("core").alias("v")), "nbr"
+        ).select("node", "v")
+        return (
+            nb.groupBy("node")
+            .agg(F.sort_array(F.collect_list("v"), asc=False).alias("vs"))
+            .select(
+                "node",
+                F.array_max(
+                    F.zip_with(
+                        F.col("vs"),
+                        F.sequence(F.lit(1), F.size("vs")).cast("array<long>"),
+                        lambda v, i: F.least(v, i),
+                    )
+                ).alias("core"),
+            )
+        )
+
+    if iterations is not None:
+        for _ in range(iterations):
+            val = _step(val).localCheckpoint()
+        return val
+    done = 0
+    for it in range(max_iterations):
+        nxt = _step(val).localCheckpoint()
+        changed = (
+            nxt.join(val.withColumnRenamed("core", "__old"), "node")
+            .filter(F.col("core") != F.col("__old"))
+            .count()
+        )
+        val = nxt
+        done = it + 1
+        if changed == 0:
+            break
+    if stats_out is not None:
+        stats_out["coreness_iterations"] = done
+    return val
