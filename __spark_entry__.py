@@ -463,6 +463,31 @@ def _q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(d, "source", "text", k=16)
 
 
+def _q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min sketch (datapipe/sketches.py, Cormode 2005) of the
+    corpus token-frequency distribution at depth 4 x width 512 —
+    deliberately narrow so collisions are LIVE and the gate verifies the
+    overestimate arithmetic, not just a perfect hash table. Probes =
+    distinct tokens of doc_id < 3; output (token, est, true_cnt), where
+    est comes from the sketch's min-over-rows lookup and true_cnt from
+    an exact count. Buckets are pure integer arithmetic over the
+    finalized poly hash, so every populated cell is engine-identical."""
+    from prase_spark.datapipe.sketches import cms_lookup, count_min
+    from prase_spark.datapipe.textstats import tokens
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    tk = d.select(F.explode(tokens("text")).alias("token"))
+    cms = count_min(tk, "token", depth=4, width=512)
+    probe = (
+        d.filter("doc_id < 3")
+        .select(F.explode(tokens("text")).alias("token"))
+        .distinct()
+    )
+    est = cms_lookup(cms, probe, "token", depth=4, width=512)
+    true = tk.groupBy("token").agg(F.count(F.lit(1)).alias("true_cnt"))
+    return est.join(true, "token").select("token", "est", "true_cnt")
+
+
 def _q_distsup_pairs_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distant supervision (distsup.py, Mintz 2009): two entity-bearing
     sentences are PLANTED per document by doc_id arithmetic ("Alice{a}
@@ -4562,6 +4587,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "meta_block_parts": _q_meta_block_parts,
         "scc_orders": _q_scc_orders,
         "coreness_orders": _q_coreness_orders,
+        "cms_tokens_docs": _q_cms_tokens_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7250,6 +7276,52 @@ def oracle_sql() -> dict[str, str]:
             SELECT n.node, LEAST(n.node, COALESCE(MIN(m.u), n.node)) AS scc
             FROM nodes n LEFT JOIN mutual m ON m.v = n.node
             GROUP BY n.node
+        """
+    # cms_tokens_docs twin: same poly hash + quadratic finalizer, same
+    # affine per-row bucket maps (exact HUGEINT arithmetic), cells
+    # grouped on (row, bucket) — which factors through the base hash, so
+    # grouping by token here and by base hash in Spark give identical
+    # cell totals.
+    _cms_toks = _TOKS_SQL.format(c="text")
+    _cms_poly = POLY_SQL.format(c="token")
+    _cms_bucket = (
+        "CAST((CAST((999999000001 + 2 * pr.i) AS HUGEINT) * b + (12345 + pr.i)) "
+        f"% {POLY_P} % 512 AS BIGINT)"
+    )
+    out["cms_tokens_docs"] = f"""
+            WITH tk AS (SELECT unnest({_cms_toks}) AS token FROM documents),
+            cnts AS (
+                SELECT token, CAST(COUNT(*) AS BIGINT) AS w FROM tk GROUP BY token
+            ),
+            base AS (
+                SELECT token, w,
+                       CAST((CAST(p AS HUGEINT) * p + {KMV_FIN_ADD})
+                            % {POLY_P} AS BIGINT) AS b
+                FROM (SELECT token, w, {_cms_poly} AS p FROM cnts)
+            ),
+            cells AS (
+                SELECT pr.i AS row, {_cms_bucket} AS bucket,
+                       CAST(SUM(w) AS BIGINT) AS cnt
+                FROM base, (VALUES (0), (1), (2), (3)) pr(i)
+                GROUP BY 1, 2
+            ),
+            probe AS (
+                SELECT DISTINCT unnest({_cms_toks}) AS token
+                FROM documents WHERE doc_id < 3
+            ),
+            pcells AS (
+                SELECT base.token, pr.i AS row, {_cms_bucket} AS bucket
+                FROM base, (VALUES (0), (1), (2), (3)) pr(i)
+                WHERE base.token IN (SELECT token FROM probe)
+            ),
+            pe AS (
+                SELECT q.token, CAST(MIN(COALESCE(c.cnt, 0)) AS BIGINT) AS est
+                FROM pcells q
+                LEFT JOIN cells c ON c.row = q.row AND c.bucket = q.bucket
+                GROUP BY q.token
+            )
+            SELECT pe.token, pe.est, cnts.w AS true_cnt
+            FROM pe JOIN cnts USING (token)
         """
     # coreness_orders twin: three unrolled h-operator steps; the window
     # (rn over desc values) MAX(LEAST(v, rn)) per node IS the h-index.

@@ -114,3 +114,104 @@ def kmv_distinct(
         f"ELSE CAST((CAST({int(k) - 1} AS DECIMAL(38,0)) * {POLY_P}) "
         f"DIV kth_hash AS BIGINT) END AS distinct_est",
     )
+
+
+#: count-min hash family: row i uses the affine map
+#: (CMS_A + 2i) * base + (CMS_B + i) mod P over the FINALIZED base hash
+#: (the quadratic finalizer scatters poly_hash61's affine lattice first,
+#: same reasoning as KMV). Odd multipliers, exact DECIMAL(38,0)
+#: arithmetic: (1e12-scale a) * (2^61 base) ~ 1e30 << 1e38, so both
+#: engines compute bit-identical buckets.
+CMS_A = 999999000001
+CMS_B = 12345
+
+
+def count_min(
+    df: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """(row, bucket, cnt): a Count-Min sketch (Cormode & Muthukrishnan
+    2005) of the value column's frequency distribution — the heavy-
+    hitter / frequency-estimate summary a 100-TB profile pass ships to
+    the driver instead of a corpus-sized term table. ``depth * width``
+    cells bound the sketch regardless of cardinality; point estimates
+    overestimate only (est >= true, with +eps*N error at probability
+    1-delta for width=e/eps, depth=ln(1/delta)).
+
+    Determinism doctrine: buckets are pure integer arithmetic over the
+    finalized poly hash (no RNG, no engine-specific hash), so the ENTIRE
+    sketch — every cell — is value-replicable in ANSI SQL and the gate
+    hashes all depth*width populated cells against DuckDB.
+
+    Scale shape: the corpus first collapses to one row per DISTINCT base
+    hash (map-side combinable sum of weights; shuffle rows are 8-byte
+    hashes + a count, never raw values — the bucket maps factor through
+    the base hash, so this pre-aggregation is exact), then fans out
+    ``depth`` cells per distinct value and sums per cell. Cell count is
+    capped at depth*width by construction, so the second shuffle is
+    sketch-sized, not corpus-sized.
+    """
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    per_value = (
+        df.select(poly_hash61(value_col).alias("__ph"), w.alias("__w"))
+        .select(F.expr(_kmv_hash_sql("__ph")).alias("__base"), "__w")
+        .groupBy("__base")
+        .agg(F.sum("__w").alias("__wv"))
+    )
+    rows = F.sequence(F.lit(0), F.lit(depth - 1))
+    cells = per_value.select(
+        F.explode(rows).alias("row"),
+        F.col("__base"),
+        F.col("__wv"),
+    ).select(
+        "row",
+        F.expr(
+            f"CAST((CAST(({CMS_A} + 2 * row) AS DECIMAL(38,0)) * __base "
+            f"+ ({CMS_B} + row)) % {POLY_P} % {width} AS BIGINT)"
+        ).alias("bucket"),
+        "__wv",
+    )
+    return cells.groupBy("row", "bucket").agg(F.sum("__wv").alias("cnt"))
+
+
+def cms_lookup(
+    cms: DataFrame,
+    keys: DataFrame,
+    value_col: str,
+    depth: int = 4,
+    width: int = 1024,
+) -> DataFrame:
+    """(<value_col>, est): Count-Min point estimates for each distinct
+    key — min over the sketch's ``depth`` cells for that key (0 when a
+    cell is empty). The sketch side is depth*width rows at most, so the
+    join broadcasts; the key side never shuffles."""
+    k = (
+        keys.select(F.col(value_col).alias("__v")).distinct()
+        .select("__v", poly_hash61("__v").alias("__ph"))
+        .select("__v", F.expr(_kmv_hash_sql("__ph")).alias("__base"))
+    )
+    probes = k.select(
+        "__v",
+        F.explode(F.sequence(F.lit(0), F.lit(depth - 1))).alias("row"),
+        F.col("__base"),
+    ).select(
+        "__v",
+        "row",
+        F.expr(
+            f"CAST((CAST(({CMS_A} + 2 * row) AS DECIMAL(38,0)) * __base "
+            f"+ ({CMS_B} + row)) % {POLY_P} % {width} AS BIGINT)"
+        ).alias("bucket"),
+    )
+    return (
+        probes.join(F.broadcast(cms), ["row", "bucket"], "left")
+        .groupBy("__v")
+        .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long"))).alias("est"))
+        .withColumnRenamed("__v", value_col)
+    )

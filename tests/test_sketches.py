@@ -86,3 +86,54 @@ def test_kmv_rejects_bad_params(spark):
         kmv_distinct(df, "g", "v", k=1)
     with pytest.raises(ValueError):
         kmv_distinct(df, "g", "v", salt_buckets=0)
+
+
+def test_count_min_overestimates_and_is_exact_when_unsaturated(spark):
+    from prase_spark.datapipe.sketches import cms_lookup, count_min
+
+    data = [("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5 + [("d",)] * 1
+    df = spark.createDataFrame(data, ["v"])
+    # wide sketch: no collisions expected -> exact counts
+    cms = count_min(df, "v", depth=4, width=4096)
+    keys = spark.createDataFrame([("a",), ("b",), ("c",), ("d",), ("zz",)], ["v"])
+    got = {r.v: r.est for r in cms_lookup(cms, keys, "v", depth=4, width=4096).collect()}
+    assert got == {"a": 50, "b": 20, "c": 5, "d": 1, "zz": 0}
+
+
+def test_count_min_narrow_never_underestimates(spark):
+    from prase_spark.datapipe.sketches import cms_lookup, count_min
+
+    data = [(f"k{i % 37}",) for i in range(500)]
+    df = spark.createDataFrame(data, ["v"])
+    true = {}
+    for (v,) in data:
+        true[v] = true.get(v, 0) + 1
+    cms = count_min(df, "v", depth=3, width=16)  # heavy collisions
+    keys = df.select("v").distinct()
+    got = {r.v: r.est for r in cms_lookup(cms, keys, "v", depth=3, width=16).collect()}
+    assert set(got) == set(true)
+    for v, t in true.items():
+        assert got[v] >= t
+    # total cells bounded by depth*width
+    assert cms.count() <= 3 * 16
+
+
+def test_count_min_weighted_and_merge_by_union(spark):
+    from pyspark.sql import functions as F
+
+    from prase_spark.datapipe.sketches import cms_lookup, count_min
+
+    df1 = spark.createDataFrame([("a", 3), ("b", 2)], ["v", "w"])
+    df2 = spark.createDataFrame([("a", 4), ("c", 7)], ["v", "w"])
+    c1 = count_min(df1, "v", depth=4, width=4096, weight_col="w")
+    c2 = count_min(df2, "v", depth=4, width=4096, weight_col="w")
+    merged = c1.unionByName(c2).groupBy("row", "bucket").agg(
+        F.sum("cnt").alias("cnt")
+    )
+    both = count_min(
+        df1.unionByName(df2), "v", depth=4, width=4096, weight_col="w"
+    )
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, both.collect()))
+    keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
+    got = {r.v: r.est for r in cms_lookup(merged, keys, "v", depth=4, width=4096).collect()}
+    assert got == {"a": 7, "b": 2, "c": 7}
