@@ -463,6 +463,23 @@ def _q_kmv_distinct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmv_distinct(d, "source", "text", k=16)
 
 
+def _q_wl_colors_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weisfeiler-Lehman color refinement (graphstats.wl_colors), 2
+    rounds over the deterministic 120-node mixing graph — structural
+    node signatures as poly hashes of canonical neighbor-multiset
+    strings. The DuckDB twin rebuilds the identical strings (sorted
+    list, comma join, '|' separator) and the identical poly hash, so
+    the gate verifies the whole refinement bit-for-bit."""
+    from prase_spark.graphstats import wl_colors
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return wl_colors(edges, iterations=2)
+
+
 def _q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (datapipe/sketches.py, Cormode 2005) of the
     corpus token-frequency distribution at depth 4 x width 512 —
@@ -4588,6 +4605,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "scc_orders": _q_scc_orders,
         "coreness_orders": _q_coreness_orders,
         "cms_tokens_docs": _q_cms_tokens_docs,
+        "wl_colors_orders": _q_wl_colors_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7322,6 +7340,41 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pe.token, pe.est, cnts.w AS true_cnt
             FROM pe JOIN cnts USING (token)
+        """
+    # wl_colors_orders twin: two unrolled WL rounds — sorted neighbor
+    # color lists canonicalized to "<own>|<c1>,<c2>,..." and poly-hashed
+    # with the shared POLY_SQL, over the same und/adj simplification.
+    _wl_poly = POLY_SQL.format(c="sig")
+    _wl_step = f"""
+            SELECT x.node, {_wl_poly} AS color FROM (
+                SELECT s.node,
+                       CAST(p.color AS VARCHAR) || '|' ||
+                       array_to_string(s.cs, ',') AS sig
+                FROM (
+                    SELECT adj.node, list_sort(list(q.color)) AS cs
+                    FROM adj JOIN {{prev}} q ON q.node = adj.nbr
+                    GROUP BY adj.node
+                ) s JOIN {{prev}} p USING (node)
+            ) x
+    """
+    out["wl_colors_orders"] = f"""
+            WITH e0 AS (
+                SELECT CAST(o_custkey % 120 AS BIGINT) AS a,
+                       CAST(o_orderkey % 120 AS BIGINT) AS b
+                FROM orders
+            ),
+            und AS (
+                SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b
+                FROM e0 WHERE a <> b
+            ),
+            adj AS (
+                SELECT a AS node, b AS nbr FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            w0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS color FROM adj GROUP BY node),
+            w1 AS ({_wl_step.format(prev='w0')}),
+            w2 AS ({_wl_step.format(prev='w1')})
+            SELECT node, color FROM w2
         """
     # coreness_orders twin: three unrolled h-operator steps; the window
     # (rn over desc values) MAX(LEAST(v, rn)) per node IS the h-index.

@@ -93,7 +93,12 @@ from prase_spark.matching import (
 )
 from prase_spark.fuzzy import fuzzy_join
 from prase_spark.metablock import meta_block_candidates
-from prase_spark.graphstats import coreness_hindex, scc_fwbw_min, strongly_connected_components
+from prase_spark.graphstats import (
+    coreness_hindex,
+    scc_fwbw_min,
+    strongly_connected_components,
+    wl_colors,
+)
 from prase_spark.rdfio import from_ntriples, to_ntriples
 from prase_spark.shapes import (
     characteristic_sets,
@@ -217,6 +222,7 @@ __all__ = [
     "strongly_connected_components",
     "scc_fwbw_min",
     "coreness_hindex",
+    "wl_colors",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",
