@@ -480,6 +480,20 @@ def _q_wl_colors_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_colors(edges, iterations=2)
 
 
+def _q_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless exact-Jaccard self-join by prefix filtering
+    (datapipe/setjoin.py, AllPairs/PPJoin): every doc pair with
+    distinct-token Jaccard >= 0.8, no LSH recall loss. Output
+    (key_a, key_b, inter, uni) — exact integers; the threshold is one
+    cross-multiplication in both engines. The DuckDB twin replays the
+    identical global token order (df asc, token asc), the identical
+    ceil-prefix arithmetic, and the identical verify."""
+    from prase_spark.datapipe.setjoin import prefix_jaccard_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 2000")
+    return prefix_jaccard_join(d, threshold_pct=80)
+
+
 def _q_cms_tokens_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Count-Min sketch (datapipe/sketches.py, Cormode 2005) of the
     corpus token-frequency distribution at depth 4 x width 512 —
@@ -4606,6 +4620,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_orders": _q_coreness_orders,
         "cms_tokens_docs": _q_cms_tokens_docs,
         "wl_colors_orders": _q_wl_colors_orders,
+        "prefix_join_docs": _q_prefix_join_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7340,6 +7355,49 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pe.token, pe.est, cnts.w AS true_cnt
             FROM pe JOIN cnts USING (token)
+        """
+    # prefix_join_docs twin: same global (df asc, token asc) order, same
+    # ceil-prefix integer arithmetic, list_intersect verify with the
+    # cross-multiplied threshold — engine-exact end to end.
+    _pj_toks = _TOKS_SQL.format(c="text")
+    out["prefix_join_docs"] = f"""
+            WITH tk AS (
+                SELECT DISTINCT doc_id AS key, unnest({_pj_toks}) AS token
+                FROM documents WHERE doc_id < 2000
+            ),
+            dfc AS (SELECT token, COUNT(*) AS dfreq FROM tk GROUP BY token),
+            sized AS (
+                SELECT key, token,
+                       row_number() OVER (
+                           PARTITION BY key ORDER BY dfreq ASC, token ASC
+                       ) AS rn,
+                       COUNT(*) OVER (PARTITION BY key) AS n
+                FROM tk JOIN dfc USING (token)
+            ),
+            pref AS (
+                SELECT key, token FROM sized
+                WHERE rn <= n - (80 * n + 99) // 100 + 1
+            ),
+            cand AS (
+                SELECT DISTINCT a.key AS key_a, b.key AS key_b
+                FROM pref a JOIN pref b USING (token)
+                WHERE a.key < b.key
+            ),
+            sets AS (
+                SELECT key, list(token) AS s, COUNT(*) AS sz
+                FROM tk GROUP BY key
+            ),
+            ver AS (
+                SELECT c.key_a, c.key_b,
+                       CAST(len(list_intersect(sa.s, sb.s)) AS BIGINT) AS inter,
+                       CAST(sa.sz + sb.sz
+                            - len(list_intersect(sa.s, sb.s)) AS BIGINT) AS uni
+                FROM cand c
+                JOIN sets sa ON sa.key = c.key_a
+                JOIN sets sb ON sb.key = c.key_b
+            )
+            SELECT key_a, key_b, inter, uni FROM ver
+            WHERE inter * 100 >= 80 * uni
         """
     # wl_colors_orders twin: two unrolled WL rounds — sorted neighbor
     # color lists canonicalized to "<own>|<c1>,<c2>,..." and poly-hashed

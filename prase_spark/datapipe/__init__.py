@@ -7,6 +7,8 @@ from prase_spark.datapipe.bpetrain import bpe_token_counts, bpe_train, word_tabl
 from prase_spark.datapipe.chunking import cdc_chunks, chunk_documents, pack_chunks
 from prase_spark.datapipe.colloc import collocations
 from prase_spark.datapipe.paradedup import dedup_paragraphs
+from prase_spark.datapipe.setjoin import prefix_jaccard_join
+from prase_spark.datapipe.sketches import cms_lookup, count_min
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom, decontaminate_fuzzy
@@ -132,6 +134,9 @@ __all__ = [
     "bpe_train",
     "word_table",
     "minhash_dedup",
+    "prefix_jaccard_join",
+    "count_min",
+    "cms_lookup",
     "minhash_lsh_pairs",
     "keep_best",
     "simhash_pairs",

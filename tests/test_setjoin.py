@@ -1,0 +1,68 @@
+"""Prefix-filter exact Jaccard join (datapipe/setjoin.py) vs brute-force
+all-pairs — the lossless contract is the whole point, so the test is
+exhaustive equality, not spot checks."""
+
+import itertools
+
+import pytest
+
+from prase_spark.datapipe.setjoin import prefix_jaccard_join
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumped over the lazy dog"),
+    (2, "the quick brown fox jumps over a lazy dog"),
+    (3, "completely different content about spark engines"),
+    (4, "completely different content about spark engines and scale"),
+    (5, "the quick brown fox"),
+    (6, "lorem ipsum dolor sit amet consectetur"),
+    (7, "lorem ipsum dolor sit amet consectetur adipiscing"),
+    (8, "singleton"),
+    (9, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+]
+
+
+def _tok(s):
+    out = set()
+    for t in s.lower().split():
+        t = "".join(ch for ch in t if ch.isalnum())
+        if t:
+            out.add(t)
+    return out
+
+
+def _brute(pct):
+    toks = {k: _tok(t) for k, t in DOCS}
+    out = {}
+    for a, b in itertools.combinations(sorted(toks), 2):
+        inter = len(toks[a] & toks[b])
+        uni = len(toks[a] | toks[b])
+        if inter * 100 >= pct * uni:
+            out[(a, b)] = (inter, uni)
+    return out
+
+
+@pytest.fixture(scope="module")
+def docs_df(spark):
+    return spark.createDataFrame(DOCS, ["doc_id", "text"])
+
+
+@pytest.mark.parametrize("pct", [50, 70, 80, 90, 100])
+def test_lossless_vs_brute(spark, docs_df, pct):
+    got = {
+        (r.key_a, r.key_b): (r.inter, r.uni)
+        for r in prefix_jaccard_join(docs_df, threshold_pct=pct).collect()
+    }
+    assert got == _brute(pct), f"pct={pct}"
+
+
+def test_prefix_actually_prunes(spark, docs_df):
+    stats = {}
+    prefix_jaccard_join(docs_df, threshold_pct=90, stats_out=stats).collect()
+    n = len(DOCS)
+    assert 0 < stats["prefix_candidates"] < n * (n - 1) // 2
+
+
+def test_bad_threshold_rejected(spark, docs_df):
+    with pytest.raises(ValueError):
+        prefix_jaccard_join(docs_df, threshold_pct=0)
