@@ -232,3 +232,58 @@ def test_projection_and_pq_plan_hygiene(spark):
     eplan = _plan(enc)
     assert "CartesianProduct" not in eplan
     assert "BroadcastExchange" in eplan or "BroadcastHashJoin" in eplan
+
+
+def test_metablock_plan_hygiene(spark):
+    """Meta-blocking: no cartesian product anywhere; the purged-token
+    table (small by construction) broadcasts into block filtering; WNP
+    endpoint means are hash aggregates, never windows."""
+    from prase_spark.metablock import meta_block_candidates
+
+    l = spark.range(200).selectExpr(
+        "id AS key", "concat('alpha beta w', id % 17, ' gamma') AS name"
+    )
+    r = spark.range(200).selectExpr(
+        "id + 1000 AS key", "concat('alpha beta w', id % 17, ' delta') AS name"
+    )
+    plan = _plan(meta_block_candidates(l, r, scheme="wnp"))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "HashAggregate" in plan
+
+    # the WNP pruning STAGE itself is window-free (hash aggs joined
+    # back); the only windows in the composed pipeline are the
+    # per-entity block-filter ranks, whose group size is tokens/name
+    from prase_spark.metablock import prune_wnp
+
+    edges = spark.range(500).selectExpr(
+        "id % 50 AS key_l", "id % 37 + 1000 AS key_r", "id % 5 + 1 AS w"
+    )
+    assert "Window" not in _plan(prune_wnp(edges))
+
+
+def test_prefix_join_plan_hygiene(spark):
+    """Prefix-filter join: no cartesian product; the per-key prefix
+    selection windows partition by record key (bounded groups), and the
+    verify joins are hash/broadcast equi-joins."""
+    from prase_spark.datapipe.setjoin import prefix_jaccard_join
+
+    docs = spark.range(300).selectExpr(
+        "id AS doc_id",
+        "concat('tok', id % 29, ' tok', id % 31, ' tok', id % 7, ' filler common') AS text",
+    )
+    plan = _plan(prefix_jaccard_join(docs, threshold_pct=80))
+    assert "CartesianProduct" not in plan
+
+
+def test_cms_lookup_broadcasts_sketch(spark):
+    """The sketch side (<= depth*width rows) must broadcast into the
+    probe join."""
+    from prase_spark.datapipe.sketches import cms_lookup, count_min
+
+    df = spark.range(500).selectExpr("concat('v', id % 40) AS v")
+    cms = count_min(df, "v", depth=4, width=64)
+    keys = df.select("v").distinct()
+    plan = _plan(cms_lookup(cms, keys, "v", depth=4, width=64))
+    assert "BroadcastExchange" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
