@@ -521,6 +521,45 @@ def main():
         timings["fuzzy_join_pairs"] = n_pairs
         left.unpersist(), right.unpersist()
 
+    def q_setjoin():
+        from prase_spark.datapipe.setjoin import prefix_jaccard_join
+
+        n_d = int(os.environ.get("PRASE_BENCH_SETJOIN_ROWS", "60000"))
+        # families of 4 near-dups: 7 family-specific tokens (df=4, these
+        # fill the rarest-first prefixes -> candidates stay within
+        # family), 1 mutated token, 2 corpus-wide glue tokens that the
+        # prefix ordering must keep OUT of the blocks. J within family =
+        # 9/11 >= 0.8; cross-family <= 3/15.
+        docs = spark.range(n_d, numPartitions=cpus * 2).selectExpr(
+            "id AS doc_id",
+            "concat('fam', id DIV 4, ' qa', id DIV 4, ' qb', id DIV 4,"
+            " ' qc', id DIV 4, ' qd', id DIV 4, ' qe', id DIV 4,"
+            " ' qf', id DIV 4, ' mut', id % 4, ' common glue') AS text",
+        ).persist()
+        docs.count()
+        t0 = time.time()
+        n_pairs = prefix_jaccard_join(docs, threshold_pct=80).count()
+        elapsed = time.time() - t0
+        timings["prefix_join_docs_per_sec"] = round(n_d / elapsed, 1)
+        timings["prefix_join_pairs"] = n_pairs
+        docs.unpersist()
+
+    def q_coreness():
+        from prase_spark.graphstats import coreness_hindex
+
+        n_e = int(os.environ.get("PRASE_BENCH_CORE_EDGES", "2000000"))
+        # mixing graph: multi-edges collapse in _simple_undirected,
+        # degree spread drives non-trivial h-index work per node
+        edges = spark.range(n_e, numPartitions=cpus * 2).selectExpr(
+            f"id % {n_e // 8} AS src",
+            f"(id * 48271 + 11) % {n_e // 8} AS dst",
+        ).persist()
+        edges.count()
+        t0 = time.time()
+        coreness_hindex(edges, iterations=3).count()
+        timings["coreness_edges_per_sec"] = round(n_e / (time.time() - t0), 1)
+        edges.unpersist()
+
     run("kg_build_functionality", q_kg_build)
     run("literal_seed", q_seed)
     run("paris_align_2iter", q_paris)
@@ -548,6 +587,10 @@ def main():
     q_walks()
     spark.catalog.clearCache()
     q_pq()
+    spark.catalog.clearCache()
+    q_setjoin()
+    spark.catalog.clearCache()
+    q_coreness()
     spark.catalog.clearCache()
 
     total = round(sum(timings[k] for k in wall_keys), 3)

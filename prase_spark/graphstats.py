@@ -730,8 +730,14 @@ def _min_propagate(labels: DataFrame, e: DataFrame, max_hops: int) -> DataFrame:
         )
         cur = nxt
         if changed == 0:
-            break
-    return cur
+            return cur
+    # truncated min-labels are NOT a safe basis for the F==B test: two
+    # members of one SCC can see different partial minima and the SCC
+    # would silently split. Refuse instead.
+    raise RuntimeError(
+        f"_min_propagate: no fixpoint within max_hops={max_hops} "
+        "(raise max_hops above the subgraph's min-label propagation radius)"
+    )
 
 
 def scc_fwbw_min(
