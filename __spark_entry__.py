@@ -480,6 +480,68 @@ def _q_wl_colors_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return wl_colors(edges, iterations=2)
 
 
+def _fs_fixture(spark: SparkSession, sf_dir: str):
+    """Shared Fellegi-Sunter fixture: left = parts (<300), right =
+    deterministic mutations (every 3rd name gets ' mk2', every 5th size
+    +1, brand always intact), candidates = the true pairs plus a decoy
+    ring (k -> 1000000 + k%197 + 1). Gold = the true pairs."""
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    left = p.selectExpr(
+        "CAST(p_partkey AS LONG) AS key", "p_name AS name",
+        "p_brand AS brand", "CAST(p_size AS LONG) AS size",
+    )
+    right = p.selectExpr(
+        "CAST(p_partkey + 1000000 AS LONG) AS key",
+        "CASE WHEN p_partkey % 3 = 0 THEN p_name || ' mk2' ELSE p_name END AS name",
+        "p_brand AS brand",
+        "CAST(CASE WHEN p_partkey % 5 = 0 THEN p_size + 1 ELSE p_size END AS LONG) AS size",
+    )
+    cand = (
+        p.selectExpr(
+            "CAST(p_partkey AS LONG) AS key_l",
+            "CAST(p_partkey + 1000000 AS LONG) AS key_r",
+        )
+        .unionByName(
+            p.selectExpr(
+                "CAST(p_partkey AS LONG) AS key_l",
+                "CAST(1000000 + p_partkey % 197 + 1 AS LONG) AS key_r",
+            )
+        )
+        .distinct()
+    )
+    gold = p.selectExpr(
+        "CAST(p_partkey AS LONG) AS key_l",
+        "CAST(p_partkey + 1000000 AS LONG) AS key_r",
+    )
+    feats = {"name": ("name", "name"), "brand": ("brand", "brand"), "size": ("size", "size")}
+    return left, right, cand, gold, feats
+
+
+def _q_fs_patterns_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter agreement vectors (linkage.agreement_vectors,
+    JASA 1969): per candidate pair the 0/1 per-feature agreement flags
+    and the packed pattern bitmask — the corpus-sized half of the
+    linkage model, exact integers, full SQL twin. The rational
+    likelihood-ratio layer on top is pytest-oracled (Fraction replica)
+    per the unbounded-magnitude doctrine."""
+    from prase_spark.linkage import agreement_vectors
+
+    left, right, cand, _, feats = _fs_fixture(spark, sf_dir)
+    return agreement_vectors(cand, left, right, feats)
+
+
+def _q_fs_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fellegi-Sunter m/u estimation counts (linkage.fs_counts): per
+    feature, agreements among gold matches (mn/md) and among non-gold
+    candidates (un/ud) — the sufficient statistics the likelihood
+    ratios are built from. One hash agg per stratum, exact integers."""
+    from prase_spark.linkage import agreement_vectors, fs_counts
+
+    left, right, cand, gold, feats = _fs_fixture(spark, sf_dir)
+    agr = agreement_vectors(cand, left, right, feats)
+    return fs_counts(agr, gold, feats)
+
+
 def _q_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless exact-Jaccard self-join by prefix filtering
     (datapipe/setjoin.py, AllPairs/PPJoin): every doc pair with
@@ -4621,6 +4683,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cms_tokens_docs": _q_cms_tokens_docs,
         "wl_colors_orders": _q_wl_colors_orders,
         "prefix_join_docs": _q_prefix_join_docs,
+        "fs_patterns_parts": _q_fs_patterns_parts,
+        "fs_counts_parts": _q_fs_counts_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7355,6 +7419,66 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT pe.token, pe.est, cnts.w AS true_cnt
             FROM pe JOIN cnts USING (token)
+        """
+    # fs_patterns/fs_counts twins: the same mutation fixture and flag
+    # arithmetic; match stratum = key_r == key_l + 1000000 (the gold
+    # construction), so the counts need no separate gold table.
+    _fs_base = """
+            l AS (
+                SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name,
+                       p_brand AS brand, CAST(p_size AS BIGINT) AS size
+                FROM part WHERE p_partkey < 300
+            ),
+            r AS (
+                SELECT CAST(p_partkey + 1000000 AS BIGINT) AS key,
+                       CASE WHEN p_partkey % 3 = 0 THEN p_name || ' mk2'
+                            ELSE p_name END AS name,
+                       p_brand AS brand,
+                       CAST(CASE WHEN p_partkey % 5 = 0 THEN p_size + 1
+                                 ELSE p_size END AS BIGINT) AS size
+                FROM part WHERE p_partkey < 300
+            ),
+            cand AS (
+                SELECT CAST(p_partkey AS BIGINT) AS key_l,
+                       CAST(p_partkey + 1000000 AS BIGINT) AS key_r
+                FROM part WHERE p_partkey < 300
+                UNION
+                SELECT CAST(p_partkey AS BIGINT),
+                       CAST(1000000 + p_partkey % 197 + 1 AS BIGINT)
+                FROM part WHERE p_partkey < 300
+            ),
+            agr AS (
+                SELECT c.key_l, c.key_r,
+                       CASE WHEN l.name = r.name THEN 1 ELSE 0 END AS an,
+                       CASE WHEN l.brand = r.brand THEN 1 ELSE 0 END AS ab,
+                       CASE WHEN l.size = r.size THEN 1 ELSE 0 END AS asz
+                FROM cand c
+                JOIN l ON l.key = c.key_l
+                JOIN r ON r.key = c.key_r
+            )
+    """
+    out["fs_patterns_parts"] = f"""
+            WITH {_fs_base}
+            SELECT key_l, key_r,
+                   CAST(an + 2 * ab + 4 * asz AS BIGINT) AS pattern,
+                   CAST(an AS BIGINT) AS agr_name,
+                   CAST(ab AS BIGINT) AS agr_brand,
+                   CAST(asz AS BIGINT) AS agr_size
+            FROM agr
+        """
+    _fs_count_row = """
+            SELECT '{f}' AS feature,
+                   CAST(SUM({c}) FILTER (WHERE key_r = key_l + 1000000) AS BIGINT) AS mn,
+                   CAST(COUNT(*) FILTER (WHERE key_r = key_l + 1000000) AS BIGINT) AS md,
+                   CAST(SUM({c}) FILTER (WHERE key_r <> key_l + 1000000) AS BIGINT) AS un,
+                   CAST(COUNT(*) FILTER (WHERE key_r <> key_l + 1000000) AS BIGINT) AS ud
+            FROM agr
+    """
+    out["fs_counts_parts"] = f"""
+            WITH {_fs_base}
+            {_fs_count_row.format(f='name', c='an')}
+            UNION ALL {_fs_count_row.format(f='brand', c='ab')}
+            UNION ALL {_fs_count_row.format(f='size', c='asz')}
         """
     # prefix_join_docs twin: same global (df asc, token asc) order, same
     # ceil-prefix integer arithmetic, list_intersect verify with the

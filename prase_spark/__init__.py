@@ -92,6 +92,7 @@ from prase_spark.matching import (
     incremental_components,
 )
 from prase_spark.fuzzy import fuzzy_join
+from prase_spark.linkage import fellegi_sunter
 from prase_spark.metablock import meta_block_candidates
 from prase_spark.graphstats import (
     coreness_hindex,
@@ -219,6 +220,7 @@ __all__ = [
     "shacl_validate",
     "fuzzy_join",
     "meta_block_candidates",
+    "fellegi_sunter",
     "strongly_connected_components",
     "scc_fwbw_min",
     "coreness_hindex",
