@@ -542,6 +542,27 @@ def _q_fs_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_counts(agr, gold, feats)
 
 
+def _q_snb_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood blocking (metablock.sorted_neighborhood_pairs,
+    Hernández-Stolfo) over the mixed L+R part-name universe (right side
+    = ' mk2' variants keyed +1000000), window 4 under (name, key) order.
+    Candidate volume is linear by construction; the distributed global
+    rank (range partitions + offsets) must reproduce the oracle's single
+    ORDER BY exactly — THE property this gate pins."""
+    from prase_spark.metablock import sorted_neighborhood_pairs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    uni = p.selectExpr(
+        "CAST(p_partkey AS LONG) AS key", "p_name AS name"
+    ).unionByName(
+        p.selectExpr(
+            "CAST(p_partkey + 1000000 AS LONG) AS key",
+            "p_name || ' mk2' AS name",
+        )
+    )
+    return sorted_neighborhood_pairs(uni, "name", window=4, n_parts=8)
+
+
 def _q_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless exact-Jaccard self-join by prefix filtering
     (datapipe/setjoin.py, AllPairs/PPJoin): every doc pair with
@@ -4685,6 +4706,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "prefix_join_docs": _q_prefix_join_docs,
         "fs_patterns_parts": _q_fs_patterns_parts,
         "fs_counts_parts": _q_fs_counts_parts,
+        "snb_pairs_parts": _q_snb_pairs_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7479,6 +7501,27 @@ def oracle_sql() -> dict[str, str]:
             {_fs_count_row.format(f='name', c='an')}
             UNION ALL {_fs_count_row.format(f='brand', c='ab')}
             UNION ALL {_fs_count_row.format(f='size', c='asz')}
+        """
+    # snb_pairs_parts twin: one global ORDER BY window (fine at oracle
+    # scale) vs Spark's range-partitioned distributed rank — the gate
+    # proves the two produce the identical total order.
+    out["snb_pairs_parts"] = """
+            WITH uni AS (
+                SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name
+                FROM part WHERE p_partkey < 300
+                UNION ALL
+                SELECT CAST(p_partkey + 1000000 AS BIGINT), p_name || ' mk2'
+                FROM part WHERE p_partkey < 300
+            ),
+            ranked AS (
+                SELECT key,
+                       row_number() OVER (ORDER BY name ASC, key ASC) - 1 AS r
+                FROM uni
+            )
+            SELECT a.key AS key_a, b.key AS key_b,
+                   CAST(b.r - a.r AS BIGINT) AS dist
+            FROM ranked a JOIN ranked b
+              ON b.r > a.r AND b.r - a.r < 4
         """
     # prefix_join_docs twin: same global (df asc, token asc) order, same
     # ceil-prefix integer arithmetic, list_intersect verify with the

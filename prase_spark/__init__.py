@@ -93,7 +93,11 @@ from prase_spark.matching import (
 )
 from prase_spark.fuzzy import fuzzy_join
 from prase_spark.linkage import fellegi_sunter
-from prase_spark.metablock import meta_block_candidates
+from prase_spark.metablock import (
+    global_rank,
+    meta_block_candidates,
+    sorted_neighborhood_pairs,
+)
 from prase_spark.graphstats import (
     coreness_hindex,
     scc_fwbw_min,
@@ -220,6 +224,8 @@ __all__ = [
     "shacl_validate",
     "fuzzy_join",
     "meta_block_candidates",
+    "global_rank",
+    "sorted_neighborhood_pairs",
     "fellegi_sunter",
     "strongly_connected_components",
     "scc_fwbw_min",

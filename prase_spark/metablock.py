@@ -221,3 +221,95 @@ def meta_block_candidates(
     if scheme == "none":
         return edges
     raise ValueError(f"unknown pruning scheme: {scheme}")
+
+
+def global_rank(
+    df: DataFrame, sort_cols: list[str], n_parts: int = 32, out_col: str = "rank"
+) -> DataFrame:
+    """df + a 0-based dense global rank under ORDER BY ``sort_cols`` —
+    WITHOUT a single-partition sort. Range-repartition on the sort key
+    (the sampler spreads skew across consecutive partitions), count rows
+    per partition (one bounded collect, n_parts rows), then rank = local
+    row_number + partition offset. The per-partition window sorts only
+    its range slice — the honest distributed global order, same layout
+    doctrine as cdx.write_cdx_index.
+
+    ``sort_cols`` must be a total order (append a unique key as the
+    last column); otherwise ranks of ties depend on the partitioner."""
+    from pyspark.sql import Window
+
+    ranged = df.repartitionByRange(n_parts, *sort_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    ranged = ranged.localCheckpoint()
+    counts = sorted(
+        (r["__pid"], r["n"])
+        for r in ranged.groupBy("__pid").agg(F.count(F.lit(1)).alias("n")).collect()
+    )
+    offsets = {}
+    acc = 0
+    for pid, n in counts:
+        offsets[pid] = acc
+        acc += n
+    spark = df.sparkSession
+    off = spark.createDataFrame(
+        [(p, o) for p, o in offsets.items()], "__pid INT, __off LONG"
+    )
+    w = Window.partitionBy("__pid").orderBy(*[F.col(c).asc() for c in sort_cols])
+    return (
+        ranged.withColumn("__rn", F.row_number().over(w))
+        .join(F.broadcast(off), "__pid")
+        .withColumn(out_col, (F.col("__rn") + F.col("__off") - 1).cast("long"))
+        .drop("__pid", "__rn", "__off")
+    )
+
+
+def sorted_neighborhood_pairs(
+    df: DataFrame,
+    sort_col: str,
+    window: int = 5,
+    key_col: str = "key",
+    n_parts: int = 32,
+) -> DataFrame:
+    """Sorted-neighborhood blocking (Hernández & Stolfo 1995): order all
+    records by ``sort_col`` (ties by ``key_col`` — a total order, so the
+    pair set is value-stable) and emit every pair within ``window``
+    positions: (key_a, key_b, dist) with 1 <= dist < window, key_a the
+    lower-ranked record. The third classic blocker next to token/LSH
+    blocking — catches near-dups that share a PREFIX of the sort key
+    even when token blocks are flooded.
+
+    Candidate volume is exactly (window-1) * n - O(window^2): linear in
+    the corpus by construction, the property that makes SNB attractive
+    at scale. The window join is bucketized (rank DIV window, each left
+    row probing its own and the next bucket) — two equi-join lookups per
+    row, no range join, no single-partition sort anywhere (global_rank
+    above). Multi-pass SNB = union over calls with different sort
+    keys."""
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
+    ranked = global_rank(
+        df.select(F.col(key_col).alias("key"), F.col(sort_col).alias("__sk")),
+        ["__sk", "key"],
+        n_parts,
+    ).select("key", "rank")
+    a = ranked.select(
+        F.col("key").alias("key_a"),
+        F.col("rank").alias("ra"),
+        F.explode(
+            F.array(
+                (F.col("rank") / window).cast("long"),
+                (F.col("rank") / window).cast("long") + 1,
+            )
+        ).alias("g"),
+    )
+    b = ranked.select(
+        F.col("key").alias("key_b"),
+        F.col("rank").alias("rb"),
+        (F.col("rank") / window).cast("long").alias("g"),
+    )
+    return (
+        a.join(b, "g")
+        .filter((F.col("rb") > F.col("ra")) & (F.col("rb") - F.col("ra") < window))
+        .select("key_a", "key_b", (F.col("rb") - F.col("ra")).alias("dist"))
+    )

@@ -198,3 +198,45 @@ def test_true_pairs_survive_wnp(spark, sides):
     for pair in [(1, 11), (2, 12), (3, 13)]:
         assert pair in kept
     assert (5, 15) not in kept  # no shared token at all
+
+
+def test_global_rank_matches_sort(spark):
+    from prase_spark.metablock import global_rank
+
+    rows = [(i, f"s{(i * 37) % 100:03d}") for i in range(250)]
+    df = spark.createDataFrame(rows, ["key", "sk"])
+    got = {r.key: r.rank for r in global_rank(df, ["sk", "key"], n_parts=7).collect()}
+    expect = {
+        k: i for i, (k, _) in enumerate(sorted(rows, key=lambda t: (t[1], t[0])))
+    }
+    assert got == expect
+
+
+def test_snb_matches_brute_and_partition_invariant(spark):
+    from prase_spark.metablock import sorted_neighborhood_pairs
+
+    rows = [(i, f"n{(i * 53) % 40:03d}") for i in range(200)]
+    df = spark.createDataFrame(rows, ["key", "name"])
+    order = sorted(rows, key=lambda t: (t[1], t[0]))
+    w = 4
+    expect = {
+        (order[i][0], order[j][0], j - i)
+        for i in range(len(order))
+        for j in range(i + 1, min(i + w, len(order)))
+    }
+    for n_parts in (2, 9):
+        got = {
+            (r.key_a, r.key_b, r.dist)
+            for r in sorted_neighborhood_pairs(
+                df, "name", window=w, n_parts=n_parts
+            ).collect()
+        }
+        assert got == expect, f"n_parts={n_parts}"
+
+
+def test_snb_rejects_degenerate_window(spark):
+    from prase_spark.metablock import sorted_neighborhood_pairs
+
+    df = spark.createDataFrame([(1, "a")], ["key", "name"])
+    with pytest.raises(ValueError):
+        sorted_neighborhood_pairs(df, "name", window=1)
