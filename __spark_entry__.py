@@ -563,6 +563,24 @@ def _q_snb_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(uni, "name", window=4, n_parts=8)
 
 
+def _q_sp_counts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shortest-path multiplicities (graphstats.shortest_path_counts):
+    level-synchronous BFS from seeds {0, 1} over the 60-node directed
+    mixing graph, 3 hops — (node, depth, paths) with paths the EXACT
+    number of distinct shortest routes (Brandes' sigma). The DuckDB twin
+    unrolls the three frontier levels with the identical
+    sum-over-previous-level arithmetic."""
+    from prase_spark.graphstats import shortest_path_counts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 60 AS LONG) AS src",
+        "CAST(o_orderkey % 60 AS LONG) AS dst",
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node LONG")
+    return shortest_path_counts(edges, seeds, max_hops=3)
+
+
 def _q_prefix_join_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless exact-Jaccard self-join by prefix filtering
     (datapipe/setjoin.py, AllPairs/PPJoin): every doc pair with
@@ -4707,6 +4725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_patterns_parts": _q_fs_patterns_parts,
         "fs_counts_parts": _q_fs_counts_parts,
         "snb_pairs_parts": _q_snb_pairs_parts,
+        "sp_counts_orders": _q_sp_counts_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7501,6 +7520,35 @@ def oracle_sql() -> dict[str, str]:
             {_fs_count_row.format(f='name', c='an')}
             UNION ALL {_fs_count_row.format(f='brand', c='ab')}
             UNION ALL {_fs_count_row.format(f='size', c='asz')}
+        """
+    # sp_counts_orders twin: three unrolled BFS levels, sigma = sum of
+    # the previous frontier's sigma over in-edges, first discovery fixes
+    # the depth (NOT IN the visited set).
+    _sp_step = """
+            SELECT e.d AS node, {k} AS depth,
+                   CAST(SUM(l{p}.paths) AS BIGINT) AS paths
+            FROM l{p} JOIN e ON e.s = l{p}.node
+            WHERE e.d NOT IN (SELECT node FROM v{p})
+            GROUP BY e.d
+    """
+    out["sp_counts_orders"] = f"""
+            WITH e AS (
+                SELECT DISTINCT CAST(o_custkey % 60 AS BIGINT) AS s,
+                       CAST(o_orderkey % 60 AS BIGINT) AS d
+                FROM orders
+            ),
+            l0 AS (
+                SELECT node, CAST(0 AS INT) AS depth, CAST(1 AS BIGINT) AS paths
+                FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) t(node)
+            ),
+            v0 AS (SELECT * FROM l0),
+            l1 AS ({_sp_step.format(k='CAST(1 AS INT)', p='0')}),
+            v1 AS (SELECT * FROM v0 UNION ALL SELECT * FROM l1),
+            l2 AS ({_sp_step.format(k='CAST(2 AS INT)', p='1')}),
+            v2 AS (SELECT * FROM v1 UNION ALL SELECT * FROM l2),
+            l3 AS ({_sp_step.format(k='CAST(3 AS INT)', p='2')}),
+            v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM l3)
+            SELECT node, depth, paths FROM v3
         """
     # snb_pairs_parts twin: one global ORDER BY window (fine at oracle
     # scale) vs Spark's range-partitioned distributed rank — the gate

@@ -101,6 +101,7 @@ from prase_spark.metablock import (
 from prase_spark.graphstats import (
     coreness_hindex,
     scc_fwbw_min,
+    shortest_path_counts,
     strongly_connected_components,
     wl_colors,
 )
@@ -231,6 +232,7 @@ __all__ = [
     "scc_fwbw_min",
     "coreness_hindex",
     "wl_colors",
+    "shortest_path_counts",
     "read_warc",
     "warc_file_metrics",
     "warc_to_pages",
