@@ -542,6 +542,21 @@ def _q_fs_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_counts(agr, gold, feats)
 
 
+def _q_fs_decisions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The FULL Fellegi-Sunter decision surface (linkage.fellegi_sunter):
+    agreement patterns -> Laplace-smoothed m/u -> likelihood-ratio >= 1
+    decisions. Spark computes the ratios driver-side with exact
+    Fractions; at THIS fixture's scale (3 features, counts <= ~600) the
+    products fit BIGINT, so the DuckDB twin rebuilds the same smoothed
+    numerator/denominator products in pure integer SQL and the gate
+    value-verifies the decision layer end to end — the bounded-scale
+    proof that the unbounded-magnitude driver math is right."""
+    from prase_spark.linkage import fellegi_sunter
+
+    left, right, cand, gold, feats = _fs_fixture(spark, sf_dir)
+    return fellegi_sunter(cand, left, right, gold, feats, accept=1)
+
+
 def _q_snb_pairs_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sorted-neighborhood blocking (metablock.sorted_neighborhood_pairs,
     Hernández-Stolfo) over the mixed L+R part-name universe (right side
@@ -4726,6 +4741,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_counts_parts": _q_fs_counts_parts,
         "snb_pairs_parts": _q_snb_pairs_parts,
         "sp_counts_orders": _q_sp_counts_orders,
+        "fs_decisions_parts": _q_fs_decisions_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7549,6 +7565,41 @@ def oracle_sql() -> dict[str, str]:
             l3 AS ({_sp_step.format(k='CAST(3 AS INT)', p='2')}),
             v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM l3)
             SELECT node, depth, paths FROM v3
+        """
+    # fs_decisions twin: the smoothed likelihood products in pure
+    # integer SQL — num_i = (agree ? mn+1 : md-mn+1)*(ud+2), den_i =
+    # (agree ? un+1 : ud-un+1)*(md+2); w >= 1 <=> prod(num) >= prod(den).
+    # At this fixture (3 features, counts <= ~600) products < 5e16 fit
+    # BIGINT exactly.
+    _fs_num = (
+        "(CASE WHEN a.{c} = 1 THEN cnt.mn_{f} + 1 "
+        "ELSE cnt.md - cnt.mn_{f} + 1 END) * (cnt.ud + 2)"
+    )
+    _fs_den = (
+        "(CASE WHEN a.{c} = 1 THEN cnt.un_{f} + 1 "
+        "ELSE cnt.ud - cnt.un_{f} + 1 END) * (cnt.md + 2)"
+    )
+    _fs_feats = [("an", "n"), ("ab", "b"), ("asz", "s")]
+    _fs_numprod = " * ".join(_fs_num.format(c=c, f=f) for c, f in _fs_feats)
+    _fs_denprod = " * ".join(_fs_den.format(c=c, f=f) for c, f in _fs_feats)
+    out["fs_decisions_parts"] = f"""
+            WITH {_fs_base},
+            cnt AS (
+                SELECT
+                    SUM(an) FILTER (WHERE key_r = key_l + 1000000) AS mn_n,
+                    SUM(ab) FILTER (WHERE key_r = key_l + 1000000) AS mn_b,
+                    SUM(asz) FILTER (WHERE key_r = key_l + 1000000) AS mn_s,
+                    COUNT(*) FILTER (WHERE key_r = key_l + 1000000) AS md,
+                    SUM(an) FILTER (WHERE key_r <> key_l + 1000000) AS un_n,
+                    SUM(ab) FILTER (WHERE key_r <> key_l + 1000000) AS un_b,
+                    SUM(asz) FILTER (WHERE key_r <> key_l + 1000000) AS un_s,
+                    COUNT(*) FILTER (WHERE key_r <> key_l + 1000000) AS ud
+                FROM agr
+            )
+            SELECT a.key_l, a.key_r,
+                   CAST(a.an + 2 * a.ab + 4 * a.asz AS BIGINT) AS pattern,
+                   ({_fs_numprod}) >= ({_fs_denprod}) AS is_match
+            FROM agr a, cnt
         """
     # snb_pairs_parts twin: one global ORDER BY window (fine at oracle
     # scale) vs Spark's range-partitioned distributed rank — the gate
