@@ -542,6 +542,21 @@ def _q_fs_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_counts(agr, gold, feats)
 
 
+def _q_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact order statistics (profile.exact_quantiles) of document
+    byte-lengths at seven probe points — the deterministic alternative
+    to approxQuantile, built on the distributed global rank. (q_pct,
+    value, rank): the value at 0-based rank floor(q*(n-1)/100) under
+    value order; ties make any tiebreak value-identical, so the output
+    is engine-exact."""
+    from prase_spark.datapipe.profile import exact_quantiles
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.length("text").cast("long").alias("len")
+    )
+    return exact_quantiles(d, "len", [0, 25, 50, 75, 90, 99, 100])
+
+
 def _q_fs_decisions_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The FULL Fellegi-Sunter decision surface (linkage.fellegi_sunter):
     agreement patterns -> Laplace-smoothed m/u -> likelihood-ratio >= 1
@@ -4742,6 +4757,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "snb_pairs_parts": _q_snb_pairs_parts,
         "sp_counts_orders": _q_sp_counts_orders,
         "fs_decisions_parts": _q_fs_decisions_parts,
+        "quantiles_docs": _q_quantiles_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7565,6 +7581,25 @@ def oracle_sql() -> dict[str, str]:
             l3 AS ({_sp_step.format(k='CAST(3 AS INT)', p='2')}),
             v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM l3)
             SELECT node, depth, paths FROM v3
+        """
+    # quantiles_docs twin: one ORDER BY window rank (oracle scale) vs the
+    # distributed range-partitioned rank; probe ranks from the same
+    # floor(q*(n-1)/100) integer arithmetic.
+    out["quantiles_docs"] = """
+            WITH v AS (
+                SELECT CAST(LENGTH(text) AS BIGINT) AS v FROM documents
+            ),
+            r AS (
+                SELECT v, row_number() OVER (ORDER BY v) - 1 AS rank FROM v
+            ),
+            n AS (SELECT COUNT(*) AS n FROM v),
+            p AS (
+                SELECT q, (q * (n.n - 1)) // 100 AS rank
+                FROM (VALUES (0), (25), (50), (75), (90), (99), (100)) t(q), n
+            )
+            SELECT CAST(p.q AS INT) AS q_pct, r.v AS value,
+                   CAST(p.rank AS BIGINT) AS rank
+            FROM p JOIN r USING (rank)
         """
     # fs_decisions twin: the smoothed likelihood products in pure
     # integer SQL — num_i = (agree ? mn+1 : md-mn+1)*(ud+2), den_i =

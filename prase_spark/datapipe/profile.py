@@ -70,3 +70,47 @@ def corpus_profile(
         F.max(doc_tokens).cast("long").alias("max_tokens"),
         median_x2.cast("long").alias("median_tokens_x2"),
     )
+
+
+def exact_quantiles(
+    df, value_col: str, qs_pct: list[int], n_parts: int = 32
+):
+    """(q_pct, value, rank): EXACT order statistics of a numeric column
+    without a single-partition sort — the deterministic alternative to
+    approxQuantile (whose Greenwald-Khanna summary is engine- and
+    merge-order-specific, so it can never be value-verified).
+
+    The quantile at q% is the value at 0-based global rank
+    ``floor(q * (n-1) / 100)`` under (value, tiebreak) order — the
+    "lower" / type-1 estimator, pure integer arithmetic. The global
+    order comes from metablock.global_rank (range partitions +
+    per-partition offsets, one bounded collect), so cost is one range
+    shuffle + one per-partition sort regardless of how many quantiles
+    are probed; the probe itself is a broadcast semi-join on rank.
+
+    Profiling doctrine: corpus length/score distributions drive the
+    curation thresholds (token-count caps, quality floors); exact
+    quantiles make those thresholds reproducible across engines and
+    rounds, where approximate sketches drift.
+    """
+    from pyspark.sql import functions as F
+
+    from prase_spark.metablock import global_rank
+
+    vals = df.select(F.col(value_col).alias("v")).where(F.col("v").isNotNull())
+    ranked = global_rank(
+        vals.withColumn("__tb", F.monotonically_increasing_id()),
+        ["v", "__tb"],
+        n_parts,
+    ).select("v", "rank").localCheckpoint()
+    n = ranked.count()
+    if n == 0:
+        raise ValueError("exact_quantiles: no non-null values")
+    spark = df.sparkSession
+    probes = spark.createDataFrame(
+        [(q, (q * (n - 1)) // 100) for q in qs_pct], "q_pct INT, rank LONG"
+    )
+    return (
+        ranked.join(F.broadcast(probes), "rank")
+        .select("q_pct", F.col("v").alias("value"), "rank")
+    )

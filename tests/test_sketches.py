@@ -137,3 +137,26 @@ def test_count_min_weighted_and_merge_by_union(spark):
     keys = spark.createDataFrame([("a",), ("b",), ("c",)], ["v"])
     got = {r.v: r.est for r in cms_lookup(merged, keys, "v", depth=4, width=4096).collect()}
     assert got == {"a": 7, "b": 2, "c": 7}
+
+
+def test_exact_quantiles_match_sorted(spark):
+    from prase_spark.datapipe.profile import exact_quantiles
+
+    vals = [((i * 37) % 101) for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], ["x"])
+    qs = [0, 10, 25, 50, 75, 90, 100]
+    got = {r.q_pct: (r.value, r.rank) for r in exact_quantiles(df, "x", qs).collect()}
+    s = sorted(vals)
+    n = len(s)
+    expect = {q: (s[(q * (n - 1)) // 100], (q * (n - 1)) // 100) for q in qs}
+    assert got == expect
+
+
+def test_exact_quantiles_empty_raises(spark):
+    import pytest as _pytest
+
+    from prase_spark.datapipe.profile import exact_quantiles
+
+    df = spark.createDataFrame([], "x LONG")
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [50])
