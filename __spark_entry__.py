@@ -542,6 +542,20 @@ def _q_fs_counts_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fs_counts(agr, gold, feats)
 
 
+def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keywords (datapipe/textrank.py, Mihalcea 2004): one
+    corpus-level integer PageRank (3 iterations) over the symmetrized
+    adjacent-token graph of doc_id < 500, projected back as each doc's
+    top-3 tokens by (rank desc, token asc). Pure composition of audited
+    kernels — bigram edges, scaled-BIGINT pagerank, per-doc window — so
+    the DuckDB twin is the colloc bigram SQL + the shared
+    _pagerank_ctes recurrence + one window."""
+    from prase_spark.datapipe.textrank import textrank_keywords
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 500")
+    return textrank_keywords(d, iterations=3, k=3)
+
+
 def _q_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics (profile.exact_quantiles) of document
     byte-lengths at seven probe points — the deterministic alternative
@@ -4758,6 +4772,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sp_counts_orders": _q_sp_counts_orders,
         "fs_decisions_parts": _q_fs_decisions_parts,
         "quantiles_docs": _q_quantiles_docs,
+        "textrank_docs": _q_textrank_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7581,6 +7596,45 @@ def oracle_sql() -> dict[str, str]:
             l3 AS ({_sp_step.format(k='CAST(3 AS INT)', p='2')}),
             v3 AS (SELECT * FROM v2 UNION ALL SELECT * FROM l3)
             SELECT node, depth, paths FROM v3
+        """
+    # textrank_docs twin: colloc-style bigram edges, symmetrized via
+    # UNION (which dedups), the shared _pagerank_ctes recurrence over
+    # nodes/ed, then the per-doc top-3 window.
+    _tr_toks = _TOKS_SQL.format(c="text")
+    _tr_pr = _pagerank_ctes(3, PAGERANK_SCALE, 85)
+    out["textrank_docs"] = f"""
+            WITH tk AS (
+                SELECT doc_id, {_tr_toks} AS t
+                FROM documents WHERE doc_id < 500
+            ),
+            bi AS (
+                SELECT DISTINCT t[i] AS a, t[i + 1] AS b
+                FROM tk,
+                     LATERAL (SELECT unnest(generate_series(1, len(t) - 1)) AS i) g
+                WHERE t[i] <> t[i + 1]
+            ),
+            e0 AS (
+                SELECT a AS src, b AS dst FROM bi
+                UNION
+                SELECT b, a FROM bi
+            ),
+            nodes AS (SELECT DISTINCT src AS node FROM e0),
+            od AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src),
+            ed AS (SELECT e0.src, e0.dst, od.out_deg FROM e0 JOIN od USING (src)),
+            {_tr_pr},
+            dtok AS (
+                SELECT DISTINCT doc_id, unnest(t) AS token FROM tk
+            ),
+            rk AS (
+                SELECT d.doc_id, d.token, r3.rank_e12,
+                       row_number() OVER (
+                           PARTITION BY d.doc_id
+                           ORDER BY r3.rank_e12 DESC, d.token ASC
+                       ) AS rn
+                FROM dtok d JOIN r3 ON r3.node = d.token
+            )
+            SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
+            FROM rk WHERE rn <= 3
         """
     # quantiles_docs twin: one ORDER BY window rank (oracle scale) vs the
     # distributed range-partitioned rank; probe ranks from the same

@@ -10,6 +10,7 @@ from prase_spark.datapipe.paradedup import dedup_paragraphs
 from prase_spark.datapipe.setjoin import prefix_jaccard_join
 from prase_spark.datapipe.sketches import cms_lookup, count_min
 from prase_spark.datapipe.profile import exact_quantiles
+from prase_spark.datapipe.textrank import textrank_keywords
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom, decontaminate_fuzzy
@@ -139,6 +140,7 @@ __all__ = [
     "count_min",
     "cms_lookup",
     "exact_quantiles",
+    "textrank_keywords",
     "minhash_lsh_pairs",
     "keep_best",
     "simhash_pairs",
