@@ -556,6 +556,53 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_blocker_compare_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head blocking-quality report: meta-blocking (WNP) vs
+    sorted-neighborhood (w=4) on the SAME mk2 fixture and gold, each
+    scored by evaluate.blocking_metrics (Christen) — one row per
+    blocker with exact candidate/recall/precision micro-units. The seam
+    gate: two complete blocking chains AND the metric arithmetic
+    hash-verified in one query."""
+    from prase_spark.evaluate import blocking_metrics
+    from prase_spark.metablock import meta_block_candidates, sorted_neighborhood_pairs
+
+    p = spark.read.parquet(f"{sf_dir}/part.parquet").filter("p_partkey < 300")
+    left = p.selectExpr("CAST(p_partkey AS LONG) AS key", "p_name AS name")
+    right = p.selectExpr(
+        "CAST(p_partkey + 1000000 AS LONG) AS key", "p_name || ' mk2' AS name"
+    )
+    gold = p.selectExpr(
+        "CAST(p_partkey AS LONG) AS l_id",
+        "CAST(p_partkey + 1000000 AS LONG) AS r_id",
+    )
+    l_ids = left.select(F.col("key").alias("l_id"))
+    r_ids = right.select(F.col("key").alias("r_id"))
+
+    mb = meta_block_candidates(
+        left, right, scheme="wnp", max_block_pairs=1000, ratio_pct=80
+    ).select(F.col("key_l").alias("l_id"), F.col("key_r").alias("r_id"))
+    snb = (
+        sorted_neighborhood_pairs(
+            left.unionByName(right), "name", window=4, n_parts=8
+        )
+        .filter(
+            (F.least("key_a", "key_b") < 1000000)
+            & (F.greatest("key_a", "key_b") >= 1000000)
+        )
+        .select(
+            F.least("key_a", "key_b").alias("l_id"),
+            F.greatest("key_a", "key_b").alias("r_id"),
+        )
+    )
+    rows = [
+        blocking_metrics(cand, gold, l_ids, r_ids).select(
+            F.lit(name).alias("blocker"), "*"
+        )
+        for name, cand in [("metablock_wnp", mb), ("snb_w4", snb)]
+    ]
+    return rows[0].unionByName(rows[1])
+
+
 def _q_quantiles_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact order statistics (profile.exact_quantiles) of document
     byte-lengths at seven probe points — the deterministic alternative
@@ -4773,6 +4820,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fs_decisions_parts": _q_fs_decisions_parts,
         "quantiles_docs": _q_quantiles_docs,
         "textrank_docs": _q_textrank_docs,
+        "blocker_compare_parts": _q_blocker_compare_parts,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7388,8 +7436,8 @@ def oracle_sql() -> dict[str, str]:
     # CBS count -> WNP union pruning with cross-multiplied means. Every
     # stage is integer arithmetic over the shared _TOKS_SQL tokenizer.
     _mb_toks = _TOKS_SQL.format(c="name")
-    out["meta_block_parts"] = f"""
-            WITH pl AS (
+    _mb_ctes = f"""
+            pl AS (
                 SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name
                 FROM part WHERE p_partkey < 300
             ),
@@ -7433,11 +7481,17 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2
             ),
             lm AS (SELECT key_l, SUM(w) AS sl, COUNT(*) AS nl FROM edges GROUP BY 1),
-            rm AS (SELECT key_r, SUM(w) AS sr, COUNT(*) AS nr FROM edges GROUP BY 1)
-            SELECT e.key_l, e.key_r, e.w
-            FROM edges e JOIN lm USING (key_l) JOIN rm USING (key_r)
-            WHERE e.w * lm.nl * 100 >= 100 * lm.sl
-               OR e.w * rm.nr * 100 >= 100 * rm.sr
+            rm AS (SELECT key_r, SUM(w) AS sr, COUNT(*) AS nr FROM edges GROUP BY 1),
+            mbpairs AS (
+                SELECT e.key_l, e.key_r, e.w
+                FROM edges e JOIN lm USING (key_l) JOIN rm USING (key_r)
+                WHERE e.w * lm.nl * 100 >= 100 * lm.sl
+                   OR e.w * rm.nr * 100 >= 100 * rm.sr
+            )
+    """
+    out["meta_block_parts"] = f"""
+            WITH {_mb_ctes}
+            SELECT key_l, key_r, w FROM mbpairs
         """
     # scc_orders twin: recursive-CTE reachability closure intersected
     # with its transpose -> mutual pairs -> min per class; singletons
@@ -7693,8 +7747,8 @@ def oracle_sql() -> dict[str, str]:
     # snb_pairs_parts twin: one global ORDER BY window (fine at oracle
     # scale) vs Spark's range-partitioned distributed rank — the gate
     # proves the two produce the identical total order.
-    out["snb_pairs_parts"] = """
-            WITH uni AS (
+    _snb_ctes = """
+            uni AS (
                 SELECT CAST(p_partkey AS BIGINT) AS key, p_name AS name
                 FROM part WHERE p_partkey < 300
                 UNION ALL
@@ -7705,11 +7759,61 @@ def oracle_sql() -> dict[str, str]:
                 SELECT key,
                        row_number() OVER (ORDER BY name ASC, key ASC) - 1 AS r
                 FROM uni
+            ),
+            snbpairs AS (
+                SELECT a.key AS key_a, b.key AS key_b,
+                       CAST(b.r - a.r AS BIGINT) AS dist
+                FROM ranked a JOIN ranked b
+                  ON b.r > a.r AND b.r - a.r < 4
             )
-            SELECT a.key AS key_a, b.key AS key_b,
-                   CAST(b.r - a.r AS BIGINT) AS dist
-            FROM ranked a JOIN ranked b
-              ON b.r > a.r AND b.r - a.r < 4
+    """
+    out["snb_pairs_parts"] = f"""
+            WITH {_snb_ctes}
+            SELECT key_a, key_b, dist FROM snbpairs
+        """
+    # blocker_compare_parts twin: both blocking chains above feeding the
+    # shared Christen metric arithmetic, one row per blocker. SNB pairs
+    # are normalized to cross-side (l_id < 1000000 <= r_id) since
+    # blocking quality is defined on the bipartite task.
+    _bc_row = """
+            SELECT '{b}' AS blocker, nums.*,
+                   CAST(n_left * n_right AS BIGINT) AS total_pairs,
+                   CAST(1000000 - (1000000 * n_candidates)
+                        // (n_left * n_right) AS BIGINT) AS rr_e6,
+                   CAST(CASE WHEN n_gold = 0 THEN 0
+                             ELSE (1000000 * n_true_candidates) // n_gold
+                        END AS BIGINT) AS pc_e6,
+                   CAST(CASE WHEN n_candidates = 0 THEN 0
+                             ELSE (1000000 * n_true_candidates) // n_candidates
+                        END AS BIGINT) AS pq_e6
+            FROM (
+                SELECT
+                    (SELECT CAST(count(*) AS BIGINT) FROM pl) AS n_left,
+                    (SELECT CAST(count(*) AS BIGINT) FROM pr) AS n_right,
+                    (SELECT CAST(count(*) AS BIGINT) FROM {c}) AS n_candidates,
+                    (SELECT CAST(count(*) AS BIGINT) FROM gld) AS n_gold,
+                    (SELECT CAST(count(*) AS BIGINT)
+                     FROM {c} JOIN gld USING (l_id, r_id)) AS n_true_candidates
+            ) nums
+    """
+    out["blocker_compare_parts"] = f"""
+            WITH {_mb_ctes}, {_snb_ctes},
+            gld AS (
+                SELECT CAST(p_partkey AS BIGINT) AS l_id,
+                       CAST(p_partkey + 1000000 AS BIGINT) AS r_id
+                FROM part WHERE p_partkey < 300
+            ),
+            mbc AS (SELECT DISTINCT key_l AS l_id, key_r AS r_id FROM mbpairs),
+            snbc AS (
+                SELECT DISTINCT LEAST(key_a, key_b) AS l_id,
+                       GREATEST(key_a, key_b) AS r_id
+                FROM snbpairs
+                WHERE LEAST(key_a, key_b) < 1000000
+                  AND GREATEST(key_a, key_b) >= 1000000
+            )
+            {_bc_row.format(b='metablock_wnp', c='mbc')}
+            UNION ALL
+            {_bc_row.format(b='snb_w4', c='snbc')}
         """
     # prefix_join_docs twin: same global (df asc, token asc) order, same
     # ceil-prefix integer arithmetic, list_intersect verify with the
