@@ -556,6 +556,26 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Earliest-arrival temporal reachability (temporalgraph.py, Wu
+    VLDB'16): 3 label-correcting rounds from seeds {0, 1} over a
+    deterministic timestamped edge list derived from events (node =
+    event_id % 40, target = (event_id*7+3) % 40, time = event_id) —
+    influence can only travel along hops whose timestamps never
+    decrease. Exact BIGINT arrivals; the DuckDB twin unrolls the same
+    three min-merge rounds with the same t >= arrival join gate."""
+    from prase_spark.temporalgraph import earliest_arrival
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.selectExpr(
+        "CAST(event_id % 40 AS LONG) AS src",
+        "CAST((event_id * 7 + 3) % 40 AS LONG) AS dst",
+        "CAST(event_id AS LONG) AS ts",
+    )
+    seeds = spark.createDataFrame([(0,), (1,)], "node LONG")
+    return earliest_arrival(edges, seeds, start_ts=0, iterations=3)
+
+
 def _q_blocker_compare_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Head-to-head blocking-quality report: meta-blocking (WNP) vs
     sorted-neighborhood (w=4) on the SAME mk2 fixture and gold, each
@@ -4821,6 +4841,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantiles_docs": _q_quantiles_docs,
         "textrank_docs": _q_textrank_docs,
         "blocker_compare_parts": _q_blocker_compare_parts,
+        "temporal_reach_events": _q_temporal_reach_events,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7689,6 +7710,33 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # temporal_reach_events twin: three unrolled label-correcting
+    # rounds; each round min-merges the previous labels with the offers
+    # from edges whose timestamp is at or after the source's arrival.
+    _ta_step = """
+            SELECT node, MIN(arrival) AS arrival FROM (
+                SELECT node, arrival FROM a{p}
+                UNION ALL
+                SELECT e.d AS node, e.t AS arrival
+                FROM e JOIN a{p} ON e.s = a{p}.node AND e.t >= a{p}.arrival
+            ) GROUP BY node
+    """
+    out["temporal_reach_events"] = f"""
+            WITH e AS (
+                SELECT DISTINCT CAST(event_id % 40 AS BIGINT) AS s,
+                       CAST((event_id * 7 + 3) % 40 AS BIGINT) AS d,
+                       CAST(event_id AS BIGINT) AS t
+                FROM events
+            ),
+            a0 AS (
+                SELECT node, CAST(0 AS BIGINT) AS arrival
+                FROM (VALUES (CAST(0 AS BIGINT)), (CAST(1 AS BIGINT))) s(node)
+            ),
+            a1 AS ({_ta_step.format(p='0')}),
+            a2 AS ({_ta_step.format(p='1')}),
+            a3 AS ({_ta_step.format(p='2')})
+            SELECT node, arrival FROM a3
         """
     # quantiles_docs twin: one ORDER BY window rank (oracle scale) vs the
     # distributed range-partitioned rank; probe ranks from the same
