@@ -556,6 +556,22 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_butterfly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-left-node butterfly counts (graphstats.butterfly_counts,
+    Sanei-Mehri KDD'18) over the 50x40 bipartite mixing graph from
+    orders — 2x2 bicliques, the bipartite cohesion analog of triangles.
+    Exact integers via the wedge C(c,2) formulation; the DuckDB twin is
+    the same wedge join + integer arithmetic."""
+    from prase_spark.graphstats import butterfly_counts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 50 AS LONG) AS l",
+        "CAST(o_orderkey % 40 AS LONG) AS r",
+    )
+    return butterfly_counts(edges)
+
+
 def _q_temporal_reach_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Earliest-arrival temporal reachability (temporalgraph.py, Wu
     VLDB'16): 3 label-correcting rounds from seeds {0, 1} over a
@@ -4842,6 +4858,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "textrank_docs": _q_textrank_docs,
         "blocker_compare_parts": _q_blocker_compare_parts,
         "temporal_reach_events": _q_temporal_reach_events,
+        "butterfly_orders": _q_butterfly_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7710,6 +7727,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # butterfly_orders twin: identical wedge join + C(c,2) arithmetic.
+    out["butterfly_orders"] = """
+            WITH e AS (
+                SELECT DISTINCT CAST(o_custkey % 50 AS BIGINT) AS l,
+                       CAST(o_orderkey % 40 AS BIGINT) AS r
+                FROM orders
+            ),
+            w AS (
+                SELECT a.l AS l1, b.l AS l2, COUNT(*) AS c
+                FROM e a JOIN e b USING (r)
+                WHERE a.l < b.l
+                GROUP BY 1, 2
+                HAVING COUNT(*) >= 2
+            ),
+            bf AS (
+                SELECT l1 AS node, c * (c - 1) // 2 AS bf FROM w
+                UNION ALL
+                SELECT l2, c * (c - 1) // 2 FROM w
+            ),
+            agg AS (
+                SELECT node, CAST(SUM(bf) AS BIGINT) AS butterflies
+                FROM bf GROUP BY node
+            )
+            SELECT n.node,
+                   CAST(COALESCE(agg.butterflies, 0) AS BIGINT) AS butterflies
+            FROM (SELECT DISTINCT l AS node FROM e) n
+            LEFT JOIN agg USING (node)
         """
     # temporal_reach_events twin: three unrolled label-correcting
     # rounds; each round min-merges the previous labels with the offers

@@ -99,6 +99,7 @@ from prase_spark.metablock import (
     sorted_neighborhood_pairs,
 )
 from prase_spark.graphstats import (
+    butterfly_counts,
     coreness_hindex,
     scc_fwbw_min,
     shortest_path_counts,
@@ -233,6 +234,7 @@ __all__ = [
     "strongly_connected_components",
     "scc_fwbw_min",
     "coreness_hindex",
+    "butterfly_counts",
     "wl_colors",
     "shortest_path_counts",
     "read_warc",

@@ -1041,3 +1041,65 @@ def shortest_path_counts(
         visited = visited.unionByName(nxt)
         frontier = nxt
     return visited
+
+
+def butterfly_counts(
+    edges: DataFrame,
+    left: str = "l",
+    right: str = "r",
+    max_right_degree: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(node, butterflies): per-LEFT-node butterfly counts over a
+    bipartite edge list — a butterfly is a 2x2 biclique (l1, l2 x r1,
+    r2), the bipartite analog of the triangle and the standard cohesion
+    signal for two-mode crawl graphs (host x token, doc x entity,
+    user x URL): butterfly-dense regions are template farms and
+    coordinated link networks, exactly what the curation layer wants
+    ranked (Sanei-Mehri et al., KDD 2018).
+
+    Wedge formulation, exact integers: two left nodes sharing c common
+    right neighbors form C(c, 2) butterflies; a left node's count is the
+    sum over its partners. The wedge join fans out by the RIGHT degree
+    (sum over r of deg(r)^2) — the documented hot spot; ``max_right_
+    degree`` drops right-side hubs above the cap with ``stats_out``
+    telemetry (a right node in >cap left sets is block-evidence noise,
+    the minhash max_shingle_df doctrine). Left-side hubs only widen the
+    per-pair groupBy, which hash-partitions fine.
+    """
+    e = (
+        edges.select(F.col(left).alias("l"), F.col(right).alias("r"))
+        .where(F.col("l").isNotNull() & F.col("r").isNotNull())
+        .distinct()
+    )
+    if max_right_degree is not None:
+        rdeg = e.groupBy("r").agg(F.count(F.lit(1)).alias("__rd"))
+        hot = rdeg.filter(F.col("__rd") > max_right_degree)
+        if stats_out is not None:
+            stats_out["butterfly_right_nodes_dropped"] = hot.count()
+        e = e.join(hot.select("r"), "r", "left_anti")
+    e = e.localCheckpoint()
+    wedges = (
+        e.select(F.col("l").alias("l1"), "r")
+        .join(e.select(F.col("l").alias("l2"), "r"), "r")
+        .filter(F.col("l1") < F.col("l2"))
+        .groupBy("l1", "l2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 2)
+        .withColumn("bf", F.expr("c * (c - 1) div 2").cast("long"))
+    )
+    per_node = (
+        wedges.select(F.col("l1").alias("node"), "bf")
+        .unionByName(wedges.select(F.col("l2").alias("node"), "bf"))
+        .groupBy("node")
+        .agg(F.sum("bf").alias("butterflies"))
+    )
+    # left nodes with no butterfly partner report 0
+    return (
+        e.select(F.col("l").alias("node")).distinct()
+        .join(per_node, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("butterflies"), F.lit(0).cast("long")).alias("butterflies"),
+        )
+    )
