@@ -556,6 +556,25 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lossless set-containment join (setjoin.containment_join):
+    queries = the first 200 chars of docs 0-29 (rekeyed +500000),
+    corpus = docs < 2000, 90% token containment — the decontamination
+    shape ("is this eval item inside a training doc") where Jaccard
+    would vanish against long docs. Exact integers (inter, q_sz); the
+    DuckDB twin replays the corpus-df prefix order, the ceil
+    arithmetic on the FULL query size, and the verify join."""
+    from prase_spark.datapipe.setjoin import containment_join
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    queries = d.filter("doc_id < 30").selectExpr(
+        "CAST(doc_id + 500000 AS LONG) AS doc_id",
+        "SUBSTRING(text, 1, 200) AS text",
+    )
+    corpus = d.filter("doc_id < 2000")
+    return containment_join(queries, corpus, threshold_pct=90)
+
+
 def _q_butterfly_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-left-node butterfly counts (graphstats.butterfly_counts,
     Sanei-Mehri KDD'18) over the 50x40 bipartite mixing graph from
@@ -4859,6 +4878,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "blocker_compare_parts": _q_blocker_compare_parts,
         "temporal_reach_events": _q_temporal_reach_events,
         "butterfly_orders": _q_butterfly_orders,
+        "containment_docs": _q_containment_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7727,6 +7747,47 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # containment_docs twin: corpus-df prefix order, ceil arithmetic on
+    # the FULL query size, candidate join against the corpus postings,
+    # exact-count verify.
+    _cj_toks = _TOKS_SQL.format(c="text")
+    out["containment_docs"] = f"""
+            WITH q AS (
+                SELECT CAST(doc_id + 500000 AS BIGINT) AS kq,
+                       SUBSTRING(text, 1, 200) AS text
+                FROM documents WHERE doc_id < 30
+            ),
+            qt AS (SELECT DISTINCT kq, unnest({_cj_toks}) AS token FROM q),
+            ct AS (
+                SELECT DISTINCT doc_id AS kc, unnest({_cj_toks}) AS token
+                FROM documents WHERE doc_id < 2000
+            ),
+            dfc AS (SELECT token, COUNT(*) AS dfreq FROM ct GROUP BY token),
+            qsz AS (SELECT kq, COUNT(*) AS q_sz FROM qt GROUP BY kq),
+            pref AS (
+                SELECT kq, token FROM (
+                    SELECT qt.kq, qt.token, s.q_sz,
+                           row_number() OVER (
+                               PARTITION BY qt.kq
+                               ORDER BY d.dfreq ASC, qt.token ASC
+                           ) AS rn
+                    FROM qt JOIN dfc d USING (token) JOIN qsz s USING (kq)
+                ) WHERE rn <= q_sz - (90 * q_sz + 99) // 100 + 1
+            ),
+            cand AS (SELECT DISTINCT p.kq, ct.kc FROM pref p JOIN ct USING (token)),
+            inter AS (
+                SELECT c.kq, c.kc, COUNT(*) AS inter
+                FROM cand c
+                JOIN qt ON qt.kq = c.kq
+                JOIN ct ON ct.kc = c.kc AND ct.token = qt.token
+                GROUP BY c.kq, c.kc
+            )
+            SELECT i.kq AS key_q, i.kc AS key_c,
+                   CAST(i.inter AS BIGINT) AS inter,
+                   CAST(s.q_sz AS BIGINT) AS q_sz
+            FROM inter i JOIN qsz s ON s.kq = i.kq
+            WHERE i.inter * 100 >= 90 * s.q_sz
         """
     # butterfly_orders twin: identical wedge join + C(c,2) arithmetic.
     out["butterfly_orders"] = """

@@ -7,7 +7,7 @@ from prase_spark.datapipe.bpetrain import bpe_token_counts, bpe_train, word_tabl
 from prase_spark.datapipe.chunking import cdc_chunks, chunk_documents, pack_chunks
 from prase_spark.datapipe.colloc import collocations
 from prase_spark.datapipe.paradedup import dedup_paragraphs
-from prase_spark.datapipe.setjoin import prefix_jaccard_join
+from prase_spark.datapipe.setjoin import containment_join, prefix_jaccard_join
 from prase_spark.datapipe.sketches import cms_lookup, count_min
 from prase_spark.datapipe.profile import exact_quantiles
 from prase_spark.datapipe.textrank import textrank_keywords
@@ -137,6 +137,7 @@ __all__ = [
     "word_table",
     "minhash_dedup",
     "prefix_jaccard_join",
+    "containment_join",
     "count_min",
     "cms_lookup",
     "exact_quantiles",

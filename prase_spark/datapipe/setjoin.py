@@ -106,3 +106,78 @@ def prefix_jaccard_join(
         .select("key_a", "key_b", "inter", "uni")
     )
     return out
+
+
+def containment_join(
+    queries: DataFrame,
+    corpus: DataFrame,
+    threshold_pct: int = 80,
+    text_col: str = "text",
+    key_col: str = "doc_id",
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(key_q, key_c, inter, q_sz): all (query, corpus-doc) pairs where
+    the QUERY's distinct tokens are >= threshold_pct % CONTAINED in the
+    doc's — exact, no false negatives. The asymmetric sibling of
+    :func:`prefix_jaccard_join`: containment is what decontamination
+    actually asks ("is this eval item inside a training doc?") when the
+    doc is much longer than the query, where Jaccard goes to zero.
+
+    Prefix principle, containment form: order Q' = Q ∩ corpus-vocab by
+    ascending CORPUS document frequency (tokens absent from the corpus
+    can never contribute overlap, so they are excluded from the prefix
+    pool — but the threshold stays on the FULL |Q|). Take the first
+    ``p = |Q| - ceil(t*|Q|) + 1`` tokens of Q' as the prefix. If a
+    qualifying pair (overlap O >= ceil(t*|Q|), all overlap tokens in
+    Q') shared no prefix token, the O tokens would all sit past
+    position p, giving O <= |Q'| - p <= |Q| - p = ceil(t*|Q|) - 1 — a
+    contradiction, so the join is lossless. Candidates = prefix tokens
+    joined against the corpus token table; verify = exact array
+    intersect with the cross-multiplied integer threshold.
+    """
+    if not 1 <= threshold_pct <= 100:
+        raise ValueError(f"threshold_pct must be in [1, 100], got {threshold_pct}")
+    qt = queries.select(
+        F.col(key_col).alias("kq"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    ).localCheckpoint()
+    ct = corpus.select(
+        F.col(key_col).alias("kc"),
+        F.explode(F.array_distinct(tokens(text_col))).alias("token"),
+    ).localCheckpoint()
+    dfc = ct.groupBy("token").agg(F.count(F.lit(1)).alias("dfreq"))
+    sizes = qt.groupBy("kq").agg(F.count(F.lit(1)).alias("q_sz"))
+    w = Window.partitionBy("kq").orderBy(F.col("dfreq").asc(), F.col("token").asc())
+    pref = (
+        qt.join(dfc, "token")  # inner: query-only tokens leave the prefix pool
+        .join(sizes, "kq")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(
+            F.col("rn")
+            <= F.col("q_sz") - F.expr(f"({threshold_pct} * q_sz + 99) div 100") + F.lit(1)
+        )
+        .select("kq", "token")
+    )
+    cand = (
+        pref.join(ct, "token")
+        .select("kq", "kc")
+        .distinct()
+    )
+    if stats_out is not None:
+        stats_out["containment_candidates"] = cand.count()
+    qsets = qt.groupBy("kq").agg(
+        F.collect_set("token").alias("qs"), F.count(F.lit(1)).alias("q_sz")
+    )
+    csets = ct.groupBy("kc").agg(F.collect_set("token").alias("cs"))
+    return (
+        cand.join(qsets, "kq")
+        .join(csets, "kc")
+        .withColumn("inter", F.size(F.array_intersect("qs", "cs")).cast("long"))
+        .filter(F.col("inter") * 100 >= F.lit(threshold_pct) * F.col("q_sz"))
+        .select(
+            F.col("kq").alias("key_q"),
+            F.col("kc").alias("key_c"),
+            "inter",
+            F.col("q_sz").cast("long").alias("q_sz"),
+        )
+    )

@@ -66,3 +66,55 @@ def test_prefix_actually_prunes(spark, docs_df):
 def test_bad_threshold_rejected(spark, docs_df):
     with pytest.raises(ValueError):
         prefix_jaccard_join(docs_df, threshold_pct=0)
+
+
+CORPUS = [
+    (100, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    (101, "alpha beta gamma something else entirely here now"),
+    (102, "unrelated corpus text with distinct words"),
+    (103, "delta epsilon zeta eta theta"),
+]
+QUERIES = [
+    (0, "alpha beta gamma"),                      # fully inside 100, 101
+    (1, "delta epsilon zeta eta"),                # inside 100, 103
+    (2, "alpha nosuchtoken beta gamma"),          # 3/4 in 100/101
+    (3, "totally absent vocabulary query"),       # partial overlap w/ 102
+]
+
+
+def _brute_containment(pct):
+    ct = {k: _tok(t) for k, t in CORPUS}
+    qt = {k: _tok(t) for k, t in QUERIES}
+    out = {}
+    for q, qs in qt.items():
+        for c, cs in ct.items():
+            inter = len(qs & cs)
+            if inter * 100 >= pct * len(qs):
+                out[(q, c)] = (inter, len(qs))
+    return out
+
+
+@pytest.mark.parametrize("pct", [50, 75, 100])
+def test_containment_lossless(spark, pct):
+    from prase_spark.datapipe.setjoin import containment_join
+
+    qdf = spark.createDataFrame(QUERIES, ["doc_id", "text"])
+    cdf = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    got = {
+        (r.key_q, r.key_c): (r.inter, r.q_sz)
+        for r in containment_join(qdf, cdf, threshold_pct=pct).collect()
+    }
+    assert got == _brute_containment(pct), f"pct={pct}"
+
+
+def test_containment_out_of_vocab_query_prunes(spark):
+    from prase_spark.datapipe.setjoin import containment_join
+
+    qdf = spark.createDataFrame(QUERIES, ["doc_id", "text"])
+    cdf = spark.createDataFrame(CORPUS, ["doc_id", "text"])
+    stats = {}
+    got = containment_join(qdf, cdf, threshold_pct=75, stats_out=stats).collect()
+    assert stats["containment_candidates"] < len(QUERIES) * len(CORPUS)
+    # query 2 (one out-of-vocab token) is 75% contained in 100 and 101
+    pairs = {(r.key_q, r.key_c) for r in got}
+    assert (2, 100) in pairs and (2, 101) in pairs
