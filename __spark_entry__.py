@@ -556,6 +556,39 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_golden_kg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivorship fusion (survivorship.golden_record): two mention
+    spaces ('a<k>'/'b<k>') of 100 canonical customers each claim status
+    and priority values from their orders; the canon map merges the
+    mentions and majority voting with the (weight desc, obj asc) total
+    order picks one golden value per (entity, predicate). Exact integer
+    weights; the twin re-derives the canon join, vote counts and the
+    same tie-break window."""
+    from prase_spark.survivorship import golden_record
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    subj = (
+        "CASE WHEN o_orderkey % 2 = 0 THEN 'a' || CAST(o_custkey % 100 AS STRING) "
+        "ELSE 'b' || CAST(o_custkey % 100 AS STRING) END"
+    )
+    claims = o.selectExpr(
+        f"{subj} AS subj", "'status' AS pred", "o_orderstatus AS obj"
+    ).unionByName(
+        o.selectExpr(f"{subj} AS subj", "'priority' AS pred", "o_orderpriority AS obj")
+    )
+    canon = (
+        o.selectExpr("CAST(o_custkey % 100 AS STRING) AS k")
+        .distinct()
+        .selectExpr("'a' || k AS node", "'e' || k AS canon")
+        .unionByName(
+            o.selectExpr("CAST(o_custkey % 100 AS STRING) AS k")
+            .distinct()
+            .selectExpr("'b' || k AS node", "'e' || k AS canon")
+        )
+    )
+    return golden_record(claims, canon=canon)
+
+
 def _q_containment_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lossless set-containment join (setjoin.containment_join):
     queries = the first 200 chars of docs 0-29 (rekeyed +500000),
@@ -4879,6 +4912,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_events": _q_temporal_reach_events,
         "butterfly_orders": _q_butterfly_orders,
         "containment_docs": _q_containment_docs,
+        "golden_kg_orders": _q_golden_kg_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7747,6 +7781,43 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # golden_kg_orders twin: canon rewrite, vote counts, and the
+    # (weight desc, obj asc) winner via one window.
+    out["golden_kg_orders"] = """
+            WITH cl AS (
+                SELECT CASE WHEN o_orderkey % 2 = 0
+                            THEN 'a' || CAST(o_custkey % 100 AS VARCHAR)
+                            ELSE 'b' || CAST(o_custkey % 100 AS VARCHAR) END AS subj,
+                       'status' AS pred, o_orderstatus AS obj
+                FROM orders
+                UNION ALL
+                SELECT CASE WHEN o_orderkey % 2 = 0
+                            THEN 'a' || CAST(o_custkey % 100 AS VARCHAR)
+                            ELSE 'b' || CAST(o_custkey % 100 AS VARCHAR) END,
+                       'priority', o_orderpriority
+                FROM orders
+            ),
+            canon AS (
+                SELECT 'a' || k AS node, 'e' || k AS canon FROM
+                    (SELECT DISTINCT CAST(o_custkey % 100 AS VARCHAR) AS k FROM orders)
+                UNION ALL
+                SELECT 'b' || k, 'e' || k FROM
+                    (SELECT DISTINCT CAST(o_custkey % 100 AS VARCHAR) AS k FROM orders)
+            ),
+            mapped AS (
+                SELECT COALESCE(c.canon, cl.subj) AS subj, cl.pred, cl.obj
+                FROM cl LEFT JOIN canon c ON c.node = cl.subj
+            ),
+            votes AS (
+                SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS weight
+                FROM mapped GROUP BY 1, 2, 3
+            )
+            SELECT subj, pred, obj, weight FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY subj, pred ORDER BY weight DESC, obj ASC
+                ) AS rn FROM votes
+            ) WHERE rn = 1
         """
     # containment_docs twin: corpus-df prefix order, ceil arithmetic on
     # the FULL query size, candidate join against the corpus postings,

@@ -121,6 +121,7 @@ from prase_spark.warc import (
 from prase_spark.seed import seed_from_page_clusters
 from prase_spark.temporal import fact_history, facts_asof, kg_diff
 from prase_spark.temporalgraph import earliest_arrival
+from prase_spark.survivorship import golden_record
 from prase_spark.pipeline import (
     align,
     alignment_results,
@@ -153,6 +154,7 @@ __all__ = [
     "facts_asof",
     "kg_diff",
     "earliest_arrival",
+    "golden_record",
     "bipartite_match",
     "canonical_entity_ids",
     "connected_components",
