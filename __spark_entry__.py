@@ -556,6 +556,25 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_langid_ct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trained Cavnar-Trenkle language ID (datapipe/langid_ct.py): rank
+    profiles (top-100 char 3-grams per lang label) trained over the
+    whole documents table in-engine, then docs < 200 classified by the
+    out-of-place rank distance — argmin with (dist, lang) total order.
+    The testdata lang labels are synthetic, which is irrelevant here:
+    the gate verifies that training AND classification are bit-equal
+    across engines (pytest covers discrimination on real-language
+    fixtures). All ranks/distances exact integers."""
+    from prase_spark.datapipe.langid_ct import (
+        classify_language,
+        train_language_profiles,
+    )
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = train_language_profiles(d, top=100)
+    return classify_language(d.filter("doc_id < 200"), prof, top=100)
+
+
 def _q_golden_kg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Survivorship fusion (survivorship.golden_record): two mention
     spaces ('a<k>'/'b<k>') of 100 canonical customers each claim status
@@ -4913,6 +4932,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "butterfly_orders": _q_butterfly_orders,
         "containment_docs": _q_containment_docs,
         "golden_kg_orders": _q_golden_kg_orders,
+        "langid_ct_docs": _q_langid_ct_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7781,6 +7801,62 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # langid_ct twin: identical normalization (tokens rejoined with
+    # single spaces), substring 3-grams, per-group rank windows, the
+    # coalesce(|r_doc - r_lang|, top) penalty, and the argmin window.
+    _ct_norm = "array_to_string(" + _TOKS_SQL.format(c="text") + ", ' ')"
+    out["langid_ct_docs"] = f"""
+            WITH nd AS (
+                SELECT doc_id, lang, {_ct_norm} AS s FROM documents
+            ),
+            tg AS (
+                SELECT lang, substring(s, i, 3) AS gram
+                FROM nd,
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 2)) AS i) g
+                WHERE len(s) >= 3
+            ),
+            prof AS (
+                SELECT lang, gram, CAST(rank AS BIGINT) AS rank FROM (
+                    SELECT lang, gram, COUNT(*) AS c,
+                           row_number() OVER (
+                               PARTITION BY lang ORDER BY COUNT(*) DESC, gram ASC
+                           ) AS rank
+                    FROM tg GROUP BY lang, gram
+                ) WHERE rank <= 100
+            ),
+            dg AS (
+                SELECT doc_id, substring(s, i, 3) AS gram
+                FROM (SELECT doc_id, s FROM nd WHERE doc_id < 200),
+                     LATERAL (SELECT unnest(generate_series(1, len(s) - 2)) AS i) g
+                WHERE len(s) >= 3
+            ),
+            dprof AS (
+                SELECT doc_id, gram, CAST(r_doc AS BIGINT) AS r_doc FROM (
+                    SELECT doc_id, gram, COUNT(*) AS c,
+                           row_number() OVER (
+                               PARTITION BY doc_id ORDER BY COUNT(*) DESC, gram ASC
+                           ) AS r_doc
+                    FROM dg GROUP BY doc_id, gram
+                ) WHERE r_doc <= 100
+            ),
+            langs AS (SELECT DISTINCT lang FROM prof),
+            scored AS (
+                SELECT d.doc_id, l.lang,
+                       COALESCE(ABS(d.r_doc - p.rank), 100) AS pen
+                FROM dprof d
+                CROSS JOIN langs l
+                LEFT JOIN prof p ON p.lang = l.lang AND p.gram = d.gram
+            ),
+            dists AS (
+                SELECT doc_id, lang, CAST(SUM(pen) AS BIGINT) AS dist
+                FROM scored GROUP BY doc_id, lang
+            )
+            SELECT doc_id, lang, dist FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY doc_id ORDER BY dist ASC, lang ASC
+                ) AS rn FROM dists
+            ) WHERE rn = 1
         """
     # golden_kg_orders twin: canon rewrite, vote counts, and the
     # (weight desc, obj asc) winner via one window.
