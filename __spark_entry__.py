@@ -556,6 +556,19 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing fingerprints (datapipe/winnow.py, MOSS SIGMOD'03) at
+    k=5, w=4 over docs < 300: per window of 4 consecutive 5-gram poly
+    hashes select the minimum, ties -> rightmost — any shared substring
+    of length >= 8 chars is guaranteed a common fingerprint. The DuckDB
+    twin replays the frame minima and the rightmost-position join over
+    the identical gram-hash sequence."""
+    from prase_spark.datapipe.winnow import winnow_fingerprints
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").filter("doc_id < 300")
+    return winnow_fingerprints(d, k=5, w=4)
+
+
 def _q_langid_ct_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Trained Cavnar-Trenkle language ID (datapipe/langid_ct.py): rank
     profiles (top-100 char 3-grams per lang label) trained over the
@@ -4933,6 +4946,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "containment_docs": _q_containment_docs,
         "golden_kg_orders": _q_golden_kg_orders,
         "langid_ct_docs": _q_langid_ct_docs,
+        "winnow_docs": _q_winnow_docs,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7801,6 +7815,44 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # winnow twin: gram-position table, frame minima, rightmost-min
+    # position join, DISTINCT (pos, fp) — the MOSS selection replayed
+    # relationally.
+    _wn_norm = "array_to_string(" + _TOKS_SQL.format(c="text") + ", ' ')"
+    _wn_poly = POLY_SQL.format(c="substring(nd.s, i, 5)")
+    out["winnow_docs"] = f"""
+            WITH nd AS (
+                SELECT doc_id, {_wn_norm} AS s
+                FROM documents WHERE doc_id < 300
+            ),
+            g AS (
+                SELECT nd.doc_id, i AS pos, {_wn_poly} AS h
+                FROM nd,
+                     LATERAL (SELECT unnest(generate_series(
+                         1, GREATEST(len(nd.s) - 4, 1))) AS i) t
+            ),
+            n AS (SELECT doc_id, COUNT(*) AS ng FROM g GROUP BY doc_id),
+            wm AS (
+                SELECT g.doc_id, g.pos AS wstart, MIN(g2.h) AS m
+                FROM g
+                JOIN n USING (doc_id)
+                JOIN g g2 ON g2.doc_id = g.doc_id
+                         AND g2.pos BETWEEN g.pos
+                                        AND g.pos + LEAST(4, n.ng) - 1
+                WHERE g.pos <= GREATEST(n.ng - LEAST(4, n.ng) + 1, 1)
+                GROUP BY g.doc_id, g.pos
+            ),
+            sel AS (
+                SELECT wm.doc_id, MAX(g2.pos) AS pos, wm.m AS fp
+                FROM wm
+                JOIN n USING (doc_id)
+                JOIN g g2 ON g2.doc_id = wm.doc_id AND g2.h = wm.m
+                         AND g2.pos BETWEEN wm.wstart
+                                        AND wm.wstart + LEAST(4, n.ng) - 1
+                GROUP BY wm.doc_id, wm.wstart, wm.m
+            )
+            SELECT DISTINCT doc_id, CAST(pos AS BIGINT) AS pos, fp FROM sel
         """
     # langid_ct twin: identical normalization (tokens rejoined with
     # single spaces), substring 3-grams, per-group rank windows, the

@@ -12,6 +12,7 @@ from prase_spark.datapipe.sketches import cms_lookup, count_min
 from prase_spark.datapipe.profile import exact_quantiles
 from prase_spark.datapipe.textrank import textrank_keywords
 from prase_spark.datapipe.langid_ct import classify_language, train_language_profiles
+from prase_spark.datapipe.winnow import winnow_fingerprints
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom, decontaminate_fuzzy
@@ -145,6 +146,7 @@ __all__ = [
     "textrank_keywords",
     "train_language_profiles",
     "classify_language",
+    "winnow_fingerprints",
     "minhash_lsh_pairs",
     "keep_best",
     "simhash_pairs",
