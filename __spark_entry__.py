@@ -556,6 +556,38 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_graph_mixing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-mixing report (graphstats.graph_mixing_stats) over the
+    120-node directed mixing graph: node/edge counts, reciprocity
+    num/den, and the five exact assortativity sums (both orientations)
+    — the value-hashable sufficient statistics; the float Pearson r is
+    one driver-side expression at the consumer."""
+    from prase_spark.graphstats import graph_mixing_stats
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return graph_mixing_stats(edges)
+
+
+def _q_rich_club_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rich-club sufficient statistics (graphstats.rich_club_counts,
+    Zhou-Mondragón): per degree threshold k, the count of nodes above
+    it and the induced simple-edge count — phi(k) = 2 e_k / (n_k
+    (n_k - 1)) at the consumer. Rising phi is the link-farm
+    interlinking signature."""
+    from prase_spark.graphstats import rich_club_counts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return rich_club_counts(edges, [0, 2, 4, 8, 16])
+
+
 def _q_winnow_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing fingerprints (datapipe/winnow.py, MOSS SIGMOD'03) at
     k=5, w=4 over docs < 300: per window of 4 consecutive 5-gram poly
@@ -4947,6 +4979,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "golden_kg_orders": _q_golden_kg_orders,
         "langid_ct_docs": _q_langid_ct_docs,
         "winnow_docs": _q_winnow_docs,
+        "graph_mixing_orders": _q_graph_mixing_orders,
+        "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
         "paris_align_tpch": _q_paris_align_tpch,
@@ -7815,6 +7849,70 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # graph_mixing / rich_club twins: shared simplification CTEs, the
+    # same reciprocity semi-join and assortativity sums / per-k
+    # threshold joins.
+    _gm_base = """
+            e AS (
+                SELECT DISTINCT CAST(o_custkey % 120 AS BIGINT) AS a,
+                       CAST(o_orderkey % 120 AS BIGINT) AS b
+                FROM orders
+                WHERE (o_custkey % 120) <> (o_orderkey % 120)
+            ),
+            und AS (SELECT DISTINCT LEAST(a, b) AS a, GREATEST(a, b) AS b FROM e),
+            deg AS (
+                SELECT node, COUNT(*) AS d FROM (
+                    SELECT a AS node FROM und UNION ALL SELECT b FROM und
+                ) GROUP BY node
+            )
+    """
+    out["graph_mixing_orders"] = f"""
+            WITH {_gm_base},
+            nodes AS (SELECT a AS node FROM e UNION SELECT b FROM e),
+            recip AS (
+                SELECT COUNT(*) AS c FROM e
+                WHERE EXISTS (SELECT 1 FROM e e2 WHERE e2.a = e.b AND e2.b = e.a)
+            ),
+            bo AS (SELECT a, b FROM und UNION ALL SELECT b, a FROM und),
+            dd AS (
+                SELECT da.d AS x, db.d AS y
+                FROM bo
+                JOIN deg da ON da.node = bo.a
+                JOIN deg db ON db.node = bo.b
+            )
+            SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nodes) AS n_nodes,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS n_edges,
+                   (SELECT CAST(c AS BIGINT) FROM recip) AS recip_num,
+                   (SELECT CAST(COUNT(*) AS BIGINT) FROM e) AS recip_den,
+                   CAST(COUNT(*) AS BIGINT) AS asst_n,
+                   CAST(SUM(x) AS BIGINT) AS asst_sx,
+                   CAST(SUM(y) AS BIGINT) AS asst_sy,
+                   CAST(SUM(x * y) AS BIGINT) AS asst_sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS asst_sx2,
+                   CAST(SUM(y * y) AS BIGINT) AS asst_sy2
+            FROM dd
+        """
+    out["rich_club_orders"] = f"""
+            WITH {_gm_base},
+            ks(k) AS (VALUES (0), (2), (4), (8), (16)),
+            nk AS (
+                SELECT ks.k, COUNT(*) AS n_k
+                FROM ks JOIN deg ON deg.d > ks.k GROUP BY ks.k
+            ),
+            ek AS (
+                SELECT ks.k, COUNT(*) AS e_k
+                FROM ks
+                JOIN und ON TRUE
+                JOIN deg da ON da.node = und.a
+                JOIN deg db ON db.node = und.b
+                WHERE da.d > ks.k AND db.d > ks.k
+                GROUP BY ks.k
+            )
+            SELECT CAST(ks.k AS BIGINT) AS k,
+                   CAST(COALESCE(nk.n_k, 0) AS BIGINT) AS n_k,
+                   CAST(COALESCE(ek.e_k, 0) AS BIGINT) AS e_k
+            FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
         """
     # winnow twin: gram-position table, frame minima, rightmost-min
     # position join, DISTINCT (pos, fp) — the MOSS selection replayed

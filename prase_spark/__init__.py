@@ -101,6 +101,8 @@ from prase_spark.metablock import (
 from prase_spark.graphstats import (
     butterfly_counts,
     coreness_hindex,
+    graph_mixing_stats,
+    rich_club_counts,
     scc_fwbw_min,
     shortest_path_counts,
     strongly_connected_components,
@@ -237,6 +239,8 @@ __all__ = [
     "scc_fwbw_min",
     "coreness_hindex",
     "butterfly_counts",
+    "graph_mixing_stats",
+    "rich_club_counts",
     "wl_colors",
     "shortest_path_counts",
     "read_warc",

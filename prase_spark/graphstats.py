@@ -1103,3 +1103,91 @@ def butterfly_counts(
             F.coalesce(F.col("butterflies"), F.lit(0).cast("long")).alias("butterflies"),
         )
     )
+
+
+def graph_mixing_stats(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """One-row exact-integer graph-mixing report over the directed edge
+    list — the shape diagnostics a crawl-graph consumer reads before
+    choosing partitioning and spam heuristics:
+
+    - ``n_nodes`` / ``n_edges`` (distinct, self-loops dropped);
+    - ``recip_num`` / ``recip_den`` — reciprocity: mutual edge count
+      over all edges (link exchanges and mirror rings are high-
+      reciprocity; organic citation is low);
+    - ``asst_*`` — the five exact sums (n, sum_x, sum_y, sum_xy,
+      sum_x2, sum_y2 over per-edge endpoint SIMPLE degrees x = deg(a),
+      y = deg(b), both orientations so the measure is symmetric) from
+      which degree assortativity r = (n*sxy - sx*sy) /
+      sqrt((n*sx2 - sx^2)(n*sy2 - sy^2)) follows — the sums are the
+      value-hashable sufficient statistics; the float r is one
+      driver-side expression away (the fs_pattern_weights doctrine:
+      corpus-sized arithmetic in-engine and exact, the final
+      transcendental at the consumer).
+
+    All hash aggregates; the degree join is node-keyed.
+    """
+    e = (
+        edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
+        .where(F.col("a").isNotNull() & F.col("b").isNotNull() & (F.col("a") != F.col("b")))
+        .distinct()
+        .localCheckpoint()
+    )
+    rev = e.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    mutual = e.join(rev, ["a", "b"], "left_semi")
+    und, deg = _simple_undirected(e, "a", "b")
+    both = und.unionByName(und.select(F.col("b").alias("a"), F.col("a").alias("b")))
+    dd = (
+        both.join(deg.select(F.col("node").alias("a"), F.col("d").alias("x")), "a")
+        .join(deg.select(F.col("node").alias("b"), F.col("d").alias("y")), "b")
+    )
+    asst = dd.agg(
+        F.count(F.lit(1)).alias("asst_n"),
+        F.sum("x").alias("asst_sx"),
+        F.sum("y").alias("asst_sy"),
+        F.sum(F.col("x") * F.col("y")).alias("asst_sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("asst_sx2"),
+        F.sum(F.col("y") * F.col("y")).alias("asst_sy2"),
+    )
+    counts = e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        F.broadcast(
+            e.select(F.col("a").alias("node"))
+            .unionByName(e.select(F.col("b").alias("node")))
+            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_nodes"))
+        )
+    ).crossJoin(F.broadcast(mutual.agg(F.count(F.lit(1)).alias("recip_num"))))
+    return counts.crossJoin(F.broadcast(asst)).selectExpr(
+        "n_nodes", "n_edges",
+        "recip_num", "n_edges AS recip_den",
+        "asst_n", "asst_sx", "asst_sy", "asst_sxy", "asst_sx2", "asst_sy2",
+    )
+
+
+def rich_club_counts(
+    edges: DataFrame, ks: list[int], src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(k, n_k, e_k): for each degree threshold ``k``, the number of
+    nodes with simple degree > k and the number of simple undirected
+    edges BOTH of whose endpoints clear it — the exact-integer
+    sufficient statistics of the rich-club coefficient
+    ``phi(k) = 2 e_k / (n_k (n_k - 1))`` (Zhou & Mondragón 2004).
+    A rising phi(k) on a crawl host graph is the hub-collusion
+    signature (link farms interlinking); per-k work is two broadcast
+    semi-joins over the degree table."""
+    und, deg = _simple_undirected(edges, src, dst)
+    und = und.localCheckpoint()
+    deg = deg.localCheckpoint()
+    spark = edges.sparkSession
+    rows = []
+    for k in ks:
+        rich = deg.filter(F.col("d") > k).select("node")
+        n_k = rich.count()
+        e_k = (
+            und.join(rich.withColumnRenamed("node", "a"), "a", "left_semi")
+            .join(rich.withColumnRenamed("node", "b"), "b", "left_semi")
+            .count()
+        )
+        rows.append((k, n_k, e_k))
+    return spark.createDataFrame(rows, "k LONG, n_k LONG, e_k LONG")

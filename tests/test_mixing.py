@@ -1,0 +1,75 @@
+"""graph_mixing_stats + rich_club_counts vs brute-force replicas."""
+
+from collections import defaultdict
+from itertools import combinations
+
+import pytest
+
+from prase_spark.graphstats import graph_mixing_stats, rich_club_counts
+
+EDGES = [
+    (1, 2), (2, 1),        # mutual pair
+    (1, 3), (3, 4), (4, 1),
+    (5, 6), (6, 5), (6, 7),
+    (8, 8),                # self-loop: dropped
+    (2, 3),
+]
+
+
+def _simple(edges):
+    und = set()
+    for a, b in edges:
+        if a != b:
+            und.add((min(a, b), max(a, b)))
+    deg = defaultdict(int)
+    for a, b in und:
+        deg[a] += 1
+        deg[b] += 1
+    return und, deg
+
+
+def _brute_mixing(edges):
+    e = {(a, b) for a, b in edges if a != b}
+    nodes = {a for a, _ in e} | {b for _, b in e}
+    recip = sum(1 for a, b in e if (b, a) in e)
+    und, deg = _simple(edges)
+    xs, ys = [], []
+    for a, b in und:
+        xs += [deg[a], deg[b]]
+        ys += [deg[b], deg[a]]
+    return {
+        "n_nodes": len(nodes),
+        "n_edges": len(e),
+        "recip_num": recip,
+        "recip_den": len(e),
+        "asst_n": len(xs),
+        "asst_sx": sum(xs),
+        "asst_sy": sum(ys),
+        "asst_sxy": sum(x * y for x, y in zip(xs, ys)),
+        "asst_sx2": sum(x * x for x in xs),
+        "asst_sy2": sum(y * y for y in ys),
+    }
+
+
+def test_mixing_stats_match_brute(spark):
+    df = spark.createDataFrame(EDGES, ["src", "dst"])
+    row = graph_mixing_stats(df).collect()[0].asDict()
+    assert row == _brute_mixing(EDGES)
+    # symmetric sums by construction
+    assert row["asst_sx"] == row["asst_sy"]
+    assert row["asst_sx2"] == row["asst_sy2"]
+
+
+def test_rich_club_matches_brute(spark):
+    edges = [(v % 40, (v * 13 + 5) % 40) for v in range(200)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    und, deg = _simple(edges)
+    got = {r.k: (r.n_k, r.e_k) for r in rich_club_counts(df, [0, 1, 2, 3, 5]).collect()}
+    for k in [0, 1, 2, 3, 5]:
+        rich = {n for n, d in deg.items() if d > k}
+        e_k = sum(1 for a, b in und if a in rich and b in rich)
+        assert got[k] == (len(rich), e_k), f"k={k}"
+    # monotone: richer clubs are never larger
+    ks = sorted(got)
+    for a, b in zip(ks, ks[1:]):
+        assert got[a][0] >= got[b][0] and got[a][1] >= got[b][1]
