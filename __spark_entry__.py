@@ -556,6 +556,22 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_clustering_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient sufficient statistics
+    (graphstats.clustering_coefficient_counts): per node the exact
+    triangle count and wedge count d(d-1)/2 over the node_triangles
+    97-node events template — C(v) = tri/wedges at the consumer.
+    High-C low-d = clique/template ring; high-d low-C = genuine hub."""
+    from prase_spark.graphstats import clustering_coefficient_counts
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    edges = ev.select(
+        (F.col("event_id") % 97).alias("src"),
+        F.expr("(event_id DIV 97) % 97").alias("dst"),
+    )
+    return clustering_coefficient_counts(edges)
+
+
 def _q_graph_mixing_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Graph-mixing report (graphstats.graph_mixing_stats) over the
     120-node directed mixing graph: node/edge counts, reciprocity
@@ -4980,6 +4996,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "langid_ct_docs": _q_langid_ct_docs,
         "winnow_docs": _q_winnow_docs,
         "graph_mixing_orders": _q_graph_mixing_orders,
+        "clustering_events": _q_clustering_events,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -7849,6 +7866,48 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
+        """
+    # clustering_events twin: the node_triangles CTE chain + a degree
+    # LEFT JOIN so every degree>=1 node reports (tri, d(d-1)//2).
+    out["clustering_events"] = """
+            WITH raw AS (
+                SELECT event_id % 97 AS a, (event_id // 97) % 97 AS b
+                FROM events
+            ),
+            und AS (
+                SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+                FROM raw WHERE a <> b
+            ),
+            deg AS (
+                SELECT node, count(*) AS d
+                FROM (SELECT a AS node FROM und
+                      UNION ALL SELECT b FROM und)
+                GROUP BY node
+            ),
+            ori AS (
+                SELECT CASE WHEN da.d <= db.d THEN u.a ELSE u.b END AS u,
+                       CASE WHEN da.d <= db.d THEN u.b ELSE u.a END AS v
+                FROM und u
+                JOIN deg da ON da.node = u.a
+                JOIN deg db ON db.node = u.b
+            ),
+            tri AS (
+                SELECT e1.u AS u, e1.v AS x, e2.v AS y
+                FROM ori e1
+                JOIN ori e2 ON e1.u = e2.u AND e1.v < e2.v
+                JOIN und c ON c.a = e1.v AND c.b = e2.v
+            ),
+            corners AS (
+                SELECT node, count(*) AS t FROM (
+                    SELECT u AS node FROM tri
+                    UNION ALL SELECT x FROM tri
+                    UNION ALL SELECT y FROM tri
+                ) GROUP BY node
+            )
+            SELECT deg.node,
+                   CAST(COALESCE(corners.t, 0) AS BIGINT) AS tri,
+                   CAST(deg.d * (deg.d - 1) // 2 AS BIGINT) AS wedges
+            FROM deg LEFT JOIN corners USING (node)
         """
     # graph_mixing / rich_club twins: shared simplification CTEs, the
     # same reciprocity semi-join and assortativity sums / per-k

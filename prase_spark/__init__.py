@@ -100,6 +100,7 @@ from prase_spark.metablock import (
 )
 from prase_spark.graphstats import (
     butterfly_counts,
+    clustering_coefficient_counts,
     coreness_hindex,
     graph_mixing_stats,
     rich_club_counts,
@@ -241,6 +242,7 @@ __all__ = [
     "butterfly_counts",
     "graph_mixing_stats",
     "rich_club_counts",
+    "clustering_coefficient_counts",
     "wl_colors",
     "shortest_path_counts",
     "read_warc",

@@ -1191,3 +1191,27 @@ def rich_club_counts(
         )
         rows.append((k, n_k, e_k))
     return spark.createDataFrame(rows, "k LONG, n_k LONG, e_k LONG")
+
+
+def clustering_coefficient_counts(
+    edges: DataFrame, src: str = "src", dst: str = "dst"
+) -> DataFrame:
+    """(node, tri, wedges): the exact integer numerator and denominator
+    of the local clustering coefficient ``C(v) = tri / wedges`` with
+    ``wedges = d(d-1)/2`` over the simple undirected graph — every node
+    with degree >= 1 reports (isolated-from-triangles nodes report tri
+    0), so the consumer computes the float coefficient (or the exact
+    rational comparison) without re-deriving anything. High-C low-d
+    regions are cliques (template rings); high-d low-C nodes are
+    genuine hubs — the triage split degrees alone cannot make.
+    Composition of the audited triangle kernel + one degree join."""
+    und, deg = _simple_undirected(edges, src, dst)
+    tri = node_triangles(edges, src, dst)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.coalesce(F.col("triangles"), F.lit(0).cast("long")).alias("tri"),
+            F.expr("d * (d - 1) div 2").cast("long").alias("wedges"),
+        )
+    )

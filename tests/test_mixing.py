@@ -73,3 +73,33 @@ def test_rich_club_matches_brute(spark):
     ks = sorted(got)
     for a, b in zip(ks, ks[1:]):
         assert got[a][0] >= got[b][0] and got[a][1] >= got[b][1]
+
+
+def test_clustering_coefficient_counts(spark):
+    from prase_spark.graphstats import clustering_coefficient_counts
+
+    # K4 (every node C=1: tri 3, wedges 3) + a path (C=0)
+    edges = [(1, 2), (1, 3), (1, 4), (2, 3), (2, 4), (3, 4), (5, 6), (6, 7)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    got = {r.node: (r.tri, r.wedges) for r in clustering_coefficient_counts(df).collect()}
+    assert got[1] == (3, 3) and got[4] == (3, 3)
+    assert got[5] == (0, 0) and got[6] == (0, 1) and got[7] == (0, 0)
+
+    # cross-check vs brute on the mixing graph
+    from collections import defaultdict
+    from itertools import combinations
+
+    edges2 = [((i * 7) % 25, (i * 11 + 3) % 25) for i in range(120)]
+    df2 = spark.createDataFrame(edges2, ["src", "dst"])
+    und, deg = _simple(edges2)
+    nbr = defaultdict(set)
+    for a, b in und:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    expect = {}
+    for v in nbr:
+        t = sum(1 for x, y in combinations(sorted(nbr[v]), 2) if (min(x, y), max(x, y)) in und)
+        d = deg[v]
+        expect[v] = (t, d * (d - 1) // 2)
+    got2 = {r.node: (r.tri, r.wedges) for r in clustering_coefficient_counts(df2).collect()}
+    assert got2 == expect
