@@ -3062,6 +3062,61 @@ def _q_canonical_export_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_fused_kg_tpch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The complete north-star loop as ONE value-oracled query: PARIS
+    alignment (full 2-iteration fixpoint) → canonical-entity merge (CC,
+    min-IRI canonical) → predicate harmonization (name/label -> name,
+    mktsegment/segment -> segment) → survivorship fusion of BOTH KGs'
+    attribute claims per (canonical entity, predicate). The ~1-in-13
+    uppercased KG2 labels make real conflicts, so majority voting +
+    the (weight desc, obj asc) tie-break are live, not decorative. The
+    DuckDB twin replays fixpoint, recursive closure, the same predicate
+    map and the same winner window."""
+    from prase_spark.matching import connected_components
+    from prase_spark.survivorship import golden_record
+    from prase_spark.tpch_kg import tpch_raw_triples
+
+    res = _align_results_2iter(spark, sf_dir)
+    pairs = res.filter(F.col("kind") == "entity").select(
+        F.regexp_replace(
+            F.regexp_replace("name_l", "^<", ""), ">$", ""
+        ).alias("src"),
+        F.col("name_r").alias("dst"),
+    )
+    comp = connected_components(pairs)
+    canon = comp.select("node", F.col("component").alias("canon"))
+    raw = tpch_raw_triples(spark, sf_dir, 1).unionByName(
+        tpch_raw_triples(spark, sf_dir, 2)
+    )
+    claims = (
+        raw.filter("is_attr")
+        .withColumn(
+            "pred",
+            F.when(
+                F.col("pred").isin(
+                    "http://a.org/ontology/name", "http://b.org/prop/direct/label"
+                ),
+                F.lit("name"),
+            ).when(
+                F.col("pred").isin(
+                    "http://a.org/ontology/mktsegment",
+                    "http://b.org/prop/direct/segment",
+                ),
+                F.lit("segment"),
+            ),
+        )
+        .filter(F.col("pred").isNotNull())
+        .select(
+            F.regexp_replace(
+                F.regexp_replace("subj", "^<", ""), ">$", ""
+            ).alias("subj"),
+            "pred",
+            "obj",
+        )
+    )
+    return golden_record(claims, canon=canon)
+
+
 def _det_embeddings(kg, dim: int = 4) -> DataFrame:
     """Deterministic name-derived entity embeddings for the fusion gate:
     component j = (poly_hash61(name ':' j) % 1000) / 1000, entities kept
@@ -4997,6 +5052,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "winnow_docs": _q_winnow_docs,
         "graph_mixing_orders": _q_graph_mixing_orders,
         "clustering_events": _q_clustering_events,
+        "fused_kg_tpch": _q_fused_kg_tpch,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -7287,6 +7343,68 @@ def oracle_sql() -> dict[str, str]:
             SELECT '<' || node || '> <http://www.w3.org/2002/07/owl#sameAs> <'
                    || component || '> .' AS line
             FROM ccomp
+        """,
+        # fused_kg_tpch: fixpoint + closure (as canonical_export) + the
+        # predicate map + survivorship votes and winner window.
+        "fused_kg_tpch": f"""
+            WITH res AS (
+                {_paris_align_sql(iterations=2)}
+            ),
+            cpairs AS (
+                SELECT regexp_replace(regexp_replace(name_l, '^<', ''), '>$', '') AS a,
+                       name_r AS b
+                FROM res WHERE kind = 'entity'
+            ),
+            csym AS (
+                SELECT a, b FROM cpairs WHERE a <> b
+                UNION
+                SELECT b, a FROM cpairs WHERE a <> b
+            ),
+            ccomp AS (
+                SELECT node, LEAST(node, MIN(r)) AS component
+                FROM (
+                    WITH RECURSIVE creach AS (
+                        SELECT a AS node, b AS r FROM csym
+                        UNION
+                        SELECT creach.node, s.b
+                        FROM creach JOIN csym s ON creach.r = s.a
+                    )
+                    SELECT node, r FROM creach
+                ) GROUP BY node
+            ),
+            raw AS (
+                SELECT subj, pred, obj, is_attr FROM ({KG1_SQL})
+                UNION ALL
+                SELECT subj, pred, obj, is_attr FROM ({KG2_SQL})
+            ),
+            claims AS (
+                SELECT regexp_replace(regexp_replace(subj, '^<', ''), '>$', '') AS subj,
+                       CASE WHEN pred IN ('http://a.org/ontology/name',
+                                          'http://b.org/prop/direct/label')
+                            THEN 'name'
+                            WHEN pred IN ('http://a.org/ontology/mktsegment',
+                                          'http://b.org/prop/direct/segment')
+                            THEN 'segment' END AS pred,
+                       obj
+                FROM raw
+                WHERE is_attr AND pred IN (
+                    'http://a.org/ontology/name', 'http://b.org/prop/direct/label',
+                    'http://a.org/ontology/mktsegment', 'http://b.org/prop/direct/segment')
+            ),
+            mapped AS (
+                SELECT COALESCE(c.component, claims.subj) AS subj,
+                       claims.pred, claims.obj
+                FROM claims LEFT JOIN ccomp c ON c.node = claims.subj
+            ),
+            votes AS (
+                SELECT subj, pred, obj, CAST(COUNT(*) AS BIGINT) AS weight
+                FROM mapped GROUP BY 1, 2, 3
+            )
+            SELECT subj, pred, obj, weight FROM (
+                SELECT *, row_number() OVER (
+                    PARTITION BY subj, pred ORDER BY weight DESC, obj ASC
+                ) AS rn FROM votes
+            ) WHERE rn = 1
         """,
         "paris_fusion_tpch": _paris_align_sql(iterations=3, fusion=True),
         "feedback_align_tpch": _paris_align_sql(iterations=3, fusion=True, seed_customers=True),
