@@ -556,6 +556,27 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_borda_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Borda-count fusion (graphstats.borda_aggregate) of three
+    incompatible-scale centrality signals — integer PageRank (3 iter),
+    directed in-degree, h-operator coreness (3 iter) — into one
+    importance order over the 120-node mixing graph. Per-signal ranks
+    use the distributed global rank under the (score desc, node asc)
+    total order; the DuckDB twin replays all three signal pipelines and
+    the same bottom-up point arithmetic."""
+    from prase_spark.graphstats import borda_aggregate, coreness_hindex, degrees, pagerank
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    pr = pagerank(edges, iterations=3)
+    dg = degrees(edges).select("node", "in_deg")
+    co = coreness_hindex(edges, iterations=3)
+    return borda_aggregate({"pagerank": pr, "in_deg": dg, "coreness": co})
+
+
 def _q_clustering_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local clustering coefficient sufficient statistics
     (graphstats.clustering_coefficient_counts): per node the exact
@@ -5053,6 +5074,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "graph_mixing_orders": _q_graph_mixing_orders,
         "clustering_events": _q_clustering_events,
         "fused_kg_tpch": _q_fused_kg_tpch,
+        "borda_orders": _q_borda_orders,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -7985,6 +8007,66 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, token, rank_e12, CAST(rn AS INT) AS rn
             FROM rk WHERE rn <= 3
         """
+    # borda_orders twin: the three signal pipelines (pagerank recurrence
+    # over the raw multi-edge list, in-degree with 0 default, unrolled
+    # h-operator coreness over the simple undirected graph) ranked under
+    # (score desc, node asc) and summed bottom-up.
+    _hstep = """
+            SELECT node, MAX(LEAST(v, rn)) AS core FROM (
+                SELECT adj.node, {prev}.core AS v,
+                       row_number() OVER (
+                           PARTITION BY adj.node ORDER BY {prev}.core DESC
+                       ) AS rn
+                FROM adj JOIN {prev} ON {prev}.node = adj.nbr
+            ) GROUP BY node
+    """
+    _bd_pr = _pagerank_ctes(3, PAGERANK_SCALE, 85)
+    _bd_rank = """
+            SELECT node,
+                   CAST((SELECT COUNT(*) FROM {s}) - row_number() OVER (
+                       ORDER BY {col} DESC, node ASC
+                   ) AS BIGINT) AS pts
+            FROM {s}
+    """
+    out["borda_orders"] = f"""
+            WITH e0 AS (
+                SELECT CAST(o_custkey % 120 AS BIGINT) AS src,
+                       CAST(o_orderkey % 120 AS BIGINT) AS dst
+                FROM orders
+            ),
+            nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+            od AS (SELECT src, COUNT(*) AS out_deg FROM e0 GROUP BY src),
+            ed AS (SELECT e0.src, e0.dst, od.out_deg FROM e0 JOIN od USING (src)),
+            {_bd_pr},
+            indeg AS (
+                SELECT n.node, CAST(COALESCE(i.c, 0) AS BIGINT) AS in_deg
+                FROM nodes n LEFT JOIN (
+                    SELECT dst AS node, COUNT(*) AS c FROM e0 GROUP BY dst
+                ) i USING (node)
+            ),
+            cund AS (
+                SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+                FROM e0 WHERE src <> dst
+            ),
+            adj AS (
+                SELECT a AS node, b AS nbr FROM cund
+                UNION ALL SELECT b, a FROM cund
+            ),
+            v0 AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS core FROM adj GROUP BY node),
+            v1 AS ({_hstep.format(prev='v0')}),
+            v2 AS ({_hstep.format(prev='v1')}),
+            v3 AS ({_hstep.format(prev='v2')}),
+            p1 AS ({_bd_rank.format(s='r3', col='rank_e12')}),
+            p2 AS ({_bd_rank.format(s='indeg', col='in_deg')}),
+            p3 AS ({_bd_rank.format(s='v3', col='core')}),
+            allp AS (
+                SELECT * FROM p1 UNION ALL SELECT * FROM p2
+                UNION ALL SELECT * FROM p3
+            )
+            SELECT node, CAST(SUM(pts) AS BIGINT) AS borda,
+                   CAST(COUNT(*) AS BIGINT) AS n_signals
+            FROM allp GROUP BY node
+        """
     # clustering_events twin: the node_triangles CTE chain + a degree
     # LEFT JOIN so every degree>=1 node reports (tri, d(d-1)//2).
     out["clustering_events"] = """
@@ -8523,15 +8605,6 @@ def oracle_sql() -> dict[str, str]:
         """
     # coreness_orders twin: three unrolled h-operator steps; the window
     # (rn over desc values) MAX(LEAST(v, rn)) per node IS the h-index.
-    _hstep = """
-            SELECT node, MAX(LEAST(v, rn)) AS core FROM (
-                SELECT adj.node, {prev}.core AS v,
-                       row_number() OVER (
-                           PARTITION BY adj.node ORDER BY {prev}.core DESC
-                       ) AS rn
-                FROM adj JOIN {prev} ON {prev}.node = adj.nbr
-            ) GROUP BY node
-    """
     out["coreness_orders"] = f"""
             WITH e0 AS (
                 SELECT CAST(o_custkey % 120 AS BIGINT) AS a,

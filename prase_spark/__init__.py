@@ -100,6 +100,7 @@ from prase_spark.metablock import (
 )
 from prase_spark.graphstats import (
     butterfly_counts,
+    borda_aggregate,
     clustering_coefficient_counts,
     coreness_hindex,
     graph_mixing_stats,
@@ -243,6 +244,7 @@ __all__ = [
     "graph_mixing_stats",
     "rich_club_counts",
     "clustering_coefficient_counts",
+    "borda_aggregate",
     "wl_colors",
     "shortest_path_counts",
     "read_warc",

@@ -1215,3 +1215,53 @@ def clustering_coefficient_counts(
             F.expr("d * (d - 1) div 2").cast("long").alias("wedges"),
         )
     )
+
+
+def borda_aggregate(
+    signals: dict[str, DataFrame],
+    node: str = "node",
+    descending: bool = True,
+) -> DataFrame:
+    """(node, borda, n_signals): Borda-count rank aggregation across
+    centrality signals — each signal contributes points = its rank
+    from the bottom under the TOTAL order (score desc, node asc), and the Borda
+    score is the sum. The standard way to fuse pagerank / HITS /
+    degree / coreness into ONE importance order without comparing
+    their incompatible scales (de Borda 1781; Dwork et al. WWW'01 for
+    the web-ranking use). Exact integers with a total order per
+    signal, so the aggregate is value-hashable.
+
+    ``signals`` maps signal name -> (node, score) DataFrame (column 2
+    is the score whatever its name). Nodes absent from a signal get 0
+    points from it (ranked below everyone). Per-signal ranking uses
+    the distributed global rank (no single-partition sort); the final
+    sum is one hash agg.
+    """
+    from prase_spark.metablock import global_rank
+
+    parts = []
+    for name, df in signals.items():
+        cols = df.columns
+        s = df.select(F.col(cols[0]).alias("node"), F.col(cols[1]).alias("score"))
+        n = s.count()
+        ranked = global_rank(
+            s.select(
+                "node",
+                (F.col("score") * (-1 if descending else 1)).alias("k"),
+            ),
+            ["k", "node"],
+            out_col="r",
+        )
+        # rank 0 = best -> points n-1-r (bottom rank gets 0)
+        parts.append(
+            ranked.select(
+                "node", (F.lit(n - 1) - F.col("r")).cast("long").alias("pts")
+            )
+        )
+    allp = parts[0]
+    for p in parts[1:]:
+        allp = allp.unionByName(p)
+    return allp.groupBy("node").agg(
+        F.sum("pts").alias("borda"),
+        F.count(F.lit(1)).cast("long").alias("n_signals"),
+    )

@@ -103,3 +103,25 @@ def test_clustering_coefficient_counts(spark):
         expect[v] = (t, d * (d - 1) // 2)
     got2 = {r.node: (r.tri, r.wedges) for r in clustering_coefficient_counts(df2).collect()}
     assert got2 == expect
+
+
+def test_borda_aggregate(spark):
+    from prase_spark.graphstats import borda_aggregate
+
+    s1 = spark.createDataFrame([(1, 100), (2, 50), (3, 10)], ["node", "x"])
+    s2 = spark.createDataFrame([(1, 5), (2, 9), (4, 7)], ["node", "y"])
+    got = {
+        r.node: (r.borda, r.n_signals)
+        for r in borda_aggregate({"a": s1, "b": s2}).collect()
+    }
+    # s1 points: 1->2, 2->1, 3->0 ; s2 points: 2->2, 4->1, 1->0
+    assert got == {1: (2, 2), 2: (3, 2), 3: (0, 1), 4: (1, 1)}
+
+
+def test_borda_tie_break_total_order(spark):
+    from prase_spark.graphstats import borda_aggregate
+
+    s = spark.createDataFrame([(5, 7), (3, 7), (9, 7)], ["node", "x"])
+    got = {r.node: r.borda for r in borda_aggregate({"only": s}).collect()}
+    # equal scores rank by node asc: 3 best (2 pts), then 5, then 9
+    assert got == {3: 2, 5: 1, 9: 0}
