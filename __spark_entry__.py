@@ -556,6 +556,25 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Morton/Z-order layout keys (io.zorder_key): the low 10 bits of
+    o_custkey and o_orderkey interleaved — the multi-dimensional
+    file-layout primitive (each contiguous key range = a tight (a, b)
+    rectangle, so parquet min/max stats prune BOTH dimensions). Pure
+    integer shifts/ors, bit-identical in any engine."""
+    from prase_spark.io import zorder_key
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return o.select(
+        "o_orderkey",
+        zorder_key(
+            F.expr("CAST(o_custkey % 1024 AS LONG)"),
+            F.expr("CAST(o_orderkey % 1024 AS LONG)"),
+            bits=10,
+        ).alias("z"),
+    )
+
+
 def _q_borda_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Borda-count fusion (graphstats.borda_aggregate) of three
     incompatible-scale centrality signals — integer PageRank (3 iter),
@@ -5075,6 +5094,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_events": _q_clustering_events,
         "fused_kg_tpch": _q_fused_kg_tpch,
         "borda_orders": _q_borda_orders,
+        "zorder_orders": _q_zorder_orders,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -8028,6 +8048,20 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS pts
             FROM {s}
     """
+    # zorder twin: the identical interleave written out as shifts/ors.
+    _z_terms = " | ".join(
+        f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"
+        for i in range(10)
+    )
+    out["zorder_orders"] = f"""
+            WITH q AS (
+                SELECT o_orderkey,
+                       CAST(o_custkey % 1024 AS BIGINT) AS a,
+                       CAST(o_orderkey % 1024 AS BIGINT) AS b
+                FROM orders
+            )
+            SELECT o_orderkey, CAST({_z_terms} AS BIGINT) AS z FROM q
+        """
     out["borda_orders"] = f"""
             WITH e0 AS (
                 SELECT CAST(o_custkey % 120 AS BIGINT) AS src,

@@ -73,7 +73,7 @@ from prase_spark.distsup import distant_supervision, find_mentions, split_senten
 from prase_spark.evaluate import cluster_metrics
 from prase_spark.matching import compose_alignment
 from prase_spark.sgns import SGNSModel, sgns_similarity, train_sgns
-from prase_spark.io import bucket_metrics
+from prase_spark.io import bucket_metrics, zorder_key, zorder_layout
 from prase_spark.kgbuild import KGFrames, build_kg, kg_info
 from prase_spark.linkgraph import (
     anchor_text_priors,
@@ -256,4 +256,6 @@ __all__ = [
     "train_transe",
     "transe_scores",
     "bucket_metrics",
+    "zorder_key",
+    "zorder_layout",
 ]

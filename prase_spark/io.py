@@ -136,3 +136,45 @@ def bucket_metrics(
             F.bit_xor(row_hash).alias("checksum"),
         )
     )
+
+
+def zorder_key(a, b, bits: int = 16):
+    """Morton/Z-order key: interleave the low ``bits`` bits of two
+    non-negative integer columns — bit i of ``a`` lands at position 2i,
+    bit i of ``b`` at 2i+1. Records close in BOTH dimensions get close
+    keys, so range-partitioning + sorting on the key gives every file
+    a tight bounding box in (a, b) — parquet min/max stats then prune
+    multi-dimensional predicates (host x time, partkey x date) that a
+    single-column sort can only serve on its leading column. This is
+    the layout primitive behind OPTIMIZE ZORDER-style maintenance,
+    expressed as one pure codegen integer expression (2*bits shifts +
+    ors), identical in any engine.
+
+    Inputs must already be non-negative and fit ``bits`` bits (mod/hash
+    them down first — the caller owns the dimension quantization, same
+    doctrine as bucket_metrics)."""
+    from pyspark.sql import Column
+    from pyspark.sql import functions as F
+
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        # Column `|` is logical OR; bitwiseOR is the integer op
+        z = z.bitwiseOR(
+            F.shiftleft(F.shiftright(ca, i).bitwiseAND(F.lit(1)), 2 * i)
+        ).bitwiseOR(
+            F.shiftleft(F.shiftright(cb, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z.cast("long")
+
+
+def zorder_layout(df, a: str, b: str, n_files: int = 32, bits: int = 16):
+    """Range-partition + sort the frame by its Z-order key (appended as
+    ``__z``): the write-side companion of :func:`zorder_key`, same
+    shard discipline as cdx.write_cdx_index — each output partition
+    holds one contiguous Z-range, i.e. a bounded rectangle-union in
+    (a, b), which is what makes parquet row-group stats selective on
+    BOTH columns."""
+    keyed = df.withColumn("__z", zorder_key(a, b, bits))
+    return keyed.repartitionByRange(n_files, "__z").sortWithinPartitions("__z")
