@@ -556,6 +556,24 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pareto skyline (datapipe/skyline.py, Börzsönyi ICDE'01) over
+    three derived maximize-dimensions of documents (n_chars, doc_id%97,
+    doc_id*7%89) — the multi-criteria curation selector. The skyline
+    set is unique regardless of partitioning, so the two-phase
+    local/global mapInPandas result hash-matches DuckDB's quadratic
+    NOT-EXISTS dominance formulation exactly."""
+    from prase_spark.datapipe.skyline import skyline
+
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "CAST(n_chars AS LONG) AS a",
+        "CAST(doc_id % 97 AS LONG) AS b",
+        "CAST((doc_id * 7) % 89 AS LONG) AS c",
+    )
+    return skyline(d, ["a", "b", "c"])
+
+
 def _q_zorder_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Morton/Z-order layout keys (io.zorder_key): the low 10 bits of
     o_custkey and o_orderkey interleaved — the multi-dimensional
@@ -5095,6 +5113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fused_kg_tpch": _q_fused_kg_tpch,
         "borda_orders": _q_borda_orders,
         "zorder_orders": _q_zorder_orders,
+        "skyline_docs": _q_skyline_docs,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -8048,6 +8067,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS pts
             FROM {s}
     """
+    # skyline twin: quadratic NOT-EXISTS dominance — fine at oracle
+    # scale, and provably the same unique set the two-phase pass keeps.
+    out["skyline_docs"] = """
+            WITH t AS (
+                SELECT doc_id, CAST(n_chars AS BIGINT) AS a,
+                       CAST(doc_id % 97 AS BIGINT) AS b,
+                       CAST((doc_id * 7) % 89 AS BIGINT) AS c
+                FROM documents
+            )
+            SELECT p.doc_id, p.a, p.b, p.c FROM t p
+            WHERE NOT EXISTS (
+                SELECT 1 FROM t q
+                WHERE q.a >= p.a AND q.b >= p.b AND q.c >= p.c
+                  AND (q.a > p.a OR q.b > p.b OR q.c > p.c)
+            )
+        """
     # zorder twin: the identical interleave written out as shifts/ors.
     _z_terms = " | ".join(
         f"(((a >> {i}) & 1) << {2 * i}) | (((b >> {i}) & 1) << {2 * i + 1})"

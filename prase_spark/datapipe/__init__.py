@@ -13,6 +13,7 @@ from prase_spark.datapipe.profile import exact_quantiles
 from prase_spark.datapipe.textrank import textrank_keywords
 from prase_spark.datapipe.langid_ct import classify_language, train_language_profiles
 from prase_spark.datapipe.winnow import winnow_fingerprints
+from prase_spark.datapipe.skyline import skyline
 from prase_spark.datapipe.profile import corpus_profile
 from prase_spark.datapipe.sessionize import sessionize
 from prase_spark.datapipe.decontam import decontaminate, decontaminate_bloom, decontaminate_fuzzy
@@ -147,6 +148,7 @@ __all__ = [
     "train_language_profiles",
     "classify_language",
     "winnow_fingerprints",
+    "skyline",
     "minhash_lsh_pairs",
     "keep_best",
     "simhash_pairs",
