@@ -556,6 +556,35 @@ def _q_textrank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return textrank_keywords(d, iterations=3, k=3)
 
 
+def _q_cocitation_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Co-citation counts (graphstats.cocitation_counts, Small 1973)
+    over the 120-node directed mixing graph: pairs cited by the same
+    sources, n >= 2 — the citation-co-occurrence same-entity evidence.
+    One wedge join through the citing middle; exact integers."""
+    from prase_spark.graphstats import cocitation_counts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return cocitation_counts(edges, min_count=2)
+
+
+def _q_coupling_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bibliographic coupling (Kessler 1963): pairs LINKING TO the same
+    targets, n >= 2 — the outgoing-reference topical-similarity twin of
+    co-citation, over the same mixing graph."""
+    from prase_spark.graphstats import cocitation_counts
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = o.selectExpr(
+        "CAST(o_custkey % 120 AS LONG) AS src",
+        "CAST(o_orderkey % 120 AS LONG) AS dst",
+    )
+    return cocitation_counts(edges, coupling=True, min_count=2)
+
+
 def _q_skyline_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pareto skyline (datapipe/skyline.py, Börzsönyi ICDE'01) over
     three derived maximize-dimensions of documents (n_chars, doc_id%97,
@@ -5114,6 +5143,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "borda_orders": _q_borda_orders,
         "zorder_orders": _q_zorder_orders,
         "skyline_docs": _q_skyline_docs,
+        "cocitation_orders": _q_cocitation_orders,
+        "coupling_orders": _q_coupling_orders,
         "rich_club_orders": _q_rich_club_orders,
         # --- r4-recorded headline fixpoints (most valuable re-confirm) ---
         "literal_seed": _q_literal_seed,
@@ -8067,6 +8098,22 @@ def oracle_sql() -> dict[str, str]:
                    ) AS BIGINT) AS pts
             FROM {s}
     """
+    # cocitation/coupling twins: the same wedge joins through the
+    # deduplicated (middle, endpoint) table.
+    _cc_wedge = """
+            WITH e AS (
+                SELECT DISTINCT CAST({m} % 120 AS BIGINT) AS m,
+                       CAST({x} % 120 AS BIGINT) AS x
+                FROM orders
+            )
+            SELECT p.a, p.b, p.n FROM (
+                SELECT l.x AS a, r.x AS b, CAST(COUNT(*) AS BIGINT) AS n
+                FROM e l JOIN e r ON l.m = r.m AND l.x < r.x
+                GROUP BY l.x, r.x
+            ) p WHERE p.n >= 2
+    """
+    out["cocitation_orders"] = _cc_wedge.format(m="o_custkey", x="o_orderkey")
+    out["coupling_orders"] = _cc_wedge.format(m="o_orderkey", x="o_custkey")
     # skyline twin: quadratic NOT-EXISTS dominance — fine at oracle
     # scale, and provably the same unique set the two-phase pass keeps.
     out["skyline_docs"] = """

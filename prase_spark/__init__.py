@@ -102,6 +102,7 @@ from prase_spark.graphstats import (
     butterfly_counts,
     borda_aggregate,
     clustering_coefficient_counts,
+    cocitation_counts,
     coreness_hindex,
     graph_mixing_stats,
     rich_club_counts,
@@ -245,6 +246,7 @@ __all__ = [
     "rich_club_counts",
     "clustering_coefficient_counts",
     "borda_aggregate",
+    "cocitation_counts",
     "wl_colors",
     "shortest_path_counts",
     "read_warc",

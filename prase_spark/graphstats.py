@@ -1265,3 +1265,52 @@ def borda_aggregate(
         F.sum("pts").alias("borda"),
         F.count(F.lit(1)).cast("long").alias("n_signals"),
     )
+
+
+def cocitation_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    coupling: bool = False,
+    min_count: int = 1,
+    max_hub_degree: int | None = None,
+    stats_out: dict | None = None,
+) -> DataFrame:
+    """(a, b, n) with a < b: directed common-neighbor evidence —
+    CO-CITATION (Small 1973: n = how many nodes link to BOTH a and b;
+    two pages repeatedly cited together are about the same thing) or,
+    with ``coupling=True``, BIBLIOGRAPHIC COUPLING (Kessler 1963: n =
+    how many targets a and b BOTH link to; two pages with the same
+    outgoing references share a topic). The directed siblings of
+    link_candidates' undirected common-neighbor score, and the
+    crawl-side same-entity evidence PARIS never sees (it reasons over
+    typed relations, not citation co-occurrence).
+
+    One wedge join through the shared middle + one count. The middle's
+    fan-out is its (in- or out-) degree squared — ``max_hub_degree``
+    drops hub middles with telemetry (a page linked BY everyone
+    co-cites everything: zero evidence, quadratic cost — the
+    butterfly/minhash df-cap doctrine).
+    """
+    # (m, x): m is the shared MIDDLE — the citer for co-citation
+    # (m -> a, m -> b), the cited target for coupling (a -> m, b -> m)
+    e = (
+        edges.select(F.col(src).alias("m"), F.col(dst).alias("x"))
+        if not coupling
+        else edges.select(F.col(dst).alias("m"), F.col(src).alias("x"))
+    )
+    e = e.where(F.col("m").isNotNull() & F.col("x").isNotNull()).distinct()
+    if max_hub_degree is not None:
+        md = e.groupBy("m").agg(F.count(F.lit(1)).alias("__d"))
+        hot = md.filter(F.col("__d") > max_hub_degree)
+        if stats_out is not None:
+            stats_out["cocitation_middles_dropped"] = hot.count()
+        e = e.join(hot.select("m"), "m", "left_anti")
+    return (
+        e.select("m", F.col("x").alias("a"))
+        .join(e.select("m", F.col("x").alias("b")), "m")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") >= min_count)
+    )

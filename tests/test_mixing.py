@@ -125,3 +125,50 @@ def test_borda_tie_break_total_order(spark):
     got = {r.node: r.borda for r in borda_aggregate({"only": s}).collect()}
     # equal scores rank by node asc: 3 best (2 pts), then 5, then 9
     assert got == {3: 2, 5: 1, 9: 0}
+
+
+def test_cocitation_and_coupling(spark):
+    from collections import defaultdict
+    from itertools import combinations
+
+    from prase_spark.graphstats import cocitation_counts
+
+    edges = [(v % 30, (v * 13 + 5) % 30) for v in range(150)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    dedup = set(edges)
+
+    def _brute(coupling):
+        nb = defaultdict(set)
+        for s, d in dedup:
+            if coupling:
+                nb[s].add(d)   # a's out-set; shared targets couple
+            else:
+                nb[d].add(s)   # a's in-set; shared citers co-cite
+        out = {}
+        for a, b in combinations(sorted(nb), 2):
+            n = len(nb[a] & nb[b])
+            if n >= 1:
+                out[(a, b)] = n
+        return out
+
+    for coupling in (False, True):
+        got = {
+            (r.a, r.b): r.n
+            for r in cocitation_counts(df, coupling=coupling).collect()
+        }
+        assert got == _brute(coupling), f"coupling={coupling}"
+
+
+def test_cocitation_hub_cap(spark):
+    from prase_spark.graphstats import cocitation_counts
+
+    # one citer links to everything: dropping it leaves only organic pairs
+    edges = [(0, i) for i in range(1, 20)] + [(1, 5), (1, 6), (2, 5), (2, 6)]
+    df = spark.createDataFrame(edges, ["src", "dst"])
+    stats = {}
+    got = {
+        (r.a, r.b): r.n
+        for r in cocitation_counts(df, max_hub_degree=5, stats_out=stats).collect()
+    }
+    assert stats["cocitation_middles_dropped"] == 1
+    assert got == {(5, 6): 2}
