@@ -75,8 +75,11 @@ def _kg_pair(spark: SparkSession, sf_dir: str):
 def _q_kg1_functionality(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A1: per-predicate functionality over the INV-doubled KG1."""
     kg = _kg(spark, sf_dir, 1)
+    # predicates is schema-sized — broadcast beats the SortMergeJoin the
+    # planner picks off the checkpointed frames' unknown stats (r6 plan
+    # audit: 2 Exchange + 2 Sort removed)
     return (
-        kg.functionality.join(kg.predicates, "pred_id")
+        kg.functionality.join(F.broadcast(kg.predicates), "pred_id")
         .select(
             F.col("name").alias("pred_name"),
             F.round("functionality", 9).alias("functionality"),

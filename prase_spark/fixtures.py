@@ -241,8 +241,6 @@ def synthetic_pages_distributed(
     """
     import pandas as pd
 
-    from prase_spark.extract import html_to_text
-
     n_part = partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     def gen(batches):
@@ -275,7 +273,13 @@ def synthetic_pages_distributed(
                 rows_out["url"].append(f"https://example.org/page/{i}")
                 rows_out["warc_ts"].append(datetime(2024, 1, 1 + (i % 28), tzinfo=timezone.utc))
                 rows_out["html"].append(html)
-                rows_out["text"].append(html_to_text(html))
+                # html_to_text over _PAGE_TEMPLATE reduces to exactly
+                # "title title body" (title renders twice: <title> + <h1>;
+                # script/style drop; the body is single-spaced tag-free
+                # text) — the closed form skips three regex passes over
+                # ~5 KB/page; equivalence is pinned by
+                # tests/test_fixtures_text.py against html_to_text(html).
+                rows_out["text"].append(f"Page {i} Page {i} {body}")
                 rows_out["lang"].append("en")
             yield pd.DataFrame(rows_out)
 

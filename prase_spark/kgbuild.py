@@ -148,11 +148,23 @@ def build_kg(
             node_names, ["is_literal", "name"], id_col="ent_id",
             num_partitions=shuffle_partitions,
         ),
+        # The predicate dict is schema-sized (the engine broadcasts it
+        # everywhere, like the reference ships its dicts to every worker):
+        # a 1-partition range sort skips the RangePartitioner sampling job
+        # and the per-partition offset machinery — one window task over at
+        # most ~10^6 tiny rows instead of a 3-job chain.
         lambda: assign_dense_ids(
             pred_names, ["is_attribute", "name"], id_col="pred_id",
-            num_partitions=shuffle_partitions,
+            num_partitions=1,
         ),
     )
+    # Keep the raw dense-id frames for the resolution joins below: the
+    # normalized ``value`` column (3-4 regex passes per name) is only read
+    # by seed/lookup consumers, so computing it inside the triples critical
+    # path would put the normalizers' cost into every KG build (r6 audit:
+    # the resolution join prunes value anyway, but the `nodes` persist
+    # would materialize it eagerly).
+    id_nodes, id_preds = nodes, predicates
     nodes = nodes.withColumn(
         "value",
         F.when(F.col("is_literal"), lite_norm(F.col("name"))).otherwise(
@@ -169,22 +181,22 @@ def build_kg(
     # in frequency, objects/Relation.py:39-43). One resolution pass over the
     # forward rows; the INV twin is an explode of the resolved row — no
     # second scan, no second join wave.
-    n_subj = nodes.select(
+    n_subj = id_nodes.select(
         F.col("name").alias("subj"),
         F.col("is_literal").alias("subj_is_lit"),
         F.col("ent_id").alias("subj_id"),
     )
-    n_obj = nodes.select(
+    n_obj = id_nodes.select(
         F.col("name").alias("obj"),
         F.col("is_literal").alias("obj_is_lit"),
         F.col("ent_id").alias("obj_id"),
     )
-    p_fwd = predicates.filter(~F.col("is_inv")).select(
+    p_fwd = id_preds.filter(~F.col("is_inv")).select(
         F.col("name").alias("pred"),
         F.col("is_attribute").alias("is_attr"),
         F.col("pred_id"),
     )
-    p_inv = predicates.filter(F.col("is_inv")).select(
+    p_inv = id_preds.filter(F.col("is_inv")).select(
         F.col("name").alias("inv_name"),
         F.col("is_attribute").alias("is_attr"),
         F.col("pred_id").alias("inv_pred_id"),
@@ -220,16 +232,27 @@ def build_kg(
     ).select("t.*")
     n_part = shuffle_partitions or int(spark.conf.get("spark.sql.shuffle.partitions"))
     # One hash partitioning by subj, reused by every PARIS head-side probe.
-    triples = both.repartition(n_part, "subj").persist()
+    # Pinned with localCheckpoint, not persist: (a) it materializes NOW,
+    # while `named` is still cached, so the resolution joins never re-derive
+    # the raw scan; (b) it truncates lineage — the PARIS fixpoint reads
+    # triples from ~8 job waves per iteration, and with full build lineage
+    # each wave re-plans a 100+-operator tree (the r6 before-plans were
+    # 90-140 KB of formatted text per iteration DAG); (c) checkpoint blocks
+    # survive catalog-level cache clearing between queries, where a persist
+    # marker does not — a cleared persist made every fixpoint wave rebuild
+    # the KG from parquet (measured: +7s/iteration at sf0.1).
+    triples = both.repartition(n_part, "subj").localCheckpoint()
 
     # --- functionality (objects/Relation.py:45-49): distinct heads / frequency.
     # Only the forward value feeds PARIS (model/PARIS.py:67 reads
     # functionality_dict); fun_inv(pred) == fun(pred-(INV)) by construction.
+    # Same pin rationale as triples: it is broadcast from scratch in every
+    # iteration wave, so recompute-after-cache-clear costs a full agg pass.
     functionality = triples.groupBy("pred").agg(
         (F.countDistinct("subj") / F.count("*")).alias("functionality"),
         (F.countDistinct("obj") / F.count("*")).alias("functionality_inv"),
     ).select(F.col("pred").alias("pred_id"), "functionality", "functionality_inv")
-    functionality = functionality.persist()
+    functionality = functionality.localCheckpoint()
 
     named.unpersist()
     return KGFrames(nodes=nodes, predicates=predicates, triples=triples, functionality=functionality)

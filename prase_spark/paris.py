@@ -365,7 +365,12 @@ def run_iteration(
         cfg, init, ent_align=True,
         embeddings_l=embeddings_l, embeddings_r=embeddings_r, fusion=fusion,
     )
-    merged_sub = max_merge(state.matches_sub, cands).localCheckpoint()
+    # merged_sub is read by both bipartite passes but is cheap (one join of
+    # two already-pinned match tables): a lazy persist lets new_sup's
+    # checkpoint job materialize it in passing — one blocking job wave per
+    # iteration fewer than checkpointing it separately (at 100-TB volume
+    # that is one full pass over the match state saved per iteration).
+    merged_sub = max_merge(state.matches_sub, cands).persist()
     new_sub, new_sup = bipartite_match(merged_sub, state.matches_sup)
     # new_sub's pass-2 filter reads new_sup; pin new_sup so the R-side rel
     # pass and the sub filter don't recompute the claim aggregation.
@@ -384,6 +389,7 @@ def run_iteration(
         # checkpoint wave
         lambda: new_sub.localCheckpoint(),
     )
+    merged_sub.unpersist()
     return AlignState(
         matches_sub=new_sub,
         matches_sup=new_sup,
