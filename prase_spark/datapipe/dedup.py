@@ -406,9 +406,12 @@ def minhash_dedup(
         F.col("node").alias(key_col),
         F.coalesce("component", F.col("node")).alias("cluster_id"),
     )
-    return labeled.withColumn(
-        "keep", F.col(key_col) == F.min(key_col).over(Window.partitionBy("cluster_id"))
-    )
+    # connected_components labels every node with the MIN member id of its
+    # component (and unmatched keys label themselves), so the per-cluster
+    # min IS the cluster_id — the representative test needs no window
+    # shuffle over the full corpus (r6: one Exchange + Sort removed from
+    # the plan tail).
+    return labeled.withColumn("keep", F.col(key_col) == F.col("cluster_id"))
 
 
 def keep_best(

@@ -201,9 +201,9 @@ def embedding_neardup(
             F.coalesce("component", F.col("node")).alias("cluster_id"),
         )
     )
-    return labeled.withColumn(
-        "keep", F.col(id_col) == F.min(id_col).over(Window.partitionBy("cluster_id"))
-    )
+    # cluster_id is already the component's min member id (the CC label),
+    # so the representative test is a pure projection — no window shuffle.
+    return labeled.withColumn("keep", F.col(id_col) == F.col("cluster_id"))
 
 
 def _seeded_centroids(corpus_pd: np.ndarray, n_cells: int, seed: int) -> np.ndarray:

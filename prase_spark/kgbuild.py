@@ -246,12 +246,36 @@ def build_kg(
     # --- functionality (objects/Relation.py:45-49): distinct heads / frequency.
     # Only the forward value feeds PARIS (model/PARIS.py:67 reads
     # functionality_dict); fun_inv(pred) == fun(pred-(INV)) by construction.
+    # Aggregate the FORWARD half only: an INV row is its forward row
+    # swapped, so fun(p-INV) = distinct-obj(p)/count(p) and
+    # fun_inv(p-INV) = distinct-subj(p)/count(p) — same integer operands,
+    # bit-identical doubles. Halving the agg input also halves the 3x
+    # multi-distinct Expand volume (guide §2.3). The broadcast pmap probe
+    # keeps forward rows only (every triples pred is either a pmap pred_id
+    # or a pmap inv_pred_id).
     # Same pin rationale as triples: it is broadcast from scratch in every
     # iteration wave, so recompute-after-cache-clear costs a full agg pass.
-    functionality = triples.groupBy("pred").agg(
-        (F.countDistinct("subj") / F.count("*")).alias("functionality"),
-        (F.countDistinct("obj") / F.count("*")).alias("functionality_inv"),
-    ).select(F.col("pred").alias("pred_id"), "functionality", "functionality_inv")
+    pid_map = pmap.select("pred_id", "inv_pred_id")
+    fwd_agg = (
+        triples.join(F.broadcast(pid_map), triples["pred"] == pid_map["pred_id"])
+        .groupBy("pred_id", "inv_pred_id")
+        .agg(
+            F.countDistinct("subj").alias("__ds"),
+            F.countDistinct("obj").alias("__do"),
+            F.count("*").alias("__cnt"),
+        )
+    )
+    functionality = fwd_agg.select(
+        F.col("pred_id"),
+        (F.col("__ds") / F.col("__cnt")).alias("functionality"),
+        (F.col("__do") / F.col("__cnt")).alias("functionality_inv"),
+    ).unionByName(
+        fwd_agg.select(
+            F.col("inv_pred_id").alias("pred_id"),
+            (F.col("__do") / F.col("__cnt")).alias("functionality"),
+            (F.col("__ds") / F.col("__cnt")).alias("functionality_inv"),
+        )
+    )
     functionality = functionality.localCheckpoint()
 
     named.unpersist()

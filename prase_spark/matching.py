@@ -208,24 +208,25 @@ def connected_components(
             .agg(F.min("component").alias("nbr_component"))
             .withColumnRenamed("a", "node")
         )
-        new_labels = (
+        # Carry the change flag INSIDE the checkpointed frame: the
+        # convergence probe then scans the pinned blocks instead of
+        # re-joining the new labels against the old ones (r6: one
+        # shuffle-join job per round removed from the loop).
+        flagged = (
             labels.join(nbr_min, "node", "left")
             .select(
                 "node",
                 F.least(
                     F.col("component"), F.coalesce("nbr_component", F.col("component"))
                 ).alias("component"),
+                (
+                    F.coalesce("nbr_component", F.col("component")) < F.col("component")
+                ).alias("__chg"),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.component") != F.col("o.component"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = flagged.filter("__chg").limit(1).count()
+        labels = flagged.drop("__chg")
         if changed == 0:
             break
     if stats_out is not None:

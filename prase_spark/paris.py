@@ -259,7 +259,14 @@ def evidence_expansion(
         F.col("counterpart_id").alias("h_cp"),
         F.col("prob").alias("p_h"),
     )
-    m_e = matches_sub.select(
+    # e is always an entity id (facts_l keeps ~obj_is_lit rows only, and the
+    # dict encode gives entities and literals disjoint id ranges), so the
+    # literal match rows — the bulk of the state right after literal seeding
+    # — can never join on e: drop them BEFORE the shuffle instead of
+    # carrying them through the exchange as guaranteed non-matches.
+    # (m_h must keep literal rows: INV'd attribute facts have literal heads,
+    # which is exactly how literal seeds inject evidence.)
+    m_e = matches_sub.filter(~F.col("is_lit")).select(
         F.col("ent_id").alias("e"),
         F.col("counterpart_id").alias("e_cp"),
         F.col("prob").alias("p_e"),
@@ -303,7 +310,9 @@ def half_iteration(
         F.col("counterpart_id").alias("h_cp"),
         F.col("prob").alias("p_h"),
     )
-    m_e = matches_sub.select(
+    # literal match rows can never join on e (entity-id range; see
+    # evidence_expansion) — prune them before the m_e shuffle.
+    m_e = matches_sub.filter(~F.col("is_lit")).select(
         F.col("ent_id").alias("e"),
         F.col("counterpart_id").alias("e_cp"),
         F.col("prob").alias("p_e"),
