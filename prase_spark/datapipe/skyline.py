@@ -27,7 +27,16 @@ regime this implementation hides.
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import DataFrame
+
+logger = logging.getLogger(__name__)
+
+#: survivors above this bound trigger another fan-in round instead of a
+#: direct single-partition pass (a 10^6-row * few-doubles frame is a
+#: comfortable one-task batch; the repo-wide funnel-guard doctrine)
+DEFAULT_MAX_GLOBAL_ROWS = 1_000_000
 
 
 def _local_skyline(cols):
@@ -63,11 +72,51 @@ def _local_skyline(cols):
     return fn
 
 
-def skyline(df: DataFrame, cols: list[str]) -> DataFrame:
+def skyline(
+    df: DataFrame,
+    cols: list[str],
+    max_global_rows: int = DEFAULT_MAX_GLOBAL_ROWS,
+    stats_out: dict | None = None,
+) -> DataFrame:
     """The dominated-free subset of ``df`` under maximize-all dominance
-    over ``cols`` (numeric, non-null). Two mapInPandas passes: local
-    skylines per partition, then the global skyline over their union."""
+    over ``cols`` (numeric, non-null). Local skylines per partition, then
+    the global skyline over their union.
+
+    The global phase is GUARDED (the repo's funnel doctrine — r5 shipped
+    this as the one unguarded single-partition pass): survivors are
+    counted per round, and while they exceed ``max_global_rows`` the
+    local pass re-runs at a decreasing partition count (the survivor set
+    shrinks monotonically — a local skyline of a skyline only removes
+    points) instead of concentrating a near-incomparable corpus on one
+    task. ``stats_out`` receives ``skyline_rounds`` and
+    ``survivors_per_round`` telemetry."""
     if not cols:
         raise ValueError("skyline needs at least one dimension column")
-    local = df.mapInPandas(_local_skyline(cols), df.schema)
+    local = df.mapInPandas(_local_skyline(cols), df.schema).localCheckpoint()
+    survivors = local.count()
+    rounds = [survivors]
+    n_part = max(1, local.rdd.getNumPartitions())
+    while survivors > max_global_rows and n_part > 1:
+        n_part = max(1, n_part // 8)
+        local = (
+            local.repartition(n_part)
+            .mapInPandas(_local_skyline(cols), df.schema)
+            .localCheckpoint()
+        )
+        prev, survivors = survivors, local.count()
+        rounds.append(survivors)
+        if survivors >= prev and n_part > 1:
+            # no shrink at this width: near-total incomparability; one
+            # more halving round cannot help either — go global with a
+            # loud warning rather than looping
+            logger.warning(
+                "skyline: %d survivors did not shrink below max_global_rows=%d "
+                "(near-incomparable dimensions) — final single-partition pass "
+                "over %d rows",
+                survivors, max_global_rows, survivors,
+            )
+            break
+    if stats_out is not None:
+        stats_out["skyline_rounds"] = len(rounds)
+        stats_out["survivors_per_round"] = rounds
     return local.repartition(1).mapInPandas(_local_skyline(cols), df.schema)

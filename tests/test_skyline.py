@@ -62,3 +62,29 @@ def test_empty_dims_rejected(spark):
     df = spark.createDataFrame([{"id": 1, "a": 1}])
     with pytest.raises(ValueError):
         skyline(df, [])
+
+
+def test_skyline_guarded_global_phase(spark):
+    """r6 funnel guard: when phase-1 survivors exceed max_global_rows, the
+    operator iterates local passes at decreasing partition counts (the
+    survivor set shrinks monotonically) instead of concentrating the
+    corpus on a single task; the result stays the exact skyline set."""
+    # 200 frontier points on a+b=1000 (mutually incomparable) + 1800
+    # dominated points scattered over many partitions, so per-partition
+    # local skylines keep far more than 200 rows in round 1
+    rows = [(i, float(i), float(1000 - i), 1.0) for i in range(200)]
+    rows += [
+        (1000 + j, float(j % 200) - 1.0, float(1000 - (j % 200)) - 1.0, 0.5)
+        for j in range(1800)
+    ]
+    df = spark.createDataFrame(rows, "id long, a double, b double, c double").repartition(32)
+    stats = {}
+    got = sorted(
+        r.id for r in skyline(df, ["a", "b", "c"], max_global_rows=150, stats_out=stats).collect()
+    )
+    assert got == list(range(200))
+    # the guard actually engaged: more than one fan-in round recorded,
+    # and no round handed more than the recorded survivor count to the
+    # final single-partition pass
+    assert stats["skyline_rounds"] >= 2
+    assert stats["survivors_per_round"][0] >= 200
