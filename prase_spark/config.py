@@ -25,7 +25,10 @@ class ParisConfig:
     # engine knobs (no reference analog; scale controls)
     checkpoint_dir: str = field(default="/tmp/prase_spark_ckpt")
     checkpoint_every: int = 1
-    salt_buckets: int = 0     # >0 enables skew salting of hub-head joins
+    # hub-head expansion skew salting: 0 = AUTO (product-skew detection,
+    # buckets sized from the largest hot product); 1 = off (plain join);
+    # >1 = fixed bucket count with the frequency-threshold hot sketch
+    salt_buckets: int = 0
 
 
 def get_spark(

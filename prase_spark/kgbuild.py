@@ -48,6 +48,16 @@ class KGFrames:
     def literals(self) -> DataFrame:
         return self.nodes.filter(F.col("is_literal"))
 
+    def triple_count(self) -> int:
+        """Memoized triples row count (the frame is pinned at build, so
+        the count is stable); used by scale-gated planning decisions
+        (e.g. the PARIS product-skew guard) without a per-iteration job."""
+        n = getattr(self, "_n_triples", None)
+        if n is None:
+            n = self.triples.count()
+            object.__setattr__(self, "_n_triples", n)
+        return n
+
     def unpersist(self) -> None:
         for df in (self.nodes, self.predicates, self.triples, self.functionality):
             df.unpersist()

@@ -135,7 +135,17 @@ def candidate_scores(
 ) -> DataFrame:
     """A7: per-(e, t') noisy-OR score 1 - Π factors (model/PARIS.py:56-78).
     Returns (e, t2, score). Split from the argmax so the driver gate can
-    oracle-check the raw scores."""
+    oracle-check the raw scores.
+
+    Probe economy (r6, guide §2.3): the expansion stream is the job's
+    biggest intermediate (r6 measurement: 54.7M rows at sf0.1, the stage
+    CPU-bound on per-row hash probes), so the two rel-align lookups are
+    merged into ONE (r, r2)-keyed broadcast, and the functionality
+    lookups piggyback on columns the caller pre-attached to the JOIN
+    INPUTS (``fun_l``/``fun_r`` — probed once per cand/fact row instead
+    of once per expansion row). Every arithmetic expression and operand
+    is unchanged, so scores stay bit-identical to the r5 form (the
+    oracle twins replay the original association order)."""
     ral_l = rel_align_l.select(
         F.col("pred_id").alias("r"),
         F.col("counterpart_pred_id").alias("r2"),
@@ -146,16 +156,12 @@ def candidate_scores(
         F.col("counterpart_pred_id").alias("r"),
         F.col("prob").alias("raw_sup"),
     )
-    fun_l = kg_l.functionality.select(
-        F.col("pred_id").alias("r"), F.col("functionality").alias("fun_l")
-    )
-    fun_r = kg_r.functionality.select(
-        F.col("pred_id").alias("r2"), F.col("functionality").alias("fun_r")
-    )
+    # one sparse (r, r2) map instead of two: same keys, same values, one
+    # hash probe per expansion row
+    ral = ral_l.join(ral_r, ["r", "r2"], "full_outer")
     eps = float(cfg.epsilon)
     ev = (
-        expanded.join(F.broadcast(ral_l), ["r", "r2"], "left")
-        .join(F.broadcast(ral_r), ["r", "r2"], "left")
+        expanded.join(F.broadcast(ral), ["r", "r2"], "left")
         .withColumn("p_sub", clamp01(F.coalesce("raw_sub", F.lit(0.0))) / eps)
         .withColumn("p_sup", clamp01(F.coalesce("raw_sup", F.lit(0.0))) / eps)
     )
@@ -169,14 +175,22 @@ def candidate_scores(
     else:
         ev = ev.filter(~F.col("below"))
     ev = ev.drop("below")
+    if "fun_l" not in expanded.columns:
+        fun_l = kg_l.functionality.select(
+            F.col("pred_id").alias("r"), F.col("functionality").alias("fun_l")
+        )
+        ev = ev.join(F.broadcast(fun_l), "r", "left")
+    if "fun_r" not in expanded.columns:
+        fun_r = kg_r.functionality.select(
+            F.col("pred_id").alias("r2"), F.col("functionality").alias("fun_r")
+        )
+        ev = ev.join(F.broadcast(fun_r), "r2", "left")
     factor = (
         (1.0 - F.col("p_h") * F.col("p_sup") * F.coalesce("fun_r", F.lit(0.0)) / eps)
         * (1.0 - F.col("p_h") * F.col("p_sub") * F.coalesce("fun_l", F.lit(0.0)) / eps)
     )
     return (
-        ev.join(F.broadcast(fun_l), "r", "left")
-        .join(F.broadcast(fun_r), "r2", "left")
-        .withColumn("factor", factor)
+        ev.withColumn("factor", factor)
         .filter((1.0 - F.col("factor")) > cfg.delta)       # δ-prune (model/PARIS.py:75)
         .groupBy("e", "t2")
         .agg(F.product("factor").alias("factor_prod"))
@@ -274,11 +288,21 @@ def evidence_expansion(
     facts_r = kg_r.triples.filter(~F.col("obj_is_lit")).select(
         F.col("subj").alias("h_cp"), F.col("pred").alias("r2"), F.col("obj").alias("t2")
     )
+    # pre-attach functionality to the JOIN INPUTS (one probe per fact/cand
+    # row, not per expansion row — candidate_scores skips its own lookups
+    # when the columns are present)
+    fun_l = kg_l.functionality.select(
+        F.col("pred_id").alias("r"), F.col("functionality").alias("fun_l")
+    )
+    fun_r = kg_r.functionality.select(
+        F.col("pred_id").alias("r2"), F.col("functionality").alias("fun_r")
+    )
     return (
         facts_l.join(m_h, "h")
         .join(m_e, "e", "left")
-        .join(facts_r, "h_cp")
-        .select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
+        .join(F.broadcast(fun_l), "r", "left")
+        .join(facts_r.join(F.broadcast(fun_r), "r2", "left"), "h_cp")
+        .select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2", "fun_l", "fun_r")
     )
 
 
@@ -329,13 +353,93 @@ def half_iteration(
         # The hub-head expansion has exactly ONE consumer (the candidate
         # scorer); its δ-filter drops hub garbage before the product-agg
         # shuffle, so the wide intermediate is streamed, never stored.
+        # Functionality attaches to the JOIN INPUTS (one broadcast probe
+        # per cand/fact row) so candidate_scores does not probe it once
+        # per expansion row — see its probe-economy note.
+        fun_l_map = kg_l.functionality.select(
+            F.col("pred_id").alias("r"), F.col("functionality").alias("fun_l")
+        )
+        fun_r_map = kg_r.functionality.select(
+            F.col("pred_id").alias("r2"), F.col("functionality").alias("fun_r")
+        )
+        cand_x = cand_base.join(F.broadcast(fun_l_map), "r", "left")
+        facts_x = facts_r.join(F.broadcast(fun_r_map), "r2", "left")
         if cfg.salt_buckets > 1:
             from prase_spark.skew import salted_join
 
-            expanded = salted_join(cand_base, facts_r, "h_cp", cfg.salt_buckets)
+            expanded = salted_join(cand_x, facts_x, "h_cp", cfg.salt_buckets)
+        elif cfg.salt_buckets == 0:
+            # AUTO (default): guard against CATASTROPHIC product skew —
+            # hub counterparts whose per-key row product would pin one
+            # task for minutes. AQE's skew split keys off input partition
+            # sizes and cannot touch this class (a 3k x 3k hub has tiny
+            # inputs and a 9M-row output). The threshold is absolute and
+            # high (product_hot_keys default 50M): the r6 A/B showed that
+            # below ~10M-row products the expansion stage is CPU-bound,
+            # not straggler-bound, and salting only added overhead — so
+            # ordinary skew stays on the plain join and the rewrite
+            # engages only where the plain plan would effectively hang.
+            # The hot-key set is a collected driver list (capped at 200),
+            # so the hot/cold split compiles to literal isin() filters
+            # fused into the scans — no semi/anti-join stages.
+            # salt_buckets=1 forces the plain join.
+            from prase_spark.skew import product_hot_keys
+
+            spark = cand_base.sparkSession
+            # size gate: a >=50M-row per-key product needs >=~7.1k rows of
+            # one key on each side, so corpora under 5M facts per side
+            # cannot reach it at sane fan-outs — skip even the (cheap)
+            # detection job there; the memoized count is free after the
+            # first iteration
+            hot_rows = (
+                product_hot_keys(cand_base, facts_r, "h_cp")
+                if kg_r.triple_count() >= 5_000_000
+                else []
+            )
+            if hot_rows:
+                keys = [r["h_cp"] for r in hot_rows]
+                # enough (key, salt) combos to spread over the cluster:
+                # ~4 combos per partition slot (guide §2.5 — too few
+                # distinct combos leaves hash-collision lumps), bounded
+                # by the largest product so tiny hubs aren't over-split
+                dp = spark.sparkContext.defaultParallelism
+                max_out = int(hot_rows[0]["__pc"]) * int(hot_rows[0]["__bc"])
+                k = min(
+                    max(2, (4 * dp) // max(1, len(keys)) + 1),
+                    max(2, -(-max_out // 500_000)),
+                )
+                cb_hot = cand_x.filter(F.col("h_cp").isin(keys))
+                cb_cold = cand_x.filter(~F.col("h_cp").isin(keys))
+                fr_hot = facts_x.filter(F.col("h_cp").isin(keys))
+                fr_cold = facts_x.filter(~F.col("h_cp").isin(keys))
+                # scatter the cand side by a deterministic full-row hash,
+                # replicate the (narrower) facts side to every bucket
+                scattered = cb_hot.withColumn(
+                    "__salt",
+                    F.pmod(
+                        F.xxhash64(*[F.col(c) for c in cb_hot.columns]), F.lit(k)
+                    ).cast("int"),
+                )
+                replicated = fr_hot.withColumn(
+                    "__salt", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+                )
+                # the hot leg MUST be a shuffle join: a broadcast join
+                # would drop the exchange and leave the exploded copies
+                # sitting in the hub's original partitions (the salt only
+                # rebalances if rows actually move by (h_cp, __salt))
+                expanded = (
+                    scattered.hint("shuffle_hash")
+                    .join(replicated, ["h_cp", "__salt"])
+                    .drop("__salt")
+                    .unionByName(cb_cold.join(fr_cold, "h_cp"))
+                )
+            else:
+                expanded = cand_x.join(facts_x, "h_cp")
         else:
-            expanded = cand_base.join(facts_r, "h_cp")
-        expanded = expanded.select("e", "r", "p_h", "e_cp", "p_e", "r2", "t2")
+            expanded = cand_x.join(facts_x, "h_cp")
+        expanded = expanded.select(
+            "e", "r", "p_h", "e_cp", "p_e", "r2", "t2", "fun_l", "fun_r"
+        )
         cands_lazy = entity_candidates(
             expanded, kg_l, kg_r, rel_align_l, rel_align_r, cfg, init,
             embeddings_l, embeddings_r, fusion=fusion,

@@ -38,6 +38,40 @@ def hot_keys(df: DataFrame, key: str, min_rows: int = 100_000, top_k: int = 200)
     return hot_key_counts(df, key, min_rows, top_k).select(key)
 
 
+def product_hot_keys(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    min_out_rows: int = 50_000_000,
+    top_k: int = 200,
+) -> list:
+    """Join keys whose OUTPUT contribution (probe rows x build rows) is at
+    least ``min_out_rows`` — returned as collected rows
+    ``(key, __pc, __bc)``, largest product first.
+
+    This is the skew class AQE cannot fix: its skew-join split looks at
+    shuffle INPUT partition sizes, but a hub key with 3k rows on each side
+    has tiny inputs and a 9M-row join output, so the product lands
+    unsplit on one task (r6 measurement: 5 hub keys = 82% of the PARIS
+    expansion volume). Two per-key count aggs + a tiny join; both inputs
+    are typically already pinned, so this costs one small job.
+
+    The default threshold is deliberately ABSOLUTE and high: the r6 A/B
+    at sf0.1 showed the expansion stage is CPU-bound, not straggler-bound,
+    below ~10M-row products (salting doubled stage CPU for no wall gain),
+    so the guard should only engage where one task would run for minutes —
+    the catastrophic class, not the merely-uneven one."""
+    pc = probe.groupBy(key).agg(F.count("*").alias("__pc"))
+    bc = build.groupBy(key).agg(F.count("*").alias("__bc"))
+    return (
+        pc.join(bc, key)
+        .filter(F.col("__pc") * F.col("__bc") >= min_out_rows)
+        .orderBy(F.desc(F.col("__pc") * F.col("__bc")))
+        .limit(top_k)
+        .collect()
+    )
+
+
 def salted_join(
     probe: DataFrame,
     build: DataFrame,
