@@ -93,5 +93,15 @@ def get_spark(
             .count()
             .count()
         )
+        # Pre-spawn the Python worker pool + Arrow serialization path the
+        # same way: the first mapInPandas in a session otherwise pays
+        # daemon fork + worker spawn per core inside the query that runs
+        # it (~0.5-1 s at local[32] measured on the extraction path).
+        # Identity over `cpus` one-row partitions touches every slot.
+        (
+            session.range(cpus, numPartitions=cpus)
+            .mapInPandas(lambda it: it, "id bigint")
+            .count()
+        )
         session._prase_warmed = True
     return session
