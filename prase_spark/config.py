@@ -64,13 +64,21 @@ def get_spark(
         # pre-size the heap: lazy heap expansion causes a one-time multi-
         # second GC churn on the first heavy query (observed 28s -> 3s).
         # JDK17 unified logging writes warning-level GC messages (e.g.
-        # GCLocker allocation retries) to STDOUT by default — reroute to
-        # stderr so stdout stays parseable (bench.py's one-JSON-line
-        # contract; any driver that captures stdout).
+        # GCLocker allocation retries) to STDOUT by default — and that
+        # default sink stays active when another -Xlog output is merely
+        # ADDED, so it must be -Xlog:disable'd first or warnings still
+        # pollute stdout (observed: GCLocker retry warnings glued into a
+        # captured bench stdout; bench.py's one-JSON-line contract).
+        # GCLockerRetryAllocationCount: G1's default gives up after 2
+        # retries when JNI critical sections (Arrow transfers) pin the GC
+        # during a humongous allocation and throws a spurious OOM that
+        # kills the job (observed once on a loaded host, 64MB alloc);
+        # retrying longer is strictly safer than dying.
         .config(
             "spark.driver.extraJavaOptions",
             f"-Xms{os.environ.get('PRASE_DRIVER_XMS', '6g')} "
-            "-Xlog:all=warning:stderr:uptime,level,tags",
+            "-XX:+UnlockDiagnosticVMOptions -XX:GCLockerRetryAllocationCount=64 "
+            "-Xlog:disable -Xlog:all=warning:stderr:uptime,level,tags",
         )
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
